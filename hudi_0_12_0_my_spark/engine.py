@@ -1,0 +1,43 @@
+"""Engine: session-level entry point (create/load tables, CALL procedures).
+
+The Python counterpart of HoodieSparkSessionExtension + HoodieProcedures
+(hudi-spark-datasource/hudi-spark/.../HoodieSparkSessionExtension.scala:31-44;
+procedures dir with 49 registered CALLs): since PySpark cannot inject a
+Catalyst parser extension, Hudi-specific DML enters through this API (and the
+mini SQL dispatcher in sql.py); all general relational SQL goes straight to
+`spark.sql` over registered snapshot views — the same division of labor the
+reference uses (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .table import LakeTable
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def create_table(self, base_path: str, name: str | None = None,
+                     df: DataFrame | None = None, **cfg_kwargs) -> LakeTable:
+        return LakeTable.create(self.spark, base_path, name=name, df=df, **cfg_kwargs)
+
+    def load_table(self, base_path: str) -> LakeTable:
+        return LakeTable(self.spark, base_path)
+
+    def table_exists(self, base_path: str) -> bool:
+        from .config import table_exists
+        return table_exists(base_path)
+
+    def call(self, procedure: str, **kwargs):
+        """CALL procedure dispatch (HoodieProcedures.scala registry)."""
+        from .procedures import call as _call
+        return _call(self, procedure, **kwargs)
+
+    def sql(self, text: str):
+        """Mini SQL front-end for Hudi-specific DML (CALL / RUN COMPACTION /
+        MERGE INTO ...); everything else is delegated to spark.sql."""
+        from .sql import dispatch
+        return dispatch(self, text)

@@ -1,0 +1,31 @@
+"""Hudi meta columns (hudi-common/.../model/HoodieRecord.java:37-54)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+COMMIT_TIME = "_hoodie_commit_time"
+COMMIT_SEQNO = "_hoodie_commit_seqno"
+RECORD_KEY = "_hoodie_record_key"
+PARTITION_PATH = "_hoodie_partition_path"
+FILE_NAME = "_hoodie_file_name"
+OPERATION = "_hoodie_operation"          # internal change-op for MOR deltas (I/U/D)
+DELETE_MARKER = "_hoodie_is_deleted"     # user-facing tombstone column
+
+META_COLS = [COMMIT_TIME, COMMIT_SEQNO, RECORD_KEY, PARTITION_PATH, FILE_NAME]
+
+# internal write-path column: target file group of each row
+TARGET_FILE_ID = "_target_file_id"
+
+
+def file_id_from_name(col=FILE_NAME):
+    """fileId prefix of ``<fileid>_<instant>...parquet`` (fileId is uuid-hex,
+    never contains '_' — HoodieBaseFile/FSUtils.getFileId equivalent)."""
+    return F.substring_index(F.col(col), "_", 1)
+
+
+def strip_meta(df, keep_delete_marker: bool = False):
+    drop = [c for c in META_COLS + [OPERATION, TARGET_FILE_ID] if c in df.columns]
+    if not keep_delete_marker and DELETE_MARKER in df.columns:
+        drop.append(DELETE_MARKER)
+    return df.drop(*drop)

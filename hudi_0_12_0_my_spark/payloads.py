@@ -1,0 +1,151 @@
+"""Merge payloads: row-version resolution semantics as DataFrame expressions.
+
+Re-expression of the HoodieRecordPayload contract
+(hudi-common/.../model/HoodieRecordPayload.java:129 — preCombine /
+combineAndGetUpdateValue / getInsertValue) as window functions, so resolution
+stays vectorized/whole-stage-codegen instead of Hudi's row-at-a-time Avro merge
+(an intentional improvement, SURVEY.md §4).
+
+| payload key            | reference                                               |
+|------------------------|---------------------------------------------------------|
+| overwrite_latest       | OverwriteWithLatestAvroPayload.java:40,52,66 — latest
+|                        | precombine wins within batch; incoming always overwrites |
+| event_time / default   | DefaultHoodieRecordPayload.java:115-126 /
+|                        | EventTimeAvroPayload.java:81 — stored survives if its
+|                        | ordering value >= incoming                               |
+| partial_update         | OverwriteNonDefaultsWithLatestAvroPayload.java — per
+|                        | column, latest non-null wins                             |
+| validate_dup           | ValidateDuplicateKeyPayload.scala — INSERT fails on dup  |
+
+Deletes: `_hoodie_is_deleted = true` (OverwriteWithLatestAvroPayload.java:87),
+the EmptyHoodieRecordPayload tombstone, and MOR delete blocks
+(HoodieDeleteBlock.java) all become "winner row is a tombstone -> drop".
+CDC ops (AWSDmsAvroPayload.java:95, debezium payloads, fork's
+StringToRowDataMapFunction.java:110 I/U/D -> RowKind) map onto the same
+tombstone column via `apply_cdc_ops`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import meta
+
+
+@dataclass(frozen=True)
+class PayloadSpec:
+    name: str
+    event_time_ordered: bool = False   # stored kept when its ordering >= incoming
+    column_merge: bool = False         # per-column latest-non-null merge
+
+
+SPECS = {
+    "overwrite_latest": PayloadSpec("overwrite_latest"),
+    "event_time": PayloadSpec("event_time", event_time_ordered=True),
+    "default": PayloadSpec("default", event_time_ordered=True),  # DefaultHoodieRecordPayload
+    "partial_update": PayloadSpec("partial_update", column_merge=True),
+    "overwrite_non_defaults": PayloadSpec("overwrite_non_defaults", column_merge=True),
+    "validate_dup": PayloadSpec("validate_dup"),
+}
+
+
+def get(name: str) -> PayloadSpec:
+    if name not in SPECS:
+        raise ValueError(f"unknown payload {name!r}; known: {sorted(SPECS)}")
+    return SPECS[name]
+
+
+def _ordering_fields(spec: PayloadSpec, cfg) -> list[str]:
+    """Resolution ordering, strongest first; winner = max over these fields."""
+    pre = cfg.precombine_field
+    if spec.event_time_ordered and pre:
+        fields = [pre, meta.COMMIT_TIME]
+    else:
+        fields = [meta.COMMIT_TIME] + ([pre] if pre else [])
+    return fields + [meta.COMMIT_SEQNO]
+
+
+def _desc(fields):
+    return [F.col(f).desc_nulls_last() for f in fields]
+
+
+def _asc(fields):
+    return [F.col(f).asc_nulls_first() for f in fields]
+
+
+def _key_cols(cfg) -> list:
+    # non-global index: key unique per partition (HoodieSimpleIndex); global:
+    # unique table-wide (HoodieGlobalSimpleIndex)
+    return [meta.RECORD_KEY] if cfg.global_index else [meta.PARTITION_PATH, meta.RECORD_KEY]
+
+
+def is_tombstone(df: DataFrame):
+    conds = []
+    if meta.DELETE_MARKER in df.columns:
+        conds.append(F.coalesce(F.col(meta.DELETE_MARKER).cast("boolean"), F.lit(False)))
+    if meta.OPERATION in df.columns:
+        conds.append(F.coalesce(F.col(meta.OPERATION) == "D", F.lit(False)))
+    if not conds:
+        return F.lit(False)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def resolve(df: DataFrame, cfg, spec: PayloadSpec, drop_deletes: bool = True) -> DataFrame:
+    """One surviving row per key (combineAndGetUpdateValue over the union of
+    stored + incoming versions). Tombstone winners are dropped when
+    ``drop_deletes`` (COW write / snapshot merge); kept when the tombstone must
+    propagate (MOR delta retention)."""
+    keys = _key_cols(cfg)
+    fields = _ordering_fields(spec, cfg)
+    w = Window.partitionBy(*keys).orderBy(*_desc(fields))
+    if spec.column_merge:
+        internal = set(meta.META_COLS + [meta.OPERATION, meta.TARGET_FILE_ID, meta.DELETE_MARKER])
+        business = [c for c in df.columns if c not in internal and c not in fields]
+        # ascending frame over the whole key group: last() = newest non-null
+        w_asc = (Window.partitionBy(*keys).orderBy(*_asc(fields))
+                 .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        proj = [F.row_number().over(w).alias("__rn")]
+        for c in df.columns:
+            if c in business:
+                proj.append(F.last(F.col(c), ignorenulls=True).over(w_asc).alias(c))
+            else:
+                proj.append(F.col(c))
+        out = df.select(*proj).filter(F.col("__rn") == 1).drop("__rn")
+    else:
+        out = (df.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1).drop("__rn"))
+    if drop_deletes:
+        out = out.filter(~is_tombstone(out))
+        if meta.OPERATION in out.columns:
+            out = out.drop(meta.OPERATION)
+    return out
+
+
+def precombine(df: DataFrame, cfg, spec: PayloadSpec) -> DataFrame:
+    """Within-batch dedup by precombine field (HoodieRecordPayload.preCombine;
+    OverwriteWithLatestAvroPayload.java:52). Keeps tombstones so they still
+    delete stored rows during the merge stage."""
+    if not cfg.precombine_field:
+        return df
+    keys = _key_cols(cfg)
+    order = [F.col(cfg.precombine_field).desc_nulls_last(),
+             F.col(meta.COMMIT_SEQNO).desc_nulls_last()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def apply_cdc_ops(df: DataFrame, op_col: str = "op",
+                  delete_values=("D", "d", "delete")) -> DataFrame:
+    """CDC envelope -> engine rows: op I/U -> upsert, D -> tombstone.
+
+    Mirrors the fork's StringToRowDataMapFunction.java:110 (I/U/D -> RowKind)
+    and AWSDmsAvroPayload.java:95 (Op == 'D' -> delete)."""
+    return (df.withColumn(meta.DELETE_MARKER, F.col(op_col).isin(*delete_values))
+              .drop(op_col))

@@ -1,0 +1,130 @@
+"""Query types: snapshot / read-optimized / incremental / time-travel.
+
+Re-expression of the DefaultSource dispatch
+(hudi-spark-datasource/hudi-spark-common/.../DefaultSource.scala:112-146):
+
+  snapshot COW      -> BaseFileOnlyRelation.scala:48
+  snapshot MOR      -> MergeOnReadSnapshotRelation.scala:42 +
+                       HoodieMergeOnReadRDD.scala:116-132 per-task merge —
+                       here: union(base, deltas) + window payload resolution,
+                       which keeps the merge vectorized (SURVEY.md §4)
+  read-optimized    -> DefaultSource.scala:129-132 (base files only)
+  incremental       -> IncrementalRelation.scala:53-254 /
+                       MergeOnReadIncrementalRelation.scala:42 (files touched by
+                       commits in range + _hoodie_commit_time window filter)
+  time-travel       -> TIME_TRAVEL_AS_OF_INSTANT (DataSourceOptions.scala:119):
+                       file-system view as of the instant
+
+File pruning before the scan uses the manifest's per-file column stats
+(stats.py) — the data-skipping path of HoodieFileIndex.scala:111-214.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import config as cfgmod
+from . import meta, payloads, stats as statsmod
+from . import timeline as tl
+from .writer import base_read_schema, delta_read_schema, read_files
+
+
+class Reader:
+    def __init__(self, table):
+        self.t = table
+
+    @property
+    def spark(self):
+        return self.t.spark
+
+    @property
+    def cfg(self):
+        return self.t.cfg
+
+    # ------------------------------------------------------------- helpers
+    def _merge_plan(self, view, slices) -> DataFrame:
+        """MOR merge: groups without deltas stream straight from their base
+        file; groups with deltas get union + payload window resolution."""
+        cfg = self.cfg
+        spec = payloads.get(cfg.payload)
+        clean = [view.abs(s.base_file.path) for g, s in slices
+                 if not s.deltas_as_of(view.as_of) and s.base_file is not None]
+        dirty_base = [view.abs(s.base_file.path) for g, s in slices
+                      if s.deltas_as_of(view.as_of) and s.base_file is not None]
+        dirty_delta = [view.abs(d.path) for g, s in slices
+                       for d in s.deltas_as_of(view.as_of)]
+        out = read_files(self.spark, clean, base_read_schema(cfg))
+        if dirty_delta:
+            base = read_files(self.spark, dirty_base, base_read_schema(cfg))
+            delta = read_files(self.spark, dirty_delta, delta_read_schema(cfg))
+            merged = payloads.resolve(
+                base.unionByName(delta, allowMissingColumns=True),
+                cfg, spec, drop_deletes=True)
+            out = out.unionByName(merged.select(*out.columns))
+        return out
+
+    def _apply_filters(self, df: DataFrame, filters):
+        if filters is None:
+            return df
+        if isinstance(filters, str):
+            return df.filter(filters)
+        return df.filter(filters)
+
+    # ----------------------------------------------------------- query API
+    def snapshot(self, as_of: str | None = None, filters=None,
+                 keep_meta: bool = False) -> DataFrame:
+        cfg = self.cfg
+        view = self.t.view(as_of=as_of)
+        slices = view.live_slices()
+        if cfg.table_type == cfgmod.COW:
+            preds = statsmod.parse_predicates(filters)
+            paths = statsmod.prune_files(view, slices, preds)
+            df = read_files(self.spark, paths, base_read_schema(cfg))
+        else:
+            df = self._merge_plan(view, slices)
+        df = self._apply_filters(df, filters)
+        return df if keep_meta else meta.strip_meta(df)
+
+    def read_optimized(self, filters=None, keep_meta: bool = False) -> DataFrame:
+        view = self.t.view()
+        paths = [view.abs(s.base_file.path) for _, s in view.live_slices()
+                 if s.base_file is not None]
+        df = self._apply_filters(
+            read_files(self.spark, paths, base_read_schema(self.cfg)), filters)
+        return df if keep_meta else meta.strip_meta(df)
+
+    def time_travel(self, as_of: str, filters=None, keep_meta: bool = False) -> DataFrame:
+        return self.snapshot(as_of=as_of, filters=filters, keep_meta=keep_meta)
+
+    def incremental(self, begin: str | None = None, end: str | None = None,
+                    keep_meta: bool = False) -> DataFrame:
+        """Rows whose latest version landed in commits with
+        begin < instant <= end (IncrementalRelation.scala:83-86). Reads only
+        files written by in-range commits (from commit metadata), then filters
+        the commit-time window and resolves the latest version per key."""
+        cfg = self.cfg
+        spec = payloads.get(cfg.payload)
+        begin = begin or "0"
+        instants = [i for i in self.t.timeline.completed_write_instants()
+                    if i.time > begin and (end is None or i.time <= end)]
+        base_paths, delta_paths = [], []
+        for ins in instants:
+            md = self.t.timeline.metadata(ins)
+            for partition, sts in (md.get("partition_to_write_stats") or {}).items():
+                for st in sts:
+                    p = self.t.abs(st["path"])
+                    import os
+                    if not os.path.exists(p):     # cleaned since; rows were
+                        continue                  # rewritten into newer files
+                    (base_paths if st.get("kind", "base") == "base"
+                     else delta_paths).append(p)
+        df = read_files(self.spark, sorted(set(base_paths)), base_read_schema(cfg))
+        if delta_paths:
+            df = df.unionByName(
+                read_files(self.spark, sorted(set(delta_paths)), delta_read_schema(cfg)),
+                allowMissingColumns=True)
+        cond = F.col(meta.COMMIT_TIME) > F.lit(begin)
+        if end is not None:
+            cond = cond & (F.col(meta.COMMIT_TIME) <= F.lit(end))
+        df = payloads.resolve(df.filter(cond), cfg, spec, drop_deletes=True)
+        return df if keep_meta else meta.strip_meta(df)

@@ -1,0 +1,70 @@
+"""Timeline archival: keep the active timeline O(recent commits).
+
+Re-expression of HoodieTimelineArchiver
+(hudi-client/hudi-client-common/.../client/HoodieTimelineArchiver.java +
+HoodieArchivedTimeline.java) adapted to the fold-based file-system view: before
+moving old instants to the archived timeline, a MANIFEST CHECKPOINT of the
+folded view state is written, so normal reads never replay archived history.
+This is the 100 TB answer: snapshot planning cost stays O(live files +
+retained commits) no matter how many commits the table has ever seen; only
+deep time travel (before the checkpoint) replays the archived batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .. import timeline as tl
+from ..util import atomic_write_json, read_json
+
+
+def manifest_dir(base_path: str) -> str:
+    return os.path.join(base_path, ".hoodie", "manifest")
+
+
+def latest_manifest(base_path: str) -> dict | None:
+    d = manifest_dir(base_path)
+    if not os.path.isdir(d):
+        return None
+    names = sorted(f for f in os.listdir(d) if f.endswith(".json"))
+    return read_json(os.path.join(d, names[-1])) if names else None
+
+
+def _serialize_view(view, instant: str) -> dict:
+    groups = []
+    for (p, fid), g in sorted(view.groups.items()):
+        groups.append({
+            "partition": p, "file_id": fid, "replaced_at": g.replaced_at,
+            "slices": [{
+                "base_instant": s.base_instant,
+                "base_file": None if s.base_file is None else vars(s.base_file),
+                "deltas": [vars(d) for d in s.deltas],
+            } for s in g.slices],
+        })
+    return {"instant": instant, "groups": groups,
+            "earliest_retained": view.earliest_retained,
+            "savepointed_files": sorted(view.savepointed_files)}
+
+
+def archive_timeline(table, retain_active: int = 20) -> dict:
+    """Checkpoint the folded view, then move older completed instants into one
+    archived batch file."""
+    timeline = table.timeline
+    completed = [i for i in timeline.completed() if i.action != tl.SAVEPOINT]
+    if len(completed) <= retain_active:
+        return {"archived": 0}
+    to_archive = completed[:-retain_active]
+    boundary = to_archive[-1].time
+
+    view = table.view()   # full fold (uses previous manifest if any)
+    atomic_write_json(os.path.join(manifest_dir(table.base_path),
+                                   f"{boundary}.json"),
+                      _serialize_view(view, boundary))
+
+    batch = [{"time": i.time, "action": i.action, "metadata": timeline.metadata(i)}
+             for i in to_archive]
+    adir = os.path.join(table.base_path, ".hoodie", "archived")
+    atomic_write_json(os.path.join(adir, f"batch_{boundary}.json"), batch)
+    for i in to_archive:
+        os.unlink(timeline.path(i))
+    return {"archived": len(to_archive), "checkpoint": boundary}

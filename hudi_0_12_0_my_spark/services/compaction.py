@@ -1,0 +1,102 @@
+"""MOR compaction: merge base + delta files into new base file slices.
+
+Re-expression of HoodieCompactor
+(hudi-client/hudi-client-common/.../compact/HoodieCompactor.java:78,102,263)
+with the schedule/run split kept (requested plan instant on the timeline) and
+the LogFileSizeBased / UnBounded plan strategies
+(hudi-client/hudi-client-common/.../compact/strategy/).
+
+Execution is ONE Spark job for the whole plan: base ∪ deltas of every selected
+file group -> window payload resolution -> staged write keyed by the group's
+stable fileId — the per-file-group parallelism Hudi gets from its RDD
+partitioner falls out of the repartition by (partition, fileId).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import meta, payloads
+from .. import timeline as tl
+from ..util import FileLock
+from ..writer import base_read_schema, delta_read_schema, read_files
+import os
+
+
+def schedule_compaction(table, strategy: str = "log_file_size",
+                        max_groups: int | None = None) -> dict | None:
+    """Write a requested compaction plan instant; returns the plan."""
+    view = table.view()
+    cands = [(g, s) for g, s in view.live_slices() if s.deltas]
+    if not cands:
+        return None
+    if strategy == "log_file_size":        # LogFileSizeBasedCompactionStrategy
+        cands.sort(key=lambda gs: gs[1].delta_bytes, reverse=True)
+    if max_groups:
+        cands = cands[:max_groups]
+    instant = tl.new_instant_time()
+    plan = {"operation": "compact", "strategy": strategy,
+            "groups": [{"partition": g.partition, "file_id": g.file_id}
+                       for g, s in cands]}
+    table.timeline.save_requested(instant, tl.COMMIT, plan)
+    return {"instant": instant, **plan}
+
+
+def run_compaction(table, strategy: str = "log_file_size",
+                   max_groups: int | None = None,
+                   plan: dict | None = None) -> str | None:
+    cfg = table.cfg
+    spec = payloads.get(cfg.payload)
+    if plan is None:
+        # run a pending plan if one exists, else schedule inline
+        pending = [i for i in table.timeline.pending()
+                   if i.action == tl.COMMIT and i.state == tl.REQUESTED
+                   and table.timeline.metadata(i).get("operation") == "compact"]
+        if pending:
+            ins = pending[0]
+            plan = {"instant": ins.time, **table.timeline.metadata(ins)}
+        else:
+            plan = schedule_compaction(table, strategy, max_groups)
+    if plan is None:
+        return None
+    instant = plan["instant"]
+    selected = {(g["partition"], g["file_id"]) for g in plan["groups"]}
+    with FileLock(os.path.join(table.base_path, ".hoodie", "lock")):
+        table.timeline.save_inflight(instant, tl.COMMIT, plan)
+        view = table.view()
+        base_paths, delta_paths = [], []
+        for g, s in view.live_slices():
+            if (g.partition, g.file_id) not in selected:
+                continue
+            if s.base_file is not None:
+                base_paths.append(view.abs(s.base_file.path))
+            delta_paths.extend(view.abs(d.path) for d in s.deltas)
+        base = read_files(table.spark, base_paths, base_read_schema(cfg))
+        delta = read_files(table.spark, delta_paths, delta_read_schema(cfg))
+        merged = payloads.resolve(base.unionByName(delta, allowMissingColumns=True),
+                                  cfg, spec, drop_deletes=True)
+        # stable fileId: every row's _hoodie_file_name prefix IS its group id
+        merged = merged.withColumn(meta.TARGET_FILE_ID, meta.file_id_from_name())
+        stats = table.writer.stage_write(merged, instant, "base")
+        replaced = table.writer.emptied_groups(selected, stats)
+        md = table.writer._commit_md("compact", stats, replaced)
+        md["compacted_groups"] = sorted(f"{p}/{fid}" for p, fid in selected)
+        table.timeline.save_completed(instant, tl.COMMIT, md)
+        table.writer._remove_marker(instant)
+    return instant
+
+
+def maybe_inline_compact(table) -> str | None:
+    """NUM_COMMITS trigger (fork: compaction.trigger.strategy NUM_OR_TIME,
+    HoodieMuiltiTableFlinkStreamer.java initHudiConfig): compact when the
+    number of deltacommits since the last compaction reaches the config."""
+    writes = table.timeline.completed_write_instants()
+    n = 0
+    for ins in reversed(writes):
+        if ins.action == tl.DELTACOMMIT:
+            n += 1
+        else:
+            break
+    if n >= table.cfg.compaction_max_delta_commits:
+        return run_compaction(table)
+    return None

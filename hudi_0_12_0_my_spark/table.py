@@ -1,0 +1,170 @@
+"""LakeTable: user-facing facade over one keyed transactional table.
+
+The PySpark-native equivalent of HoodieTableMetaClient + SparkRDDWriteClient +
+DefaultSource read relations in one handle. SQL command surface
+(CREATE/INSERT/MERGE/UPDATE/DELETE/CALL — SURVEY.md §2.3) maps onto these
+methods; `spark.sql` handles all general relational processing over
+`register()`-ed snapshot views, exactly as the reference delegates it
+(HoodieBaseRelation.scala:304-340 hands an RDD to Catalyst).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from . import config as cfgmod
+from . import timeline as tl
+from .fsview import FileSystemView
+from .reader import Reader
+from .writer import Writer
+
+
+class LakeTable:
+    def __init__(self, spark, base_path: str):
+        if not cfgmod.table_exists(base_path):
+            raise FileNotFoundError(f"no table at {base_path}")
+        self.spark = spark
+        self.base_path = base_path
+        self.cfg = cfgmod.load_config(base_path)
+        self.timeline = tl.Timeline(base_path)
+        self.writer = Writer(self)
+        self.reader = Reader(self)
+
+    # ------------------------------------------------------------ lifecycle
+    @staticmethod
+    def create(spark, base_path: str, name: str | None = None,
+               df: DataFrame | None = None, **cfg_kwargs) -> "LakeTable":
+        """CREATE TABLE / CTAS (CreateHoodieTableCommand.scala,
+        CreateHoodieTableAsSelectCommand.scala)."""
+        if cfgmod.table_exists(base_path):
+            raise FileExistsError(f"table already exists at {base_path}")
+        cfg = cfgmod.TableConfig(name=name or os.path.basename(base_path.rstrip("/")),
+                                 **cfg_kwargs)
+        os.makedirs(os.path.join(base_path, ".hoodie", "timeline"), exist_ok=True)
+        cfgmod.save_config(base_path, cfg)
+        t = LakeTable(spark, base_path)
+        if df is not None:
+            t.bulk_insert(df)
+        return t
+
+    def abs(self, rel: str) -> str:
+        return os.path.join(self.base_path, rel)
+
+    def view(self, as_of: str | None = None) -> FileSystemView:
+        return FileSystemView(self.base_path, self.timeline, as_of=as_of)
+
+    def reload(self) -> "LakeTable":
+        self.cfg = cfgmod.load_config(self.base_path)
+        return self
+
+    # ----------------------------------------------------------- write ops
+    def upsert(self, df: DataFrame) -> str:
+        return self.writer.upsert(df)
+
+    def insert(self, df: DataFrame, validate_duplicates: bool = False) -> str:
+        return self.writer.insert(df, validate_duplicates=validate_duplicates)
+
+    def bulk_insert(self, df: DataFrame, sort_mode: str = "GLOBAL_SORT") -> str:
+        return self.writer.bulk_insert(df, sort_mode=sort_mode)
+
+    def delete(self, keys_df: DataFrame | None = None, where=None) -> str:
+        return self.writer.delete(keys_df=keys_df, where=where)
+
+    def insert_overwrite(self, df: DataFrame) -> str:
+        return self.writer.insert_overwrite(df, whole_table=False)
+
+    def insert_overwrite_table(self, df: DataFrame) -> str:
+        return self.writer.insert_overwrite(df, whole_table=True)
+
+    def delete_partition(self, partition_values: list[str]) -> str:
+        return self.writer.delete_partition(partition_values)
+
+    def update(self, set: dict, where=None) -> str:
+        """UPDATE ... SET ... WHERE (UpdateHoodieTableCommand.scala): snapshot
+        filter -> apply expressions -> upsert."""
+        from pyspark.sql import functions as F
+        df = self.snapshot()
+        if where is not None:
+            df = df.filter(where)
+        for col, expr in set.items():
+            df = df.withColumn(col, F.expr(expr) if isinstance(expr, str) else expr)
+        return self.upsert(df)
+
+    def merge(self, source: DataFrame, on: str, **kwargs) -> str:
+        """MERGE INTO (MergeIntoHoodieTableCommand.scala:147) — see merge.py."""
+        from .merge import merge_into
+        return merge_into(self, source, on, **kwargs)
+
+    # ------------------------------------------------------------ read ops
+    def snapshot(self, filters=None, keep_meta: bool = False) -> DataFrame:
+        return self.reader.snapshot(filters=filters, keep_meta=keep_meta)
+
+    def read_optimized(self, filters=None, keep_meta: bool = False) -> DataFrame:
+        return self.reader.read_optimized(filters=filters, keep_meta=keep_meta)
+
+    def time_travel(self, as_of: str, filters=None, keep_meta: bool = False) -> DataFrame:
+        return self.reader.time_travel(as_of, filters=filters, keep_meta=keep_meta)
+
+    def incremental(self, begin: str | None = None, end: str | None = None,
+                    keep_meta: bool = False) -> DataFrame:
+        return self.reader.incremental(begin=begin, end=end, keep_meta=keep_meta)
+
+    def register(self, view_name: str, query_type: str = "snapshot", **kw) -> DataFrame:
+        df = getattr(self, query_type)(**kw) if query_type != "snapshot" \
+            else self.snapshot(**kw)
+        df.createOrReplaceTempView(view_name)
+        return df
+
+    # -------------------------------------------------------------- services
+    def compact(self, strategy: str = "log_file_size", max_groups: int | None = None) -> str | None:
+        from .services.compaction import run_compaction
+        return run_compaction(self, strategy=strategy, max_groups=max_groups)
+
+    def cluster(self, sort_cols: list | None = None, layout: str = "linear",
+                partitions: list | None = None, target_file_bytes: int | None = None) -> str | None:
+        from .services.clustering import run_clustering
+        return run_clustering(self, sort_cols=sort_cols, layout=layout,
+                              partitions=partitions,
+                              target_file_bytes=target_file_bytes)
+
+    def clean(self, policy: str | None = None, retain: int | None = None) -> dict:
+        from .services.cleaner import run_clean
+        return run_clean(self, policy=policy, retain=retain)
+
+    def rollback(self, instant_time: str | None = None) -> dict:
+        from .services.rollback import rollback_instant, rollback_pending
+        if instant_time is None:
+            return rollback_pending(self)
+        return rollback_instant(self, instant_time)
+
+    def savepoint(self, instant_time: str | None = None) -> str:
+        from .services.savepoint import create_savepoint
+        return create_savepoint(self, instant_time)
+
+    def restore(self, savepoint_time: str) -> dict:
+        from .services.savepoint import restore_to_savepoint
+        return restore_to_savepoint(self, savepoint_time)
+
+    def archive(self, retain_active: int = 20) -> dict:
+        from .services.archival import archive_timeline
+        return archive_timeline(self, retain_active=retain_active)
+
+    # ------------------------------------------------------------- metadata
+    def commits(self) -> list[dict]:
+        out = []
+        for ins in self.timeline.completed():
+            md = self.timeline.metadata(ins)
+            out.append({"instant": ins.time, "action": ins.action,
+                        "operation": md.get("operation"),
+                        "total_records": md.get("total_records"),
+                        "total_bytes": md.get("total_bytes")})
+        return out
+
+    def partitions(self) -> list[str]:
+        return self.view().partitions()
+
+    def latest_instant(self) -> str | None:
+        ins = self.timeline.latest_completed_write()
+        return ins.time if ins else None

@@ -1,0 +1,602 @@
+"""Write path: upsert / insert / bulk_insert / delete / overwrites, COW + MOR.
+
+Re-expression of SparkRDDWriteClient
+(hudi-client/hudi-spark-client/.../client/SparkRDDWriteClient.java:150-294) +
+BaseSparkCommitActionExecutor.java:153-246 (workload profile -> partitioner ->
+per-bucket handles) in DataFrame terms:
+
+  tag      -> left join against live base-file keys (HoodieSimpleIndex.java:50,
+              the Spark-native index; SURVEY.md §2.4)
+  combine  -> window-function payload resolution (payloads.py) instead of
+              HoodieMergeHandle's row-at-a-time Avro merge
+  bucket   -> broadcast-joined hash ranges with small-file bin packing
+              (UpsertPartitioner.java:94-178) — hash assignment instead of
+              positional round-robin so NO extra shuffle or global ordering is
+              needed (capacities hold in expectation; scale-friendly)
+  write    -> ONE shuffle: repartition by (partition, file group) + dynamic
+              partitionBy write, then driver-side renames (metadata-only) into
+              `<partition>/<fileId>_<instant>[.delta].parquet`
+
+Scale notes (100 TB): the only data shuffles per upsert are the tag join and
+the single write repartition; both are keyed by record key / file group so AQE
+can handle skew. Driver work is O(#files touched) metadata ops only.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import urllib.parse
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from . import config as cfgmod
+from . import meta, payloads
+from . import timeline as tl
+from .fsview import FileSystemView
+from .keygen import partition_path_expr, record_key_expr
+from .util import FileLock, atomic_write_json, ensure_dir, new_file_id, read_json, rm_rf
+
+ROOT_SENTINEL = "__ROOT__"   # staging stand-in for the empty (unpartitioned) path
+META_FIELDS = [T.StructField(c, T.StringType(), True) for c in meta.META_COLS]
+
+
+def business_schema(cfg) -> T.StructType:
+    return T.StructType.fromJson(__import__("json").loads(cfg.schema_json))
+
+
+def base_read_schema(cfg) -> T.StructType:
+    return T.StructType(META_FIELDS + list(business_schema(cfg).fields))
+
+
+def delta_read_schema(cfg) -> T.StructType:
+    return T.StructType(base_read_schema(cfg).fields +
+                        [T.StructField(meta.OPERATION, T.StringType(), True)])
+
+
+def read_files(spark, paths: list[str], schema: T.StructType) -> DataFrame:
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+class Writer:
+    def __init__(self, table):
+        self.t = table
+
+    # ------------------------------------------------------------- plumbing
+    @property
+    def spark(self):
+        return self.t.spark
+
+    @property
+    def cfg(self):
+        return self.t.cfg
+
+    @property
+    def base(self):
+        return self.t.base_path
+
+    def _lock(self):
+        return FileLock(os.path.join(self.base, ".hoodie", "lock"))
+
+    # ------------------------------------------------------- incoming prep
+    def prepare(self, df: DataFrame, instant: str) -> DataFrame:
+        """Align to table schema (evolving it additively), derive key/partition
+        via keygen expressions, stamp meta columns, normalize tombstones into
+        the internal _hoodie_operation column."""
+        cfg = self.cfg
+        df = df.drop(*[c for c in meta.META_COLS + [meta.TARGET_FILE_ID] if c in df.columns])
+
+        marker_is_business = False
+        if cfg.schema_json is None:
+            fields = [f for f in df.schema.fields]
+            cfg.schema_json = T.StructType(fields).json()
+            cfgmod.save_config(self.base, cfg)
+            marker_is_business = meta.DELETE_MARKER in df.columns
+        else:
+            schema = business_schema(cfg)
+            marker_is_business = meta.DELETE_MARKER in schema.fieldNames()
+            # additive evolution: new incoming columns append to the registry
+            # (AlterHoodieTableAddColumnsCommand.scala / TableChanges.java add)
+            known = set(schema.fieldNames())
+            new_fields = [f for f in df.schema.fields
+                          if f.name not in known and f.name != meta.DELETE_MARKER]
+            if new_fields:
+                schema = T.StructType(list(schema.fields) + new_fields)
+                cfg.schema_json = schema.json()
+                cfgmod.save_config(self.base, cfg)
+
+        schema = business_schema(cfg)
+        tombstone = (F.coalesce(F.col(meta.DELETE_MARKER).cast("boolean"), F.lit(False))
+                     if meta.DELETE_MARKER in df.columns else F.lit(False))
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        out = df.select(
+            F.lit(instant).alias(meta.COMMIT_TIME),
+            F.concat(F.lit(instant + "_"), F.spark_partition_id().cast("string"),
+                     F.lit("-"), F.monotonically_increasing_id().cast("string")
+                     ).alias(meta.COMMIT_SEQNO),
+            record_key_expr(cfg).alias(meta.RECORD_KEY),
+            partition_path_expr(cfg, df).alias(meta.PARTITION_PATH),
+            F.lit("").alias(meta.FILE_NAME),
+            *cols,
+            F.when(tombstone, F.lit("D")).otherwise(F.lit("U")).alias(meta.OPERATION),
+        )
+        if not marker_is_business and meta.DELETE_MARKER in out.columns:
+            out = out.drop(meta.DELETE_MARKER)
+        return out
+
+    # ------------------------------------------------------- staged writes
+    def stage_write(self, df: DataFrame, instant: str, kind: str = "base",
+                    sort_cols: list | None = None,
+                    already_partitioned: bool = False,
+                    drop_after_sort: list | None = None) -> dict:
+        """Write one parquet file per (partition_path, file group) in a single
+        Spark job, then move into place with driver-side renames.
+
+        Equivalent of HoodieCreateHandle/HoodieMergeHandle/HoodieAppendHandle IO
+        (hudi-client/hudi-client-common/.../io/) but expressed as one dynamic
+        partitionBy write: all rows of a file group are co-located by the
+        repartition, so each staging directory holds exactly one part file.
+        """
+        ext = ".parquet" if kind == "base" else ".delta.parquet"
+        staging = os.path.join(self.base, ".hoodie", ".temp", f"{instant}_{kind}")
+        rm_rf(staging)
+        if kind == "base" and meta.OPERATION in df.columns:
+            df = df.drop(meta.OPERATION)   # change-op is delta-file-only state
+
+        df = (df.withColumn(meta.FILE_NAME,
+                            F.concat(F.col(meta.TARGET_FILE_ID), F.lit("_" + instant + ext)))
+                .withColumn("__pp", F.when(F.col(meta.PARTITION_PATH) == "",
+                                           F.lit(ROOT_SENTINEL))
+                                     .otherwise(F.col(meta.PARTITION_PATH)))
+                .withColumnRenamed(meta.TARGET_FILE_ID, "__fid"))
+        if not already_partitioned:
+            df = df.repartition("__pp", "__fid")
+        df = df.sortWithinPartitions("__pp", "__fid", *(sort_cols or []))
+        if drop_after_sort:
+            # project AFTER the sort: ordering flows through the projection, so
+            # transient sort keys (e.g. space-curve values) never hit parquet
+            df = df.drop(*drop_after_sort)
+        df.write.mode("overwrite").partitionBy("__pp", "__fid").parquet(staging)
+
+        moves = []   # (src, dest_rel, partition, fid)
+        for ppdir in sorted(os.listdir(staging)):
+            if not ppdir.startswith("__pp="):
+                continue
+            ppval = urllib.parse.unquote(ppdir[len("__pp="):])
+            partition = "" if ppval == ROOT_SENTINEL else ppval
+            for fiddir in sorted(os.listdir(os.path.join(staging, ppdir))):
+                if not fiddir.startswith("__fid="):
+                    continue
+                fid = urllib.parse.unquote(fiddir[len("__fid="):])
+                d = os.path.join(staging, ppdir, fiddir)
+                parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+                assert len(parts) == 1, f"file group split across tasks: {d} -> {parts}"
+                dest_rel = os.path.join(partition, f"{fid}_{instant}{ext}") if partition \
+                    else f"{fid}_{instant}{ext}"
+                moves.append((os.path.join(d, parts[0]), dest_rel, partition, fid))
+
+        # marker file BEFORE any move: enables rollback of a crashed commit
+        # (MarkerBasedRollbackStrategy.java / MarkerType.DIRECT)
+        self._append_marker(instant, [m[1] for m in moves])
+
+        stats_by_partition: dict = {}
+        stats_cols = self._stats_columns()
+
+        def _move_and_stat(m):
+            src, dest_rel, partition, fid = m
+            dest = os.path.join(self.base, dest_rel)
+            ensure_dir(os.path.dirname(dest))
+            os.replace(src, dest)
+            st = _parquet_footer_stats(dest, stats_cols)
+            st.update({"file_id": fid, "file_name": os.path.basename(dest_rel),
+                       "path": dest_rel, "kind": kind})
+            return partition, st
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            for partition, st in ex.map(_move_and_stat, moves):
+                stats_by_partition.setdefault(partition, []).append(st)
+        rm_rf(staging)
+        return stats_by_partition
+
+    def _marker_path(self, instant: str) -> str:
+        return os.path.join(self.base, ".hoodie", "markers", f"{instant}.json")
+
+    def _append_marker(self, instant: str, rel_paths: list[str]) -> None:
+        p = self._marker_path(instant)
+        existing = read_json(p)["files"] if os.path.exists(p) else []
+        atomic_write_json(p, {"files": existing + rel_paths})
+
+    def _remove_marker(self, instant: str) -> None:
+        p = self._marker_path(instant)
+        if os.path.exists(p):
+            os.unlink(p)
+
+    def _stats_columns(self) -> list[str] | None:
+        return self.cfg.stats_columns
+
+    # ----------------------------------------------------------- bucketing
+    def _avg_record_size(self) -> int:
+        """averageBytesPerRecord from recent commit metadata
+        (UpsertPartitioner.java:161-166), falling back to the config default."""
+        for ins in reversed(self.t.timeline.completed_write_instants()):
+            md = self.t.timeline.metadata(ins)
+            rec, byt = md.get("total_records", 0), md.get("total_bytes", 0)
+            if rec and byt:
+                return max(16, byt // rec)
+        return self.cfg.record_size_estimate
+
+    def assign_buckets(self, inserts: DataFrame, view: FileSystemView | None,
+                       pack_small_files: bool) -> tuple[DataFrame, set]:
+        """Route insert rows to file groups: fill undersized existing groups
+        first (small-file bin packing, UpsertPartitioner.java:94-178), spill the
+        rest to new groups sized by target_file_bytes.
+
+        Assignment = pmod(xxhash64(key), partition_weight) mapped onto weighted
+        bucket ranges via ONE broadcast join — no shuffle, no global ordering.
+        """
+        cfg = self.cfg
+        counts = {r[0]: r[1] for r in
+                  inserts.groupBy(meta.PARTITION_PATH).count().collect()}
+        if not counts:
+            empty = inserts.withColumn(meta.TARGET_FILE_ID, F.lit(None).cast("string"))
+            return empty.filter(F.lit(False)), set()
+        avg = self._avg_record_size()
+        rpf = max(1, cfg.target_file_bytes // avg)   # records per new file
+        rows, packed = [], set()
+        for p, n in sorted(counts.items()):
+            buckets = []   # (fid, weight, existing)
+            if pack_small_files and view is not None:
+                for g, s in view.live_slices([p]):
+                    bf = s.base_file
+                    if bf is None or s.deltas:
+                        continue
+                    if bf.bytes < cfg.small_file_limit_bytes:
+                        cap = (cfg.target_file_bytes - bf.bytes) // avg
+                        if cap > 0:
+                            buckets.append([g.file_id, int(cap), True])
+            cap_total = sum(b[1] for b in buckets)
+            remaining = n - cap_total
+            if remaining > 0 or not buckets:
+                nfiles = max(1, math.ceil(max(remaining, 0) / rpf))
+                for _ in range(nfiles):
+                    buckets.append([new_file_id(), int(rpf), False])
+            w = sum(b[1] for b in buckets)
+            lo = 0
+            for fid, weight, existing in buckets:
+                rows.append((p, w, lo, lo + weight, fid, existing))
+                lo += weight
+                if existing:
+                    packed.add((p, fid))
+        ranges = self.spark.createDataFrame(
+            rows, "p string, w long, lo long, hi long, fid string, existing boolean")
+        h = F.pmod(F.xxhash64(F.col(meta.RECORD_KEY)), F.col("w"))
+        assigned = (inserts.join(F.broadcast(ranges),
+                                 (F.col(meta.PARTITION_PATH) == F.col("p"))
+                                 & (h >= F.col("lo")) & (h < F.col("hi")))
+                    .withColumn(meta.TARGET_FILE_ID, F.col("fid"))
+                    .drop("p", "w", "lo", "hi", "fid", "existing"))
+        return assigned, packed
+
+    # --------------------------------------------------------------- index
+    def _location_df(self, view: FileSystemView, partitions: list[str]) -> DataFrame | None:
+        """HoodieSimpleIndex.tagLocation (index/simple/HoodieSimpleIndex.java:50):
+        key -> (partition, fileId) from live base files, reading only the three
+        meta columns (parquet column pruning keeps this scan narrow)."""
+        paths = view.live_base_files(None if self.cfg.global_index else partitions)
+        if not paths:
+            return None
+        return (self.spark.read.parquet(*paths)
+                .select(F.col(meta.RECORD_KEY),
+                        F.col(meta.PARTITION_PATH).alias("__loc_pp"),
+                        meta.file_id_from_name().alias("__loc_fid")))
+
+    @staticmethod
+    def emptied_groups(affected: set, stats_by_partition: dict) -> dict:
+        """Groups whose rewrite produced ZERO rows (every row deleted): no new
+        file exists, so the group must be marked replaced or the stale old
+        slice would stay live and resurrect deleted rows."""
+        written = {(p, st["file_id"]) for p, sts in stats_by_partition.items()
+                   for st in sts}
+        out: dict = {}
+        for p, fid in sorted(affected - written):
+            out.setdefault(p, []).append(fid)
+        return out
+
+    # ------------------------------------------------------------ commits
+    def _commit_md(self, operation: str, stats_by_partition: dict,
+                   replaced: dict | None = None) -> dict:
+        total_records = sum(s.get("records", 0) for sts in stats_by_partition.values()
+                            for s in sts)
+        total_bytes = sum(s.get("bytes", 0) for sts in stats_by_partition.values()
+                          for s in sts)
+        return {"operation": operation, "schema": self.cfg.schema_json,
+                "partition_to_write_stats": stats_by_partition,
+                "replaced_file_groups": replaced or {},
+                "total_records": total_records, "total_bytes": total_bytes}
+
+    # ========================================================== operations
+    def upsert(self, df: DataFrame, operation: str = "upsert") -> str:
+        """WriteOperationType.UPSERT (SparkRDDWriteClient.java:150): precombine,
+        tag against the index, rewrite affected file groups (COW) or append
+        delta files (MOR), insert the rest with small-file packing."""
+        cfg, spec = self.cfg, payloads.get(self.cfg.payload)
+        cow = cfg.table_type == cfgmod.COW
+        action = tl.COMMIT if cow else tl.DELTACOMMIT
+        with self._lock():
+            instant = tl.new_instant_time()
+            self.t.timeline.save_requested(instant, action, {"operation": operation})
+            incoming = payloads.precombine(self.prepare(df, instant), cfg, spec)
+            incoming.persist()
+            try:
+                view = self.t.view()
+                partitions = [r[0] for r in
+                              incoming.select(meta.PARTITION_PATH).distinct().collect()]
+                loc = self._location_df(view, partitions)
+                if loc is None:
+                    tagged = (incoming
+                              .withColumn("__loc_pp", F.lit(None).cast("string"))
+                              .withColumn("__loc_fid", F.lit(None).cast("string")))
+                else:
+                    on = [meta.RECORD_KEY] if cfg.global_index \
+                        else [meta.RECORD_KEY, meta.PARTITION_PATH]
+                    if cfg.global_index:
+                        tagged = incoming.join(loc, on=on, how="left")
+                        # global index default: update lands in the stored
+                        # partition (HoodieGlobalSimpleIndex, update_partition_path=false)
+                        tagged = tagged.withColumn(
+                            meta.PARTITION_PATH,
+                            F.coalesce(F.col("__loc_pp"), F.col(meta.PARTITION_PATH)))
+                    else:
+                        loc = loc.withColumnRenamed("__loc_pp", meta.PARTITION_PATH)
+                        tagged = incoming.join(loc, on=on, how="left")
+                tagged.persist()
+                updates = (tagged.filter(F.col("__loc_fid").isNotNull())
+                           .withColumn(meta.TARGET_FILE_ID, F.col("__loc_fid"))
+                           .drop("__loc_fid", "__loc_pp"))
+                inserts = (tagged.filter(F.col("__loc_fid").isNull())
+                           .drop("__loc_fid", "__loc_pp")
+                           .filter(F.col(meta.OPERATION) != "D"))  # delete of absent key = no-op
+                inserts_assigned, packed = self.assign_buckets(inserts, view,
+                                                               pack_small_files=cow)
+                if cow:
+                    affected = {(p, fid) for p, fid in
+                                ((r[0], r[1]) for r in updates
+                                 .select(meta.PARTITION_PATH, meta.TARGET_FILE_ID)
+                                 .distinct().collect())} | packed
+                    old_paths = [view.abs(s.base_file.path)
+                                 for g, s in view.live_slices()
+                                 if (g.partition, g.file_id) in affected]
+                    old = (read_files(self.spark, old_paths, base_read_schema(cfg))
+                           .withColumn(meta.TARGET_FILE_ID, meta.file_id_from_name()))
+                    allr = old.unionByName(updates, allowMissingColumns=True) \
+                              .unionByName(inserts_assigned, allowMissingColumns=True)
+                    merged = payloads.resolve(allr, cfg, spec, drop_deletes=True)
+                    stats = self.stage_write(merged, instant, "base")
+                    replaced = self.emptied_groups(affected, stats)
+                else:
+                    replaced = None
+                    stats = self.stage_write(updates, instant, "delta")
+                    base_stats = self.stage_write(inserts_assigned, instant, "base")
+                    for p, sts in base_stats.items():
+                        stats.setdefault(p, []).extend(sts)
+                md = self._commit_md(operation, stats, replaced)
+                self.t.timeline.save_completed(instant, action, md)
+                self._remove_marker(instant)
+                return instant
+            finally:
+                incoming.unpersist()
+                try:
+                    tagged.unpersist()
+                except Exception:
+                    pass
+
+    def insert(self, df: DataFrame, validate_duplicates: bool = False) -> str:
+        """WriteOperationType.INSERT (SparkRDDWriteClient.java:175): no index
+        lookup; small-file packing only. Duplicate keys are allowed unless
+        validate_duplicates (ValidateDuplicateKeyPayload semantics)."""
+        cfg = self.cfg
+        cow = cfg.table_type == cfgmod.COW
+        action = tl.COMMIT if cow else tl.DELTACOMMIT
+        with self._lock():
+            instant = tl.new_instant_time()
+            self.t.timeline.save_requested(instant, action, {"operation": "insert"})
+            incoming = self.prepare(df, instant).filter(F.col(meta.OPERATION) != "D")
+            incoming.persist()
+            try:
+                view = self.t.view()
+                if validate_duplicates or cfg.payload == "validate_dup":
+                    keys = [meta.RECORD_KEY] if cfg.global_index \
+                        else [meta.PARTITION_PATH, meta.RECORD_KEY]
+                    paths = view.live_base_files()
+                    existing = read_files(self.spark, paths, base_read_schema(cfg)) \
+                        .select(*keys)
+                    dup = (incoming.select(*keys).unionByName(existing)
+                           .groupBy(*keys).count().filter(F.col("count") > 1))
+                    if dup.limit(1).count() > 0:
+                        raise ValueError("duplicate record keys on INSERT "
+                                         "(ValidateDuplicateKeyPayload)")
+                assigned, packed = self.assign_buckets(incoming, view,
+                                                       pack_small_files=cow)
+                if cow and packed:
+                    old_paths = [view.abs(s.base_file.path)
+                                 for g, s in view.live_slices()
+                                 if (g.partition, g.file_id) in packed]
+                    old = (read_files(self.spark, old_paths, base_read_schema(cfg))
+                           .withColumn(meta.TARGET_FILE_ID, meta.file_id_from_name()))
+                    assigned = old.unionByName(assigned, allowMissingColumns=True)
+                stats = self.stage_write(assigned, instant, "base")
+                md = self._commit_md("insert", stats)
+                self.t.timeline.save_completed(instant, action, md)
+                self._remove_marker(instant)
+                return instant
+            finally:
+                incoming.unpersist()
+
+    def bulk_insert(self, df: DataFrame, sort_mode: str = "GLOBAL_SORT") -> str:
+        """WriteOperationType.BULK_INSERT (SparkRDDWriteClient.java:229-250) with
+        BulkInsertSortMode NONE / GLOBAL_SORT / PARTITION_SORT
+        (BulkInsertSortMode.java:24-27; Dataset fast path
+        HoodieDatasetBulkInsertHelper.scala:39). GLOBAL_SORT =
+        repartitionByRange(partition, key) — one range shuffle, sorted files,
+        best min/max key pruning for later upserts."""
+        cfg = self.cfg
+        cow = cfg.table_type == cfgmod.COW
+        action = tl.COMMIT if cow else tl.DELTACOMMIT
+        sort_mode = sort_mode.upper()
+        with self._lock():
+            instant = tl.new_instant_time()
+            self.t.timeline.save_requested(instant, action,
+                                           {"operation": "bulk_insert"})
+            incoming = self.prepare(df, instant).filter(F.col(meta.OPERATION) != "D")
+            try:
+                if sort_mode == "GLOBAL_SORT":
+                    incoming.persist()
+                    n = incoming.count()
+                    avg = self._avg_record_size()
+                    rpf = max(1, cfg.target_file_bytes // avg)
+                    nfiles = max(1, math.ceil(n / rpf))
+                    prefix = new_file_id()[:16]
+                    ranged = (incoming.repartitionByRange(
+                                  nfiles, meta.PARTITION_PATH, meta.RECORD_KEY)
+                              .withColumn(meta.TARGET_FILE_ID,
+                                          F.format_string("%s%08d", F.lit(prefix),
+                                                          F.spark_partition_id())))
+                    stats = self.stage_write(ranged, instant, "base",
+                                             sort_cols=[meta.RECORD_KEY],
+                                             already_partitioned=True)
+                else:
+                    assigned, _ = self.assign_buckets(incoming, None,
+                                                      pack_small_files=False)
+                    sort_cols = [meta.RECORD_KEY] if sort_mode == "PARTITION_SORT" else None
+                    stats = self.stage_write(assigned, instant, "base",
+                                             sort_cols=sort_cols)
+                md = self._commit_md("bulk_insert", stats)
+                self.t.timeline.save_completed(instant, action, md)
+                self._remove_marker(instant)
+                return instant
+            finally:
+                try:
+                    incoming.unpersist()
+                except Exception:
+                    pass
+
+    def delete(self, keys_df: DataFrame | None = None, where=None) -> str:
+        """WriteOperationType.DELETE (SparkRDDWriteClient.java:256): tombstone
+        upsert via EmptyHoodieRecordPayload semantics."""
+        snap = self.t.snapshot()
+        if where is not None:
+            target = snap.filter(where)
+        elif keys_df is not None:
+            target = snap.join(keys_df, on=list(keys_df.columns), how="left_semi")
+        else:
+            raise ValueError("delete requires keys_df or where")
+        tomb = target.withColumn(meta.DELETE_MARKER, F.lit(True))
+        return self.upsert(tomb, operation="delete")
+
+    def insert_overwrite(self, df: DataFrame, whole_table: bool = False) -> str:
+        """WriteOperationType.INSERT_OVERWRITE(_TABLE)
+        (SparkRDDWriteClient.java:203-223): write new file groups, then a
+        replacecommit marks every prior group in the touched partitions (or the
+        whole table) replaced — manifest-only invalidation, no data deletes."""
+        with self._lock():
+            instant = tl.new_instant_time()
+            self.t.timeline.save_requested(instant, tl.REPLACECOMMIT,
+                                           {"operation": "insert_overwrite"})
+            incoming = self.prepare(df, instant).filter(F.col(meta.OPERATION) != "D")
+            incoming.persist()
+            try:
+                view = self.t.view()
+                assigned, _ = self.assign_buckets(incoming, None, pack_small_files=False)
+                stats = self.stage_write(assigned, instant, "base")
+                if whole_table:
+                    parts = None
+                else:
+                    parts = set(stats.keys())
+                replaced: dict = {}
+                for g in view.live_groups():
+                    if parts is None or g.partition in parts:
+                        replaced.setdefault(g.partition, []).append(g.file_id)
+                op = "insert_overwrite_table" if whole_table else "insert_overwrite"
+                md = self._commit_md(op, stats, replaced)
+                self.t.timeline.save_completed(instant, tl.REPLACECOMMIT, md)
+                self._remove_marker(instant)
+                return instant
+            finally:
+                incoming.unpersist()
+
+    def delete_partition(self, partition_values: list[str]) -> str:
+        """WriteOperationType.DELETE_PARTITION (SparkRDDWriteClient.java:264-267):
+        pure-metadata replacecommit, zero data IO."""
+        with self._lock():
+            instant = tl.new_instant_time()
+            view = self.t.view()
+            replaced: dict = {}
+            for g in view.live_groups(partitions=set(partition_values)):
+                replaced.setdefault(g.partition, []).append(g.file_id)
+            md = self._commit_md("delete_partition", {}, replaced)
+            self.t.timeline.save_completed(instant, tl.REPLACECOMMIT, md)
+            return instant
+
+
+# --------------------------------------------------------------------- stats
+def _json_safe(v):
+    import datetime
+    import decimal
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8", errors="replace")
+        except Exception:
+            return repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return v
+
+
+def _parquet_footer_stats(path: str, stats_cols: list[str] | None) -> dict:
+    """Per-file min/max/null-count column stats from the parquet footer —
+    metadata-only read, no data IO (HoodieColumnRangeMetadata.java:151 /
+    column_stats metadata partition equivalent). Truncated parquet string
+    bounds stay valid (parquet truncates min down / max up)."""
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    out = {"records": md.num_rows, "bytes": os.path.getsize(path), "col_stats": {}}
+    names = {}
+    for i in range(md.num_columns if md.num_row_groups else 0):
+        col = md.row_group(0).column(i)
+        name = col.path_in_schema
+        if "." in name:          # nested leaves: skip (top-level primitives only)
+            continue
+        if name.startswith(("_hoodie_", "__")):
+            continue
+        if stats_cols is not None and name not in stats_cols:
+            continue
+        names[i] = name
+    agg: dict = {}
+    for rg in range(md.num_row_groups):
+        for i, name in names.items():
+            col = md.row_group(rg).column(i)
+            st = col.statistics
+            a = agg.setdefault(name, {"min": None, "max": None, "nulls": 0})
+            if st is None:
+                a["nulls"] = None
+                continue
+            if st.has_null_count and a["nulls"] is not None:
+                a["nulls"] += st.null_count
+            if st.has_min_max:
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                a["min"] = mn if a["min"] is None else min(a["min"], mn)
+                a["max"] = mx if a["max"] is None else max(a["max"], mx)
+    out["col_stats"] = agg
+    return out

@@ -1,0 +1,141 @@
+"""COW kernel: create / bulk_insert / upsert / delete / snapshot / incremental /
+time-travel. Mirrors TestCOWDataSource.scala scenarios (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from hudi_0_12_0_my_spark import Engine
+
+
+def make_rows(spark, rows):
+    return spark.createDataFrame(
+        [Row(id=i, name=n, price=float(p), ts=t, dt=d) for i, n, p, t, d in rows],
+        "id int, name string, price double, ts long, dt string")
+
+
+@pytest.fixture()
+def table(spark, tmp_table_dir):
+    eng = Engine(spark)
+    return eng.create_table(tmp_table_dir, name="h0_p",
+                            record_key_fields=["id"], precombine_field="ts",
+                            partition_field="dt", table_type="cow")
+
+
+BATCH1 = [(1, "a", 10.0, 100, "2021-01-01"),
+          (2, "b", 20.0, 100, "2021-01-01"),
+          (3, "c", 30.0, 100, "2021-01-02"),
+          (4, "d", 40.0, 100, "2021-01-02")]
+
+
+def test_bulk_insert_snapshot(spark, table):
+    table.bulk_insert(make_rows(spark, BATCH1))
+    got = {(r.id, r.name, r.price) for r in table.snapshot().collect()}
+    assert got == {(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)}
+    assert sorted(table.partitions()) == ["2021-01-01", "2021-01-02"]
+
+
+def test_upsert_updates_and_inserts(spark, table):
+    table.bulk_insert(make_rows(spark, BATCH1))
+    c2 = table.upsert(make_rows(spark, [
+        (2, "b2", 21.0, 200, "2021-01-01"),        # update
+        (5, "e", 50.0, 200, "2021-01-03"),         # insert new partition
+    ]))
+    snap = {r.id: (r.name, r.price) for r in table.snapshot().collect()}
+    assert snap == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0),
+                    4: ("d", 40.0), 5: ("e", 50.0)}
+    # incremental pull of just c2 returns exactly the changed rows
+    inc = {r.id for r in table.incremental(begin="0", end=c2).collect()}
+    assert inc == {1, 2, 3, 4, 5}
+    c1 = table.commits()[0]["instant"]
+    inc2 = {r.id for r in table.incremental(begin=c1, end=c2).collect()}
+    assert inc2 == {2, 5}
+
+
+def test_precombine_within_batch(spark, table):
+    table.bulk_insert(make_rows(spark, BATCH1))
+    # two versions of id=1 in one batch: higher ts wins
+    table.upsert(make_rows(spark, [
+        (1, "low", 11.0, 150, "2021-01-01"),
+        (1, "high", 12.0, 300, "2021-01-01"),
+    ]))
+    row = table.snapshot().filter("id = 1").collect()[0]
+    assert (row.name, row.price) == ("high", 12.0)
+
+
+def test_delete(spark, table):
+    table.bulk_insert(make_rows(spark, BATCH1))
+    table.delete(where="id in (2, 3)")
+    assert {r.id for r in table.snapshot().collect()} == {1, 4}
+
+
+def test_time_travel(spark, table):
+    c1 = table.bulk_insert(make_rows(spark, BATCH1))
+    table.upsert(make_rows(spark, [(2, "b2", 21.0, 200, "2021-01-01")]))
+    old = {r.id: r.name for r in table.time_travel(as_of=c1).collect()}
+    assert old[2] == "b"
+    new = {r.id: r.name for r in table.snapshot().collect()}
+    assert new[2] == "b2"
+
+
+def test_insert_overwrite_partition(spark, table):
+    table.bulk_insert(make_rows(spark, BATCH1))
+    table.insert_overwrite(make_rows(spark, [(9, "z", 90.0, 300, "2021-01-01")]))
+    got = {(r.id, r.name) for r in table.snapshot().collect()}
+    assert got == {(9, "z"), (3, "c"), (4, "d")}
+
+
+def test_insert_overwrite_table(spark, table):
+    table.bulk_insert(make_rows(spark, BATCH1))
+    table.insert_overwrite_table(make_rows(spark, [(9, "z", 90.0, 300, "2021-01-05")]))
+    got = {(r.id, r.name) for r in table.snapshot().collect()}
+    assert got == {(9, "z")}
+
+
+def test_delete_partition(spark, table):
+    table.bulk_insert(make_rows(spark, BATCH1))
+    table.delete_partition(["2021-01-01"])
+    got = {r.id for r in table.snapshot().collect()}
+    assert got == {3, 4}
+    assert table.partitions() == ["2021-01-02"]
+
+
+def test_event_time_payload(spark, tmp_table_dir):
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt",
+                         payload="event_time")
+    t.bulk_insert(make_rows(spark, [(1, "v1", 10.0, 500, "2021-01-01")]))
+    # stale update (lower ordering) must lose (DefaultHoodieRecordPayload.java:115-126)
+    t.upsert(make_rows(spark, [(1, "stale", 11.0, 400, "2021-01-01")]))
+    assert t.snapshot().collect()[0].name == "v1"
+    t.upsert(make_rows(spark, [(1, "fresh", 12.0, 600, "2021-01-01")]))
+    assert t.snapshot().collect()[0].name == "fresh"
+
+
+def test_update_command(spark, table):
+    table.bulk_insert(make_rows(spark, BATCH1))
+    table.update(set={"price": "price * 2"}, where="id = 1")
+    assert table.snapshot().filter("id = 1").collect()[0].price == 20.0
+
+
+def test_schema_evolution_add_column(spark, table):
+    table.bulk_insert(make_rows(spark, BATCH1))
+    df2 = make_rows(spark, [(6, "f", 60.0, 300, "2021-01-01")]) \
+        .withColumn("extra", F.lit("x"))
+    table.upsert(df2)
+    snap = table.snapshot()
+    assert "extra" in snap.columns
+    vals = {r.id: r.extra for r in snap.collect()}
+    assert vals[6] == "x" and vals[1] is None
+
+
+def test_unpartitioned_table(spark, tmp_table_dir):
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", keygen="nonpartitioned")
+    t.bulk_insert(make_rows(spark, BATCH1))
+    t.upsert(make_rows(spark, [(2, "b2", 21.0, 200, "2021-01-09")]))
+    got = {r.id: r.name for r in t.snapshot().collect()}
+    assert got == {1: "a", 2: "b2", 3: "c", 4: "d"}

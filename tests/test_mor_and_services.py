@@ -1,0 +1,210 @@
+"""MOR table type + table services. Mirrors TestMORDataSource.scala /
+TestCompactionProcedure / TestClusteringProcedure scenarios (SURVEY.md §5) and
+the FIXTURES.md F5 expected-state fixtures."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from hudi_0_12_0_my_spark import Engine
+
+
+def make_rows(spark, rows):
+    return spark.createDataFrame(
+        [Row(id=i, name=n, price=float(p), ts=t, dt=d) for i, n, p, t, d in rows],
+        "id int, name string, price double, ts long, dt string")
+
+
+BATCH1 = [(1, "a", 10.0, 100, "2021-01-01"),
+          (2, "b", 20.0, 100, "2021-01-01"),
+          (3, "c", 30.0, 100, "2021-01-02")]
+
+
+@pytest.fixture()
+def mor(spark, tmp_table_dir):
+    return Engine(spark).create_table(
+        tmp_table_dir, record_key_fields=["id"], precombine_field="ts",
+        partition_field="dt", table_type="mor")
+
+
+def test_mor_snapshot_vs_read_optimized(spark, mor):
+    mor.bulk_insert(make_rows(spark, BATCH1))
+    mor.upsert(make_rows(spark, [(2, "b2", 21.0, 200, "2021-01-01"),
+                                 (9, "i", 90.0, 200, "2021-01-02")]))
+    # F5.5: read_optimized misses delta updates, snapshot includes them
+    ro = {r.id: r.name for r in mor.read_optimized().collect()}
+    assert ro[2] == "b"          # delta not visible in read-optimized
+    assert 9 in ro               # MOR inserts create base files -> visible
+    snap = {r.id: r.name for r in mor.snapshot().collect()}
+    assert snap[2] == "b2" and snap[9] == "i"
+
+
+def test_mor_delete_via_delta(spark, mor):
+    mor.bulk_insert(make_rows(spark, BATCH1))
+    mor.delete(where="id = 1")
+    assert {r.id for r in mor.snapshot().collect()} == {2, 3}
+    # base file untouched: read_optimized still sees id=1
+    assert {r.id for r in mor.read_optimized().collect()} == {1, 2, 3}
+
+
+def test_compaction_aligns_ro_with_snapshot(spark, mor):
+    mor.bulk_insert(make_rows(spark, BATCH1))
+    mor.upsert(make_rows(spark, [(2, "b2", 21.0, 200, "2021-01-01")]))
+    mor.delete(where="id = 3")
+    snap_before = {(r.id, r.name) for r in mor.snapshot().collect()}
+    c = mor.compact()
+    assert c is not None
+    snap_after = {(r.id, r.name) for r in mor.snapshot().collect()}
+    ro_after = {(r.id, r.name) for r in mor.read_optimized().collect()}
+    assert snap_before == snap_after == ro_after == {(1, "a"), (2, "b2")}
+    # no dirty slices remain
+    assert all(not s.deltas for _, s in mor.view().live_slices())
+
+
+def test_mor_incremental(spark, mor):
+    c1 = mor.bulk_insert(make_rows(spark, BATCH1))
+    c2 = mor.upsert(make_rows(spark, [(2, "b2", 21.0, 200, "2021-01-01")]))
+    inc = {(r.id, r.name) for r in mor.incremental(begin=c1, end=c2).collect()}
+    assert inc == {(2, "b2")}
+
+
+def test_clustering_preserves_rows(spark, tmp_table_dir):
+    eng = Engine(spark)
+    # small_file_limit=1 disables bin packing -> each insert makes a new group
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt",
+                         small_file_limit_bytes=1)
+    for i in range(4):
+        t.insert(make_rows(spark, [(10 + i, f"n{i}", float(i), 100, "2021-01-01")]))
+    files_before = len(t.view().live_base_files())
+    assert files_before >= 2
+    before = {(r.id, r.name) for r in t.snapshot().collect()}
+    c = t.cluster(sort_cols=["id"])
+    assert c is not None
+    after = {(r.id, r.name) for r in t.snapshot().collect()}
+    assert before == after                       # F5.7: row set identical
+    assert len(t.view().live_base_files()) < files_before
+    # time travel before the replacecommit still sees the old layout
+    assert {(r.id, r.name) for r in t.time_travel(as_of=c[:-1] + "0").collect()} == before
+
+
+def test_zorder_clustering(spark, tmp_table_dir):
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt")
+    rows = [(i, f"n{i}", float(i % 7), 100, "2021-01-01") for i in range(200)]
+    t.bulk_insert(make_rows(spark, rows))
+    before = {r.id for r in t.snapshot().collect()}
+    c = t.cluster(sort_cols=["price", "ts"], layout="zorder")
+    assert c is not None
+    assert {r.id for r in t.snapshot().collect()} == before
+    snap = t.snapshot()
+    assert "__curve_key" not in snap.columns
+
+
+def test_rollback_completed(spark, tmp_table_dir):
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt")
+    t.bulk_insert(make_rows(spark, BATCH1))
+    c2 = t.upsert(make_rows(spark, [(2, "b2", 21.0, 200, "2021-01-01")]))
+    t.rollback(c2)
+    snap = {r.id: r.name for r in t.snapshot().collect()}
+    assert snap[2] == "b"
+    assert all(c["instant"] != c2 for c in t.commits())
+
+
+def test_rollback_pending_crashed_write(spark, tmp_table_dir):
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt")
+    t.bulk_insert(make_rows(spark, BATCH1))
+    # simulate a crash: requested instant + orphan marker with a moved file
+    from hudi_0_12_0_my_spark import timeline as tl
+    from hudi_0_12_0_my_spark.util import atomic_write_json
+    bad = tl.new_instant_time()
+    t.timeline.save_requested(bad, tl.COMMIT, {"operation": "upsert"})
+    orphan_rel = os.path.join("2021-01-01", f"deadbeef_{bad}.parquet")
+    orphan = t.abs(orphan_rel)
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "w") as f:
+        f.write("junk")
+    atomic_write_json(t.writer._marker_path(bad), {"files": [orphan_rel]})
+    out = t.rollback()      # F5.8: snapshot unchanged, junk cleaned
+    assert out["rolled_back"] == [bad]
+    assert not os.path.exists(orphan)
+    assert len(t.snapshot().collect()) == 3
+
+
+def test_savepoint_restore(spark, tmp_table_dir):
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt")
+    c1 = t.bulk_insert(make_rows(spark, BATCH1))
+    sp = t.savepoint()
+    t.upsert(make_rows(spark, [(2, "b2", 21.0, 200, "2021-01-01")]))
+    t.upsert(make_rows(spark, [(3, "c2", 31.0, 300, "2021-01-02")]))
+    t.restore(sp)
+    snap = {r.id: r.name for r in t.snapshot().collect()}
+    assert snap == {1: "a", 2: "b", 3: "c"}
+    assert t.latest_instant() == c1
+
+
+def test_cleaner_keep_latest_commits(spark, tmp_table_dir):
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt",
+                         cleaner_retain_commits=2)
+    t.bulk_insert(make_rows(spark, BATCH1))
+    for v in range(1, 4):
+        t.upsert(make_rows(spark, [(1, f"v{v}", 10.0 + v, 100 + v, "2021-01-01")]))
+    snap_before = {(r.id, r.name) for r in t.snapshot().collect()}
+    out = t.clean()
+    assert out["removed"] > 0
+    assert {(r.id, r.name) for r in t.snapshot().collect()} == snap_before
+    # time travel beyond the retention window must now fail loudly
+    first = t.commits()[0]["instant"]
+    with pytest.raises(ValueError):
+        t.time_travel(as_of=first).collect()
+
+
+def test_archival_manifest_checkpoint(spark, tmp_table_dir):
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt")
+    t.bulk_insert(make_rows(spark, BATCH1))
+    for v in range(6):
+        t.upsert(make_rows(spark, [(1, f"v{v}", float(v), 100 + v, "2021-01-01")]))
+    snap_before = {(r.id, r.name) for r in t.snapshot().collect()}
+    out = t.archive(retain_active=3)
+    assert out["archived"] > 0
+    assert {(r.id, r.name) for r in t.snapshot().collect()} == snap_before
+    # deep time travel (before the checkpoint) replays archived batches
+    first = t.commits()[0]["instant"] if t.commits() else None
+    old = t.time_travel(as_of=out["checkpoint"]).collect()
+    assert len(old) == 3
+
+
+def test_merge_into(spark, tmp_table_dir):
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt")
+    t.bulk_insert(make_rows(spark, BATCH1))
+    src = spark.createDataFrame(
+        [Row(id=1, price=99.0, flag="u"),    # matched update
+         Row(id=2, price=0.0, flag="d"),     # matched delete
+         Row(id=7, price=70.0, flag="i")],   # not matched insert
+        "id int, price double, flag string")
+    t.merge(src, on="t.id = s.id",
+            when_matched_update={"price": "s.price"},
+            matched_update_condition="s.flag = 'u'",
+            when_matched_delete=True,
+            matched_delete_condition="s.flag = 'd'",
+            when_not_matched_insert={"id": "s.id", "name": "'new'",
+                                     "price": "s.price", "ts": "0",
+                                     "dt": "'2021-01-03'"})
+    snap = {r.id: (r.name, r.price) for r in t.snapshot().collect()}
+    assert snap == {1: ("a", 99.0), 3: ("c", 30.0), 7: ("new", 70.0)}
