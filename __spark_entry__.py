@@ -1,38 +1,584 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Determinism strategy for engine-semantics queries: the synthetic lineitem has
+duplicate (l_orderkey, l_linenumber) keys, so every engine table is built from
+a *deterministically deduped* base (window over a total per-key order); the
+DuckDB oracle replicates the same dedupe as a CTE. Aggregates are computed as
+``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`` on both sides: decimal
+summation is exact (order-independent), the final double cast keeps schemas
+aligned.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+TMP_ROOT = "/tmp/spark_graft_entry"
+
+_BUILT: dict = {}   # (sf_dir, kind) -> build artifacts, reused across queries
 
 
+# --------------------------------------------------------------------- utils
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _dec_sum(col: str, alias: str, prec: str = "18,2"):
+    return F.sum(F.col(col).cast(f"decimal({prec})")).cast("double").alias(alias)
+
+
+def _n(alias: str = "n"):
+    return F.count(F.lit(1)).cast("bigint").alias(alias)
+
+
+def _li_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically deduped lineitem (one row per key, total order)."""
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.desc("l_shipdate"), F.desc("l_quantity"), F.desc("l_extendedprice"),
+        F.desc("l_suppkey"), F.desc("l_partkey"))
+    return li.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def _li_mut(base: DataFrame) -> DataFrame:
+    return (base.filter(F.col("l_orderkey") % 10 == 0)
+                .withColumn("l_quantity", F.col("l_quantity") + 1000.0))
+
+
+def _root(sf_dir: str, kind: str) -> str:
+    return os.path.join(TMP_ROOT, os.path.basename(sf_dir.rstrip("/")), kind)
+
+
+def _fresh(path: str) -> str:
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+# shared DuckDB CTE prefix replicating the engine-table build on lineitem
+LI_CTES = """
+base AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+      ORDER BY l_shipdate DESC, l_quantity DESC, l_extendedprice DESC,
+               l_suppkey DESC, l_partkey DESC) AS rn
+    FROM lineitem) WHERE rn = 1),
+mut AS (SELECT l_orderkey, l_linenumber, l_quantity + 1000.0 AS new_qty
+        FROM base WHERE l_orderkey % 10 = 0),
+cur AS (SELECT base.* REPLACE (coalesce(mut.new_qty, base.l_quantity) AS l_quantity)
+        FROM base LEFT JOIN mut USING (l_orderkey, l_linenumber)),
+final AS (SELECT * FROM cur WHERE l_orderkey % 100 <> 0)
+"""
+
+
+# ------------------------------------------------------------ engine builds
+def _eng(spark):
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hudi_0_12_0_my_spark import Engine
+    return Engine(spark)
+
+
+def _build_cow(spark, sf_dir):
+    """COW lineitem table: bulk_insert(base) -> upsert(mut) -> delete."""
+    key = (sf_dir, "cow")
+    if key not in _BUILT:
+        base = _li_base(spark, sf_dir)
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "cow")),
+            record_key_fields=["l_orderkey", "l_linenumber"],
+            precombine_field="l_shipdate", partition_field="l_shipdate",
+            partition_style="timestamp", keygen_output_format="yyyy-MM")
+        t.bulk_insert(base)
+        t.upsert(_li_mut(base))
+        t.delete(t.snapshot().filter(F.col("l_orderkey") % 100 == 0))
+        commits = [i.time for i in t.timeline.completed_write_instants()]
+        _BUILT[key] = (t, commits)
+    return _BUILT[key]
+
+
+def _build_mor(spark, sf_dir, compact: bool):
+    kind = "mor_c" if compact else "mor"
+    key = (sf_dir, kind)
+    if key not in _BUILT:
+        base = _li_base(spark, sf_dir)
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, kind)),
+            record_key_fields=["l_orderkey", "l_linenumber"],
+            precombine_field="l_shipdate", table_type="mor",
+            partition_field="l_shipdate", partition_style="timestamp",
+            keygen_output_format="yyyy-MM")
+        t.bulk_insert(base)
+        t.upsert(_li_mut(base))
+        if compact:
+            t.compact()
+        _BUILT[key] = (t, [i.time for i in t.timeline.completed_write_instants()])
+    return _BUILT[key]
+
+
+def _build_orders(spark, sf_dir, kind: str, action) -> object:
+    """Orders table partitioned by o_orderpriority, then one mutation op."""
+    key = (sf_dir, kind)
+    if key not in _BUILT:
+        orders = _read(spark, sf_dir, "orders")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, kind)),
+            record_key_fields=["o_orderkey"], precombine_field="o_orderdate",
+            partition_field="o_orderpriority")
+        t.bulk_insert(orders)
+        action(t, orders)
+        _BUILT[key] = t
+    return _BUILT[key]
+
+
+# ------------------------------------------------------------------- queries
+def q_cow_snapshot(spark, sf_dir):
+    t, _ = _build_cow(spark, sf_dir)
+    return (t.snapshot().groupBy("l_returnflag", "l_linestatus")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty"),
+                 _dec_sum("l_extendedprice", "sum_price")))
+
+
+def q_cow_incremental(spark, sf_dir):
+    t, commits = _build_cow(spark, sf_dir)
+    inc = t.incremental(begin=commits[0], end=commits[1])
+    return inc.groupBy("l_returnflag").agg(_n(), _dec_sum("l_quantity", "sum_qty"))
+
+
+def q_cow_time_travel(spark, sf_dir):
+    t, commits = _build_cow(spark, sf_dir)
+    tt = t.time_travel(commits[0])
+    return tt.groupBy("l_returnflag").agg(_n(), _dec_sum("l_quantity", "sum_qty"))
+
+
+def q_cow_point_lookup(spark, sf_dir):
+    t, _ = _build_cow(spark, sf_dir)
+    # SQL-string filter feeds the column-stats file pruner before the scan
+    return (t.snapshot(filters="l_orderkey >= 100 and l_orderkey <= 400")
+            .select("l_orderkey", "l_linenumber",
+                    F.col("l_quantity").cast("double").alias("qty")))
+
+
+def q_mor_snapshot(spark, sf_dir):
+    t, _ = _build_mor(spark, sf_dir, compact=False)
+    return (t.snapshot().groupBy("l_returnflag", "l_linestatus")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
+
+
+def q_mor_read_optimized(spark, sf_dir):
+    t, _ = _build_mor(spark, sf_dir, compact=False)
+    return (t.read_optimized().groupBy("l_returnflag")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
+
+
+def q_mor_compacted(spark, sf_dir):
+    t, _ = _build_mor(spark, sf_dir, compact=True)
+    return (t.read_optimized().groupBy("l_returnflag", "l_linestatus")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
+
+
+def q_insert_overwrite(spark, sf_dir):
+    def act(t, orders):
+        urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+                        .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+        t.insert_overwrite(urgent)
+    t = _build_orders(spark, sf_dir, "ord_io", act)
+    return (t.snapshot().groupBy("o_orderpriority")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
+def q_delete_partition(spark, sf_dir):
+    t = _build_orders(spark, sf_dir, "ord_dp",
+                      lambda t, o: t.delete_partition(["5-LOW"]))
+    return t.snapshot().groupBy("o_orderpriority").agg(_n())
+
+
+def q_merge_into(spark, sf_dir):
+    def act(t, orders):
+        upd = orders.filter(F.col("o_orderkey") % 3 == 0)
+        ins = (orders.filter(F.col("o_orderkey") % 5 == 0)
+               .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+               .withColumn("o_totalprice", F.col("o_totalprice") + 5))
+        t.merge(upd.unionByName(ins), on="t.o_orderkey = s.o_orderkey",
+                when_matched_update={"o_totalprice": "s.o_totalprice * 2"},
+                matched_update_condition="s.o_orderstatus <> 'F'",
+                when_matched_delete=True,
+                matched_delete_condition="s.o_orderstatus = 'F'",
+                when_not_matched_insert="*")
+    t = _build_orders(spark, sf_dir, "ord_mi", act)
+    return (t.snapshot().groupBy("o_orderstatus")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
+def q_update_where(spark, sf_dir):
+    t = _build_orders(
+        spark, sf_dir, "ord_up",
+        lambda t, o: t.update(set={"o_totalprice": "o_totalprice * 1.1"},
+                              where="o_orderpriority = '2-HIGH'"))
+    # scale 3: updated values are 3-decimal, so the decimal cast never hits a
+    # .xx5 rounding tie (Spark HALF_UP vs DuckDB half-even would diverge)
+    return (t.snapshot().groupBy("o_orderpriority")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price", "18,3")))
+
+
+def q_delete_where(spark, sf_dir):
+    t = _build_orders(
+        spark, sf_dir, "ord_del",
+        lambda t, o: t.delete(where="o_orderstatus = 'F' AND o_orderkey % 2 = 0"))
+    return t.snapshot().groupBy("o_orderstatus").agg(_n())
+
+
+# ---- relational queries over raw parquet (Catalyst does the work)
+def q_q1_pricing(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    # scale 4: price(2dp) * (1-discount)(2dp) is an exact 4-decimal value, so
+    # the double->decimal cast is tie-free in both engines
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_n("count_order"), _dec_sum("l_quantity", "sum_qty"),
+                 _dec_sum("l_extendedprice", "sum_base_price"),
+                 F.sum(disc_price).cast("double").alias("sum_disc_price")))
+
+
+def q_q6_revenue(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    return (li.filter((F.col("l_shipdate") >= "1994-01-01")
+                      & (F.col("l_shipdate") < "1995-01-01")
+                      & F.col("l_discount").between(0.05, 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(rev).cast("double").alias("revenue"), _n()))
+
+
+def q_q3_top10(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .filter((F.col("o_orderdate") < "1995-03-15")
+                    & (F.col("l_shipdate") > "1995-03-15"))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+def q_q5_nation_volume(spark, sf_dir):
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"), _n()))
+
+
+def _read_events(spark, sf_dir):
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read nanos as long and convert (floor to micros — the
+    same truncation DuckDB applies going ns -> its native us timestamps)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _read(spark, sf_dir, "events")
+    return ev.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _read_events(spark, sf_dir)
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(_n(), _dec_sum("value", "sum_value", "18,4")))
+
+
+def q_events_latest_per_user(spark, sf_dir):
+    ev = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+            .select("user_id", "event_id", "event_type",
+                    F.col("value").cast("double").alias("value")))
+
+
+# ---- LLM-pipeline operators (SURVEY.md §2.11)
+def q_docs_exact_dedup(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import exact_dedup
+    docs = _read(spark, sf_dir, "documents")
+    kept = exact_dedup(docs)
+    return kept.agg(_n("n_kept"),
+                    F.sum("dup_count").cast("bigint").alias("n_total"))
+
+
+def q_docs_token_stats(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import with_token_stats
+    docs = with_token_stats(_read(spark, sf_dir, "documents"))
+    return (docs.groupBy("lang")
+            .agg(_n(), F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+                 F.sum("n_bpe_tokens").cast("bigint").alias("sum_bpe"),
+                 F.sum("n_chars_actual").cast("bigint").alias("sum_chars")))
+
+
+def q_docs_quality(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import with_quality_score
+    docs = with_quality_score(_read(spark, sf_dir, "documents"))
+    return (docs.filter(F.col("doc_id") < 100)
+            .select("doc_id", F.col("n_punct").cast("bigint").alias("n_punct"),
+                    "quality_score"))
+
+
+def q_docs_fingerprint(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import with_fingerprint
+    docs = with_fingerprint(_read(spark, sf_dir, "documents"))
+    return docs.agg(F.count_distinct("fingerprint").cast("bigint")
+                    .alias("n_distinct"), _n())
+
+
+def q_emb_topk(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import cosine_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    res = cosine_topk(emb, emb.filter("vec_id < 5"), k=10)
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
+# ---- rows-only (no SQL-expressible oracle; driver records weaker check)
+def q_docs_minhash_lsh(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import minhash_lsh_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, jaccard_threshold=0.4)
+
+
+def q_docs_simhash(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import simhash_near_dup_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=6)
+
+
+def q_emb_ivf_topk(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import ivf_cosine_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, emb.filter("vec_id < 5"), k=10,
+                           num_cells=16, nprobe=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import (extract_features,
+                                                with_media_columns)
+    docs = _read(spark, sf_dir, "documents") \
+        .withColumn("payload", F.col("text").cast("binary"))
+    mm = with_media_columns(docs, "payload", "image", "image/png",
+                            width=64, height=64)
+    return extract_features(mm, dim=8)
+
+
+# ------------------------------------------------------------------ contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_cow_snapshot(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # engine semantics (SURVEY.md §2.1, §2.2, §2.3)
+        "cow_snapshot": q_cow_snapshot,
+        "cow_incremental": q_cow_incremental,
+        "cow_time_travel": q_cow_time_travel,
+        "cow_point_lookup": q_cow_point_lookup,
+        "mor_snapshot": q_mor_snapshot,
+        "mor_read_optimized": q_mor_read_optimized,
+        "mor_compacted": q_mor_compacted,
+        "insert_overwrite": q_insert_overwrite,
+        "delete_partition": q_delete_partition,
+        "merge_into": q_merge_into,
+        "update_where": q_update_where,
+        "delete_where": q_delete_where,
+        # relational over raw parquet (§2.10: delegated to Catalyst)
+        "q1_pricing": q_q1_pricing,
+        "q6_revenue": q_q6_revenue,
+        "q3_top10": q_q3_top10,
+        "q5_nation_volume": q_q5_nation_volume,
+        "events_hourly": q_events_hourly,
+        "events_latest_per_user": q_events_latest_per_user,
+        # LLM-pipeline operators (§2.11)
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_fingerprint": q_docs_fingerprint,
+        "emb_topk": q_emb_topk,
+        # rows-only checks
+        "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_simhash": q_docs_simhash,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cow_snapshot": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM final GROUP BY 1, 2""",
+        "cow_incremental": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM cur WHERE EXISTS (SELECT 1 FROM mut m
+  WHERE m.l_orderkey = cur.l_orderkey AND m.l_linenumber = cur.l_linenumber)
+GROUP BY 1""",
+        "cow_time_travel": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM base GROUP BY 1""",
+        "cow_point_lookup": f"""
+WITH {LI_CTES}
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty
+FROM final WHERE l_orderkey BETWEEN 100 AND 400""",
+        "mor_snapshot": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM cur GROUP BY 1, 2""",
+        "mor_read_optimized": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM base GROUP BY 1""",
+        "mor_compacted": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM cur GROUP BY 1, 2""",
+        "insert_overwrite": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice * 2 ELSE o_totalprice END
+                AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1""",
+        "delete_partition": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_orderpriority <> '5-LOW' GROUP BY 1""",
+        "merge_into": """
+WITH after_del AS (
+  SELECT * FROM orders WHERE NOT (o_orderkey % 3 = 0 AND o_orderstatus = 'F')),
+updated AS (
+  SELECT after_del.* REPLACE (CASE WHEN o_orderkey % 3 = 0
+                                   THEN o_totalprice * 2
+                                   ELSE o_totalprice END AS o_totalprice)
+  FROM after_del),
+ins AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 5 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 5 = 0),
+merged AS (SELECT * FROM updated UNION ALL SELECT * FROM ins)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged GROUP BY 1""",
+        "update_where": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderpriority = '2-HIGH'
+                          THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                          ELSE o_totalprice END
+                AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1""",
+        "delete_where": """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 0) GROUP BY 1""",
+        "q1_pricing": """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_disc_price
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2""",
+        "q6_revenue": """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+        "q3_top10": """
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+        "q5_nation_volume": """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "events_latest_per_user": """
+SELECT user_id, event_id, event_type, CAST(value AS DOUBLE) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1""",
+        "docs_exact_dedup": """
+WITH h AS (SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+           FROM documents),
+k AS (SELECT ch, CAST(count(*) AS BIGINT) AS dup_count FROM h GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(SUM(dup_count) AS BIGINT) AS n_total
+FROM k""",
+        "docs_token_stats": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+         AS sum_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+            AS BIGINT) AS sum_bpe,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1""",
+        "docs_fingerprint": """
+SELECT CAST(count(DISTINCT trim(regexp_replace(
+         regexp_replace(lower(text), '[.,!?;:''"()\\[\\]{}-]', '', 'g'),
+         '\\s+', ' ', 'g'))) AS BIGINT) AS n_distinct,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents""",
+        "emb_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (SELECT qid, vec_id AS nid,
+             list_cosine_similarity(qe, embedding) AS c
+      FROM embeddings, q WHERE vec_id <> qid),
+r AS (SELECT qid AS query_id, nid AS neighbor_id,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""",
+    }

@@ -1,0 +1,125 @@
+"""Benchmark harness: headline workloads at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Workloads mirror BASELINE.md: lineitem bulk_insert, upsert of the mutated 10%
+slice, Q6-shaped snapshot agg, incremental pull of the last commit — plus the
+relational and LLM-pipeline headliners. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_ROOT = "/tmp/spark_graft_bench"
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, Window, functions as F
+
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .appName("spark-graft-bench")
+             .config("spark.sql.shuffle.partitions", CPUS)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from hudi_0_12_0_my_spark import Engine
+    from hudi_0_12_0_my_spark.operators import (cosine_topk,
+                                                minhash_lsh_pairs)
+
+    eng = Engine(spark)
+    timings: dict[str, float] = {}
+
+    def step(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = round(time.perf_counter() - self.t0, 3)
+        return _T()
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.desc("l_shipdate"), F.desc("l_quantity"), F.desc("l_extendedprice"),
+        F.desc("l_suppkey"), F.desc("l_partkey"))
+    base = li.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+    shutil.rmtree(BENCH_ROOT, ignore_errors=True)
+    t = eng.create_table(
+        os.path.join(BENCH_ROOT, "lineitem"),
+        record_key_fields=["l_orderkey", "l_linenumber"],
+        precombine_field="l_shipdate", partition_field="l_shipdate",
+        partition_style="timestamp", keygen_output_format="yyyy-MM")
+
+    with step("bulk_insert"):
+        t.bulk_insert(base)
+
+    mut = (base.filter(F.col("l_orderkey") % 10 == 0)
+               .withColumn("l_quantity", F.col("l_quantity") + 1000.0))
+    with step("upsert_10pct"):
+        t.upsert(mut)
+
+    with step("snapshot_q6"):
+        (t.snapshot(filters="l_shipdate >= '1994-01-01' and l_shipdate < '1995-01-01'")
+         .filter(F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24))
+         .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).collect())
+
+    commits = [i.time for i in t.timeline.completed_write_instants()]
+    with step("incremental_pull"):
+        t.incremental(begin=commits[-2]).count()
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    with step("q1_pricing"):
+        (li.filter(F.col("l_shipdate") <= "1998-09-02")
+         .groupBy("l_returnflag", "l_linestatus")
+         .agg(F.count("*"), F.sum("l_quantity"), F.sum("l_extendedprice"),
+              F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+              F.avg("l_discount")).collect())
+
+    with step("q3_top10"):
+        (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .filter((F.col("o_orderdate") < "1995-03-15")
+                 & (F.col("l_shipdate") > "1995-03-15"))
+         .groupBy("o_orderkey", "o_orderdate")
+         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .alias("revenue"))
+         .orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10).collect())
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    with step("minhash_lsh"):
+        minhash_lsh_pairs(docs, num_hashes=32, bands=8,
+                          jaccard_threshold=0.4).count()
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    with step("emb_topk"):
+        cosine_topk(emb, emb.filter("vec_id < 10"), k=10).count()
+
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = None
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({"metric": "spark_graft_bench_total", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""Beyond-reference operators for large-scale training-data pipelines.
+
+SURVEY.md §2.11: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding cosine), similarity search (brute-force + IVF), text analysis
+(tokens, quality, language-ID, fingerprints), multimodal column conventions.
+Everything is expressed with JVM-side built-in functions (xxhash64, explode,
+zip_with/aggregate) so plans stay inside whole-stage codegen at 100 TB scale;
+Python appears only in the (stubbed) multimodal decode path.
+"""
+
+from .dedup import (exact_dedup, minhash_signatures, minhash_lsh_pairs,
+                    minhash_lsh_dedup, simhash, simhash_near_dup_pairs,
+                    ngram_jaccard_pairs)
+from .multimodal import (with_media_columns, extract_features,
+                         frame_sample_plan)
+from .similarity import cosine_topk, ivf_cosine_topk, embedding_near_dup_pairs
+from .textstats import (with_token_stats, with_quality_score,
+                        with_language_id, with_fingerprint)
+
+__all__ = [
+    "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
+    "minhash_lsh_dedup", "simhash", "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk", "ivf_cosine_topk", "embedding_near_dup_pairs",
+    "with_token_stats", "with_quality_score", "with_language_id",
+    "with_fingerprint",
+    "with_media_columns", "extract_features", "frame_sample_plan",
+]

@@ -1,0 +1,208 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup is one hash-groupBy (map-side combine, single shuffle on the
+  content hash — uniformly distributed, no skew);
+- MinHash is explode(shingles) x seeds -> min-aggregate: the shuffle key is
+  (doc, seed), bounded fan-out, then LSH banding turns near-dup search into
+  an equi-join on (band, band_hash) buckets — no pairwise cross join ever;
+- SimHash is a single groupBy(doc) with 64 conditional sums, then banded
+  Hamming candidate generation;
+- n-gram Jaccard is an inverted-index self-join on shingle hash with a
+  frequency cap to kill stop-shingle skew.
+All hashing is xxhash64 (JVM, codegen); no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+# --------------------------------------------------------------- exact dedup
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
+    """Keep one row per distinct content (min id wins — deterministic).
+
+    Adds `content_hash` and `dup_count`. One shuffle on the 128-bit md5 —
+    collision-safe at 100 TB (vs 64-bit at ~4B docs).
+    """
+    c = F.col(text_col)
+    if normalize:
+        c = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    h = F.md5(c.cast("binary"))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (df.withColumn("content_hash", h)
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("dup_count", F.count("*").over(
+                  Window.partitionBy("content_hash")))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ------------------------------------------------------------------- minhash
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 32,
+                       shingle_k: int = 5) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) MinHash signatures.
+
+    Character-shingle -> num_hashes seeded xxhash64 -> min per seed, computed
+    entirely per-row as array_min(transform(shingles, xxhash64(seed, s))) —
+    a map-only stage with NO shuffle (vs the classic explode + groupBy(id)
+    shape, which shuffles every shingle). At 100 TB that is the difference
+    between a scan and a scan + terabyte-scale exchange.
+    """
+    # the hashing map is CPU-heavy: make sure it parallelizes even when the
+    # source is a single small file (cheap shuffle of raw rows, not shingles)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, id_col)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n = F.greatest(F.length(norm) - (shingle_k - 1), F.lit(1))
+    sh = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: norm.substr(i, F.lit(shingle_k))))
+    with_sh = df.select(F.col(id_col), sh.alias("_shingles"))
+
+    def seeded(seed):
+        # NB: must be a one-arg lambda — F.transform treats a two-arg callable
+        # as (element, index) and would silently override a default-arg seed
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    sig = F.array(*[F.array_min(F.transform("_shingles", seeded(i)))
+                    for i in range(num_hashes)])
+    return with_sh.select(id_col, sig.alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 32,
+                      bands: int = 8, shingle_k: int = 5,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, verified by signature overlap.
+
+    rows-per-band r = num_hashes/bands; docs sharing any band bucket become
+    candidates (equi-join on (band, hash-of-band-rows)); estimated Jaccard =
+    fraction of agreeing minhashes; pairs >= threshold survive.
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    band_entries = sigs.select(
+        id_col, "sig",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
+            for b in range(bands)])).alias("band", "bucket"))
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y), lambda v: v))
+           / F.lit(float(num_hashes)))
+    return (cand.withColumn("est_jaccard", est)
+                .filter(F.col("est_jaccard") >= jaccard_threshold)
+                .select("id_a", "id_b", "est_jaccard"))
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", **kw) -> DataFrame:
+    """Drop near-duplicates: keep the smallest id of each connected pair.
+
+    Single-link one-hop (a->min neighbor) — at 100 TB full transitive closure
+    would need iterative connected components; one-hop removal of every doc
+    that has a smaller near-dup neighbor is the standard scalable choice.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ------------------------------------------------------------------- simhash
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: sign of per-bit weight sums."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ex = df.select(id_col, F.explode(toks).alias("tok")) \
+           .withColumn("th", F.xxhash64("tok"))
+    sums = ex.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright("th", i).bitwiseAND(1) == 1, 1).otherwise(-1))
+         .alias(f"b{i}") for i in range(bits)])
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"b{i}") > 0,
+                         F.lit(1).cast("long") * (2 ** i if i < 63 else -(2 ** 63))
+                         ).otherwise(0)
+    return sums.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation by 4x16-bit band equality (any identical band =>
+    candidate — guarantees recall for hamming <= 3), then exact popcount
+    verification via bit ops; join is band-bucketed, never all-pairs.
+    """
+    sh = simhash(df, text_col, id_col)
+    bands = sh.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", 16 * i).bitwiseAND((1 << 16) - 1)
+            for i in range(4)])).alias("band", "chunk"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    x = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    ham = F.bit_count(x)
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
+# ------------------------------------------------------------ n-gram jaccard
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8,
+                        max_shingle_freq: int = 1000) -> DataFrame:
+    """Exact n-gram (word) Jaccard via inverted-index self-join.
+
+    Stop-shingle skew control: shingles occurring in > max_shingle_freq docs
+    are dropped before the join (they would otherwise dominate the shuffle at
+    scale while contributing almost no discrimination).
+    Output: (id_a, id_b, jaccard).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    m = F.size(toks) - (n - 1)
+    # guard: sequence(1, m) with m < 1 would generate a *descending* range
+    grams = F.when(m >= 1, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n)))))) \
+        .otherwise(F.array().cast("array<bigint>"))
+    docs = df.select(id_col, grams.alias("grams")) \
+             .withColumn("n_grams", F.size("grams")).filter("n_grams > 0")
+    inv = docs.select(id_col, "n_grams", F.explode("grams").alias("g"))
+    freq = inv.groupBy("g").count().filter(F.col("count") <= max_shingle_freq)
+    inv = inv.join(freq.select("g"), "g")
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                       F.col(f"b.{id_col}").alias("id_b"),
+                       F.col("a.n_grams").alias("na"),
+                       F.col("b.n_grams").alias("nb"))
+              .agg(F.count("*").alias("inter")))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (common.withColumn("jaccard", jac)
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,154 @@
+"""Tests for the LLM-pipeline operators (SURVEY.md §2.11)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_12_0_my_spark import operators as ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "a"),
+            (3, "The  quick brown fox jumps over the lazy dog", "en", "b"),
+            (4, "pack my box with five dozen liquor jugs", "en", "b"),
+            (5, "der schnelle braune fuchs springt nicht", "de", "c"),
+            (6, "", "en", "c"),
+            (7, "the quick brown fox jumps over the lazy cat", "en", "a"),
+        ],
+        "doc_id long, text string, lang string, source string")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+    rows = []
+    for i in range(40):
+        v = [math.sin(i * 0.7 + j) for j in range(8)]
+        rows.append((i, v, i % 3))
+    # vec 100 = near-copy of vec 0 (tiny perturbation)
+    rows.append((100, [x + 0.001 for x in rows[0][1]], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_exact_dedup_normalizes_whitespace_and_keeps_min_id(docs):
+    kept = ops.exact_dedup(docs).orderBy("doc_id").collect()
+    ids = [r.doc_id for r in kept]
+    assert 1 in ids and 2 not in ids and 3 not in ids  # 1,2,3 same normalized
+    by_id = {r.doc_id: r for r in kept}
+    assert by_id[1].dup_count == 3
+    assert by_id[4].dup_count == 1
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = {r.doc_id: r.sig for r in ops.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]           # byte-identical text
+    assert sigs[1] != sigs[4]           # unrelated text
+    assert len(sigs[1]) == 32
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = ops.minhash_lsh_pairs(docs, num_hashes=32, bands=8,
+                                  jaccard_threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got                # identical
+    assert (1, 7) in got                # one word differs
+    assert (1, 4) not in got            # unrelated
+
+
+def test_minhash_lsh_dedup_removes_near_dups(docs):
+    kept = ops.minhash_lsh_dedup(docs, num_hashes=32, bands=8,
+                                 jaccard_threshold=0.5)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 in ids and 2 not in ids and 7 not in ids
+    assert 4 in ids and 5 in ids
+
+
+def test_simhash_near_dup(docs):
+    pairs = ops.simhash_near_dup_pairs(docs, max_hamming=0)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    sh = {r.doc_id: r.simhash for r in ops.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+
+
+def test_ngram_jaccard(docs):
+    pairs = ops.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    rows = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert rows[(1, 2)] == 1.0
+    assert (1, 4) not in rows
+
+
+def test_token_stats(docs):
+    got = {r.doc_id: r for r in ops.with_token_stats(docs).collect()}
+    assert got[1].n_tokens == 9
+    assert got[6].n_tokens == 0
+    assert got[3].n_tokens == 9         # double space collapses
+    assert got[1].n_bpe_tokens == 9
+
+
+def test_quality_score_range_and_empty(docs):
+    got = {r.doc_id: r for r in ops.with_quality_score(docs).collect()}
+    for r in got.values():
+        assert 0.0 <= r.quality_score <= 1.0
+    assert got[6].quality_score < got[1].quality_score
+
+
+def test_language_id(docs):
+    got = {r.doc_id: r.lang_pred for r in ops.with_language_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[5] == "de"
+    assert got[6] == "und"
+
+
+def test_fingerprint_whitespace_invariant(docs):
+    got = {r.doc_id: r.fingerprint for r in ops.with_fingerprint(docs).collect()}
+    assert got[1] == got[3]
+    assert got[1] != got[4]
+
+
+def test_cosine_topk_selfdup_is_top1(emb):
+    res = ops.cosine_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
+    assert res[0].neighbor_id == 100 and res[0].rank == 1
+    assert res[0].cosine > 0.999
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    brute = {(r.query_id, r.neighbor_id)
+             for r in ops.cosine_topk(emb, emb.filter("vec_id < 5"), k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ops.ivf_cosine_topk(emb, emb.filter("vec_id < 5"), k=3,
+                                           num_cells=4, nprobe=3).collect()}
+    # probing 3/4 cells should recover most exact neighbors
+    assert len(brute & approx) >= len(brute) * 0.6
+
+
+def test_embedding_near_dup(emb):
+    pairs = ops.embedding_near_dup_pairs(emb, threshold=0.999, num_cells=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 100) in got
+
+
+def test_multimodal_plumbing(docs, spark):
+    mm = ops.with_media_columns(
+        docs.withColumn("payload", F.col("text").cast("binary")),
+        "payload", "image", "image/png", width=8, height=8)
+    assert mm.schema["media_meta"].dataType.fieldNames()[0] == "media_type"
+    feats = ops.extract_features(mm, dim=4).collect()
+    assert len(feats) == 7
+    by_id = {r.doc_id: r.features for r in feats}
+    assert by_id[1] == by_id[2]         # deterministic across identical payloads
+    assert len(by_id[1]) == 4
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        ops.extract_features(mm, dim=4, fake=False).collect()
+
+
+def test_frame_sample_plan(docs):
+    mm = ops.with_media_columns(
+        docs.withColumn("payload", F.col("text").cast("binary")),
+        "payload", "video", "video/mp4", duration_ms=2000)
+    frames = ops.frame_sample_plan(mm, every_ms=1000)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in per_doc)  # 0ms, 1000ms, 2000ms
