@@ -19,13 +19,29 @@ from .table import LakeTable
 class Engine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        self.catalog: dict[str, str] = {}   # table name -> base_path
 
     def create_table(self, base_path: str, name: str | None = None,
                      df: DataFrame | None = None, **cfg_kwargs) -> LakeTable:
-        return LakeTable.create(self.spark, base_path, name=name, df=df, **cfg_kwargs)
+        t = LakeTable.create(self.spark, base_path, name=name, df=df, **cfg_kwargs)
+        self.catalog[t.cfg.name] = base_path
+        return t
 
     def load_table(self, base_path: str) -> LakeTable:
-        return LakeTable(self.spark, base_path)
+        t = LakeTable(self.spark, base_path)
+        self.catalog.setdefault(t.cfg.name, base_path)
+        return t
+
+    def register_table(self, name: str, base_path: str) -> None:
+        self.catalog[name] = base_path
+
+    def has_table(self, name: str) -> bool:
+        return name in self.catalog
+
+    def table(self, name: str) -> LakeTable:
+        if name not in self.catalog:
+            raise KeyError(f"unknown table '{name}'; known: {sorted(self.catalog)}")
+        return LakeTable(self.spark, self.catalog[name])
 
     def table_exists(self, base_path: str) -> bool:
         from .config import table_exists

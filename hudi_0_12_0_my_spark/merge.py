@@ -27,9 +27,19 @@ def merge_into(table, source: DataFrame, on: str,
                when_matched_delete: bool = False,
                matched_delete_condition: str | None = None,
                when_not_matched_insert: dict | str | None = "*",
-               not_matched_insert_condition: str | None = None) -> str | None:
+               not_matched_insert_condition: str | None = None,
+               ordered_branches: list | None = None) -> str | None:
     """``on`` e.g. "t.id = s.id"; assignments e.g. {"price": "s.price * 2"} or
-    "*" (take all same-named source columns)."""
+    "*" (take all same-named source columns).
+
+    ``ordered_branches`` (used by the SQL front-end) preserves WHEN-clause
+    order — MERGE semantics are first-satisfied-branch-wins in *statement*
+    order (MergeIntoHoodieTableCommand.scala evaluates clauses in order).
+    Each entry: {"type": "update"|"delete"|"insert",
+                 "condition": str|None, "assignments": dict|"*"|None}.
+    When omitted, the keyword form builds branches in update, delete, insert
+    order.
+    """
     cfg = table.cfg
     snap = table.snapshot(keep_meta=True)
     business = [f for f in snap.columns if f not in meta.META_COLS]
@@ -57,23 +67,37 @@ def merge_into(table, source: DataFrame, on: str,
                 out[col] = F.col(f"{default_side}.{col}")
         return out
 
+    if ordered_branches is None:
+        ordered_branches = []
+        if when_matched_update is not None:
+            ordered_branches.append({"type": "update",
+                                     "condition": matched_update_condition,
+                                     "assignments": when_matched_update})
+        if when_matched_delete:
+            ordered_branches.append({"type": "delete",
+                                     "condition": matched_delete_condition,
+                                     "assignments": None})
+        if when_not_matched_insert is not None:
+            ordered_branches.append({"type": "insert",
+                                     "condition": not_matched_insert_condition,
+                                     "assignments": when_not_matched_insert})
+
     branches = []   # (condition, assignments, is_delete)
-    if when_matched_update is not None:
-        cond = tgt_present & src_present
-        if matched_update_condition:
-            cond = cond & F.expr(matched_update_condition)
-        branches.append((cond, _assign(when_matched_update, "t"), False))
-    if when_matched_delete:
-        cond = tgt_present & src_present
-        if matched_delete_condition:
-            cond = cond & F.expr(matched_delete_condition)
-        branches.append((cond, _assign({}, "t"), True))  # keep target values: key
-        # and partition are re-derived from them for the tombstone
-    if when_not_matched_insert is not None:
-        cond = src_present & ~tgt_present
-        if not_matched_insert_condition:
-            cond = cond & F.expr(not_matched_insert_condition)
-        branches.append((cond, _assign(when_not_matched_insert, "s"), False))
+    for b in ordered_branches:
+        if b["type"] == "insert":
+            cond = src_present & ~tgt_present
+        else:
+            cond = tgt_present & src_present
+        if b.get("condition"):
+            cond = cond & F.expr(b["condition"])
+        if b["type"] == "update":
+            branches.append((cond, _assign(b["assignments"], "t"), False))
+        elif b["type"] == "delete":
+            # keep target values: key and partition are re-derived from them
+            # for the tombstone
+            branches.append((cond, _assign({}, "t"), True))
+        else:
+            branches.append((cond, _assign(b["assignments"], "s"), False))
     if not branches:
         return None
 

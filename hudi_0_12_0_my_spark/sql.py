@@ -1,0 +1,227 @@
+"""Mini SQL front-end for Hudi-specific DML.
+
+The reference injects an ANTLR grammar + Catalyst rules for CALL / COMPACTION
+/ MERGE / UPDATE / DELETE (HoodieSqlCommon.g4:48-63, HoodieAnalysis.scala:
+44-120, MergeIntoHoodieTableCommand.scala:147). PySpark cannot inject parser
+extensions, so this module pattern-matches the same small statement set and
+dispatches to the Python API; every other statement goes straight to
+``spark.sql`` (the reference delegates identically — SURVEY.md §2.10).
+
+Table names resolve through the Engine catalog (create_table/load_table with
+``name=``, or engine.register_table). MERGE sources resolve as Spark
+temp views / catalog tables.
+"""
+
+from __future__ import annotations
+
+import re
+
+_WS = r"\s+"
+
+
+def _ident(s: str) -> str:
+    return s.strip().strip("`\"")
+
+
+def _parse_call_args(argstr: str) -> dict:
+    """k => v, k2 => v2  (values: quoted strings, numbers, booleans)."""
+    out = {}
+    if not argstr.strip():
+        return out
+    for part in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", argstr):
+        m = re.match(r"\s*(\w+)\s*=>\s*(.+?)\s*$", part)
+        if not m:
+            raise ValueError(f"cannot parse CALL argument {part!r}; "
+                             "use name => value")
+        k, v = m.group(1), m.group(2).strip()
+        if v.startswith("'") and v.endswith("'"):
+            out[k] = v[1:-1]
+        elif v.lower() in ("true", "false"):
+            out[k] = v.lower() == "true"
+        else:
+            try:
+                out[k] = int(v)
+            except ValueError:
+                try:
+                    out[k] = float(v)
+                except ValueError:
+                    out[k] = v
+    return out
+
+
+def _split_assignments(s: str) -> dict:
+    """a = expr, b = expr  (commas inside parens/quotes respected)."""
+    parts, depth, quote, cur = [], 0, None, []
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    out = {}
+    for p in parts:
+        col, expr = p.split("=", 1)
+        col = _ident(col)
+        # strip a target-alias prefix ("t.col = ..." -> "col")
+        col = col.split(".")[-1]
+        out[col] = expr.strip()
+    return out
+
+
+_MERGE_RE = re.compile(
+    r"^MERGE\s+INTO\s+(?P<target>[\w.`\"]+)(?:\s+AS)?(?:\s+(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<source>[\w.`\"]+)(?:\s+AS)?(?:\s+(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<on>.+?)"
+    r"(?P<clauses>\s+WHEN\s+.+)$",
+    re.IGNORECASE | re.DOTALL)
+
+_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)"
+    r"(?=\s+WHEN\s+|\s*$)",
+    re.IGNORECASE | re.DOTALL)
+
+
+def dispatch(engine, text: str):
+    sql = text.strip().rstrip(";")
+    up = sql.upper()
+
+    m = re.match(r"^CALL\s+(\w+)\s*\((.*)\)\s*$", sql, re.IGNORECASE | re.DOTALL)
+    if m:
+        return engine.call(m.group(1).lower(), **_parse_call_args(m.group(2)))
+
+    m = re.match(r"^(RUN|SCHEDULE)\s+COMPACTION\s+ON\s+([\w.`\"]+)\s*$",
+                 sql, re.IGNORECASE)
+    if m:
+        t = engine.table(_ident(m.group(2)))
+        if m.group(1).upper() == "RUN":
+            instant = t.compact()
+            return engine.spark.createDataFrame(
+                [(instant, instant is not None)],
+                "compaction_instant string, executed boolean")
+        from .services.compaction import schedule_compaction
+        plan = schedule_compaction(t)
+        return engine.spark.createDataFrame(
+            [((plan or {}).get("instant"), plan is not None)],
+            "compaction_instant string, scheduled boolean")
+
+    m = re.match(r"^RUN\s+CLUSTERING\s+ON\s+([\w.`\"]+)"
+                 r"(?:\s+ORDER\s+BY\s+(.+))?$", sql, re.IGNORECASE)
+    if m:
+        t = engine.table(_ident(m.group(1)))
+        cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        instant = t.cluster(sort_cols=cols)
+        return engine.spark.createDataFrame(
+            [(instant, instant is not None)],
+            "clustering_instant string, executed boolean")
+
+    m = re.match(r"^SHOW\s+PARTITIONS\s+([\w.`\"]+)\s*$", sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        t = engine.table(_ident(m.group(1)))
+        return engine.spark.createDataFrame(
+            [(p,) for p in t.partitions()], "partition string")
+
+    if up.startswith("MERGE"):
+        return _merge(engine, sql)
+
+    m = re.match(r"^UPDATE\s+([\w.`\"]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
+                 sql, re.IGNORECASE | re.DOTALL)
+    if m and engine.has_table(_ident(m.group(1))):
+        t = engine.table(_ident(m.group(1)))
+        instant = t.update(set=_split_assignments(m.group(2)), where=m.group(3))
+        return engine.spark.createDataFrame([(instant,)], "instant string")
+
+    m = re.match(r"^DELETE\s+FROM\s+([\w.`\"]+)(?:\s+WHERE\s+(.+))?$",
+                 sql, re.IGNORECASE | re.DOTALL)
+    if m and engine.has_table(_ident(m.group(1))):
+        t = engine.table(_ident(m.group(1)))
+        if m.group(2):
+            instant = t.delete(where=m.group(2))
+        else:
+            instant = t.writer.insert_overwrite(
+                t.snapshot().limit(0), whole_table=True)  # TRUNCATE semantics
+        return engine.spark.createDataFrame([(instant,)], "instant string")
+
+    m = re.match(r"^TRUNCATE\s+TABLE\s+([\w.`\"]+)\s*$", sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        t = engine.table(_ident(m.group(1)))
+        instant = t.writer.insert_overwrite(t.snapshot().limit(0),
+                                            whole_table=True)
+        return engine.spark.createDataFrame([(instant,)], "instant string")
+
+    # everything relational -> Catalyst, as in the reference
+    return engine.spark.sql(sql)
+
+
+def _merge(engine, sql: str):
+    m = _MERGE_RE.match(sql)
+    if not m:
+        raise ValueError("cannot parse MERGE statement; expected "
+                         "MERGE INTO t USING s ON ... WHEN ...")
+    target = _ident(m.group("target"))
+    if not engine.has_table(target):
+        raise ValueError(f"unknown hudi table '{target}' in MERGE")
+    t = engine.table(target)
+    source_df = engine.spark.table(_ident(m.group("source")))
+    salias = m.group("salias") or "s"
+    talias = m.group("talias") or "t"
+
+    source_name = _ident(m.group("source"))
+
+    def _norm(expr: str | None) -> str | None:
+        """Rewrite user aliases (or bare table/source names used as
+        qualifiers) to the canonical t/s used by merge_into."""
+        if expr is None:
+            return None
+        out = re.sub(rf"\b{re.escape(salias)}\.", "s.", expr)
+        out = re.sub(rf"\b{re.escape(talias)}\.", "t.", out)
+        out = re.sub(rf"\b{re.escape(source_name)}\.", "s.", out)
+        out = re.sub(rf"\b{re.escape(target)}\.", "t.", out)
+        return out.strip()
+
+    branches = []   # WHEN-clause statement order is preserved (MERGE semantics)
+    for wm in _WHEN_RE.finditer(m.group("clauses")):
+        action = wm.group("action").strip()
+        cond = _norm(wm.group("cond"))
+        if wm.group("not"):
+            if not action.upper().startswith("INSERT"):
+                raise ValueError("WHEN NOT MATCHED supports only INSERT")
+            body = action[len("INSERT"):].strip()
+            if body == "*" or body == "":
+                assigns = "*"
+            else:
+                vm = re.match(r"^\((?P<cols>.+?)\)\s*VALUES\s*\((?P<vals>.+)\)$",
+                              body, re.IGNORECASE | re.DOTALL)
+                if not vm:
+                    raise ValueError(f"cannot parse INSERT clause: {body}")
+                cols = [_ident(c).split(".")[-1]
+                        for c in vm.group("cols").split(",")]
+                vals = re.split(r",(?=(?:[^(]*\([^)]*\))*[^)]*$)",
+                                vm.group("vals"))
+                assigns = {c: _norm(v) for c, v in zip(cols, vals)}
+            branches.append({"type": "insert", "condition": cond,
+                             "assignments": assigns})
+        elif action.upper() == "DELETE":
+            branches.append({"type": "delete", "condition": cond,
+                             "assignments": None})
+        else:
+            assigns = action[len("UPDATE SET"):].strip()
+            branches.append({"type": "update", "condition": cond,
+                             "assignments": {
+                                 c: _norm(e)
+                                 for c, e in _split_assignments(assigns).items()}})
+
+    instant = t.merge(source_df, on=_norm(m.group("on")),
+                      ordered_branches=branches)
+    return engine.spark.createDataFrame([(instant,)], "instant string")

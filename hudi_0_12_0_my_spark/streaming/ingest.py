@@ -1,0 +1,172 @@
+"""Config-driven (multi-table) streaming CDC ingestion — fork parity.
+
+The reason the reference fork exists (SURVEY.md §2.9):
+- HoodieFlinkStreamerWithApollo.java:57-138 — one Kafka-JSON topic -> one Hudi
+  table, schema from a config center, forced timestamp keygen;
+- HoodieMuiltiTableFlinkStreamer.java:60-180 — N topics -> N tables in ONE
+  job, per-table JSON config {db, table, fields[], kafka_config, hudi_config};
+- SchemaUtils.java:35-108 — config field types varchar/string, decimal(p,s),
+  timestamp, int, bigint -> row schema;
+- StringToRowDataMapFunction.java:67-130 — JSON string -> typed row with
+  I/U/D op -> RowKind mapping;
+- schema HOT-RELOAD mid-stream (Apollo change listener blocks in
+  MyRowDataToHoodieFunction.java etc.).
+
+Spark-first re-expression: one SparkSession, N Structured Streaming queries.
+Each micro-batch re-reads its config file and re-derives the schema before
+parsing (`from_json`), so a config edit takes effect on the next batch with
+no restart — the per-batch equivalent of the Apollo listener. Kafka sources
+use the built-in kafka reader; a JSON-file source covers containers without
+a broker (same parse path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from .. import payloads
+from ..config import MOR
+from .sink import stream_write
+
+_TYPE_ALIASES = {
+    "varchar": T.StringType(), "string": T.StringType(),
+    "timestamp": T.TimestampType(), "int": T.IntegerType(),
+    "integer": T.IntegerType(), "bigint": T.LongType(),
+    "long": T.LongType(), "double": T.DoubleType(),
+    "float": T.FloatType(), "boolean": T.BooleanType(),
+    "date": T.DateType(),
+}
+
+
+def _parse_type(s: str) -> T.DataType:
+    """SchemaUtils.java:35-108 type strings (plus a few natural extensions)."""
+    s = s.strip().lower()
+    if s.startswith("decimal"):
+        inner = s[s.index("(") + 1:s.rindex(")")] if "(" in s else "38,10"
+        p, sc = (int(x) for x in inner.split(","))
+        return T.DecimalType(p, sc)
+    if s.startswith("varchar(") or s.startswith("char("):
+        return T.StringType()
+    if s in _TYPE_ALIASES:
+        return _TYPE_ALIASES[s]
+    raise ValueError(f"unsupported config field type: {s!r}")
+
+
+def schema_from_fields(fields: list[dict]) -> T.StructType:
+    """[{"name": ..., "type": ...}, ...] -> StructType."""
+    return T.StructType([T.StructField(f["name"], _parse_type(f["type"]))
+                         for f in fields])
+
+
+@dataclass
+class TableStreamConfig:
+    """One table's ingestion config (HoodieMuiltiTableFlinkStreamer per-table
+    JSON: {db, table, fields[], kafka_config, hudi_config})."""
+    name: str
+    base_path: str
+    fields: list = field(default_factory=list)   # [{"name","type"},...]
+    record_key_fields: list = field(default_factory=list)
+    precombine_field: str | None = None
+    partition_field: str | None = None
+    partition_style: str = "value"
+    keygen_output_format: str = "yyyy-MM-dd"
+    table_type: str = "cow"
+    payload: str = "overwrite_latest"
+    op_col: str | None = "op"                    # CDC I/U/D column (None = plain)
+    source: dict = field(default_factory=dict)   # {"format": kafka|json-files, ...}
+    config_path: str | None = None               # backing file (hot reload)
+
+    @staticmethod
+    def from_file(path: str) -> "TableStreamConfig":
+        with open(path) as fh:
+            d = json.load(fh)
+        known = set(TableStreamConfig.__dataclass_fields__)
+        cfg = TableStreamConfig(**{k: v for k, v in d.items() if k in known})
+        cfg.config_path = path
+        return cfg
+
+
+def load_stream_configs(config_dir: str) -> list[TableStreamConfig]:
+    return [TableStreamConfig.from_file(os.path.join(config_dir, f))
+            for f in sorted(os.listdir(config_dir)) if f.endswith(".json")]
+
+
+def _raw_stream(spark, source: dict) -> DataFrame:
+    """Raw stream of JSON strings in a `value` column."""
+    fmt = source.get("format", "json-files")
+    if fmt == "kafka":
+        # JsonKafkaSource.java:48 equivalent; untestable without a broker here
+        reader = spark.readStream.format("kafka")
+        for k, v in source.get("options", {}).items():
+            reader = reader.option(k, v)
+        return reader.load().select(F.col("value").cast("string").alias("value"))
+    if fmt == "json-files":
+        return (spark.readStream.format("text")
+                .option("maxFilesPerTrigger",
+                        source.get("max_files_per_trigger", 100))
+                .load(source["path"])
+                .withColumnRenamed("value", "value"))
+    raise ValueError(f"unsupported stream source format {fmt!r}")
+
+
+def _ensure_table(engine, cfg: TableStreamConfig):
+    if engine.table_exists(cfg.base_path):
+        t = engine.load_table(cfg.base_path)
+    else:
+        t = engine.create_table(
+            cfg.base_path, name=cfg.name,
+            record_key_fields=cfg.record_key_fields,
+            precombine_field=cfg.precombine_field,
+            partition_field=cfg.partition_field,
+            partition_style=cfg.partition_style,
+            keygen_output_format=cfg.keygen_output_format,
+            table_type=cfg.table_type, payload=cfg.payload)
+    engine.register_table(cfg.name, cfg.base_path)
+    return t
+
+
+def start_table_stream(engine, cfg: TableStreamConfig, checkpoint_root: str,
+                       trigger: dict | None = None, **sink_kwargs):
+    """One streaming query: raw JSON strings -> typed rows -> upsert.
+
+    Schema hot-reload: the parse happens inside the per-batch transform, which
+    re-reads ``cfg.config_path`` (if set) every batch — a field added to the
+    config file is picked up by the NEXT micro-batch, no restart (the fork's
+    Apollo-listener behavior, per-batch granularity).
+    """
+    table = _ensure_table(engine, cfg)
+    raw = _raw_stream(engine.spark, cfg.source)
+
+    def parse(batch_df: DataFrame) -> DataFrame:
+        live = cfg
+        if cfg.config_path and os.path.exists(cfg.config_path):
+            live = TableStreamConfig.from_file(cfg.config_path)
+        schema = schema_from_fields(live.fields)
+        if live.op_col:
+            schema = schema.add(T.StructField(live.op_col, T.StringType()))
+        return (batch_df
+                .select(F.from_json("value", schema).alias("r"))
+                .select("r.*"))
+
+    writer = stream_write(
+        table, raw, os.path.join(checkpoint_root, cfg.name),
+        cdc_op_col=cfg.op_col, transform=parse, **sink_kwargs)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.queryName(f"ingest_{cfg.name}").start()
+
+
+def start_multi_table_ingest(engine, configs, checkpoint_root: str,
+                             trigger: dict | None = None, **sink_kwargs):
+    """N tables in one job — one streaming query each, shared SparkSession
+    (HoodieMuiltiTableFlinkStreamer.java:60-180 equivalent)."""
+    if isinstance(configs, str):
+        configs = load_stream_configs(configs)
+    return [start_table_stream(engine, c, checkpoint_root,
+                               trigger=trigger, **sink_kwargs)
+            for c in configs]

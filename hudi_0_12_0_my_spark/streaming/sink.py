@@ -1,0 +1,66 @@
+"""Hudi table as a Structured Streaming sink (foreachBatch upsert).
+
+Re-expression of HoodieStreamingSink.scala:41-139: one commit per micro-batch
+(the fork's checkpoint-commit cadence, HoodieFlinkStreamerWithApollo.java:
+70-74), with retry / ignore-failed-batch knobs and optional inline table
+services after each batch (the deterministic stand-in for the reference's
+async compaction/clustering).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+
+from .. import payloads
+from ..config import MOR
+
+
+def stream_write(table, stream_df: DataFrame, checkpoint_dir: str,
+                 operation: str = "upsert", cdc_op_col: str | None = None,
+                 retry_count: int = 3, retry_interval_sec: float = 1.0,
+                 ignore_failed_batch: bool = False,
+                 inline_compact: bool = True, inline_clean: bool = False,
+                 transform=None):
+    """Build a ``DataStreamWriter`` writing every micro-batch into ``table``.
+
+    Caller starts it:  ``stream_write(...).trigger(availableNow=True).start()``
+
+    - ``operation``: upsert | insert | bulk_insert
+    - ``cdc_op_col``: column holding I/U/D ops; D rows become deletes
+      (StringToRowDataMapFunction.java:110 RowKind mapping)
+    - ``transform``: optional fn(DataFrame) -> DataFrame applied per batch
+      (SqlQueryBasedTransformer equivalent hook)
+    - ``inline_compact``: MOR only — run the NUM_COMMITS compaction trigger
+      after each batch (CompactFunction.java equivalent, synchronous)
+    """
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        df = transform(batch_df) if transform else batch_df
+        if cdc_op_col and cdc_op_col in df.columns:
+            df = payloads.apply_cdc_ops(df, op_col=cdc_op_col)
+        attempt, delay = 0, retry_interval_sec
+        while True:
+            try:
+                getattr(table.writer, operation)(df)
+                break
+            except Exception:  # noqa: BLE001 — HoodieStreamingSink retry loop
+                attempt += 1
+                if attempt > retry_count:
+                    if ignore_failed_batch:
+                        return
+                    raise
+                time.sleep(delay)
+                delay *= 2
+        if inline_compact and table.cfg.table_type == MOR:
+            from ..services.compaction import maybe_inline_compact
+            maybe_inline_compact(table)
+        if inline_clean:
+            table.clean()
+
+    return (stream_df.writeStream
+            .foreachBatch(handle_batch)
+            .option("checkpointLocation", checkpoint_dir))

@@ -1,0 +1,178 @@
+"""Hudi table as a Structured Streaming source.
+
+Re-expression of HoodieStreamSource.scala:50,130-144,157: stream offsets are
+commit instant times; each micro-batch is the incremental query over the
+instant range (start, end]. Implemented with Spark 4's Python Data Source API
+(pyspark.sql.datasource) so it plugs into readStream natively:
+
+    register_stream_source(spark)
+    df = (spark.readStream.format("hudi_stream")
+          .option("path", table_base_path).load())
+
+Rows carry the business columns plus `_hoodie_commit_time` (useful for
+downstream watermarking/audit). Workers read parquet with pyarrow directly —
+no SparkSession exists executor-side — and filter rows to the offset range,
+which keeps COW bystander rows (rewritten but unchanged) out of the batch,
+matching IncrementalRelation.scala:199-204 semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                    InputPartition)
+from pyspark.sql.types import StructType
+
+COMMIT_TIME = "_hoodie_commit_time"
+WRITE_ACTIONS = ("commit", "deltacommit", "replacecommit")
+
+
+def _timeline_dir(base_path: str) -> str:
+    return os.path.join(base_path, ".hoodie", "timeline")
+
+
+def _completed_write_instants(base_path: str) -> list[str]:
+    """Instant times of completed write commits, sorted (no package imports —
+    this runs inside pickled driver-side reader methods)."""
+    d = _timeline_dir(base_path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        parts = f.split(".")
+        if len(parts) == 2 and parts[1] in WRITE_ACTIONS:
+            out.append(parts[0])
+    return sorted(out)
+
+
+def _instant_metadata(base_path: str, instant: str) -> dict:
+    d = _timeline_dir(base_path)
+    for action in WRITE_ACTIONS:
+        p = os.path.join(d, f"{instant}.{action}")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+    return {}
+
+
+@dataclass
+class _FilesPartition(InputPartition):
+    paths: list
+    begin: str
+    end: str
+
+
+class HudiStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.base_path = options.get("path")
+        if not self.base_path:
+            raise ValueError("hudi_stream requires .option('path', <table dir>)")
+        self.start_instant = options.get("startinstant", "")
+        self._schema = schema
+        self.files_per_partition = int(options.get("filesperpartition", "4"))
+
+    def initialOffset(self) -> dict:
+        return {"instant": self.start_instant}
+
+    def latestOffset(self) -> dict:
+        instants = _completed_write_instants(self.base_path)
+        return {"instant": instants[-1] if instants else self.start_instant}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("instant", ""), end.get("instant", "")
+        paths = []
+        for ins in _completed_write_instants(self.base_path):
+            if lo < ins <= hi:
+                md = _instant_metadata(self.base_path, ins)
+                for stats in (md.get("partition_to_write_stats") or {}).values():
+                    for st in stats:
+                        paths.append(os.path.join(self.base_path, st["path"]))
+        if not paths:
+            return []
+        n = self.files_per_partition
+        return [_FilesPartition(paths[i:i + n], lo, hi)
+                for i in range(0, len(paths), n)]
+
+    def read(self, partition: _FilesPartition):
+        import pyarrow.parquet as pq
+
+        want = [f.name for f in self._schema.fields]
+        for path in partition.paths:
+            if not os.path.exists(path):   # cleaned/rolled back afterwards
+                continue
+            tbl = pq.read_table(path)
+            cols = set(tbl.column_names)
+            if COMMIT_TIME in cols:
+                import pyarrow.compute as pc
+                m = pc.and_(
+                    pc.greater(tbl[COMMIT_TIME], partition.begin),
+                    pc.less_equal(tbl[COMMIT_TIME], partition.end))
+                tbl = tbl.filter(m)
+            # drop tombstones (MOR delta delete records)
+            if "_hoodie_is_deleted" in cols:
+                import pyarrow.compute as pc
+                alive = pc.fill_null(
+                    pc.invert(tbl["_hoodie_is_deleted"].cast("bool")), True)
+                tbl = tbl.filter(alive)
+            missing = [c for c in want if c not in tbl.column_names]
+            if missing:
+                import pyarrow as pa
+                for c in missing:
+                    tbl = tbl.append_column(c, pa.nulls(len(tbl)))
+            tbl = tbl.select(want)
+            # exact arrow schema Spark expects (parquet may differ in
+            # timestamp tz flavor / nullability -> ArrowInvalid otherwise)
+            from pyspark.sql.pandas.types import to_arrow_schema
+            target = to_arrow_schema(self._schema)
+            yield from tbl.cast(target).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class HudiStreamDataSource(DataSource):
+    """spark.readStream.format("hudi_stream").option("path", ...)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "hudi_stream"
+
+    def schema(self):
+        base_path = self.options.get("path")
+        cfg_path = os.path.join(base_path, ".hoodie", "table_config.json")
+        with open(cfg_path) as fh:
+            cfg = json.load(fh)
+        if not cfg.get("schema_json"):
+            raise ValueError(f"table at {base_path} has no committed schema yet")
+        schema = StructType.fromJson(json.loads(cfg["schema_json"]))
+        names = {f.name for f in schema.fields}
+        out = StructType([f for f in schema.fields])
+        if COMMIT_TIME not in names:
+            from pyspark.sql.types import StringType, StructField
+            out = out.add(StructField(COMMIT_TIME, StringType()))
+        return out
+
+    def streamReader(self, schema: StructType):
+        return HudiStreamReader(schema, dict(self.options))
+
+
+def register_stream_source(spark) -> None:
+    """Register the source AND ship the package to Python workers.
+
+    The datasource class is pickled by reference, so executors must be able
+    to import this package; a zip via addPyFile covers both local mode with
+    a driver running outside the repo and real clusters (--py-files
+    equivalent)."""
+    import sys
+    try:
+        # this module deliberately has no package-internal imports, so it can
+        # be shipped by VALUE: neither the planner's python worker nor the
+        # executors then need the package installed
+        from pyspark import cloudpickle
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # noqa: BLE001 — fall back to by-reference pickling
+        pass
+    spark.dataSource.register(HudiStreamDataSource)

@@ -1,0 +1,137 @@
+"""Tests for the CALL procedure registry and the mini SQL front-end."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_12_0_my_spark import Engine
+
+
+@pytest.fixture()
+def eng_table(spark, tmp_path):
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, "2024-01-01"), (2, "b", 20.0, "2024-01-02"),
+         (3, "a", 30.0, "2024-01-03"), (4, "b", 40.0, "2024-01-04")],
+        "id long, grp string, val double, ts string")
+    t = eng.create_table(str(tmp_path / "t1"), name="t1",
+                         record_key_fields=["id"], precombine_field="ts",
+                         partition_field="grp")
+    t.bulk_insert(df)
+    t.upsert(df.withColumn("val", F.col("val") + 1))
+    return eng, t
+
+
+def test_show_commits_and_fsview(eng_table):
+    eng, t = eng_table
+    commits = eng.call("show_commits", table="t1").collect()
+    assert len(commits) == 2
+    assert commits[0].action in ("commit", "deltacommit")
+    fs = eng.call("show_fsview_all", table="t1").collect()
+    assert {r.partition for r in fs} == {"a", "b"}
+    parts = eng.call("show_partitions", table="t1").collect()
+    assert {r.partition for r in parts} == {"a", "b"}
+
+
+def test_savepoint_rollback_procedures(eng_table):
+    eng, t = eng_table
+    sp = eng.call("create_savepoint", table="t1").collect()[0].savepoint_time
+    assert eng.call("show_savepoints", table="t1").count() == 1
+    t.upsert(t.snapshot().withColumn("val", F.col("val") * 10))
+    last = t.latest_instant()
+    rb = eng.call("rollback_to_instant", table="t1",
+                  instant_time=last).collect()[0]
+    assert rb.rolled_back == last
+    assert eng.call("show_rollbacks", table="t1").count() == 1
+    restored = eng.call("rollback_to_savepoint", table="t1",
+                        instant_time=sp).collect()[0]
+    assert restored.restored_to == sp
+    eng.call("delete_savepoint", table="t1", instant_time=sp)
+    assert eng.call("show_savepoints", table="t1").count() == 0
+
+
+def test_stats_and_metadata_procedures(eng_table):
+    eng, t = eng_table
+    sizes = eng.call("stats_file_sizes", table="t1").collect()[0]
+    assert sizes.num_files >= 2 and sizes.total_bytes > 0
+    files = eng.call("show_metadata_table_files", table="t1").collect()
+    assert all(r.size_bytes > 0 for r in files)
+    stats = eng.call("show_metadata_table_stats", table="t1").collect()
+    assert any(r.column == "id" for r in stats)
+
+
+def test_copy_to_table_and_export(eng_table, tmp_path_factory):
+    eng, t = eng_table
+    out = str(tmp_path_factory.mktemp("copy"))
+    res = eng.call("copy_to_table", table="t1", out_path=out + "/x").collect()[0]
+    assert res.rows == 4
+    exp = eng.call("export_instants", table="t1",
+                   out_path=out + "/instants").collect()[0]
+    assert exp.exported == 2
+
+
+def test_unknown_procedure(eng_table):
+    eng, _ = eng_table
+    with pytest.raises(ValueError, match="unknown procedure"):
+        eng.call("nope", table="t1")
+
+
+def test_sql_call_and_show_partitions(eng_table):
+    eng, _ = eng_table
+    rows = eng.sql("CALL show_commits(table => 't1', limit => 5)").collect()
+    assert len(rows) == 2
+    parts = eng.sql("SHOW PARTITIONS t1").collect()
+    assert {r.partition for r in parts} == {"a", "b"}
+
+
+def test_sql_update_delete(eng_table):
+    eng, t = eng_table
+    eng.sql("UPDATE t1 SET val = val + 100 WHERE grp = 'a'")
+    snap = {r.id: r.val for r in eng.table("t1").snapshot().collect()}
+    assert snap[1] == 111.0 and snap[2] == 21.0
+    eng.sql("DELETE FROM t1 WHERE id = 2")
+    assert eng.table("t1").snapshot().count() == 3
+
+
+def test_sql_merge_into(eng_table, spark):
+    eng, t = eng_table
+    src = spark.createDataFrame(
+        [(1, "a", 999.0, "2024-02-01"),     # matched -> update
+         (4, "b", 0.0, "2024-02-01"),       # matched -> delete (val = 0 cond)
+         (9, "c", 50.0, "2024-02-01")],     # not matched -> insert
+        "id long, grp string, val double, ts string")
+    src.createOrReplaceTempView("src_v")
+    eng.sql("""
+        MERGE INTO t1 AS tgt USING src_v AS src
+        ON tgt.id = src.id
+        WHEN MATCHED AND src.val = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET val = src.val, ts = src.ts
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    snap = {r.id: r for r in eng.table("t1").snapshot().collect()}
+    assert snap[1].val == 999.0
+    assert 4 not in snap
+    assert snap[9].grp == "c" and snap[9].val == 50.0
+    assert snap[2].val == 21.0              # untouched
+
+
+def test_sql_compaction_on_mor(spark, tmp_path):
+    eng = Engine(spark)
+    df = spark.createDataFrame([(i, "p", float(i), "2024-01-01") for i in range(20)],
+                               "id long, grp string, val double, ts string")
+    t = eng.create_table(str(tmp_path / "m1"), name="m1", table_type="mor",
+                         record_key_fields=["id"], precombine_field="ts",
+                         partition_field="grp")
+    t.bulk_insert(df)
+    t.upsert(df.withColumn("val", F.col("val") + 1))
+    res = eng.sql("SCHEDULE COMPACTION ON m1").collect()[0]
+    assert res.scheduled
+    res = eng.sql("RUN COMPACTION ON m1").collect()[0]
+    assert res.executed
+    shown = eng.sql("CALL show_compaction(table => 'm1')").collect()
+    assert any(r.state == "completed" for r in shown)
+    assert eng.table("m1").snapshot().count() == 20
+
+
+def test_sql_fallback_to_spark(eng_table):
+    eng, _ = eng_table
+    assert eng.sql("SELECT 1 AS one").collect()[0].one == 1

@@ -1,0 +1,172 @@
+"""Streaming tests: sink (foreachBatch upsert), CDC ingest with hot-reload,
+multi-table job, and the hudi_stream incremental source."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_12_0_my_spark import Engine
+from hudi_0_12_0_my_spark.streaming import (TableStreamConfig,
+                                            register_stream_source,
+                                            schema_from_fields,
+                                            start_multi_table_ingest,
+                                            start_table_stream, stream_write)
+
+
+def _write_jsonl(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    tmp = os.path.join(dirpath, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    os.rename(tmp, os.path.join(dirpath, name))
+
+
+def test_schema_from_fields_types():
+    st = schema_from_fields([
+        {"name": "a", "type": "varchar"}, {"name": "b", "type": "decimal(10,2)"},
+        {"name": "c", "type": "timestamp"}, {"name": "d", "type": "int"},
+        {"name": "e", "type": "bigint"}])
+    kinds = [f.dataType.simpleString() for f in st.fields]
+    assert kinds == ["string", "decimal(10,2)", "timestamp", "int", "bigint"]
+    with pytest.raises(ValueError, match="unsupported"):
+        schema_from_fields([{"name": "x", "type": "blob"}])
+
+
+def test_stream_sink_upsert(spark, tmp_path):
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "tbl"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    src_dir = str(tmp_path / "in")
+    _write_jsonl(src_dir, "b1.json",
+                 [{"id": 1, "grp": "a", "val": 1.0, "seq": 1},
+                  {"id": 2, "grp": "b", "val": 2.0, "seq": 1}])
+    raw = (spark.readStream.format("text").load(src_dir)
+           .select(F.from_json(
+               "value", "id long, grp string, val double, seq long").alias("r"))
+           .select("r.*"))
+    q = stream_write(t, raw, str(tmp_path / "ckpt")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert t.snapshot().count() == 2
+
+    # second batch: update id=1, insert id=3; checkpoint skips b1
+    _write_jsonl(src_dir, "b2.json",
+                 [{"id": 1, "grp": "a", "val": 10.0, "seq": 2},
+                  {"id": 3, "grp": "a", "val": 3.0, "seq": 1}])
+    q = stream_write(t, raw, str(tmp_path / "ckpt")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    snap = {r.id: r.val for r in t.snapshot().collect()}
+    assert snap == {1: 10.0, 2: 2.0, 3: 3.0}
+    # one commit per micro-batch (checkpoint-commit cadence)
+    assert len(t.timeline.completed_write_instants()) == 2
+
+
+def test_cdc_ingest_with_hot_reload(spark, tmp_path):
+    eng = Engine(spark)
+    cfg_file = str(tmp_path / "cfg.json")
+    src_dir = str(tmp_path / "stream")
+    cfg = {
+        "name": "cdc1", "base_path": str(tmp_path / "cdc1"),
+        "fields": [{"name": "id", "type": "bigint"},
+                   {"name": "grp", "type": "string"},
+                   {"name": "val", "type": "double"},
+                   {"name": "seq", "type": "bigint"}],
+        "record_key_fields": ["id"], "precombine_field": "seq",
+        "partition_field": "grp", "op_col": "op",
+        "source": {"format": "json-files", "path": src_dir},
+    }
+    with open(cfg_file, "w") as fh:
+        json.dump(cfg, fh)
+
+    _write_jsonl(src_dir, "b1.json", [
+        {"id": 1, "grp": "a", "val": 1.0, "seq": 1, "op": "I"},
+        {"id": 2, "grp": "a", "val": 2.0, "seq": 1, "op": "I"},
+        {"id": 3, "grp": "b", "val": 3.0, "seq": 1, "op": "I"}])
+    tc = TableStreamConfig.from_file(cfg_file)
+    q = start_table_stream(eng, tc, str(tmp_path / "ck"),
+                           trigger={"availableNow": True})
+    q.awaitTermination(120)
+    t = eng.table("cdc1")
+    assert t.snapshot().count() == 3
+
+    # update + delete via CDC ops; hot-add a column to the config first
+    cfg["fields"].append({"name": "extra", "type": "string"})
+    with open(cfg_file, "w") as fh:
+        json.dump(cfg, fh)
+    _write_jsonl(src_dir, "b2.json", [
+        {"id": 1, "grp": "a", "val": 10.0, "seq": 2, "op": "U",
+         "extra": "hello"},
+        {"id": 2, "grp": "a", "val": 0.0, "seq": 2, "op": "D"}])
+    q = start_table_stream(eng, tc, str(tmp_path / "ck"),
+                           trigger={"availableNow": True})
+    q.awaitTermination(120)
+    snap = {r.id: r for r in eng.table("cdc1").snapshot().collect()}
+    assert set(snap) == {1, 3}
+    assert snap[1].val == 10.0
+    assert snap[1].extra == "hello"      # hot-reloaded column, no restart
+
+
+def test_multi_table_one_job(spark, tmp_path):
+    eng = Engine(spark)
+    confs = []
+    for name in ("t_a", "t_b"):
+        src = str(tmp_path / f"in_{name}")
+        _write_jsonl(src, "b.json",
+                     [{"id": 1, "v": name, "seq": 1, "op": "I"},
+                      {"id": 2, "v": name, "seq": 1, "op": "I"}])
+        confs.append(TableStreamConfig(
+            name=name, base_path=str(tmp_path / name),
+            fields=[{"name": "id", "type": "bigint"},
+                    {"name": "v", "type": "string"},
+                    {"name": "seq", "type": "bigint"}],
+            record_key_fields=["id"], precombine_field="seq",
+            source={"format": "json-files", "path": src}))
+    queries = start_multi_table_ingest(eng, confs, str(tmp_path / "ck"),
+                                       trigger={"availableNow": True})
+    for q in queries:
+        q.awaitTermination(120)
+    assert eng.table("t_a").snapshot().count() == 2
+    assert {r.v for r in eng.table("t_b").snapshot().collect()} == {"t_b"}
+
+
+def test_hudi_stream_source_incremental(spark, tmp_path):
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "src_tbl"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    df1 = spark.createDataFrame([(1, "a", 1.0, 1), (2, "b", 2.0, 1)],
+                                "id long, grp string, val double, seq long")
+    t.bulk_insert(df1)
+
+    register_stream_source(spark)
+    ckpt = str(tmp_path / "ck_src")
+    out = str(tmp_path / "out")
+
+    def run_round():
+        stream = (spark.readStream.format("hudi_stream")
+                  .option("path", str(tmp_path / "src_tbl")).load())
+        q = (stream.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got1 = run_round()
+    assert got1.count() == 2
+    assert "_hoodie_commit_time" in got1.columns
+
+    # a second commit: only the new/changed rows stream out (cumulative sink)
+    t.upsert(spark.createDataFrame([(1, "a", 99.0, 2), (3, "a", 3.0, 1)],
+                                   "id long, grp string, val double, seq long"))
+    got2 = run_round()
+    assert got2.count() == 4
+    rows = {(r.id, r.val) for r in got2.collect()}
+    assert rows == {(1, 1.0), (2, 2.0), (1, 99.0), (3, 3.0)}
+
+    # no new commits -> nothing appended
+    got3 = run_round()
+    assert got3.count() == 4
