@@ -32,6 +32,8 @@ class TableConfig:
     hive_style_partitioning: bool = False    # KeyGeneratorOptions hive-style flag
     payload: str = "overwrite_latest"        # payloads.py registry key
     global_index: bool = False               # HoodieGlobalSimpleIndex vs HoodieSimpleIndex
+    index_type: str = "simple"               # simple | bucket (HoodieIndex.java:45 impls)
+    num_buckets: int = 8                     # bucket index (HoodieSimpleBucketIndex.java:40)
     # sizing (HoodieStorageConfig.java:43, HoodieCompactionConfig.java:81)
     target_file_bytes: int = 120 * 1024 * 1024
     small_file_limit_bytes: int = 100 * 1024 * 1024

@@ -35,6 +35,15 @@ class Engine:
     def register_table(self, name: str, base_path: str) -> None:
         self.catalog[name] = base_path
 
+    def bootstrap(self, base_path: str, source_dir: str,
+                  mode: str = "METADATA_ONLY", **cfg_kwargs) -> LakeTable:
+        """Adopt an existing parquet dataset (BootstrapMode.java:29-34)."""
+        from .bootstrap import bootstrap_table
+        t = bootstrap_table(self.spark, base_path, source_dir,
+                            mode=mode, **cfg_kwargs)
+        self.catalog[t.cfg.name] = base_path
+        return t
+
     def has_table(self, name: str) -> bool:
         return name in self.catalog
 

@@ -29,6 +29,47 @@ from . import timeline as tl
 from .writer import base_read_schema, delta_read_schema, read_files
 
 
+def bootstrap_instant(timeline) -> str | None:
+    """Instant of the METADATA_ONLY bootstrap commit, if any (bootstrap.py)."""
+    for ins in timeline.completed(actions=(tl.COMMIT,)):
+        if timeline.metadata(ins).get("operation") == "bootstrap":
+            return ins.time
+    return None
+
+
+def fill_bootstrap_meta(spark, df: DataFrame, cfg, view, bs: str) -> DataFrame:
+    """Reconstruct meta columns for rows read from bootstrapped (meta-less)
+    parquet files — the vectorized equivalent of HoodieBootstrapRDD's
+    skeleton-file join (HoodieBootstrapRelation.scala:55): record key from the
+    keygen expression, partition/file-id from a broadcast path map keyed by
+    input_file_name(), commit time = the bootstrap instant."""
+    import os
+
+    from .keygen import record_key_expr
+
+    mapping = [(s.base_file.path, g.file_id, g.partition)
+               for g, s in view.live_slices()
+               if s.base_file is not None and os.path.isabs(s.base_file.path)]
+    if not mapping:
+        return df
+    mdf = spark.createDataFrame(mapping, "__bs_path string, __bs_fid string, "
+                                "__bs_part string")
+    out = (df.withColumn("__fp", F.regexp_replace(F.input_file_name(),
+                                                  "^file:/+", "/"))
+             .join(F.broadcast(mdf), F.col("__fp") == F.col("__bs_path"), "left")
+             .withColumn(meta.RECORD_KEY,
+                         F.coalesce(F.col(meta.RECORD_KEY), record_key_expr(cfg)))
+             .withColumn(meta.PARTITION_PATH,
+                         F.coalesce(F.col(meta.PARTITION_PATH), F.col("__bs_part")))
+             .withColumn(meta.COMMIT_TIME,
+                         F.coalesce(F.col(meta.COMMIT_TIME), F.lit(bs)))
+             .withColumn(meta.FILE_NAME,
+                         F.coalesce(F.col(meta.FILE_NAME),
+                                    F.concat(F.col("__bs_fid"), F.lit("_" + bs))))
+             .drop("__fp", "__bs_path", "__bs_fid", "__bs_part"))
+    return out
+
+
 class Reader:
     def __init__(self, table):
         self.t = table
@@ -53,10 +94,10 @@ class Reader:
                       if s.deltas_as_of(view.as_of) and s.base_file is not None]
         dirty_delta = [view.abs(d.path) for g, s in slices
                        for d in s.deltas_as_of(view.as_of)]
-        out = read_files(self.spark, clean, base_read_schema(cfg))
+        out = read_files(self.spark, clean, base_read_schema(cfg), cfg)
         if dirty_delta:
-            base = read_files(self.spark, dirty_base, base_read_schema(cfg))
-            delta = read_files(self.spark, dirty_delta, delta_read_schema(cfg))
+            base = read_files(self.spark, dirty_base, base_read_schema(cfg), cfg)
+            delta = read_files(self.spark, dirty_delta, delta_read_schema(cfg), cfg)
             merged = payloads.resolve(
                 base.unionByName(delta, allowMissingColumns=True),
                 cfg, spec, drop_deletes=True)
@@ -79,9 +120,12 @@ class Reader:
         if cfg.table_type == cfgmod.COW:
             preds = statsmod.parse_predicates(filters)
             paths = statsmod.prune_files(view, slices, preds)
-            df = read_files(self.spark, paths, base_read_schema(cfg))
+            df = read_files(self.spark, paths, base_read_schema(cfg), cfg)
         else:
             df = self._merge_plan(view, slices)
+        bs = bootstrap_instant(self.t.timeline)
+        if bs:
+            df = fill_bootstrap_meta(self.spark, df, cfg, view, bs)
         df = self._apply_filters(df, filters)
         return df if keep_meta else meta.strip_meta(df)
 
@@ -89,8 +133,11 @@ class Reader:
         view = self.t.view()
         paths = [view.abs(s.base_file.path) for _, s in view.live_slices()
                  if s.base_file is not None]
-        df = self._apply_filters(
-            read_files(self.spark, paths, base_read_schema(self.cfg)), filters)
+        df = read_files(self.spark, paths, base_read_schema(self.cfg), self.cfg)
+        bs = bootstrap_instant(self.t.timeline)
+        if bs:
+            df = fill_bootstrap_meta(self.spark, df, self.cfg, view, bs)
+        df = self._apply_filters(df, filters)
         return df if keep_meta else meta.strip_meta(df)
 
     def time_travel(self, as_of: str, filters=None, keep_meta: bool = False) -> DataFrame:
@@ -118,10 +165,10 @@ class Reader:
                         continue                  # rewritten into newer files
                     (base_paths if st.get("kind", "base") == "base"
                      else delta_paths).append(p)
-        df = read_files(self.spark, sorted(set(base_paths)), base_read_schema(cfg))
+        df = read_files(self.spark, sorted(set(base_paths)), base_read_schema(cfg), cfg)
         if delta_paths:
             df = df.unionByName(
-                read_files(self.spark, sorted(set(delta_paths)), delta_read_schema(cfg)),
+                read_files(self.spark, sorted(set(delta_paths)), delta_read_schema(cfg), cfg),
                 allowMissingColumns=True)
         cond = F.col(meta.COMMIT_TIME) > F.lit(begin)
         if end is not None:

@@ -58,7 +58,7 @@ def run_clustering(table, sort_cols: list | None = None, layout: str = "linear",
         paths = [view.abs(s.base_file.path) for g, s in selected]
         total_bytes = sum(s.base_file.bytes for g, s in selected)
         nfiles = max(1, math.ceil(total_bytes / target))
-        df = read_files(table.spark, paths, base_read_schema(cfg))
+        df = read_files(table.spark, paths, base_read_schema(cfg), cfg)
 
         if layout == "zorder" and sort_cols:
             from .layout import zorder_key

@@ -71,8 +71,8 @@ def run_compaction(table, strategy: str = "log_file_size",
             if s.base_file is not None:
                 base_paths.append(view.abs(s.base_file.path))
             delta_paths.extend(view.abs(d.path) for d in s.deltas)
-        base = read_files(table.spark, base_paths, base_read_schema(cfg))
-        delta = read_files(table.spark, delta_paths, delta_read_schema(cfg))
+        base = read_files(table.spark, base_paths, base_read_schema(cfg), cfg)
+        delta = read_files(table.spark, delta_paths, delta_read_schema(cfg), cfg)
         merged = payloads.resolve(base.unionByName(delta, allowMissingColumns=True),
                                   cfg, spec, drop_deletes=True)
         # stable fileId: every row's _hoodie_file_name prefix IS its group id

@@ -1,0 +1,8 @@
+"""Ingestion sources + transformers (DeltaStreamer parity, SURVEY.md §2.8)."""
+
+from .readers import read_source
+from .transform import (chain_transformers, flatten_transformer,
+                        sql_file_transformer, sql_query_transformer)
+
+__all__ = ["read_source", "sql_query_transformer", "sql_file_transformer",
+           "flatten_transformer", "chain_transformers"]

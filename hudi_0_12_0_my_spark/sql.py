@@ -153,6 +153,31 @@ def dispatch(engine, text: str):
                 t.snapshot().limit(0), whole_table=True)  # TRUNCATE semantics
         return engine.spark.createDataFrame([(instant,)], "instant string")
 
+    m = re.match(r"^ALTER\s+TABLE\s+([\w.`\"]+)\s+ADD\s+COLUMNS?\s*"
+                 r"\(\s*(\w+)\s+([\w(),\s]+?)\s*\)\s*$", sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        engine.table(_ident(m.group(1))).add_column(m.group(2), m.group(3))
+        return engine.spark.createDataFrame([(True,)], "ok boolean")
+
+    m = re.match(r"^ALTER\s+TABLE\s+([\w.`\"]+)\s+RENAME\s+COLUMN\s+"
+                 r"(\w+)\s+TO\s+(\w+)\s*$", sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        engine.table(_ident(m.group(1))).rename_column(m.group(2), m.group(3))
+        return engine.spark.createDataFrame([(True,)], "ok boolean")
+
+    m = re.match(r"^ALTER\s+TABLE\s+([\w.`\"]+)\s+DROP\s+PARTITION\s*"
+                 r"\(\s*(.+?)\s*\)\s*$", sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        # PARTITION (field='value') -> delete_partition([path])
+        t = engine.table(_ident(m.group(1)))
+        vals = []
+        for part in m.group(2).split(","):
+            k, v = part.split("=", 1)
+            v = v.strip().strip("'\"")
+            vals.append(f"{k.strip()}={v}" if t.cfg.hive_style_partitioning else v)
+        instant = t.delete_partition(vals)
+        return engine.spark.createDataFrame([(instant,)], "instant string")
+
     m = re.match(r"^TRUNCATE\s+TABLE\s+([\w.`\"]+)\s*$", sql, re.IGNORECASE)
     if m and engine.has_table(_ident(m.group(1))):
         t = engine.table(_ident(m.group(1)))

@@ -151,6 +151,48 @@ class LakeTable:
         from .services.archival import archive_timeline
         return archive_timeline(self, retain_active=retain_active)
 
+    # ------------------------------------------------------ schema evolution
+    def add_column(self, name: str, dtype: str) -> None:
+        """ALTER TABLE ADD COLUMNS (AlterHoodieTableAddColumnsCommand.scala):
+        registry-only — old files read the new column as null."""
+        from pyspark.sql import types as T
+
+        from .writer import business_schema
+        schema = business_schema(self.cfg)
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        schema = schema.add(T.StructField(
+            name, T._parse_datatype_string(dtype)))
+        self.cfg.schema_json = schema.json()
+        cfgmod.save_config(self.base_path, self.cfg)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN (AlterHoodieTableChangeColumnCommand /
+        TableChanges rename): registry rename + a chronological rename entry;
+        files of every era resolve at read via coalesce over the name chain
+        (writer.rename_chains)."""
+        from pyspark.sql import types as T
+
+        from .writer import business_schema
+        schema = business_schema(self.cfg)
+        if old not in schema.fieldNames():
+            raise ValueError(f"no column {old!r}")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        fields = [T.StructField(new, f.dataType, f.nullable)
+                  if f.name == old else f for f in schema.fields]
+        self.cfg.schema_json = T.StructType(fields).json()
+        self.cfg.column_renames = list(self.cfg.column_renames) + [
+            {"from": old, "to": new}]
+        if self.cfg.record_key_fields and old in self.cfg.record_key_fields:
+            raise ValueError("cannot rename a record key field")
+        if self.cfg.precombine_field == old:
+            self.cfg.precombine_field = new
+        if self.cfg.partition_field == old:
+            raise ValueError("cannot rename the partition field")
+        cfgmod.save_config(self.base_path, self.cfg)
+        self.reload()
+
     # ------------------------------------------------------------- metadata
     def commits(self) -> list[dict]:
         out = []

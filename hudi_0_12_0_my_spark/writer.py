@@ -47,8 +47,37 @@ def business_schema(cfg) -> T.StructType:
     return T.StructType.fromJson(__import__("json").loads(cfg.schema_json))
 
 
+def rename_chains(cfg) -> dict:
+    """final_name -> [older physical names, newest first].
+
+    cfg.column_renames is chronological {"from","to"} entries
+    (AlterHoodieTableChangeColumnCommand / TableChanges rename actions);
+    chains (a->b->c) collapse so files of every era resolve to the current
+    name at read."""
+    chains: dict = {}
+    for r in cfg.column_renames:
+        olds = chains.pop(r["from"], [])
+        chains[r["to"]] = [r["from"]] + olds
+    return chains
+
+
+def _historical_fields(cfg) -> list:
+    """Renamed-away physical names, appended to read schemas so parquet files
+    written before a rename still surface their values."""
+    by_name = {f.name: f for f in business_schema(cfg).fields}
+    out = []
+    for final, olds in rename_chains(cfg).items():
+        if final not in by_name:
+            continue
+        for old in olds:
+            if old not in by_name:
+                out.append(T.StructField(old, by_name[final].dataType, True))
+    return out
+
+
 def base_read_schema(cfg) -> T.StructType:
-    return T.StructType(META_FIELDS + list(business_schema(cfg).fields))
+    return T.StructType(META_FIELDS + list(business_schema(cfg).fields)
+                        + _historical_fields(cfg))
 
 
 def delta_read_schema(cfg) -> T.StructType:
@@ -56,10 +85,21 @@ def delta_read_schema(cfg) -> T.StructType:
                         [T.StructField(meta.OPERATION, T.StringType(), True)])
 
 
-def read_files(spark, paths: list[str], schema: T.StructType) -> DataFrame:
+def read_files(spark, paths: list[str], schema: T.StructType,
+               cfg=None) -> DataFrame:
     if not paths:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(*paths)
+    if cfg is not None and cfg.column_renames:
+        names = set(df.columns)
+        for final, olds in rename_chains(cfg).items():
+            present = [o for o in olds if o in names]
+            if final in names and present:
+                df = df.withColumn(
+                    final, F.coalesce(F.col(final), *[F.col(o) for o in present])
+                ).drop(*present)
+    return df
 
 
 class Writer:
@@ -294,10 +334,19 @@ class Writer:
         paths = view.live_base_files(None if self.cfg.global_index else partitions)
         if not paths:
             return None
-        return (self.spark.read.parquet(*paths)
-                .select(F.col(meta.RECORD_KEY),
-                        F.col(meta.PARTITION_PATH).alias("__loc_pp"),
-                        meta.file_id_from_name().alias("__loc_fid")))
+        from .reader import bootstrap_instant, fill_bootstrap_meta
+        bs = bootstrap_instant(self.t.timeline)
+        if bs:
+            # bootstrapped files lack meta columns: read the full schema and
+            # reconstruct keys (wider scan only for bootstrapped tables)
+            df = fill_bootstrap_meta(
+                self.spark, read_files(self.spark, paths, base_read_schema(self.cfg), self.cfg),
+                self.cfg, view, bs)
+        else:
+            df = self.spark.read.parquet(*paths)
+        return (df.select(F.col(meta.RECORD_KEY),
+                          F.col(meta.PARTITION_PATH).alias("__loc_pp"),
+                          meta.file_id_from_name().alias("__loc_fid")))
 
     @staticmethod
     def emptied_groups(affected: set, stats_by_partition: dict) -> dict:
@@ -338,6 +387,9 @@ class Writer:
             incoming.persist()
             try:
                 view = self.t.view()
+                if cfg.index_type == "bucket":
+                    return self._upsert_bucket(incoming, view, instant,
+                                               operation, action)
                 partitions = [r[0] for r in
                               incoming.select(meta.PARTITION_PATH).distinct().collect()]
                 loc = self._location_df(view, partitions)
@@ -375,8 +427,13 @@ class Writer:
                     old_paths = [view.abs(s.base_file.path)
                                  for g, s in view.live_slices()
                                  if (g.partition, g.file_id) in affected]
-                    old = (read_files(self.spark, old_paths, base_read_schema(cfg))
-                           .withColumn(meta.TARGET_FILE_ID, meta.file_id_from_name()))
+                    old = read_files(self.spark, old_paths, base_read_schema(cfg), cfg)
+                    from .reader import bootstrap_instant, fill_bootstrap_meta
+                    bs = bootstrap_instant(self.t.timeline)
+                    if bs:
+                        old = fill_bootstrap_meta(self.spark, old, cfg, view, bs)
+                    old = old.withColumn(meta.TARGET_FILE_ID,
+                                         meta.file_id_from_name())
                     allr = old.unionByName(updates, allowMissingColumns=True) \
                               .unionByName(inserts_assigned, allowMissingColumns=True)
                     merged = payloads.resolve(allr, cfg, spec, drop_deletes=True)
@@ -399,6 +456,57 @@ class Writer:
                 except Exception:
                     pass
 
+    def _upsert_bucket(self, incoming: DataFrame, view: FileSystemView,
+                       instant: str, operation: str, action: str) -> str:
+        """Bucket-index upsert (HoodieSimpleBucketIndex.java:40,
+        BucketIdentifier.java): fileId = pmod(hash(key), num_buckets) —
+        deterministic, so tagging needs NO index scan and NO join. At 100 TB
+        this removes the full-table meta-column scan + shuffle that simple
+        index tagging costs; the trade is fixed bucket count per partition.
+        """
+        cfg, spec = self.cfg, payloads.get(self.cfg.payload)
+        cow = cfg.table_type == cfgmod.COW
+        fid = F.format_string("%08d", F.pmod(F.xxhash64(F.col(meta.RECORD_KEY)),
+                                             F.lit(cfg.num_buckets)))
+        tagged = incoming.withColumn(meta.TARGET_FILE_ID, fid)
+        touched = {(r[0], r[1]) for r in
+                   tagged.select(meta.PARTITION_PATH, meta.TARGET_FILE_ID)
+                   .distinct().collect()}
+        existing = {(g.partition, g.file_id): s for g, s in view.live_slices()
+                    if (g.partition, g.file_id) in touched}
+        if cow:
+            old_paths = [view.abs(s.base_file.path) for s in existing.values()]
+            old = (read_files(self.spark, old_paths, base_read_schema(cfg), cfg)
+                   .withColumn(meta.TARGET_FILE_ID, meta.file_id_from_name()))
+            allr = old.unionByName(tagged, allowMissingColumns=True)
+            merged = payloads.resolve(allr, cfg, spec, drop_deletes=True)
+            stats = self.stage_write(merged, instant, "base")
+            replaced = self.emptied_groups(set(existing), stats)
+        else:
+            # rows whose bucket has a base file -> delta; first write of a
+            # bucket -> base file (Flink bucket stream write behavior)
+            has_base = self.spark.createDataFrame(
+                [(p, f) for p, f in existing] or
+                [("", "")], "p string, f string")
+            deltas = tagged.join(
+                F.broadcast(has_base),
+                (F.col(meta.PARTITION_PATH) == F.col("p"))
+                & (F.col(meta.TARGET_FILE_ID) == F.col("f"))).drop("p", "f")
+            news = tagged.join(
+                F.broadcast(has_base),
+                (F.col(meta.PARTITION_PATH) == F.col("p"))
+                & (F.col(meta.TARGET_FILE_ID) == F.col("f")),
+                "left_anti").filter(F.col(meta.OPERATION) != "D")
+            replaced = None
+            stats = self.stage_write(deltas, instant, "delta")
+            base_stats = self.stage_write(news, instant, "base")
+            for p, sts in base_stats.items():
+                stats.setdefault(p, []).extend(sts)
+        md = self._commit_md(operation, stats, replaced)
+        self.t.timeline.save_completed(instant, action, md)
+        self._remove_marker(instant)
+        return instant
+
     def insert(self, df: DataFrame, validate_duplicates: bool = False) -> str:
         """WriteOperationType.INSERT (SparkRDDWriteClient.java:175): no index
         lookup; small-file packing only. Duplicate keys are allowed unless
@@ -417,7 +525,7 @@ class Writer:
                     keys = [meta.RECORD_KEY] if cfg.global_index \
                         else [meta.PARTITION_PATH, meta.RECORD_KEY]
                     paths = view.live_base_files()
-                    existing = read_files(self.spark, paths, base_read_schema(cfg)) \
+                    existing = read_files(self.spark, paths, base_read_schema(cfg), cfg) \
                         .select(*keys)
                     dup = (incoming.select(*keys).unionByName(existing)
                            .groupBy(*keys).count().filter(F.col("count") > 1))
@@ -430,7 +538,7 @@ class Writer:
                     old_paths = [view.abs(s.base_file.path)
                                  for g, s in view.live_slices()
                                  if (g.partition, g.file_id) in packed]
-                    old = (read_files(self.spark, old_paths, base_read_schema(cfg))
+                    old = (read_files(self.spark, old_paths, base_read_schema(cfg), cfg)
                            .withColumn(meta.TARGET_FILE_ID, meta.file_id_from_name()))
                     assigned = old.unionByName(assigned, allowMissingColumns=True)
                 stats = self.stage_write(assigned, instant, "base")
