@@ -244,7 +244,7 @@ def q_q1_pricing(spark, sf_dir):
     # the double->decimal cast is tie-free in both engines
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
         .cast("decimal(18,4)")
-    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+    return (li.filter(F.col("l_shipdate") <= "2000-09-02")
             .groupBy("l_returnflag", "l_linestatus")
             .agg(_n("count_order"), _dec_sum("l_quantity", "sum_qty"),
                  _dec_sum("l_extendedprice", "sum_base_price"),
@@ -254,8 +254,8 @@ def q_q1_pricing(spark, sf_dir):
 def q_q6_revenue(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
-    return (li.filter((F.col("l_shipdate") >= "1994-01-01")
-                      & (F.col("l_shipdate") < "1995-01-01")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
                       & F.col("l_discount").between(0.05, 0.07)
                       & (F.col("l_quantity") < 24))
             .agg(F.sum(rev).cast("double").alias("revenue"), _n()))
@@ -268,8 +268,8 @@ def q_q3_top10(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-            .filter((F.col("o_orderdate") < "1995-03-15")
-                    & (F.col("l_shipdate") > "1995-03-15"))
+            .filter((F.col("o_orderdate") < "1998-03-15")
+                    & (F.col("l_shipdate") > "1998-03-15"))
             .groupBy("o_orderkey", "o_orderdate")
             .agg(F.sum(rev).cast("double").alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -508,15 +508,15 @@ SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count_order,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
          AS sum_disc_price
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
 GROUP BY 1, 2""",
         "q6_revenue": """
 SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
          AS revenue,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
         "q3_top10": """
 SELECT o_orderkey, o_orderdate,
@@ -526,8 +526,8 @@ FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
 GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
         "q5_nation_volume": """
 SELECT n_name,

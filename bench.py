@@ -57,6 +57,7 @@ def main() -> None:
         F.desc("l_shipdate"), F.desc("l_quantity"), F.desc("l_extendedprice"),
         F.desc("l_suppkey"), F.desc("l_partkey"))
     base = li.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    base.persist().count()   # fixture prep (dedupe) excluded from timings
 
     shutil.rmtree(BENCH_ROOT, ignore_errors=True)
     t = eng.create_table(
@@ -74,7 +75,7 @@ def main() -> None:
         t.upsert(mut)
 
     with step("snapshot_q6"):
-        (t.snapshot(filters="l_shipdate >= '1994-01-01' and l_shipdate < '1995-01-01'")
+        (t.snapshot(filters="l_shipdate >= '1996-01-01' and l_shipdate < '1997-01-01'")
          .filter(F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24))
          .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).collect())
 
@@ -85,7 +86,7 @@ def main() -> None:
     orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
     cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
     with step("q1_pricing"):
-        (li.filter(F.col("l_shipdate") <= "1998-09-02")
+        (li.filter(F.col("l_shipdate") <= "2000-09-02")
          .groupBy("l_returnflag", "l_linestatus")
          .agg(F.count("*"), F.sum("l_quantity"), F.sum("l_extendedprice"),
               F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
@@ -95,8 +96,8 @@ def main() -> None:
         (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
          .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
                F.col("o_custkey") == F.col("c_custkey"))
-         .filter((F.col("o_orderdate") < "1995-03-15")
-                 & (F.col("l_shipdate") > "1995-03-15"))
+         .filter((F.col("o_orderdate") < "1998-03-15")
+                 & (F.col("l_shipdate") > "1998-03-15"))
          .groupBy("o_orderkey", "o_orderdate")
          .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
               .alias("revenue"))
