@@ -237,6 +237,191 @@ def q_delete_where(spark, sf_dir):
     return t.snapshot().groupBy("o_orderstatus").agg(_n())
 
 
+def q_payload_event_time(spark, sf_dir):
+    """DefaultHoodieRecordPayload semantics: stored survives when its ordering
+    value >= incoming (DefaultHoodieRecordPayload.java:115-126)."""
+    def act(t, orders):
+        stale = (orders.filter(F.col("o_orderkey") % 4 == 0)
+                 .withColumn("o_totalprice", F.lit(-1.0))
+                 .withColumn("o_orderdate",
+                             F.col("o_orderdate") - F.expr("INTERVAL 1000 DAYS")))
+        fresh = (orders.filter(F.col("o_orderkey") % 4 == 1)
+                 .withColumn("o_totalprice", F.col("o_totalprice") + 7777.0)
+                 .withColumn("o_orderdate",
+                             F.col("o_orderdate") + F.expr("INTERVAL 1000 DAYS")))
+        t.upsert(stale.unionByName(fresh))
+    key = (sf_dir, "ord_et")
+    if key not in _BUILT:
+        orders = _read(spark, sf_dir, "orders")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "ord_et")),
+            record_key_fields=["o_orderkey"], precombine_field="o_orderdate",
+            partition_field="o_orderpriority", payload="event_time")
+        t.bulk_insert(orders)
+        act(t, orders)
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("o_orderpriority")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
+def q_payload_partial_update(spark, sf_dir):
+    """OverwriteNonDefaultsWithLatestAvroPayload: per column, latest non-null
+    wins — null incoming columns keep the stored value."""
+    key = (sf_dir, "ord_pu")
+    if key not in _BUILT:
+        orders = _read(spark, sf_dir, "orders")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "ord_pu")),
+            record_key_fields=["o_orderkey"], precombine_field="o_orderdate",
+            partition_field="o_orderpriority", payload="partial_update")
+        t.bulk_insert(orders)
+        patch = (orders.filter(F.col("o_orderkey") % 3 == 0)
+                 .withColumn("o_orderstatus", F.lit("X"))
+                 .withColumn("o_totalprice", F.lit(None).cast("double"))
+                 .withColumn("o_orderdate",
+                             F.col("o_orderdate") + F.expr("INTERVAL 1000 DAYS")))
+        t.upsert(patch)
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("o_orderstatus")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
+def q_cdc_ops(spark, sf_dir):
+    """CDC I/U/D envelope -> upsert/delete (StringToRowDataMapFunction.java:110,
+    AWSDmsAvroPayload.java:95)."""
+    key = (sf_dir, "ord_cdc")
+    if key not in _BUILT:
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from hudi_0_12_0_my_spark import payloads
+        orders = _read(spark, sf_dir, "orders")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "ord_cdc")),
+            record_key_fields=["o_orderkey"], precombine_field="o_orderdate",
+            partition_field="o_orderpriority")
+        t.bulk_insert(orders)
+        upd = (orders.filter(F.col("o_orderkey") % 5 == 0)
+               .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+               .withColumn("op", F.lit("U")))
+        dele = (orders.filter((F.col("o_orderkey") % 5 != 0)
+                              & (F.col("o_orderkey") % 7 == 0))
+                .withColumn("op", F.lit("D")))
+        ins = (orders.filter(F.col("o_orderkey") % 11 == 0)
+               .withColumn("o_orderkey", F.col("o_orderkey") + 20000000)
+               .withColumn("op", F.lit("I")))
+        batch = upd.unionByName(dele).unionByName(ins)
+        t.upsert(payloads.apply_cdc_ops(batch))
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("o_orderpriority")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
+def q_clustering_zorder(spark, sf_dir):
+    """Z-order clustering is layout-only: results must be identical to the
+    pre-clustering table (SparkSortAndSizeExecutionStrategy + z-order keys)."""
+    key = (sf_dir, "li_zorder")
+    if key not in _BUILT:
+        base = _li_base(spark, sf_dir)
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "li_zorder")),
+            record_key_fields=["l_orderkey", "l_linenumber"],
+            precombine_field="l_shipdate", partition_field="l_shipdate",
+            partition_style="timestamp", keygen_output_format="yyyy")
+        t.bulk_insert(base)
+        t.cluster(sort_cols=["l_partkey", "l_suppkey"], layout="zorder")
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("l_returnflag")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty"),
+                 _dec_sum("l_extendedprice", "sum_price")))
+
+
+def q_cleaning(spark, sf_dir):
+    """KEEP_LATEST_FILE_VERSIONS cleaning removes obsolete slices without
+    changing query results (CleanPlanner.java:74)."""
+    key = (sf_dir, "li_clean")
+    if key not in _BUILT:
+        base = _li_base(spark, sf_dir)
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "li_clean")),
+            record_key_fields=["l_orderkey", "l_linenumber"],
+            precombine_field="l_shipdate", partition_field="l_shipdate",
+            partition_style="timestamp", keygen_output_format="yyyy")
+        t.bulk_insert(base)
+        t.upsert(_li_mut(base))
+        t.clean(policy="KEEP_LATEST_FILE_VERSIONS", retain=1)
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("l_returnflag")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
+
+
+def q_rollback(spark, sf_dir):
+    """Rollback of the latest commit restores the previous snapshot
+    (rollback/ MarkerBasedRollbackStrategy)."""
+    key = (sf_dir, "li_rb")
+    if key not in _BUILT:
+        base = _li_base(spark, sf_dir)
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "li_rb")),
+            record_key_fields=["l_orderkey", "l_linenumber"],
+            precombine_field="l_shipdate", partition_field="l_shipdate",
+            partition_style="timestamp", keygen_output_format="yyyy")
+        t.bulk_insert(base)
+        t.upsert(_li_mut(base))
+        t.rollback(t.latest_instant())
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("l_returnflag")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
+
+
+def q_savepoint_restore(spark, sf_dir):
+    """Savepoint + restore pins and recovers a past table state
+    (savepoint/ + restore/ RestoreActionExecutor)."""
+    key = (sf_dir, "li_sp")
+    if key not in _BUILT:
+        base = _li_base(spark, sf_dir)
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "li_sp")),
+            record_key_fields=["l_orderkey", "l_linenumber"],
+            precombine_field="l_shipdate", partition_field="l_shipdate",
+            partition_style="timestamp", keygen_output_format="yyyy")
+        t.bulk_insert(base)
+        sp = t.savepoint()
+        t.upsert(_li_mut(base))
+        t.upsert(_li_mut(base).withColumn("l_quantity",
+                                          F.col("l_quantity") + 5))
+        t.restore(sp)
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("l_returnflag")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
+
+
+def q_bucket_index(spark, sf_dir):
+    """Bucket-index table (hash(key) -> fixed file group, no tagging join):
+    same results as the simple-index path."""
+    key = (sf_dir, "li_bucket")
+    if key not in _BUILT:
+        base = _li_base(spark, sf_dir)
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "li_bucket")),
+            record_key_fields=["l_orderkey", "l_linenumber"],
+            precombine_field="l_shipdate", partition_field="l_shipdate",
+            partition_style="timestamp", keygen_output_format="yyyy",
+            index_type="bucket", num_buckets=8)
+        t.upsert(base)
+        t.upsert(_li_mut(base))
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("l_returnflag", "l_linestatus")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
+
+
 # ---- relational queries over raw parquet (Catalyst does the work)
 def q_q1_pricing(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
@@ -407,6 +592,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_into": q_merge_into,
         "update_where": q_update_where,
         "delete_where": q_delete_where,
+        "payload_event_time": q_payload_event_time,
+        "payload_partial_update": q_payload_partial_update,
+        "cdc_ops": q_cdc_ops,
+        "clustering_zorder": q_clustering_zorder,
+        "cleaning": q_cleaning,
+        "rollback": q_rollback,
+        "savepoint_restore": q_savepoint_restore,
+        "bucket_index": q_bucket_index,
         # relational over raw parquet (§2.10: delegated to Catalyst)
         "q1_pricing": q_q1_pricing,
         "q6_revenue": q_q6_revenue,
@@ -502,6 +695,61 @@ FROM orders GROUP BY 1""",
         "delete_where": """
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
 FROM orders WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 0) GROUP BY 1""",
+        "payload_event_time": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 4 = 1
+                          THEN o_totalprice + 7777.0
+                          ELSE o_totalprice END
+                AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1""",
+        "payload_partial_update": """
+SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+         AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1""",
+        "cdc_ops": """
+WITH after_del AS (
+  SELECT * FROM orders
+  WHERE NOT (o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0)),
+updated AS (
+  SELECT after_del.* REPLACE (CASE WHEN o_orderkey % 5 = 0
+                                   THEN o_totalprice * 3
+                                   ELSE o_totalprice END AS o_totalprice)
+  FROM after_del),
+ins AS (SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 11 = 0),
+merged AS (SELECT * FROM updated UNION ALL SELECT * FROM ins)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged GROUP BY 1""",
+        "clustering_zorder": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM base GROUP BY 1""",
+        "cleaning": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM cur GROUP BY 1""",
+        "rollback": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM base GROUP BY 1""",
+        "savepoint_restore": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM base GROUP BY 1""",
+        "bucket_index": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM cur GROUP BY 1, 2""",
         "q1_pricing": """
 SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count_order,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

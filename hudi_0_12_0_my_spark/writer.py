@@ -512,6 +512,10 @@ class Writer:
         lookup; small-file packing only. Duplicate keys are allowed unless
         validate_duplicates (ValidateDuplicateKeyPayload semantics)."""
         cfg = self.cfg
+        if cfg.index_type == "bucket":
+            # bucket tables route EVERY write through bucket assignment —
+            # a size-based file id would shadow the bucket's existing slice
+            return self.upsert(df, operation="insert")
         cow = cfg.table_type == cfgmod.COW
         action = tl.COMMIT if cow else tl.DELTACOMMIT
         with self._lock():
@@ -557,6 +561,8 @@ class Writer:
         repartitionByRange(partition, key) — one range shuffle, sorted files,
         best min/max key pruning for later upserts."""
         cfg = self.cfg
+        if cfg.index_type == "bucket":
+            return self.upsert(df, operation="bulk_insert")
         cow = cfg.table_type == cfgmod.COW
         action = tl.COMMIT if cow else tl.DELTACOMMIT
         sort_mode = sort_mode.upper()
