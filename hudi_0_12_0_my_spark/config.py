@@ -34,6 +34,7 @@ class TableConfig:
     global_index: bool = False               # HoodieGlobalSimpleIndex vs HoodieSimpleIndex
     index_type: str = "simple"               # simple | bucket (HoodieIndex.java:45 impls)
     num_buckets: int = 8                     # bucket index (HoodieSimpleBucketIndex.java:40)
+    concurrency_mode: str = "single_writer"  # single_writer | occ (WriteConcurrencyMode.java:30-32)
     # sizing (HoodieStorageConfig.java:43, HoodieCompactionConfig.java:81)
     target_file_bytes: int = 120 * 1024 * 1024
     small_file_limit_bytes: int = 100 * 1024 * 1024

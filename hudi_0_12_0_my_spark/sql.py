@@ -101,6 +101,63 @@ def dispatch(engine, text: str):
     if m:
         return engine.call(m.group(1).lower(), **_parse_call_args(m.group(2)))
 
+    # CREATE TABLE t [(col type, ...)] USING hudi LOCATION 'p'
+    #   [OPTIONS (k='v',...)] [AS SELECT ...]
+    m = re.match(r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`\"]+)\s*"
+                 r"(?:\(([^)]+)\)\s*)?"
+                 r"USING\s+hudi\s+LOCATION\s+'([^']+)'"
+                 r"(?:\s+OPTIONS\s*\((.*?)\))?"
+                 r"(?:\s+AS\s+(SELECT\s+.+))?$",
+                 sql, re.IGNORECASE | re.DOTALL)
+    if m:
+        from pyspark.sql import types as T
+        name, coldefs, loc, opts_s, select = (
+            _ident(m.group(1)), m.group(2), m.group(3), m.group(4), m.group(5))
+        opts = {}
+        for part in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", opts_s or ""):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                opts[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        kw = {}
+        if "recordkey" in {k.lower() for k in opts}:
+            get = {k.lower(): v for k, v in opts.items()}
+            kw["record_key_fields"] = [c.strip() for c in
+                                       get["recordkey"].split(",")]
+            if get.get("precombine"):
+                kw["precombine_field"] = get["precombine"]
+            if get.get("partitionfield"):
+                kw["partition_field"] = get["partitionfield"]
+            if get.get("tabletype"):
+                kw["table_type"] = get["tabletype"]
+            if get.get("payload"):
+                kw["payload"] = get["payload"]
+        if coldefs:
+            kw["schema_json"] = T._parse_datatype_string(
+                f"struct<{coldefs}>").json()
+        df = engine.spark.sql(select) if select else None
+        t = engine.create_table(loc, name=name, df=df, **kw)
+        return engine.spark.createDataFrame([(t.cfg.name, loc)],
+                                            "table string, location string")
+
+    m = re.match(r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.`\"]+)\s+"
+                 r"(SELECT\s+.+|VALUES\s+.+)$", sql, re.IGNORECASE | re.DOTALL)
+    if m and engine.has_table(_ident(m.group(2))):
+        t = engine.table(_ident(m.group(2)))
+        body = m.group(3)
+        if body.upper().startswith("VALUES"):
+            cols = ", ".join(f.name for f in
+                             __import__("hudi_0_12_0_my_spark.writer",
+                                        fromlist=["business_schema"])
+                             .business_schema(t.cfg).fields)
+            df = engine.spark.sql(f"SELECT * FROM ({body}) AS v({cols})")
+        else:
+            df = engine.spark.sql(body)
+        if m.group(1).upper() == "OVERWRITE":
+            instant = t.insert_overwrite(df)
+        else:
+            instant = t.insert(df)
+        return engine.spark.createDataFrame([(instant,)], "instant string")
+
     m = re.match(r"^(RUN|SCHEDULE)\s+COMPACTION\s+ON\s+([\w.`\"]+)\s*$",
                  sql, re.IGNORECASE)
     if m:

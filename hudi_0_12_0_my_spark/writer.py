@@ -40,6 +40,12 @@ from .keygen import partition_path_expr, record_key_expr
 from .util import FileLock, atomic_write_json, ensure_dir, new_file_id, read_json, rm_rf
 
 ROOT_SENTINEL = "__ROOT__"   # staging stand-in for the empty (unpartitioned) path
+
+
+class ConcurrentWriteConflictError(RuntimeError):
+    """OCC conflict: two concurrent commits touched the same file groups."""
+
+
 META_FIELDS = [T.StructField(c, T.StringType(), True) for c in meta.META_COLS]
 
 
@@ -121,6 +127,61 @@ class Writer:
 
     def _lock(self):
         return FileLock(os.path.join(self.base, ".hoodie", "lock"))
+
+    def _guard(self):
+        """Write-wide mutual exclusion in single-writer mode; a no-op under
+        OCC, where only the commit itself takes the lock
+        (WriteConcurrencyMode.java:30-32; LockManager around commit)."""
+        if self.cfg.concurrency_mode == "occ":
+            import contextlib
+            return contextlib.nullcontext()
+        return self._lock()
+
+    def _commit_completed(self, instant: str, action: str, md: dict) -> None:
+        """Finalize a commit. Under OCC: take the table lock, validate that no
+        commit completed since this write's view snapshot touches the same
+        file groups (SimpleConcurrentFileWritesConflictResolutionStrategy),
+        clean up staged files and abort on conflict."""
+        if self.cfg.concurrency_mode != "occ":
+            self.t.timeline.save_completed(instant, action, md)
+            return
+        touched = {(p, st["file_id"])
+                   for p, sts in (md.get("partition_to_write_stats") or {}).items()
+                   for st in sts}
+        for p, fids in (md.get("replaced_file_groups") or {}).items():
+            touched.update((p, f) for f in fids)
+        since = getattr(self, "_occ_since", None) or "0"
+        with self._lock():
+            for ins in self.t.timeline.completed_write_instants():
+                if not (since < ins.time and ins.time != instant):
+                    continue
+                other = self.t.timeline.metadata(ins)
+                theirs = {(p, st["file_id"]) for p, sts in
+                          (other.get("partition_to_write_stats") or {}).items()
+                          for st in sts}
+                for p, fids in (other.get("replaced_file_groups") or {}).items():
+                    theirs.update((p, f) for f in fids)
+                overlap = touched & theirs
+                if overlap:
+                    self._abort_staged(instant)
+                    raise ConcurrentWriteConflictError(
+                        f"commit {instant} conflicts with concurrent commit "
+                        f"{ins.time} on file groups {sorted(overlap)[:5]}")
+            self.t.timeline.save_completed(instant, action, md)
+
+    def _abort_staged(self, instant: str) -> None:
+        """Delete this write's already-moved files + timeline leftovers
+        (marker-based undo, MarkerBasedRollbackStrategy.java)."""
+        marker = self._marker_path(instant)
+        if os.path.exists(marker):
+            for rel in read_json(marker).get("files", []):
+                p = os.path.join(self.base, rel)
+                if os.path.exists(p):
+                    os.unlink(p)
+            os.unlink(marker)
+        for ins in self.t.timeline.pending():
+            if ins.time == instant:
+                self.t.timeline.remove(instant, ins.action)
 
     # ------------------------------------------------------- incoming prep
     def prepare(self, df: DataFrame, instant: str) -> DataFrame:
@@ -380,13 +441,14 @@ class Writer:
         cfg, spec = self.cfg, payloads.get(self.cfg.payload)
         cow = cfg.table_type == cfgmod.COW
         action = tl.COMMIT if cow else tl.DELTACOMMIT
-        with self._lock():
+        with self._guard():
             instant = tl.new_instant_time()
             self.t.timeline.save_requested(instant, action, {"operation": operation})
             incoming = payloads.precombine(self.prepare(df, instant), cfg, spec)
             incoming.persist()
             try:
                 view = self.t.view()
+                self._occ_since = self.t.timeline.latest_completed_write().time if self.t.timeline.latest_completed_write() else "0"
                 if cfg.index_type == "bucket":
                     return self._upsert_bucket(incoming, view, instant,
                                                operation, action)
@@ -446,7 +508,7 @@ class Writer:
                     for p, sts in base_stats.items():
                         stats.setdefault(p, []).extend(sts)
                 md = self._commit_md(operation, stats, replaced)
-                self.t.timeline.save_completed(instant, action, md)
+                self._commit_completed(instant, action, md)
                 self._remove_marker(instant)
                 return instant
             finally:
@@ -503,7 +565,7 @@ class Writer:
             for p, sts in base_stats.items():
                 stats.setdefault(p, []).extend(sts)
         md = self._commit_md(operation, stats, replaced)
-        self.t.timeline.save_completed(instant, action, md)
+        self._commit_completed(instant, action, md)
         self._remove_marker(instant)
         return instant
 
@@ -518,13 +580,14 @@ class Writer:
             return self.upsert(df, operation="insert")
         cow = cfg.table_type == cfgmod.COW
         action = tl.COMMIT if cow else tl.DELTACOMMIT
-        with self._lock():
+        with self._guard():
             instant = tl.new_instant_time()
             self.t.timeline.save_requested(instant, action, {"operation": "insert"})
             incoming = self.prepare(df, instant).filter(F.col(meta.OPERATION) != "D")
             incoming.persist()
             try:
                 view = self.t.view()
+                self._occ_since = self.t.timeline.latest_completed_write().time if self.t.timeline.latest_completed_write() else "0"
                 if validate_duplicates or cfg.payload == "validate_dup":
                     keys = [meta.RECORD_KEY] if cfg.global_index \
                         else [meta.PARTITION_PATH, meta.RECORD_KEY]
@@ -547,7 +610,7 @@ class Writer:
                     assigned = old.unionByName(assigned, allowMissingColumns=True)
                 stats = self.stage_write(assigned, instant, "base")
                 md = self._commit_md("insert", stats)
-                self.t.timeline.save_completed(instant, action, md)
+                self._commit_completed(instant, action, md)
                 self._remove_marker(instant)
                 return instant
             finally:
@@ -566,7 +629,7 @@ class Writer:
         cow = cfg.table_type == cfgmod.COW
         action = tl.COMMIT if cow else tl.DELTACOMMIT
         sort_mode = sort_mode.upper()
-        with self._lock():
+        with self._guard():
             instant = tl.new_instant_time()
             self.t.timeline.save_requested(instant, action,
                                            {"operation": "bulk_insert"})
@@ -594,7 +657,7 @@ class Writer:
                     stats = self.stage_write(assigned, instant, "base",
                                              sort_cols=sort_cols)
                 md = self._commit_md("bulk_insert", stats)
-                self.t.timeline.save_completed(instant, action, md)
+                self._commit_completed(instant, action, md)
                 self._remove_marker(instant)
                 return instant
             finally:
@@ -621,7 +684,7 @@ class Writer:
         (SparkRDDWriteClient.java:203-223): write new file groups, then a
         replacecommit marks every prior group in the touched partitions (or the
         whole table) replaced — manifest-only invalidation, no data deletes."""
-        with self._lock():
+        with self._guard():
             instant = tl.new_instant_time()
             self.t.timeline.save_requested(instant, tl.REPLACECOMMIT,
                                            {"operation": "insert_overwrite"})
@@ -629,6 +692,7 @@ class Writer:
             incoming.persist()
             try:
                 view = self.t.view()
+                self._occ_since = self.t.timeline.latest_completed_write().time if self.t.timeline.latest_completed_write() else "0"
                 assigned, _ = self.assign_buckets(incoming, None, pack_small_files=False)
                 stats = self.stage_write(assigned, instant, "base")
                 if whole_table:
@@ -641,7 +705,7 @@ class Writer:
                         replaced.setdefault(g.partition, []).append(g.file_id)
                 op = "insert_overwrite_table" if whole_table else "insert_overwrite"
                 md = self._commit_md(op, stats, replaced)
-                self.t.timeline.save_completed(instant, tl.REPLACECOMMIT, md)
+                self._commit_completed(instant, tl.REPLACECOMMIT, md)
                 self._remove_marker(instant)
                 return instant
             finally:
@@ -650,14 +714,16 @@ class Writer:
     def delete_partition(self, partition_values: list[str]) -> str:
         """WriteOperationType.DELETE_PARTITION (SparkRDDWriteClient.java:264-267):
         pure-metadata replacecommit, zero data IO."""
-        with self._lock():
+        with self._guard():
             instant = tl.new_instant_time()
             view = self.t.view()
+            self._occ_since = self.t.timeline.latest_completed_write().time \
+                if self.t.timeline.latest_completed_write() else "0"
             replaced: dict = {}
             for g in view.live_groups(partitions=set(partition_values)):
                 replaced.setdefault(g.partition, []).append(g.file_id)
             md = self._commit_md("delete_partition", {}, replaced)
-            self.t.timeline.save_completed(instant, tl.REPLACECOMMIT, md)
+            self._commit_completed(instant, tl.REPLACECOMMIT, md)
             return instant
 
 

@@ -1,0 +1,88 @@
+"""Optimistic concurrency control (WriteConcurrencyMode OCC)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_12_0_my_spark import Engine
+from hudi_0_12_0_my_spark.writer import ConcurrentWriteConflictError
+
+
+@pytest.fixture()
+def occ_table(spark, tmp_path):
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "occ"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         concurrency_mode="occ")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b", float(i), 1) for i in range(20)],
+        "id long, grp string, val double, seq long")
+    t.bulk_insert(df)
+    return eng, t, df
+
+
+def _inject_commit_during_write(writer, other_fn):
+    """Fire `other_fn` after this writer's staging completes but before its
+    commit — deterministically emulating an interleaved concurrent writer."""
+    orig = writer.stage_write
+    fired = []
+
+    def hooked(*a, **kw):
+        out = orig(*a, **kw)
+        if not fired:
+            fired.append(True)
+            other_fn()
+        return out
+
+    writer.stage_write = hooked
+    return lambda: setattr(writer, "stage_write", orig)
+
+
+def test_occ_conflict_detected_and_aborted(spark, tmp_path, occ_table):
+    eng, t, df = occ_table
+    other = eng.load_table(t.base_path)
+
+    mut_a = df.filter("id < 5").withColumn("val", F.col("val") + 100) \
+              .withColumn("seq", F.lit(2))
+    mut_b = df.filter("id < 5").withColumn("val", F.col("val") + 999) \
+              .withColumn("seq", F.lit(2))
+
+    restore = _inject_commit_during_write(
+        t.writer, lambda: other.upsert(mut_b))
+    try:
+        with pytest.raises(ConcurrentWriteConflictError):
+            t.upsert(mut_a)
+    finally:
+        restore()
+
+    # the other writer's commit survives; the aborted write left no trace
+    snap = {r.id: r.val for r in t.reload().snapshot().collect()}
+    assert snap[0] == 999.0
+    assert len(snap) == 20
+    assert t.timeline.pending() == []
+    # a rerun of the failed write now succeeds (fresh view)
+    t.upsert(mut_a)
+    snap = {r.id: r.val for r in t.snapshot().collect()}
+    assert snap[0] == 100.0
+
+
+def test_occ_disjoint_writes_both_commit(spark, tmp_path, occ_table):
+    eng, t, df = occ_table
+    other = eng.load_table(t.base_path)
+
+    # writer B touches partition 'b' while writer A touches partition 'a' —
+    # disjoint file groups, no conflict
+    mut_a = df.filter("grp = 'a' and id < 3") \
+              .withColumn("val", F.lit(-1.0)).withColumn("seq", F.lit(2))
+    mut_b = df.filter("grp = 'b' and id >= 17") \
+              .withColumn("val", F.lit(-2.0)).withColumn("seq", F.lit(2))
+
+    restore = _inject_commit_during_write(
+        t.writer, lambda: other.upsert(mut_b))
+    try:
+        t.upsert(mut_a)
+    finally:
+        restore()
+
+    snap = {r.id: r.val for r in t.reload().snapshot().collect()}
+    assert snap[0] == -1.0 and snap[19] == -2.0
+    assert len(t.timeline.completed_write_instants()) == 3

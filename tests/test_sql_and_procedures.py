@@ -135,3 +135,29 @@ def test_sql_compaction_on_mor(spark, tmp_path):
 def test_sql_fallback_to_spark(eng_table):
     eng, _ = eng_table
     assert eng.sql("SELECT 1 AS one").collect()[0].one == 1
+
+
+def test_sql_create_table_and_insert(spark, tmp_path):
+    eng = Engine(spark)
+    loc = str(tmp_path / "sqlt")
+    eng.sql(f"""CREATE TABLE sqlt (id bigint, grp string, val double, seq bigint)
+                USING hudi LOCATION '{loc}'
+                OPTIONS (recordKey='id', precombine='seq', partitionField='grp')""")
+    eng.sql("INSERT INTO sqlt VALUES (1, 'a', 10.0, 1), (2, 'b', 20.0, 1)")
+    snap = eng.table("sqlt").snapshot()
+    assert snap.count() == 2
+    assert {r.grp for r in snap.collect()} == {"a", "b"}
+
+
+def test_sql_ctas(spark, tmp_path):
+    eng = Engine(spark)
+    spark.createDataFrame([(1, "x", 1.0, 1), (2, "y", 2.0, 1)],
+                          "id long, grp string, val double, seq long") \
+         .createOrReplaceTempView("ctas_src")
+    loc = str(tmp_path / "ctas")
+    eng.sql(f"""CREATE TABLE ctas_t USING hudi LOCATION '{loc}'
+                OPTIONS (recordKey='id', precombine='seq')
+                AS SELECT * FROM ctas_src""")
+    assert eng.table("ctas_t").snapshot().count() == 2
+    eng.sql("INSERT INTO ctas_t SELECT 3 AS id, 'z' AS grp, 3.0 AS val, 1 AS seq")
+    assert eng.table("ctas_t").snapshot().count() == 3
