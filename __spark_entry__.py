@@ -422,6 +422,43 @@ def q_bucket_index(spark, sf_dir):
             .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
 
 
+def q_clustering_hilbert(spark, sf_dir):
+    """Hilbert-curve clustering, same layout-only invariant as z-order
+    (HilbertCurveUtils.java:29, SpaceCurveSortingHelper.java:64)."""
+    key = (sf_dir, "li_hilbert")
+    if key not in _BUILT:
+        base = _li_base(spark, sf_dir)
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "li_hilbert")),
+            record_key_fields=["l_orderkey", "l_linenumber"],
+            precombine_field="l_shipdate", partition_field="l_shipdate",
+            partition_style="timestamp", keygen_output_format="yyyy")
+        t.bulk_insert(base)
+        t.cluster(sort_cols=["l_partkey", "l_suppkey"], layout="hilbert")
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("l_linestatus")
+            .agg(_n(), _dec_sum("l_extendedprice", "sum_price")))
+
+
+def q_insert_packing(spark, sf_dir):
+    """Three sequential INSERTs (no index lookup; small-file bin packing,
+    UpsertPartitioner.java:94-178) — final state = all rows."""
+    key = (sf_dir, "ord_ins")
+    if key not in _BUILT:
+        orders = _read(spark, sf_dir, "orders")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "ord_ins")),
+            record_key_fields=["o_orderkey"], precombine_field="o_orderdate",
+            partition_field="o_orderpriority")
+        for i in range(3):
+            t.insert(orders.filter(F.col("o_orderkey") % 3 == i))
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("o_orderpriority")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
 # ---- relational queries over raw parquet (Catalyst does the work)
 def q_q1_pricing(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
@@ -596,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_partial_update": q_payload_partial_update,
         "cdc_ops": q_cdc_ops,
         "clustering_zorder": q_clustering_zorder,
+        "clustering_hilbert": q_clustering_hilbert,
+        "insert_packing": q_insert_packing,
         "cleaning": q_cleaning,
         "rollback": q_rollback,
         "savepoint_restore": q_savepoint_restore,
@@ -730,6 +769,15 @@ SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM base GROUP BY 1""",
+        "clustering_hilbert": f"""
+WITH {LI_CTES}
+SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM base GROUP BY 1""",
+        "insert_packing": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1""",
         "cleaning": f"""
 WITH {LI_CTES}
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
