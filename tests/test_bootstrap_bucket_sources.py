@@ -158,3 +158,17 @@ def test_transformers(spark):
         flatten_transformer(),
         sql_query_transformer("SELECT id, person_name FROM <SRC> WHERE id = 1"))
     assert chained(df).collect()[0].person_name == "alice"
+
+
+def test_insert_validate_duplicates(spark, tmp_path):
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "vd"), record_key_fields=["id"],
+                         precombine_field="seq")
+    df = spark.createDataFrame([(1, 1.0, 1), (2, 2.0, 1)],
+                               "id long, val double, seq long")
+    t.insert(df)
+    with pytest.raises(ValueError, match="duplicate record keys"):
+        t.insert(df, validate_duplicates=True)  # same keys again
+    new = spark.createDataFrame([(3, 3.0, 1)], "id long, val double, seq long")
+    t.insert(new, validate_duplicates=True)     # disjoint keys pass
+    assert t.snapshot().count() == 3
