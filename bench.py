@@ -83,6 +83,20 @@ def main() -> None:
     with step("incremental_pull"):
         t.incremental(begin=commits[-2]).count()
 
+    m = eng.create_table(
+        os.path.join(BENCH_ROOT, "lineitem_mor"),
+        record_key_fields=["l_orderkey", "l_linenumber"],
+        precombine_field="l_shipdate", partition_field="l_shipdate",
+        partition_style="timestamp", keygen_output_format="yyyy-MM",
+        table_type="mor")
+    m.bulk_insert(base)
+    with step("mor_upsert_10pct"):          # delta-file append, no rewrite
+        m.upsert(mut)
+    with step("mor_snapshot_merge"):        # base+delta window merge read
+        m.snapshot().agg(F.sum("l_quantity")).collect()
+    with step("mor_compaction"):
+        m.compact()
+
     orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
     cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
     with step("q1_pricing"):

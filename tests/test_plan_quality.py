@@ -1,0 +1,92 @@
+"""Plan-quality guards: the physical plans we rely on at scale.
+
+These assert optimizer properties rather than results: filters reach the
+parquet scan (PushedFilters), small dimensions broadcast, the snapshot scan
+is a real file scan inside whole-stage codegen, and stats pruning shrinks
+the file list before the plan exists.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_12_0_my_spark import Engine
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def cow(spark, tmp_path_factory):
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path_factory.mktemp("pq") / "t"),
+                         record_key_fields=["id"], precombine_field="seq",
+                         partition_field="grp")
+    df = spark.createDataFrame(
+        [(i, chr(97 + i % 5), float(i), i % 100, 1) for i in range(5000)],
+        "id long, grp string, val double, bucket int, seq long")
+    t.bulk_insert(df)
+    return t
+
+
+def test_snapshot_filter_pushdown(cow):
+    df = cow.snapshot(filters="id >= 100 and id <= 200")
+    plan = _plan(df)
+    assert "Scan parquet" in plan                 # real file scan, not RDD
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(id,100)" in plan   # filter reached the reader
+
+
+def test_snapshot_column_pruning(cow):
+    df = cow.snapshot().select("id", "val")
+    plan = _plan(df)
+    # ReadSchema only carries requested + meta-strip source columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "val:double" in read_schema
+    assert "bucket" not in read_schema            # unused column pruned
+
+
+def test_snapshot_wholestage_codegen(cow):
+    plan = _plan(cow.snapshot().filter("val > 10"))
+    # "*(n)" prefixes mark whole-stage-codegen stages in the physical plan
+    assert "*(1)" in plan
+    assert "Batched: true" in plan                # vectorized parquet reader
+
+
+def test_stats_pruning_shrinks_file_list(cow):
+    from hudi_0_12_0_my_spark import stats as S
+    view = cow.view()
+    # per-file min/max of grp prove exclusion (id spans every file because
+    # GLOBAL_SORT orders by record key, so id stats can't prune here)
+    eff = S.skipping_effectiveness(view, "grp = 'c'")
+    assert eff["skipped"] > 0
+    assert eff["candidate_files"] < eff["total_files"]
+
+
+def test_broadcast_join_for_small_dim(cow, spark):
+    dim = spark.createDataFrame([(chr(97 + i), f"g{i}") for i in range(5)],
+                                "grp string, label string")
+    joined = cow.snapshot().join(F.broadcast(dim), "grp")
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_upsert_tag_scan_is_narrow(cow, spark):
+    """The index tag scan must read only the 3 meta columns."""
+    loc = cow.writer._location_df(cow.view(), cow.partitions())
+    read_schema = [l for l in _plan(loc).splitlines() if "ReadSchema" in l][0]
+    assert "_hoodie_record_key" in read_schema
+    assert "val" not in read_schema and "bucket" not in read_schema
+
+
+def test_mor_merge_stays_vectorized(spark, tmp_path):
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "m"), record_key_fields=["id"],
+                         precombine_field="seq", table_type="mor")
+    df = spark.createDataFrame([(i, float(i), 1) for i in range(100)],
+                               "id long, val double, seq long")
+    t.bulk_insert(df)
+    t.upsert(df.withColumn("seq", F.lit(2)))
+    plan = _plan(t.snapshot())
+    assert "Scan parquet" in plan
+    # the merge is a window over the union — no Python eval nodes anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
