@@ -180,6 +180,12 @@ def q_mor_read_optimized(spark, sf_dir):
             .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
 
 
+def q_mor_incremental(spark, sf_dir):
+    t, commits = _build_mor(spark, sf_dir, compact=False)
+    inc = t.incremental(begin=commits[0], end=commits[1])
+    return inc.groupBy("l_returnflag").agg(_n(), _dec_sum("l_quantity", "sum_qty"))
+
+
 def q_mor_compacted(spark, sf_dir):
     t, _ = _build_mor(spark, sf_dir, compact=True)
     return (t.read_optimized().groupBy("l_returnflag", "l_linestatus")
@@ -623,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cow_point_lookup": q_cow_point_lookup,
         "mor_snapshot": q_mor_snapshot,
         "mor_read_optimized": q_mor_read_optimized,
+        "mor_incremental": q_mor_incremental,
         "mor_compacted": q_mor_compacted,
         "insert_overwrite": q_insert_overwrite,
         "delete_partition": q_delete_partition,
@@ -694,6 +701,13 @@ WITH {LI_CTES}
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM base GROUP BY 1""",
+        "mor_incremental": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM cur WHERE EXISTS (SELECT 1 FROM mut m
+  WHERE m.l_orderkey = cur.l_orderkey AND m.l_linenumber = cur.l_linenumber)
+GROUP BY 1""",
         "mor_compacted": f"""
 WITH {LI_CTES}
 SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
@@ -862,6 +876,33 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n,
             AS BIGINT) AS sum_bpe,
        CAST(SUM(length(text)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1""",
+        "docs_quality": """
+WITH q AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+    length(text) - length(regexp_replace(text,
+        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+    length(text) AS n_chars
+  FROM documents WHERE doc_id < 100),
+m AS (
+  SELECT doc_id, n_punct,
+    len(toks) AS n_tok,
+    CASE WHEN len(toks) > 0 THEN
+      len(list_intersect(toks, ['the','a','an','and','or','of','to','in','is',
+        'are','was','be','for','on','with','as','at','by','it','this','that',
+        'from'])) / CAST(22.0 AS DOUBLE)
+    ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
+    CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE)
+         ELSE CAST(1.0 AS DOUBLE) END AS punct_ratio
+  FROM q)
+SELECT doc_id, CAST(n_punct AS BIGINT) AS n_punct,
+  round(CAST(0.4 AS DOUBLE) * least(n_tok / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+          - least(punct_ratio * 5, CAST(1.0 AS DOUBLE)))
+      + CAST(0.3 AS DOUBLE) * least(stop_ratio * 4, CAST(1.0 AS DOUBLE)), 4)
+    AS quality_score
+FROM m""",
         "docs_fingerprint": """
 SELECT CAST(count(DISTINCT trim(regexp_replace(
          regexp_replace(lower(text), '[.,!?;:''"()\\[\\]{}-]', '', 'g'),
