@@ -261,6 +261,76 @@ def delete_marker(engine, **kw):
     return _df(engine, [Row(deleted=True)], "deleted boolean")
 
 
+def stats_wa(engine, **kw):
+    """Write amplification: bytes written by each commit vs live table bytes
+    (stats_wa procedure)."""
+    t = _t(engine, kw)
+    live = sum(os.path.getsize(t.view().abs(f.path))
+               for _g, s in t.view().live_slices()
+               for f in ([s.base_file] if s.base_file else []) + list(s.deltas)
+               if os.path.exists(t.view().abs(f.path)))
+    rows = []
+    for c in t.commits():
+        wb = c.get("total_bytes") or 0
+        rows.append(Row(commit_time=c["instant"], written_bytes=wb,
+                        live_bytes=live,
+                        amplification=round(wb / live, 4) if live else None))
+    return _df(engine, rows, "commit_time string, written_bytes long, "
+               "live_bytes long, amplification double")
+
+
+def show_logfile_metadata(engine, **kw):
+    """Delta ("log") files per file group with size/records
+    (show_logfile_metadata)."""
+    t = _t(engine, kw)
+    rows = []
+    for g, s in t.view().live_slices():
+        for d in s.deltas:
+            rows.append(Row(partition=g.partition, file_id=g.file_id,
+                            file=d.path, instant=d.instant,
+                            records=d.records, size_bytes=d.bytes))
+    return _df(engine, rows, "partition string, file_id string, file string, "
+               "instant string, records long, size_bytes long")
+
+
+def show_logfile_records(engine, **kw):
+    """Rows stored in delta files (show_logfile_records), latest first."""
+    t = _t(engine, kw)
+    limit = int(kw.get("limit", 10))
+    from .writer import delta_read_schema, read_files
+    paths = [t.view().abs(d.path) for _g, s in t.view().live_slices()
+             for d in s.deltas]
+    if not paths:
+        return engine.spark.createDataFrame([], delta_read_schema(t.cfg))
+    return read_files(engine.spark, paths, delta_read_schema(t.cfg),
+                      t.cfg).limit(limit)
+
+
+def validate_metadata_table_files(engine, **kw):
+    """Check every manifest-listed file exists on disk
+    (ValidateMetadataTableFilesProcedure)."""
+    t = _t(engine, kw)
+    view = t.view()
+    rows = []
+    for g, s in view.live_slices():
+        for f in ([s.base_file] if s.base_file else []) + list(s.deltas):
+            p = view.abs(f.path)
+            rows.append(Row(partition=g.partition, file=f.path,
+                            exists=os.path.exists(p)))
+    return _df(engine, rows, "partition string, file string, exists boolean")
+
+
+def hdfs_parquet_import(engine, **kw):
+    """Import a plain parquet directory into the table via bulk_insert
+    (HdfsParquetImportProcedure equivalent)."""
+    t = _t(engine, kw)
+    src = kw["src_path"]
+    df = engine.spark.read.parquet(src)
+    instant = t.bulk_insert(df)
+    return _df(engine, [Row(instant=instant, rows=df.count())],
+               "instant string, rows long")
+
+
 PROCEDURES = {
     "show_commits": show_commits,
     "show_commits_metadata": show_commits_metadata,
@@ -285,6 +355,11 @@ PROCEDURES = {
     "stats_file_sizes": stats_file_sizes,
     "copy_to_table": copy_to_table,
     "delete_marker": delete_marker,
+    "stats_wa": stats_wa,
+    "show_logfile_metadata": show_logfile_metadata,
+    "show_logfile_records": show_logfile_records,
+    "validate_metadata_table_files": validate_metadata_table_files,
+    "hdfs_parquet_import": hdfs_parquet_import,
 }
 
 

@@ -183,6 +183,38 @@ def dispatch(engine, text: str):
             [(instant, instant is not None)],
             "clustering_instant string, executed boolean")
 
+    # CREATE INDEX idx ON t [USING column_stats] (c1, c2) — scopes the
+    # column-stats manifest (HoodieSqlCommon.g4:51-56 index commands)
+    m = re.match(r"^CREATE\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?\w+\s+ON\s+"
+                 r"([\w.`\"]+)\s*(?:USING\s+\w+\s*)?\(\s*(.+?)\s*\)\s*$",
+                 sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        t = engine.table(_ident(m.group(1)))
+        t.cfg.stats_columns = [_ident(c) for c in m.group(2).split(",")]
+        from . import config as cfgmod
+        cfgmod.save_config(t.base_path, t.cfg)
+        return engine.spark.createDataFrame(
+            [(c,) for c in t.cfg.stats_columns], "indexed_column string")
+
+    m = re.match(r"^DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?\w+\s+ON\s+([\w.`\"]+)\s*$",
+                 sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        t = engine.table(_ident(m.group(1)))
+        t.cfg.stats_columns = []
+        from . import config as cfgmod
+        cfgmod.save_config(t.base_path, t.cfg)
+        return engine.spark.createDataFrame([(True,)], "dropped boolean")
+
+    m = re.match(r"^SHOW\s+INDEX(?:ES)?\s+(?:ON|FROM)\s+([\w.`\"]+)\s*$",
+                 sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        t = engine.table(_ident(m.group(1)))
+        cols = t.cfg.stats_columns
+        rows = [(c, "column_stats") for c in cols] if cols else \
+            ([] if cols == [] else [("*", "column_stats")])
+        return engine.spark.createDataFrame(
+            rows, "indexed_column string, index_type string")
+
     m = re.match(r"^SHOW\s+PARTITIONS\s+([\w.`\"]+)\s*$", sql, re.IGNORECASE)
     if m and engine.has_table(_ident(m.group(1))):
         t = engine.table(_ident(m.group(1)))

@@ -161,3 +161,49 @@ def test_sql_ctas(spark, tmp_path):
     assert eng.table("ctas_t").snapshot().count() == 2
     eng.sql("INSERT INTO ctas_t SELECT 3 AS id, 'z' AS grp, 3.0 AS val, 1 AS seq")
     assert eng.table("ctas_t").snapshot().count() == 3
+
+
+def test_more_procedures(eng_table, tmp_path_factory, spark):
+    eng, t = eng_table
+    wa = eng.call("stats_wa", table="t1").collect()
+    assert len(wa) == 2 and all(r.written_bytes > 0 for r in wa)
+    ok = eng.call("validate_metadata_table_files", table="t1").collect()
+    assert ok and all(r.exists for r in ok)
+    # import a parquet dir (bulk_insert path)
+    src = str(tmp_path_factory.mktemp("imp") / "p")
+    spark.createDataFrame([(7, "a", 70.0, "2024-03-01")],
+                          "id long, grp string, val double, ts string") \
+         .write.parquet(src)
+    res = eng.call("hdfs_parquet_import", table="t1", src_path=src).collect()[0]
+    assert res.rows == 1
+    assert eng.table("t1").snapshot().count() == 5
+
+
+def test_logfile_procedures(spark, tmp_path):
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "lm"), name="lm", table_type="mor",
+                         record_key_fields=["id"], precombine_field="seq")
+    df = spark.createDataFrame([(i, float(i), 1) for i in range(10)],
+                               "id long, val double, seq long")
+    t.bulk_insert(df)
+    t.upsert(df.withColumn("seq", F.lit(2)))
+    md = eng.call("show_logfile_metadata", table="lm").collect()
+    assert md and all(r.size_bytes > 0 for r in md)
+    recs = eng.call("show_logfile_records", table="lm", limit=5)
+    assert recs.count() == 5
+
+
+def test_index_sql(eng_table):
+    eng, t = eng_table
+    assert eng.sql("SHOW INDEX ON t1").collect()[0].indexed_column == "*"
+    eng.sql("CREATE INDEX i1 ON t1 USING column_stats (id, val)")
+    cols = {r.indexed_column for r in eng.sql("SHOW INDEXES ON t1").collect()}
+    assert cols == {"id", "val"}
+    # subsequent writes record stats only for the indexed columns
+    t2 = eng.table("t1")
+    t2.upsert(t2.snapshot().filter("id = 1"))
+    stats = eng.call("show_metadata_table_stats", table="t1").collect()
+    latest_cols = {r.column for r in stats}
+    assert "id" in latest_cols
+    eng.sql("DROP INDEX i1 ON t1")
+    assert eng.sql("SHOW INDEX ON t1").count() == 0
