@@ -584,6 +584,29 @@ def q_emb_topk(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_docs_language_id(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import with_language_id
+    docs = with_language_id(_read(spark, sf_dir, "documents"))
+    return docs.groupBy("lang_pred").agg(_n())
+
+
+def q_docs_ngram_jaccard(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import ngram_jaccard_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
+def q_emb_near_dup(spark, sf_dir):
+    # num_cells=1 makes the IVF blocking exact (all-pairs), so a plain
+    # cross-join DuckDB oracle verifies the cosine + pair semantics; cosine
+    # itself is excluded from the output because DuckDB computes it in
+    # float32 (values differ at ~1e-7; the 0.40 boundary gap is ~6e-4).
+    from hudi_0_12_0_my_spark.operators import embedding_near_dup_pairs
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.40, num_cells=1) \
+        .select("id_a", "id_b")
+
+
 # ---- rows-only (no SQL-expressible oracle; driver records weaker check)
 def q_docs_minhash_lsh(spark, sf_dir):
     from hudi_0_12_0_my_spark.operators import minhash_lsh_pairs
@@ -658,7 +681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_language_id": q_docs_language_id,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "emb_topk": q_emb_topk,
+        "emb_near_dup": q_emb_near_dup,
         # rows-only checks
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
@@ -909,6 +935,49 @@ SELECT CAST(count(DISTINCT trim(regexp_replace(
          '\\s+', ' ', 'g'))) AS BIGINT) AS n_distinct,
        CAST(count(*) AS BIGINT) AS n
 FROM documents""",
+        "docs_language_id": """
+WITH t AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE list_slice(string_split_regex(trim(lower(text)), '\\s+'),
+                                  1, 200) END AS toks
+           FROM documents),
+h AS (SELECT doc_id,
+  len(list_filter(toks, t -> list_contains(
+    ['the','and','of','to','is','that','for','with'], t))) AS h_en,
+  len(list_filter(toks, t -> list_contains(
+    ['der','die','und','das','ist','nicht','mit','ein'], t))) AS h_de,
+  len(list_filter(toks, t -> list_contains(
+    ['le','la','les','et','est','pas','pour','une'], t))) AS h_fr,
+  len(list_filter(toks, t -> list_contains(
+    ['el','la','los','que','es','por','una','con'], t))) AS h_es
+  FROM t)
+SELECT CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM h GROUP BY 1""",
+        "docs_ngram_jaccard": """
+WITH d0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE length(trim(text)) > 0),
+d AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+      FROM d0),
+d2 AS (SELECT doc_id, grams, len(grams) AS n_grams FROM d WHERE len(grams) > 0),
+inv AS (SELECT doc_id, n_grams, unnest(grams) AS g FROM d2),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_grams AS na, b.n_grams AS nb,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""",
+        "emb_near_dup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40""",
         "emb_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
 s AS (SELECT qid, vec_id AS nid,
