@@ -42,8 +42,11 @@ def bootstrap_table(spark, base_path: str, source_dir: str,
 
     import pyarrow.parquet as pq
 
-    # discover (partition_path, file) pairs
+    # discover (partition_path, file) pairs; a single parquet file is a
+    # one-file unpartitioned dataset
     found: list[tuple[str, str]] = []
+    if os.path.isfile(source_dir):
+        found.append(("", source_dir))
     for root, _dirs, files in os.walk(source_dir):
         rel = os.path.relpath(root, source_dir)
         partition = "" if rel == "." else rel

@@ -331,6 +331,269 @@ def hdfs_parquet_import(engine, **kw):
                "instant string, rows long")
 
 
+# ---------------------------------------------------------------- bootstrap
+def run_bootstrap(engine, **kw):
+    """Adopt an existing parquet dataset (RunBootstrapProcedure)."""
+    path = kw.pop("path")
+    src = kw.pop("src_path")
+    mode = kw.pop("mode", "METADATA_ONLY")
+    t = engine.bootstrap(path, src, mode=mode, **kw)
+    total = sum(c.get("total_records") or 0 for c in t.commits())
+    return _df(engine, [Row(base_path=path, mode=mode.upper(),
+                            total_records=total)],
+               "base_path string, mode string, total_records long")
+
+
+def _bootstrap_slices(t):
+    for g, s in t.view().live_slices():
+        if s.base_file and g.file_id.startswith("bootstrap-"):
+            yield g, s
+
+
+def show_bootstrap_mapping(engine, **kw):
+    """file group -> external source file (ShowBootstrapMappingProcedure)."""
+    t = _t(engine, kw)
+    rows = [Row(partition=g.partition, file_id=g.file_id,
+                source_file=s.base_file.path, records=s.base_file.records)
+            for g, s in _bootstrap_slices(t)]
+    return _df(engine, rows, "partition string, file_id string, "
+               "source_file string, records long")
+
+
+def show_bootstrap_partitions(engine, **kw):
+    t = _t(engine, kw)
+    parts = sorted({g.partition for g, _s in _bootstrap_slices(t)})
+    return _df(engine, [Row(partition=p) for p in parts], "partition string")
+
+
+# ----------------------------------------------------- metadata-table admin
+def show_metadata_table_partitions(engine, **kw):
+    """Metadata partitions a-la MetadataPartitionType: files / column_stats."""
+    t = _t(engine, kw)
+    view = t.view()
+    slices = view.live_slices()
+    n_files = sum(1 + len(s.deltas) for _g, s in slices)
+    n_stats = sum(len(s.base_file.col_stats or {})
+                  for _g, s in slices if s.base_file)
+    rows = [Row(partition="files", enabled=True, entries=n_files),
+            Row(partition="column_stats", enabled=True, entries=n_stats)]
+    return _df(engine, rows, "partition string, enabled boolean, entries long")
+
+
+def create_metadata_table(engine, **kw):
+    """Materialize the folded view as a manifest checkpoint, so reads start
+    from O(live files) state instead of replaying the timeline
+    (HoodieBackedTableMetadataWriter bootstrap equivalent)."""
+    from .services.archival import _serialize_view, manifest_dir
+    from .util import atomic_write_json
+    t = _t(engine, kw)
+    instant = t.latest_instant()
+    if instant is None:
+        return _df(engine, [], "instant string, file_groups int")
+    view = t.view()
+    snap = _serialize_view(view, instant)
+    atomic_write_json(os.path.join(manifest_dir(t.base_path),
+                                   f"{instant}.json"), snap)
+    return _df(engine, [Row(instant=instant, file_groups=len(snap["groups"]))],
+               "instant string, file_groups int")
+
+
+def init_metadata_table(engine, **kw):
+    return create_metadata_table(engine, **kw)
+
+
+def delete_metadata_table(engine, **kw):
+    import shutil
+    from .services.archival import manifest_dir
+    t = _t(engine, kw)
+    d = manifest_dir(t.base_path)
+    existed = os.path.isdir(d)
+    shutil.rmtree(d, ignore_errors=True)
+    return _df(engine, [Row(deleted=existed)], "deleted boolean")
+
+
+# ------------------------------------------------------------------ repairs
+PARTITION_META = ".partition_metadata.json"
+
+
+def repair_add_partition_meta(engine, **kw):
+    """Write a partition-metadata marker into each partition dir
+    (RepairAddpartitionmetaProcedure; Hudi's .hoodie_partition_metadata)."""
+    t = _t(engine, kw)
+    dry = str(kw.get("dry_run", "false")).lower() == "true"
+    rows = []
+    for p in t.partitions():
+        pdir = os.path.join(t.base_path, p) if p else t.base_path
+        marker = os.path.join(pdir, PARTITION_META)
+        if os.path.exists(marker):
+            action = "exists"
+        else:
+            action = "would_add" if dry else "added"
+            if not dry:
+                from .util import atomic_write_json
+                os.makedirs(pdir, exist_ok=True)
+                atomic_write_json(marker, {
+                    "commit_time": t.latest_instant(),
+                    "partition_depth": len([x for x in p.split("/") if x])})
+        rows.append(Row(partition=p, action=action))
+    return _df(engine, rows, "partition string, action string")
+
+
+def repair_migrate_partition_meta(engine, **kw):
+    """Rewrite legacy (non-JSON) partition markers into the canonical JSON
+    form (RepairMigratePartitionMetaProcedure)."""
+    import json as _json
+    from .util import atomic_write_json
+    t = _t(engine, kw)
+    rows = []
+    for p in t.partitions():
+        pdir = os.path.join(t.base_path, p) if p else t.base_path
+        marker = os.path.join(pdir, PARTITION_META)
+        action = "missing"
+        if os.path.exists(marker):
+            try:
+                with open(marker) as f:
+                    _json.load(f)
+                action = "ok"
+            except (ValueError, OSError):
+                atomic_write_json(marker, {
+                    "commit_time": t.latest_instant(),
+                    "partition_depth": len([x for x in p.split("/") if x])})
+                action = "migrated"
+        rows.append(Row(partition=p, action=action))
+    return _df(engine, rows, "partition string, action string")
+
+
+def repair_corrupted_clean_files(engine, **kw):
+    """Drop clean-instant files whose metadata JSON cannot be parsed
+    (RepairCorruptedCleanFilesProcedure)."""
+    t = _t(engine, kw)
+    removed = []
+    for ins in t.timeline.instants(states=("requested", "inflight", "completed"),
+                                   actions=("clean",)):
+        try:
+            t.timeline.metadata(ins)
+        except (ValueError, OSError):
+            os.remove(t.timeline.path(ins))
+            removed.append(ins.time)
+    return _df(engine, [Row(removed_instants=removed, n_removed=len(removed))],
+               "removed_instants array<string>, n_removed int")
+
+
+def repair_deduplicate(engine, **kw):
+    """Remove duplicate record keys inside a partition by rewriting it
+    (RepairDeduplicateProcedure). Duplicates can only come from insert /
+    bulk_insert paths (upsert dedupes by design)."""
+    from pyspark.sql import Window, functions as F
+    t = _t(engine, kw)
+    partition = kw["partition"]
+    dry = str(kw.get("dry_run", "false")).lower() == "true"
+    snap = t.snapshot(keep_meta=True) \
+        .filter(F.col("_hoodie_partition_path") == partition)
+    order = [F.desc(t.cfg.precombine_field)] if t.cfg.precombine_field else []
+    order.append(F.desc("_hoodie_commit_time"))
+    w = Window.partitionBy("_hoodie_record_key").orderBy(*order)
+    deduped = (snap.withColumn("_rn", F.row_number().over(w))
+               .filter("_rn = 1").drop("_rn"))
+    total, kept = snap.count(), deduped.count()
+    if not dry and kept < total:
+        from .meta import strip_meta
+        t.insert_overwrite(strip_meta(deduped))
+    return _df(engine, [Row(partition=partition, total_rows=total,
+                            duplicate_rows=total - kept,
+                            rewritten=(not dry and kept < total))],
+               "partition string, total_rows long, duplicate_rows long, "
+               "rewritten boolean")
+
+
+def repair_overwrite_hoodie_props(engine, **kw):
+    """Overwrite table config keys (RepairOverwriteHoodiePropsProcedure).
+    Pass new values as new_props=<json object string> or direct kwargs."""
+    import json as _json
+    from . import config as cfgmod
+    t = _t(engine, kw)
+    props = kw.get("new_props")
+    props = _json.loads(props) if isinstance(props, str) else (props or {})
+    d = t.cfg.to_dict()
+    d.update(props)
+    cfgmod.save_config(t.base_path, cfgmod.TableConfig.from_dict(d))
+    t.reload()
+    rows = [Row(key=k, value=str(v))
+            for k, v in sorted(cfgmod.load_config(t.base_path).to_dict().items())]
+    return _df(engine, rows, "key string, value string")
+
+
+# --------------------------------------------------------- version / sync
+_VERSION_FILE = "version.json"
+CURRENT_TABLE_VERSION = 5          # Hudi 0.12 = table version FIVE
+
+
+def _version_path(t):
+    return os.path.join(t.base_path, ".hoodie", _VERSION_FILE)
+
+
+def _read_version(t) -> int:
+    from .util import read_json
+    try:
+        return int(read_json(_version_path(t))["version"])
+    except (OSError, ValueError, KeyError):
+        return CURRENT_TABLE_VERSION
+
+
+def _write_version(engine, t, to_version: int):
+    from .util import atomic_write_json
+    old = _read_version(t)
+    atomic_write_json(_version_path(t), {"version": to_version})
+    return _df(engine, [Row(old_version=old, new_version=to_version)],
+               "old_version int, new_version int")
+
+
+def upgrade_table(engine, **kw):
+    t = _t(engine, kw)
+    return _write_version(engine, t,
+                          int(kw.get("to_version", CURRENT_TABLE_VERSION)))
+
+
+def downgrade_table(engine, **kw):
+    t = _t(engine, kw)
+    return _write_version(engine, t,
+                          int(kw.get("to_version", CURRENT_TABLE_VERSION - 1)))
+
+
+def validate_hoodie_sync(engine, **kw):
+    """Compare row/commit counts of this table vs a synced copy
+    (ValidateHoodieSyncProcedure)."""
+    t = _t(engine, kw)
+    other = engine.load_table(kw["other_path"])
+    a, b = t.snapshot().count(), other.snapshot().count()
+    ca, cb = len(t.commits()), len(other.commits())
+    return _df(engine, [Row(source_rows=a, target_rows=b,
+                            source_commits=ca, target_commits=cb,
+                            in_sync=(a == b))],
+               "source_rows long, target_rows long, source_commits int, "
+               "target_commits int, in_sync boolean")
+
+
+def show_fs_path_detail(engine, **kw):
+    """Recursive file listing with sizes for any path
+    (ShowFsPathDetailProcedure)."""
+    root = kw["path"]
+    limit = int(kw.get("limit", 100))
+    sort_desc = str(kw.get("sort", "true")).lower() == "true"
+    rows = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            try:
+                rows.append(Row(path=os.path.relpath(p, root),
+                                size_bytes=os.path.getsize(p)))
+            except OSError:
+                continue
+    rows.sort(key=lambda r: (-r.size_bytes if sort_desc else r.size_bytes,
+                             r.path))
+    return _df(engine, rows[:limit], "path string, size_bytes long")
+
+
 PROCEDURES = {
     "show_commits": show_commits,
     "show_commits_metadata": show_commits_metadata,
@@ -360,6 +623,22 @@ PROCEDURES = {
     "show_logfile_records": show_logfile_records,
     "validate_metadata_table_files": validate_metadata_table_files,
     "hdfs_parquet_import": hdfs_parquet_import,
+    "run_bootstrap": run_bootstrap,
+    "show_bootstrap_mapping": show_bootstrap_mapping,
+    "show_bootstrap_partitions": show_bootstrap_partitions,
+    "show_metadata_table_partitions": show_metadata_table_partitions,
+    "create_metadata_table": create_metadata_table,
+    "init_metadata_table": init_metadata_table,
+    "delete_metadata_table": delete_metadata_table,
+    "repair_add_partition_meta": repair_add_partition_meta,
+    "repair_migrate_partition_meta": repair_migrate_partition_meta,
+    "repair_corrupted_clean_files": repair_corrupted_clean_files,
+    "repair_deduplicate": repair_deduplicate,
+    "repair_overwrite_hoodie_props": repair_overwrite_hoodie_props,
+    "upgrade_table": upgrade_table,
+    "downgrade_table": downgrade_table,
+    "validate_hoodie_sync": validate_hoodie_sync,
+    "show_fs_path_detail": show_fs_path_detail,
 }
 
 

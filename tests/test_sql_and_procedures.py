@@ -207,3 +207,97 @@ def test_index_sql(eng_table):
     assert "id" in latest_cols
     eng.sql("DROP INDEX i1 ON t1")
     assert eng.sql("SHOW INDEX ON t1").count() == 0
+
+
+def test_bootstrap_procedures(spark, tmp_path):
+    eng = Engine(spark)
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(i, float(i)) for i in range(20)],
+                          "id long, val double") \
+         .repartition(2).write.parquet(src)
+    res = eng.call("run_bootstrap", path=str(tmp_path / "bt"), src_path=src,
+                   mode="METADATA_ONLY", name="bt",
+                   record_key_fields=["id"]).collect()[0]
+    assert res.total_records == 20
+    mapping = eng.call("show_bootstrap_mapping", table="bt").collect()
+    assert mapping and all(r.file_id.startswith("bootstrap-") for r in mapping)
+    parts = eng.call("show_bootstrap_partitions", table="bt").collect()
+    assert len(parts) == 1
+
+
+def test_metadata_table_admin_procedures(eng_table):
+    eng, t = eng_table
+    parts = {r.partition: r.entries
+             for r in eng.call("show_metadata_table_partitions",
+                               table="t1").collect()}
+    assert parts["files"] >= 2 and parts["column_stats"] > 0
+    created = eng.call("create_metadata_table", table="t1").collect()[0]
+    assert created.file_groups >= 2
+    # checkpointed view must equal the folded view
+    key = lambda r: sorted(r.asDict().items())   # noqa: E731
+    before = sorted(t.snapshot().collect(), key=key)
+    t2 = eng.table("t1")
+    after = sorted(t2.snapshot().collect(), key=key)
+    assert before == after
+    assert eng.call("delete_metadata_table", table="t1").collect()[0].deleted
+    assert eng.call("init_metadata_table", table="t1").count() == 1
+
+
+def test_repair_procedures(spark, eng_table, tmp_path):
+    eng, t = eng_table
+    # partition-meta add + migrate round trip
+    added = {r.partition: r.action
+             for r in eng.call("repair_add_partition_meta",
+                               table="t1").collect()}
+    assert set(added.values()) == {"added"}
+    import os
+    marker = os.path.join(t.base_path, "a", ".partition_metadata.json")
+    with open(marker, "w") as f:
+        f.write("commitTime=000\npartitionDepth=1\n")   # legacy text format
+    mig = {r.partition: r.action
+           for r in eng.call("repair_migrate_partition_meta",
+                             table="t1").collect()}
+    assert mig["a"] == "migrated" and mig["b"] == "ok"
+    # corrupted clean file gets dropped
+    bad = os.path.join(t.base_path, ".hoodie", "timeline",
+                       "99999999999999999.clean")
+    with open(bad, "w") as f:
+        f.write("{not json")
+    rc = eng.call("repair_corrupted_clean_files", table="t1").collect()[0]
+    assert rc.n_removed == 1 and not os.path.exists(bad)
+    # dedup repair: force duplicate keys via validate-free insert
+    dup = spark.createDataFrame([(1, "a", 99.0, "2024-09-09")],
+                                "id long, grp string, val double, ts string")
+    t.insert(dup)
+    res = eng.call("repair_deduplicate", table="t1", partition="a",
+                   dry_run="true").collect()[0]
+    assert res.duplicate_rows == 1 and not res.rewritten
+    res = eng.call("repair_deduplicate", table="t1",
+                   partition="a").collect()[0]
+    assert res.duplicate_rows == 1 and res.rewritten
+    snap = t.reload().snapshot().filter("id = 1").collect()
+    assert len(snap) == 1 and snap[0].val == 99.0   # latest ts wins
+    # props overwrite persists
+    props = eng.call("repair_overwrite_hoodie_props", table="t1",
+                     new_props='{"cleaner_retain_commits": 7}').collect()
+    assert ("cleaner_retain_commits", "7") in [(r.key, r.value) for r in props]
+
+
+def test_version_sync_fs_procedures(spark, eng_table, tmp_path):
+    eng, t = eng_table
+    v = eng.call("downgrade_table", table="t1").collect()[0]
+    assert (v.old_version, v.new_version) == (5, 4)
+    v = eng.call("upgrade_table", table="t1").collect()[0]
+    assert (v.old_version, v.new_version) == (4, 5)
+    # synced copy -> in_sync true
+    other = str(tmp_path / "copy")
+    t2 = eng.create_table(other, name="t1copy", record_key_fields=["id"],
+                          precombine_field="ts", partition_field="grp")
+    from hudi_0_12_0_my_spark.meta import strip_meta
+    t2.bulk_insert(strip_meta(t.snapshot(keep_meta=True)))
+    vs = eng.call("validate_hoodie_sync", table="t1",
+                  other_path=other).collect()[0]
+    assert vs.in_sync and vs.source_rows == vs.target_rows
+    fs = eng.call("show_fs_path_detail", path=t.base_path,
+                  limit=5).collect()
+    assert 0 < len(fs) <= 5 and fs[0].size_bytes >= fs[-1].size_bytes
