@@ -24,6 +24,17 @@ def _delete_files(table, rel_paths) -> list[str]:
     return deleted
 
 
+def _restore_rings(table, md: dict, instant_time: str) -> None:
+    """Undo a consistent-bucket resize: put the previous rings back so ring
+    and file-system view cannot stay divergent (services/bucket_resize.py)."""
+    prev = md.get("prev_rings")
+    if not prev:
+        return
+    from .. import buckets as bk
+    for p, nodes in prev.items():
+        bk.save_ring(table.base_path, p, nodes, f"rollback-{instant_time}")
+
+
 def rollback_instant(table, instant_time: str, _allow_non_latest: bool = False) -> dict:
     timeline = table.timeline
     completed = [i for i in timeline.completed_write_instants() if i.time == instant_time]
@@ -40,6 +51,7 @@ def rollback_instant(table, instant_time: str, _allow_non_latest: bool = False) 
         rels = [st["path"] for sts in (md.get("partition_to_write_stats") or {}).values()
                 for st in sts]
         deleted = _delete_files(table, rels)
+        _restore_rings(table, md, instant_time)
         timeline.remove(instant_time, ins.action)
     elif pending:
         marker = table.writer._marker_path(instant_time)
@@ -47,6 +59,10 @@ def rollback_instant(table, instant_time: str, _allow_non_latest: bool = False) 
             deleted = _delete_files(table, read_json(marker)["files"])
             os.unlink(marker)
         for ins in pending:
+            try:
+                _restore_rings(table, timeline.metadata(ins), instant_time)
+            except (OSError, ValueError):
+                pass
             timeline.remove(instant_time, ins.action)
         # drop any staging leftovers of the crashed write
         temp_root = os.path.join(table.base_path, ".hoodie", ".temp")

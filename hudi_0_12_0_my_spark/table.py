@@ -129,6 +129,14 @@ class LakeTable:
                               partitions=partitions,
                               target_file_bytes=target_file_bytes)
 
+    def resize_buckets(self, split_above: int | None = None,
+                       merge_below: int | None = None,
+                       partitions: list | None = None) -> str | None:
+        """Consistent-hash bucket split/merge (services/bucket_resize.py)."""
+        from .services.bucket_resize import resize_buckets
+        return resize_buckets(self, split_above=split_above,
+                              merge_below=merge_below, partitions=partitions)
+
     def clean(self, policy: str | None = None, retain: int | None = None) -> dict:
         from .services.cleaner import run_clean
         return run_clean(self, policy=policy, retain=retain)

@@ -449,7 +449,7 @@ class Writer:
             try:
                 view = self.t.view()
                 self._occ_since = self.t.timeline.latest_completed_write().time if self.t.timeline.latest_completed_write() else "0"
-                if cfg.index_type == "bucket":
+                if cfg.index_type in ("bucket", "bucket_consistent"):
                     return self._upsert_bucket(incoming, view, instant,
                                                operation, action)
                 partitions = [r[0] for r in
@@ -518,19 +518,63 @@ class Writer:
                 except Exception:
                     pass
 
+    def _tag_bucket(self, incoming: DataFrame, view: FileSystemView | None,
+                    instant: str, fresh_groups: bool = False) -> DataFrame:
+        """Assign ``_hoodie_target_file_id`` for bucket-index tables.
+
+        simple bucket (HoodieSimpleBucketIndex.java:40, BucketIdentifier.java):
+        bucket = pmod(hash(key), num_buckets); the bucket number is the first
+        8 chars of the fileId (Hudi's bucketIdFromFileId prefix convention),
+        so a bucket keeps its identity across file-group generations —
+        replaced groups (insert_overwrite / delete_partition) get a fresh
+        suffix instead of resurrecting a dead group id.
+
+        bucket_consistent (HoodieSparkConsistentBucketIndex.java): ring
+        lookup via buckets.tag_with_ring.
+
+        Both are shuffle-free: driver-side metadata + one broadcast join.
+        """
+        cfg = self.cfg
+        if cfg.index_type == "bucket_consistent":
+            from . import buckets as bk
+            dead = set()
+            if view is not None:
+                dead = {(g.partition, g.file_id)
+                        for g in view.groups.values()
+                        if g.replaced_at is not None}
+            return bk.tag_with_ring(incoming, self.t.base_path,
+                                    cfg.num_buckets, instant,
+                                    dead_groups=dead, rotate_all=fresh_groups)
+        b = F.format_string("%08d", F.pmod(F.xxhash64(F.col(meta.RECORD_KEY)),
+                                           F.lit(cfg.num_buckets)))
+        with_b = incoming.withColumn("__bucket", b)
+        touched = [(r[0], r[1]) for r in
+                   with_b.select(meta.PARTITION_PATH, "__bucket")
+                   .distinct().collect()]
+        live: dict = {}
+        if view is not None and not fresh_groups:
+            for g, _s in view.live_slices():
+                live[(g.partition, g.file_id[:8])] = g.file_id
+        rows = [(p, bkt, live.get((p, bkt), bkt + new_file_id()[:8]))
+                for p, bkt in touched]
+        mdf = self.spark.createDataFrame(
+            rows, f"{meta.PARTITION_PATH} string, __bucket string, __fid string")
+        return (with_b.join(F.broadcast(mdf),
+                            on=[meta.PARTITION_PATH, "__bucket"])
+                .withColumn(meta.TARGET_FILE_ID, F.col("__fid"))
+                .drop("__bucket", "__fid"))
+
     def _upsert_bucket(self, incoming: DataFrame, view: FileSystemView,
                        instant: str, operation: str, action: str) -> str:
-        """Bucket-index upsert (HoodieSimpleBucketIndex.java:40,
-        BucketIdentifier.java): fileId = pmod(hash(key), num_buckets) —
-        deterministic, so tagging needs NO index scan and NO join. At 100 TB
-        this removes the full-table meta-column scan + shuffle that simple
-        index tagging costs; the trade is fixed bucket count per partition.
+        """Bucket-index upsert: deterministic assignment, so tagging needs NO
+        index scan and NO shuffle. At 100 TB this removes the full-table
+        meta-column scan + shuffle that simple index tagging costs; the trade
+        is a fixed bucket count per partition (lifted by the consistent-hash
+        variant, which resizes via services/bucket_resize.py).
         """
         cfg, spec = self.cfg, payloads.get(self.cfg.payload)
         cow = cfg.table_type == cfgmod.COW
-        fid = F.format_string("%08d", F.pmod(F.xxhash64(F.col(meta.RECORD_KEY)),
-                                             F.lit(cfg.num_buckets)))
-        tagged = incoming.withColumn(meta.TARGET_FILE_ID, fid)
+        tagged = self._tag_bucket(incoming, view, instant)
         touched = {(r[0], r[1]) for r in
                    tagged.select(meta.PARTITION_PATH, meta.TARGET_FILE_ID)
                    .distinct().collect()}
@@ -574,7 +618,7 @@ class Writer:
         lookup; small-file packing only. Duplicate keys are allowed unless
         validate_duplicates (ValidateDuplicateKeyPayload semantics)."""
         cfg = self.cfg
-        if cfg.index_type == "bucket":
+        if cfg.index_type in ("bucket", "bucket_consistent"):
             # bucket tables route EVERY write through bucket assignment —
             # a size-based file id would shadow the bucket's existing slice
             return self.upsert(df, operation="insert")
@@ -624,7 +668,7 @@ class Writer:
         repartitionByRange(partition, key) — one range shuffle, sorted files,
         best min/max key pruning for later upserts."""
         cfg = self.cfg
-        if cfg.index_type == "bucket":
+        if cfg.index_type in ("bucket", "bucket_consistent"):
             return self.upsert(df, operation="bulk_insert")
         cow = cfg.table_type == cfgmod.COW
         action = tl.COMMIT if cow else tl.DELTACOMMIT
@@ -693,7 +737,15 @@ class Writer:
             try:
                 view = self.t.view()
                 self._occ_since = self.t.timeline.latest_completed_write().time if self.t.timeline.latest_completed_write() else "0"
-                assigned, _ = self.assign_buckets(incoming, None, pack_small_files=False)
+                if self.cfg.index_type in ("bucket", "bucket_consistent"):
+                    # bucket identities must survive the overwrite with FRESH
+                    # group ids — writing into a just-replaced group id would
+                    # make the new files invisible to the fold
+                    assigned = self._tag_bucket(incoming, view, instant,
+                                                fresh_groups=True)
+                else:
+                    assigned, _ = self.assign_buckets(incoming, None,
+                                                      pack_small_files=False)
                 stats = self.stage_write(assigned, instant, "base")
                 if whole_table:
                     parts = None

@@ -87,8 +87,9 @@ def test_bucket_index_upsert(spark, tmp_path, table_type):
     assert t.snapshot().count() == 100
     # file ids are deterministic bucket ids
     km = t.snapshot(keep_meta=True)
+    # fileId = 8-char bucket prefix + generation suffix (bucketIdFromFileId)
     fids = {r[0].split("_")[0] for r in km.select("_hoodie_file_name").collect()}
-    assert fids <= {f"{i:08d}" for i in range(4)}
+    assert {f[:8] for f in fids} <= {f"{i:08d}" for i in range(4)}
 
     # second upsert: updates collapse into the same buckets, no dup keys
     t.upsert(df.withColumn("val", F.col("val") + 1000).withColumn("seq", F.lit(2)))

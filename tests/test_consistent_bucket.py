@@ -1,0 +1,126 @@
+"""Consistent-hashing bucket index: assignment, split/merge, crash safety.
+
+Reference semantics: HoodieSparkConsistentBucketIndex.java +
+ConsistentBucketIdentifier.java (split/merge of hash ranges).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_12_0_my_spark import Engine
+from hudi_0_12_0_my_spark import buckets as bk
+
+
+def _mk(spark, path, n=60, **kw):
+    eng = Engine(spark)
+    kw.setdefault("index_type", "bucket_consistent")
+    kw.setdefault("num_buckets", 4)
+    t = eng.create_table(str(path), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp", **kw)
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i), 1) for i in range(n)],
+        "id long, grp string, val double, seq long")
+    t.bulk_insert(df)
+    return eng, t, df
+
+
+def _expected(df_rows, mutations):
+    exp = {(r.id, r.grp): r.val for r in df_rows}
+    exp.update(mutations)
+    return exp
+
+
+def _snap_dict(t):
+    return {(r.id, r.grp): r.val for r in t.snapshot().collect()}
+
+
+def test_cow_upsert_and_ring_assignment(spark, tmp_path):
+    eng, t, df = _mk(spark, tmp_path / "cb")
+    t.upsert(df.filter("id < 10").withColumn("val", F.col("val") + 100)
+               .withColumn("seq", F.lit(2)))
+    exp = _expected(df.collect(), {(i, "a" if i % 2 else "b"): i + 100.0
+                                   for i in range(10)})
+    assert _snap_dict(t) == exp
+    # every partition got a ring; assignment is deterministic per key
+    rings = bk.all_rings(t.base_path)
+    assert set(rings) == {"a", "b"}
+    assert all(len(r["nodes"]) == 4 for r in rings.values())
+    # no duplicate keys across file groups
+    n = t.snapshot().count()
+    assert n == t.snapshot().select("id", "grp").distinct().count() == 60
+
+
+def test_split_preserves_data_and_routes_new_writes(spark, tmp_path):
+    eng, t, df = _mk(spark, tmp_path / "cb2")
+    before = _snap_dict(t)
+    instant = t.resize_buckets(split_above=1)   # every bucket is "oversized"
+    assert instant is not None
+    assert _snap_dict(t) == before
+    rings = bk.all_rings(t.base_path)
+    assert all(len(r["nodes"]) == 8 for r in rings.values())   # 4 -> 8
+    # subsequent upsert lands in the child buckets without duplicating keys
+    t = t.reload()
+    t.upsert(df.withColumn("val", F.col("val") * 10).withColumn("seq", F.lit(3)))
+    snap = t.snapshot()
+    assert snap.count() == 60
+    assert _snap_dict(t) == {(r.id, r.grp): r.val * 10 for r in df.collect()}
+    # resize shows up as a clustering operation
+    ops = eng.load_table(t.base_path)
+    shows = eng.call("show_clustering", path=t.base_path).collect()
+    assert any(r.state == "completed" for r in shows)
+
+
+def test_merge_shrinks_ring(spark, tmp_path):
+    eng, t, df = _mk(spark, tmp_path / "cb3")
+    t.resize_buckets(split_above=1)
+    before = _snap_dict(t)
+    # everything is tiny -> adjacent buckets merge pairwise
+    instant = t.reload().resize_buckets(split_above=1 << 40,
+                                        merge_below=1 << 40)
+    assert instant is not None
+    rings = bk.all_rings(t.base_path)
+    assert all(len(r["nodes"]) == 4 for r in rings.values())   # 8 -> 4
+    assert _snap_dict(t.reload()) == before
+
+
+def test_mor_consistent_bucket(spark, tmp_path):
+    eng, t, df = _mk(spark, tmp_path / "cbm", table_type="mor")
+    t.upsert(df.withColumn("val", F.col("val") + 1).withColumn("seq", F.lit(2)))
+    assert _snap_dict(t) == {(r.id, r.grp): r.val + 1 for r in df.collect()}
+    # logs compact into the same ring file groups
+    assert t.compact() is not None
+    t = t.reload()
+    assert _snap_dict(t) == {(r.id, r.grp): r.val + 1 for r in df.collect()}
+    # split after compaction still preserves rows
+    t.resize_buckets(split_above=1)
+    assert _snap_dict(t.reload()) == {(r.id, r.grp): r.val + 1
+                                      for r in df.collect()}
+
+
+@pytest.mark.parametrize("index_type", ["bucket", "bucket_consistent"])
+def test_insert_overwrite_then_upsert(spark, tmp_path, index_type):
+    """Regression: a bucket write after insert_overwrite must not land inside
+    the replaced (dead) file groups."""
+    eng, t, df = _mk(spark, tmp_path / f"ov_{index_type}", index_type=index_type)
+    t.insert_overwrite(df.withColumn("val", F.lit(0.0)))
+    t = t.reload()
+    assert t.snapshot().count() == 60
+    assert set(_snap_dict(t).values()) == {0.0}
+    t.upsert(df.filter("id < 6").withColumn("val", F.lit(5.0))
+               .withColumn("seq", F.lit(2)))
+    t = t.reload()
+    snap = _snap_dict(t)
+    assert t.snapshot().count() == 60
+    assert all(snap[(i, "a" if i % 2 else "b")] == 5.0 for i in range(6))
+
+
+def test_rollback_restores_ring(spark, tmp_path):
+    eng, t, df = _mk(spark, tmp_path / "cbr")
+    nodes_before = {p: r["nodes"] for p, r in bk.all_rings(t.base_path).items()}
+    instant = t.resize_buckets(split_above=1)
+    assert instant is not None
+    t = t.reload()
+    t.rollback(instant)
+    nodes_after = {p: r["nodes"] for p, r in bk.all_rings(t.base_path).items()}
+    assert nodes_after == nodes_before
+    assert _snap_dict(t.reload()) == {(r.id, r.grp): r.val for r in df.collect()}
