@@ -428,6 +428,28 @@ def q_bucket_index(spark, sf_dir):
             .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
 
 
+def q_bucket_consistent(spark, sf_dir):
+    """Consistent-hashing bucket index: upsert -> split every bucket ->
+    upsert again; snapshot must equal the simple-index result."""
+    key = (sf_dir, "li_bucket_ch")
+    if key not in _BUILT:
+        base = _li_base(spark, sf_dir)
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "li_bucket_ch")),
+            record_key_fields=["l_orderkey", "l_linenumber"],
+            precombine_field="l_shipdate", partition_field="l_shipdate",
+            partition_style="timestamp", keygen_output_format="yyyy",
+            index_type="bucket_consistent", num_buckets=4)
+        t.upsert(base)
+        t.resize_buckets(split_above=1)      # 4 -> 8 nodes per partition
+        t = t.reload()
+        t.upsert(_li_mut(base))
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("l_returnflag", "l_linestatus")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
+
+
 def q_clustering_hilbert(spark, sf_dir):
     """Hilbert-curve clustering, same layout-only invariant as z-order
     (HilbertCurveUtils.java:29, SpaceCurveSortingHelper.java:64)."""
@@ -669,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollback": q_rollback,
         "savepoint_restore": q_savepoint_restore,
         "bucket_index": q_bucket_index,
+        "bucket_consistent": q_bucket_consistent,
         # relational over raw parquet (§2.10: delegated to Catalyst)
         "q1_pricing": q_q1_pricing,
         "q6_revenue": q_q6_revenue,
@@ -834,6 +857,11 @@ SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM base GROUP BY 1""",
         "bucket_index": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM cur GROUP BY 1, 2""",
+        "bucket_consistent": f"""
 WITH {LI_CTES}
 SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
