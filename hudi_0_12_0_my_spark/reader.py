@@ -85,7 +85,17 @@ class Reader:
     # ------------------------------------------------------------- helpers
     def _merge_plan(self, view, slices) -> DataFrame:
         """MOR merge: groups without deltas stream straight from their base
-        file; groups with deltas get union + payload window resolution."""
+        file; groups with deltas split base rows by delta-key membership so
+        the payload window runs ONLY over contested keys.
+
+        Scale shape: the window (exchange + sort on key) is the expensive
+        step of Hudi's merge — restricting it to |delta| + |matched base|
+        rows instead of the whole table is the vectorized analogue of
+        HoodieMergedLogRecordScanner's hashmap probe (only log-present keys
+        are merged). The delta-key set is a distinct of the (small) delta
+        files, so AQE turns the two membership joins into broadcasts when it
+        fits; untouched base rows never shuffle at all.
+        """
         cfg = self.cfg
         spec = payloads.get(cfg.payload)
         clean = [view.abs(s.base_file.path) for g, s in slices
@@ -98,10 +108,15 @@ class Reader:
         if dirty_delta:
             base = read_files(self.spark, dirty_base, base_read_schema(cfg), cfg)
             delta = read_files(self.spark, dirty_delta, delta_read_schema(cfg), cfg)
+            on = [meta.PARTITION_PATH, meta.RECORD_KEY]
+            dkeys = delta.select(*on).distinct()
+            untouched = base.join(dkeys, on=on, how="left_anti")
+            contested = base.join(dkeys, on=on, how="left_semi")
             merged = payloads.resolve(
-                base.unionByName(delta, allowMissingColumns=True),
+                contested.unionByName(delta, allowMissingColumns=True),
                 cfg, spec, drop_deletes=True)
-            out = out.unionByName(merged.select(*out.columns))
+            out = (out.unionByName(untouched.select(*out.columns))
+                      .unionByName(merged.select(*out.columns)))
         return out
 
     def _apply_filters(self, df: DataFrame, filters):
