@@ -496,9 +496,22 @@ class Writer:
                         old = fill_bootstrap_meta(self.spark, old, cfg, view, bs)
                     old = old.withColumn(meta.TARGET_FILE_ID,
                                          meta.file_id_from_name())
-                    allr = old.unionByName(updates, allowMissingColumns=True) \
-                              .unionByName(inserts_assigned, allowMissingColumns=True)
-                    merged = payloads.resolve(allr, cfg, spec, drop_deletes=True)
+                    # contested-key split: the payload window (exchange+sort)
+                    # runs ONLY over updated keys; unchanged rows of rewritten
+                    # files and fresh inserts stream through without shuffling
+                    # (incoming was already precombined, so inserts are
+                    # key-unique by construction)
+                    on = [meta.PARTITION_PATH, meta.RECORD_KEY]
+                    ukeys = updates.select(*on).distinct()
+                    untouched = old.join(ukeys, on=on, how="left_anti")
+                    contested = old.join(ukeys, on=on, how="left_semi")
+                    resolved = payloads.resolve(
+                        contested.unionByName(updates, allowMissingColumns=True),
+                        cfg, spec, drop_deletes=True)
+                    merged = (resolved
+                              .unionByName(untouched, allowMissingColumns=True)
+                              .unionByName(inserts_assigned,
+                                           allowMissingColumns=True))
                     stats = self.stage_write(merged, instant, "base")
                     replaced = self.emptied_groups(affected, stats)
                 else:
