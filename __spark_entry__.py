@@ -656,7 +656,16 @@ def q_multimodal_features(spark, sf_dir):
         .withColumn("payload", F.col("text").cast("binary"))
     mm = with_media_columns(docs, "payload", "image", "image/png",
                             width=64, height=64)
-    return extract_features(mm, dim=8)
+    feats = extract_features(mm, dim=8)
+    # the driver's canonicalizer sorts rows with pandas, which cannot hash an
+    # array<float> column — project the vector to a stable scalar fingerprint
+    return feats.select(
+        "doc_id", "media_type",
+        F.size("features").alias("feat_dim"),
+        F.xxhash64(F.to_json(F.transform(
+            "features", lambda x: F.round(x.cast("double"), 6)
+        ))).alias("features_hash"),
+    )
 
 
 # ------------------------------------------------------------------ contract

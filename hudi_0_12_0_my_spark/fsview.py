@@ -61,7 +61,12 @@ class FileGroup:
 
 
 class FileSystemView:
-    def __init__(self, base_path: str, timeline: tl.Timeline, as_of: str | None = None):
+    def __init__(self, base_path: str, timeline: tl.Timeline, as_of: str | None = None,
+                 upto: str | None = None):
+        # `as_of` = read-time time travel (writes above it stay in the fold but
+        # are filtered by latest_slice/live_groups); `upto` = hard fold bound —
+        # instants above it never enter the fold at all. Archival uses `upto`
+        # to checkpoint the state exactly at the archive boundary.
         self.base_path = base_path
         self.as_of = as_of
         self.groups: dict = {}          # (partition, file_id) -> FileGroup
@@ -71,13 +76,16 @@ class FileSystemView:
         # the checkpointed fold state; only deep time travel replays archives
         from .services.archival import latest_manifest
         manifest = latest_manifest(base_path)
-        if manifest and (as_of is None or as_of >= manifest["instant"]):
+        if manifest and (as_of is None or as_of >= manifest["instant"]) \
+                and (upto is None or upto >= manifest["instant"]):
             self._load_checkpoint(manifest)
             stream = [(i, None) for i in timeline.completed()
                       if i.time > manifest["instant"]]
         else:
             stream = timeline.archived() + [(i, None) for i in timeline.completed()]
             stream.sort(key=lambda im: (im[0].time, im[0].action))
+        if upto is not None:
+            stream = [(i, md) for i, md in stream if i.time <= upto]
         self._fold(timeline, stream)
 
     def _load_checkpoint(self, manifest: dict) -> None:

@@ -22,6 +22,24 @@ def manifest_dir(base_path: str) -> str:
     return os.path.join(base_path, ".hoodie", "manifest")
 
 
+def invalidate_manifests_from(base_path: str, instant_time: str) -> list[str]:
+    """Delete manifest checkpoints folded at/after `instant_time`.
+
+    Called by rollback/restore: a checkpoint whose boundary >= the rolled-back
+    instant has that commit's files baked into its fold state and would keep
+    serving the dead slice. Dropping it is safe — the view falls back to
+    re-folding archived batches (which are never deleted) + active timeline.
+    """
+    d = manifest_dir(base_path)
+    dropped = []
+    if os.path.isdir(d):
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json") and f[:-len(".json")] >= instant_time:
+                os.unlink(os.path.join(d, f))
+                dropped.append(f)
+    return dropped
+
+
 def latest_manifest(base_path: str) -> dict | None:
     d = manifest_dir(base_path)
     if not os.path.isdir(d):
@@ -56,7 +74,12 @@ def archive_timeline(table, retain_active: int = 20) -> dict:
     to_archive = completed[:-retain_active]
     boundary = to_archive[-1].time
 
-    view = table.view()   # full fold (uses previous manifest if any)
+    # Fold EXACTLY up to the boundary (not the full timeline): retained active
+    # instants are replayed on top of this checkpoint at view() time, so baking
+    # them in would double-apply their slices/deltas, and a later rollback of a
+    # retained commit could never remove it from the checkpointed state.
+    from ..fsview import FileSystemView
+    view = FileSystemView(table.base_path, timeline, upto=boundary)
     atomic_write_json(os.path.join(manifest_dir(table.base_path),
                                    f"{boundary}.json"),
                       _serialize_view(view, boundary))

@@ -53,6 +53,10 @@ def rollback_instant(table, instant_time: str, _allow_non_latest: bool = False) 
         deleted = _delete_files(table, rels)
         _restore_rings(table, md, instant_time)
         timeline.remove(instant_time, ins.action)
+        # a manifest checkpoint folded at/after this instant bakes its files
+        # into the view state — drop it so the view re-folds without them
+        from .archival import invalidate_manifests_from
+        invalidate_manifests_from(table.base_path, instant_time)
     elif pending:
         marker = table.writer._marker_path(instant_time)
         if os.path.exists(marker):

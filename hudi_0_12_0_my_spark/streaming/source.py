@@ -111,11 +111,18 @@ class HudiStreamReader(DataSourceStreamReader):
                     pc.greater(tbl[COMMIT_TIME], partition.begin),
                     pc.less_equal(tbl[COMMIT_TIME], partition.end))
                 tbl = tbl.filter(m)
-            # drop tombstones (MOR delta delete records)
+            # drop tombstones (mirrors payloads.is_tombstone): COW carries a
+            # business _hoodie_is_deleted marker; MOR delta files persist
+            # deletes as _hoodie_operation='D' rows
             if "_hoodie_is_deleted" in cols:
                 import pyarrow.compute as pc
                 alive = pc.fill_null(
                     pc.invert(tbl["_hoodie_is_deleted"].cast("bool")), True)
+                tbl = tbl.filter(alive)
+            if "_hoodie_operation" in cols:
+                import pyarrow.compute as pc
+                alive = pc.fill_null(
+                    pc.not_equal(tbl["_hoodie_operation"], "D"), True)
                 tbl = tbl.filter(alive)
             missing = [c for c in want if c not in tbl.column_names]
             if missing:

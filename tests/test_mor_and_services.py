@@ -188,6 +188,29 @@ def test_archival_manifest_checkpoint(spark, tmp_table_dir):
     assert len(old) == 3
 
 
+def test_archive_then_rollback_does_not_resurrect(spark, tmp_table_dir):
+    """Checkpoint must be folded as of the boundary, and rollback must drop any
+    checkpoint referencing the rolled-back instant (ADVICE r1, high)."""
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt")
+    t.bulk_insert(make_rows(spark, BATCH1))
+    for v in range(6):
+        t.upsert(make_rows(spark, [(1, f"v{v}", float(v), 100 + v, "2021-01-01")]))
+    out = t.archive(retain_active=2)
+    assert out["archived"] > 0
+    last = t.latest_instant()
+    t.rollback(last)
+    snap = {(r.id, r.name) for r in t.snapshot().collect()}
+    assert (1, "v5") not in snap          # rolled-back write really gone
+    assert (1, "v4") in snap              # previous version served again
+    # the retained commit replayed on top of the checkpoint exactly once:
+    # every served base file must exist on disk
+    view = t.view()
+    for _, s in view.live_slices():
+        assert os.path.exists(view.abs(s.base_file.path))
+
+
 def test_merge_into(spark, tmp_table_dir):
     eng = Engine(spark)
     t = eng.create_table(tmp_table_dir, record_key_fields=["id"],

@@ -170,3 +170,28 @@ def test_hudi_stream_source_incremental(spark, tmp_path):
     # no new commits -> nothing appended
     got3 = run_round()
     assert got3.count() == 4
+
+
+def test_hudi_stream_source_mor_deletes(spark, tmp_path):
+    """MOR delta files persist deletes as _hoodie_operation='D' rows; the
+    streaming source must not emit them as live upserts (ADVICE r1, medium)."""
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "mor_tbl"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         table_type="MERGE_ON_READ")
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "a", 1.0, 1), (2, "a", 2.0, 1)],
+        "id long, grp string, val double, seq long"))
+    t.delete(where="id = 2")
+
+    register_stream_source(spark)
+    out = str(tmp_path / "out_mor")
+    stream = (spark.readStream.format("hudi_stream")
+              .option("path", str(tmp_path / "mor_tbl")).load())
+    q = (stream.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck_mor"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r.id, r.val) for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, 1.0), (2, 2.0)}   # the delete row itself is NOT emitted
