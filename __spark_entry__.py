@@ -80,6 +80,21 @@ final AS (SELECT * FROM cur WHERE l_orderkey % 100 <> 0)
 """
 
 
+# key-range build: same deduped base, band upsert (q_bloom_key_range)
+KR_CTES = """
+base AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+      ORDER BY l_shipdate DESC, l_quantity DESC, l_extendedprice DESC,
+               l_suppkey DESC, l_partkey DESC) AS rn
+    FROM lineitem) WHERE rn = 1),
+kband AS (SELECT l_orderkey, l_linenumber, l_quantity + 5000.0 AS new_qty
+          FROM base WHERE l_orderkey BETWEEN 1000 AND 1200),
+kcur AS (SELECT base.* REPLACE (coalesce(kband.new_qty, base.l_quantity) AS l_quantity)
+         FROM base LEFT JOIN kband USING (l_orderkey, l_linenumber))
+"""
+
+
 # ------------------------------------------------------------ engine builds
 def _eng(spark):
     import sys
@@ -629,6 +644,61 @@ def q_emb_near_dup(spark, sf_dir):
         .select("id_a", "id_b")
 
 
+def _build_keyrange(spark, sf_dir):
+    """GLOBAL_SORT table + narrow-band upsert: exercises the key-range
+    (bloom-parity) pruned tag path (writer._candidate_base_files)."""
+    key = (sf_dir, "krange")
+    if key not in _BUILT:
+        base = _li_base(spark, sf_dir)
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "krange")),
+            record_key_fields=["l_orderkey", "l_linenumber"],
+            precombine_field="l_shipdate",
+            target_file_bytes=8 * 1024 * 1024)
+        t.bulk_insert(base)      # key-sorted files -> tight per-file key ranges
+        band = (base.filter((F.col("l_orderkey") >= 1000)
+                            & (F.col("l_orderkey") <= 1200))
+                .withColumn("l_quantity", F.col("l_quantity") + 5000.0))
+        t.upsert(band)
+        _BUILT[key] = t
+    return _BUILT[key]
+
+
+def q_bloom_key_range(spark, sf_dir):
+    t = _build_keyrange(spark, sf_dir)
+    return (t.snapshot(filters="l_orderkey >= 900 and l_orderkey <= 1300")
+            .groupBy("l_returnflag")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
+
+
+def _build_inc_clean(spark, sf_dir):
+    """Clean-then-incremental: the pull range's files were cleaned, forcing
+    the fallback-to-full-scan path (IncrementalRelation.scala:199-254)."""
+    key = (sf_dir, "inc_clean")
+    if key not in _BUILT:
+        orders = _read(spark, sf_dir, "orders")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "inc_clean")),
+            record_key_fields=["o_orderkey"], precombine_field="o_orderdate",
+            partition_field="o_orderpriority", cleaner_retain_commits=1)
+        t.bulk_insert(orders)
+        t.upsert(orders.filter(F.col("o_orderkey") % 7 == 0)
+                 .withColumn("o_totalprice", F.col("o_totalprice") + 1111.0))
+        t.upsert(orders.filter(F.col("o_orderkey") % 7 == 1)
+                 .withColumn("o_totalprice", F.col("o_totalprice") + 2222.0))
+        t.clean()
+        commits = [i.time for i in t.timeline.completed_write_instants()]
+        _BUILT[key] = (t, commits)
+    return _BUILT[key]
+
+
+def q_incremental_after_clean(spark, sf_dir):
+    t, commits = _build_inc_clean(spark, sf_dir)
+    inc = t.incremental(begin=commits[0], end=commits[1])
+    return (inc.groupBy("o_orderpriority")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
 # ---- rows-only (no SQL-expressible oracle; driver records weaker check)
 def q_docs_minhash_lsh(spark, sf_dir):
     from hudi_0_12_0_my_spark.operators import minhash_lsh_pairs
@@ -701,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "savepoint_restore": q_savepoint_restore,
         "bucket_index": q_bucket_index,
         "bucket_consistent": q_bucket_consistent,
+        "bloom_key_range": q_bloom_key_range,
+        "incremental_after_clean": q_incremental_after_clean,
         # relational over raw parquet (§2.10: delegated to Catalyst)
         "q1_pricing": q_q1_pricing,
         "q6_revenue": q_q6_revenue,
@@ -875,6 +947,15 @@ WITH {LI_CTES}
 SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM cur GROUP BY 1, 2""",
+        "bloom_key_range": f"""
+WITH {KR_CTES}
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM kcur WHERE l_orderkey BETWEEN 900 AND 1300 GROUP BY 1""",
+        "incremental_after_clean": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice + 1111.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1""",
         "q1_pricing": """
 SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count_order,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -128,13 +128,21 @@ class Reader:
 
     # ----------------------------------------------------------- query API
     def snapshot(self, as_of: str | None = None, filters=None,
-                 keep_meta: bool = False) -> DataFrame:
+                 keep_meta: bool = False, key_probe: DataFrame | None = None) -> DataFrame:
+        """``key_probe``: optional DataFrame with a ``_hoodie_record_key``
+        column; COW base files whose key ranges no probe key intersects are
+        pruned from the scan (the MERGE fast path — only file groups the
+        source can touch are read; see merge.py)."""
         cfg = self.cfg
         view = self.t.view(as_of=as_of)
         slices = view.live_slices()
         if cfg.table_type == cfgmod.COW:
             preds = statsmod.parse_predicates(filters)
             paths = statsmod.prune_files(view, slices, preds)
+            if key_probe is not None:
+                cand = set(self.t.writer._candidate_base_files(
+                    view, None, key_probe, ignore_partition=True))
+                paths = [p for p in paths if p in cand]
             df = read_files(self.spark, paths, base_read_schema(cfg), cfg)
         else:
             df = self._merge_plan(view, slices)
@@ -169,17 +177,37 @@ class Reader:
         begin = begin or "0"
         instants = [i for i in self.t.timeline.completed_write_instants()
                     if i.time > begin and (end is None or i.time <= end)]
-        base_paths, delta_paths = [], []
+        base_paths, delta_paths, missing = [], [], False
         for ins in instants:
             md = self.t.timeline.metadata(ins)
             for partition, sts in (md.get("partition_to_write_stats") or {}).items():
                 for st in sts:
                     p = self.t.abs(st["path"])
                     import os
-                    if not os.path.exists(p):     # cleaned since; rows were
-                        continue                  # rewritten into newer files
+                    if not os.path.exists(p):
+                        missing = True            # cleaned since this commit
+                        continue
                     (base_paths if st.get("kind", "base") == "base"
                      else delta_paths).append(p)
+        if missing:
+            # Fallback-to-full-scan (IncrementalRelation.scala:199-254): an
+            # in-range file was cleaned, so a row whose latest in-range version
+            # lived in it would silently VANISH from the file-list plan (its
+            # newer version may be outside the range). The snapshot as of
+            # `end` + commit-time window is always correct: each surviving row
+            # carries the commit time of its latest version <= end.
+            try:
+                snap = self.snapshot(as_of=end, keep_meta=True)
+            except ValueError:
+                # cleaning also removed pre-`end` history: the reference falls
+                # back to the LATEST snapshot + window filter (rows updated
+                # after `end` drop out — their commit time is newer)
+                snap = self.snapshot(keep_meta=True)
+            cond = F.col(meta.COMMIT_TIME) > F.lit(begin)
+            if end is not None:
+                cond = cond & (F.col(meta.COMMIT_TIME) <= F.lit(end))
+            df = snap.filter(cond)
+            return df if keep_meta else meta.strip_meta(df)
         df = read_files(self.spark, sorted(set(base_paths)), base_read_schema(cfg), cfg)
         if delta_paths:
             df = df.unionByName(

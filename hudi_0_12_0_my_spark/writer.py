@@ -388,11 +388,54 @@ class Writer:
         return assigned, packed
 
     # --------------------------------------------------------------- index
-    def _location_df(self, view: FileSystemView, partitions: list[str]) -> DataFrame | None:
+    def _candidate_base_files(self, view: FileSystemView, partitions,
+                              incoming: DataFrame,
+                              ignore_partition: bool = False) -> list[str]:
+        """Key-range file pruning before the tag join — the bloom-index plan
+        (HoodieBloomIndex.java:89-161 + IntervalTreeBasedIndexFileFilter.java):
+        every live base file carries _hoodie_record_key min/max in its footer
+        stats; a file is a tag candidate only if some incoming key lands in
+        its range. The interval probe is ONE broadcast join over the (tiny)
+        file-range table — no shuffle — and on a GLOBAL_SORT table with
+        localized updates it shrinks the tag scan from O(partition) to the
+        few files whose ranges the update band intersects. Files written
+        before key stats existed have no range and stay unpruned."""
+        slices = view.live_slices(None if self.cfg.global_index else partitions)
+        ranged, unpruned = [], []
+        for g, s in slices:
+            ks = (s.base_file.col_stats or {}).get(meta.RECORD_KEY) or {}
+            if ks.get("min") is not None and ks.get("max") is not None:
+                ranged.append((g.partition, s.base_file.path,
+                               str(ks["min"]), str(ks["max"])))
+            else:
+                unpruned.append(view.abs(s.base_file.path))
+        if not ranged:
+            return unpruned
+        rdf = self.spark.createDataFrame(
+            ranged, "p string, path string, kmin string, kmax string")
+        cond = ((F.col(meta.RECORD_KEY) >= F.col("kmin"))
+                & (F.col(meta.RECORD_KEY) <= F.col("kmax")))
+        probe_cols = [meta.RECORD_KEY]
+        if not self.cfg.global_index and not ignore_partition \
+                and meta.PARTITION_PATH in incoming.columns:
+            cond = cond & (F.col(meta.PARTITION_PATH) == F.col("p"))
+            probe_cols.insert(0, meta.PARTITION_PATH)
+        hits = (incoming.select(*probe_cols)
+                .join(F.broadcast(rdf), cond)
+                .select("path").distinct().collect())
+        return [view.abs(r[0]) for r in hits] + unpruned
+
+    def _location_df(self, view: FileSystemView, partitions: list[str],
+                     incoming: DataFrame | None = None) -> DataFrame | None:
         """HoodieSimpleIndex.tagLocation (index/simple/HoodieSimpleIndex.java:50):
         key -> (partition, fileId) from live base files, reading only the three
-        meta columns (parquet column pruning keeps this scan narrow)."""
-        paths = view.live_base_files(None if self.cfg.global_index else partitions)
+        meta columns (parquet column pruning keeps this scan narrow). When the
+        incoming batch is provided, candidate files are key-range pruned first
+        (see _candidate_base_files)."""
+        if incoming is not None:
+            paths = self._candidate_base_files(view, partitions, incoming)
+        else:
+            paths = view.live_base_files(None if self.cfg.global_index else partitions)
         if not paths:
             return None
         from .reader import bootstrap_instant, fill_bootstrap_meta
@@ -454,7 +497,7 @@ class Writer:
                                                operation, action)
                 partitions = [r[0] for r in
                               incoming.select(meta.PARTITION_PATH).distinct().collect()]
-                loc = self._location_df(view, partitions)
+                loc = self._location_df(view, partitions, incoming)
                 if loc is None:
                     tagged = (incoming
                               .withColumn("__loc_pp", F.lit(None).cast("string"))
@@ -822,6 +865,12 @@ def _parquet_footer_stats(path: str, stats_cols: list[str] | None) -> dict:
         col = md.row_group(0).column(i)
         name = col.path_in_schema
         if "." in name:          # nested leaves: skip (top-level primitives only)
+            continue
+        if name == meta.RECORD_KEY:
+            # record-key min/max IS the bloom-parity key-range index
+            # (HoodieBloomIndex.java:89-161 loads per-file key ranges before
+            # any probe); collected regardless of the stats-column config
+            names[i] = name
             continue
         if name.startswith(("_hoodie_", "__")):
             continue

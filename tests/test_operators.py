@@ -74,6 +74,13 @@ def test_simhash_near_dup(docs):
     assert sh[1] == sh[2]
 
 
+def test_simhash_signatures_are_map_only(docs):
+    """Signature computation must not shuffle tokens: per-row aggregate, not
+    explode+groupBy (the minhash shuffle-shape rewrite, applied to simhash)."""
+    plan = ops.simhash(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_ngram_jaccard(docs):
     pairs = ops.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
     rows = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
