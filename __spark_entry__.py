@@ -699,6 +699,70 @@ def q_incremental_after_clean(spark, sf_dir):
             .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
 
 
+def _build_custom_keygen(spark, sf_dir):
+    """CustomAvroKeyGenerator two-level partition path:
+    'o_orderpriority:simple,o_orderdate:timestamp' -> 'PRIO/2021'."""
+    key = (sf_dir, "ckg")
+    if key not in _BUILT:
+        orders = _read(spark, sf_dir, "orders")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "ckg")),
+            record_key_fields=["o_orderkey"], precombine_field="o_totalprice",
+            keygen="custom",
+            partition_field="o_orderpriority:simple,o_orderdate:timestamp",
+            keygen_timestamp_unit="timestamp", keygen_output_format="yyyy")
+        t.bulk_insert(orders)
+        t.upsert(orders.filter(F.col("o_orderkey") % 13 == 0)
+                 .withColumn("o_totalprice", F.col("o_totalprice") + 999.0))
+        _BUILT[key] = t
+    return _BUILT[key]
+
+
+def _build_debezium(spark, sf_dir):
+    """Out-of-order MySQL-Debezium batches (binlog file+pos ordering): newer
+    binlog events applied FIRST, older ones arriving late must lose."""
+    key = (sf_dir, "dbz")
+    if key not in _BUILT:
+        from hudi_0_12_0_my_spark.payloads import debezium_transform
+        orders = _read(spark, sf_dir, "orders")
+
+        def ev(df, fileno, pos, op):
+            return debezium_transform(
+                df.withColumn("_event_bin_file", F.lit(f"mysql-bin.{fileno}"))
+                  .withColumn("_event_pos", F.lit(pos))
+                  .withColumn("_change_operation_type", F.lit(op)))
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "dbz")),
+            record_key_fields=["o_orderkey"], precombine_field="_event_seq",
+            payload="event_time", partition_field="o_orderpriority")
+        t.upsert(ev(orders, "000001", 1, "r"))
+        mod3 = orders.filter(F.col("o_orderkey") % 3 == 0)
+        # newer events (file 000003) first ...
+        t.upsert(ev(mod3.withColumn("o_totalprice", F.col("o_totalprice") * 2),
+                    "000003", 5, "u"))
+        # ... then the OLDER update arrives late and must not win
+        t.upsert(ev(mod3.withColumn("o_totalprice", F.col("o_totalprice") + 7),
+                    "000002", 9, "u"))
+        # deletes via op='d'
+        t.upsert(ev(orders.filter(F.col("o_orderkey") % 11 == 0), "000004", 2, "d"))
+        _BUILT[key] = t
+    return _BUILT[key]
+
+
+def q_debezium_cdc(spark, sf_dir):
+    t = _build_debezium(spark, sf_dir)
+    return (t.snapshot().groupBy("o_orderpriority")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
+def q_custom_keygen_partitions(spark, sf_dir):
+    t = _build_custom_keygen(spark, sf_dir)
+    return (t.snapshot()
+            .groupBy("o_orderpriority",
+                     F.year("o_orderdate").cast("int").alias("yr"))
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
 # ---- rows-only (no SQL-expressible oracle; driver records weaker check)
 def q_docs_minhash_lsh(spark, sf_dir):
     from hudi_0_12_0_my_spark.operators import minhash_lsh_pairs
@@ -773,6 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_consistent": q_bucket_consistent,
         "bloom_key_range": q_bloom_key_range,
         "incremental_after_clean": q_incremental_after_clean,
+        "custom_keygen_partitions": q_custom_keygen_partitions,
+        "debezium_cdc": q_debezium_cdc,
         # relational over raw parquet (§2.10: delegated to Catalyst)
         "q1_pricing": q_q1_pricing,
         "q6_revenue": q_q6_revenue,
@@ -956,6 +1022,21 @@ FROM kcur WHERE l_orderkey BETWEEN 900 AND 1300 GROUP BY 1""",
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(o_totalprice + 1111.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1""",
+        "custom_keygen_partitions": """
+SELECT o_orderpriority, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 13 = 0
+                          THEN o_totalprice + 999.0
+                          ELSE o_totalprice END
+                AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1, 2""",
+        "debezium_cdc": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 3 = 0
+                          THEN o_totalprice * 2
+                          ELSE o_totalprice END
+                AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderkey % 11 <> 0 GROUP BY 1""",
         "q1_pricing": """
 SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count_order,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -37,7 +37,8 @@ def main() -> None:
 
     from hudi_0_12_0_my_spark import Engine
     from hudi_0_12_0_my_spark.operators import (cosine_topk,
-                                                minhash_lsh_pairs)
+                                                minhash_lsh_pairs,
+                                                simhash_near_dup_pairs)
 
     eng = Engine(spark)
     timings: dict[str, float] = {}
@@ -83,6 +84,17 @@ def main() -> None:
     with step("incremental_pull"):
         t.incremental(begin=commits[-2]).count()
 
+    # MERGE with a 0.1% source: inner/anti + key-range pruned target scan —
+    # must NOT behave like a full-table rewrite plan
+    msrc = (base.filter(F.col("l_orderkey") % 1000 == 0)
+            .select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_linenumber").alias("ln"))
+            .withColumn("nq", F.lit(5.0)))
+    with step("merge_small_source"):
+        t.merge(msrc, on="t.l_orderkey = s.ok and t.l_linenumber = s.ln",
+                when_matched_update={"l_quantity": "s.nq"},
+                when_not_matched_insert=None)
+
     m = eng.create_table(
         os.path.join(BENCH_ROOT, "lineitem_mor"),
         record_key_fields=["l_orderkey", "l_linenumber"],
@@ -121,6 +133,9 @@ def main() -> None:
     with step("minhash_lsh"):
         minhash_lsh_pairs(docs, num_hashes=32, bands=8,
                           jaccard_threshold=0.4).count()
+
+    with step("simhash"):                   # map-only signatures (no explode)
+        simhash_near_dup_pairs(docs, max_hamming=6).count()
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     with step("emb_topk"):

@@ -66,7 +66,7 @@ def bootstrap_table(spark, base_path: str, source_dir: str,
     from . import config as cfgmod
     cfgmod.save_config(base_path, cfg)
 
-    instant = tl.new_instant_time()
+    instant = t.timeline.new_instant()
     stats_by_partition: dict = {}
     for i, (partition, path) in enumerate(found):
         md = pq.read_metadata(path)

@@ -25,10 +25,11 @@ class TableConfig:
     record_key_fields: list = field(default_factory=lambda: ["id"])
     precombine_field: str | None = None      # ordering field for payload resolution
     partition_field: str | None = None       # source column for partition path
-    keygen: str = "simple"                   # simple|complex|nonpartitioned|timestamp (keygen/ dir)
+    keygen: str = "simple"                   # simple|complex|nonpartitioned|timestamp|custom|uuid|global_delete (keygen/ dir)
     partition_style: str = "value"           # value|timestamp (CustomAvroKeyGenerator mix)
-    keygen_timestamp_unit: str = "auto"      # auto|epochms|epochsec|timestamp (TimestampBasedAvroKeyGenerator types)
+    keygen_timestamp_unit: str = "auto"      # auto|epochms|epochsec|timestamp|date_string|mixed (TimestampBasedAvroKeyGenerator types)
     keygen_output_format: str = "yyyy-MM-dd" # fork default (HoodieFlinkStreamerWithApollo.java:100-112)
+    keygen_input_format: str | None = None   # DATE_STRING/MIXED input format(s), comma-separated
     hive_style_partitioning: bool = False    # KeyGeneratorOptions hive-style flag
     payload: str = "overwrite_latest"        # payloads.py registry key
     global_index: bool = False               # HoodieGlobalSimpleIndex vs HoodieSimpleIndex
@@ -43,6 +44,7 @@ class TableConfig:
     cleaner_policy: str = "KEEP_LATEST_COMMITS"   # HoodieCleaningPolicy.java:25
     cleaner_retain_commits: int = 10
     cleaner_retain_file_versions: int = 3
+    cleaner_retain_hours: int = 24                # KEEP_LATEST_BY_HOURS window
     compaction_max_delta_commits: int = 5         # inline-compaction trigger (NUM_COMMITS)
     # stats / skipping
     stats_columns: list | None = None        # None => all top-level primitive columns

@@ -2,9 +2,13 @@
 
 Re-expression of hudi-client/hudi-client-common/.../keygen/:
 SimpleAvroKeyGenerator, ComplexAvroKeyGenerator ("f1:v1,f2:v2"),
-NonpartitionedAvroKeyGenerator, TimestampBasedAvroKeyGenerator
-(types UNIX_TIMESTAMP/EPOCHMILLISECONDS/DATE_STRING/SCALAR with output date
-formatting, TimestampBasedAvroKeyGenerator.java:51-52,88-123). The fork pins
+NonpartitionedAvroKeyGenerator, UuidKeyGenerator (command/SqlKeyGenerator
+sibling), GlobalAvroDeleteKeyGenerator (key only, empty partition path),
+CustomAvroKeyGenerator ("field1:simple,field2:timestamp" partition specs
+joined by "/" — CustomAvroKeyGenerator.java:63-92), and
+TimestampBasedAvroKeyGenerator with types
+UNIX_TIMESTAMP/EPOCHMILLISECONDS/DATE_STRING/MIXED/SCALAR and output date
+formatting (TimestampBasedAvroKeyGenerator.java:51-52,88-123). The fork pins
 TimestampBased epoch-millis -> yyyy-MM-dd partitions
 (HoodieFlinkStreamerWithApollo.java:100-112).
 
@@ -20,10 +24,14 @@ DEFAULT_PARTITION = "default"   # Hudi's null-partition fallback
 
 
 def record_key_expr(cfg) -> Column:
+    if cfg.keygen == "uuid":
+        # UuidKeyGenerator: random key per row (INSERT-only tables)
+        return F.expr("uuid()")
     fields = cfg.record_key_fields
-    if len(fields) == 1 and cfg.keygen != "complex":
+    if len(fields) == 1 and cfg.keygen not in ("complex", "global_delete"):
         return F.col(fields[0]).cast("string")
-    # ComplexAvroKeyGenerator format: f1:v1,f2:v2
+    # ComplexAvroKeyGenerator format: f1:v1,f2:v2 (GlobalAvroDeleteKeyGenerator
+    # reuses it for the delete-key record)
     parts = []
     for f in fields:
         parts.append(F.concat(F.lit(f + ":"), F.coalesce(F.col(f).cast("string"), F.lit("__null__"))))
@@ -35,31 +43,72 @@ def _java_to_strftime(fmt: str) -> str:
     return fmt
 
 
+def _timestamp_field_expr(cfg, field: str, df=None) -> Column:
+    """One timestamp-styled partition field -> formatted date string
+    (TimestampBasedAvroKeyGenerator.java:88-123 input-type dispatch)."""
+    src = F.col(field)
+    unit = cfg.keygen_timestamp_unit
+    if unit == "auto":
+        # infer from the column's type: temporal/string columns convert
+        # directly, numeric columns are epoch millis (the fork's default,
+        # HoodieFlinkStreamerWithApollo.java:100-112)
+        dt = dict(df.dtypes).get(field, "") if df is not None else ""
+        unit = "epochms" if dt in ("bigint", "long", "int", "double", "float") \
+            else "timestamp"
+    if unit == "epochms":
+        ts = F.timestamp_millis(src.cast("long"))
+    elif unit == "epochsec":
+        ts = F.timestamp_seconds(src.cast("long"))
+    elif unit in ("date_string", "mixed"):
+        # DATE_STRING: parse with the configured input format(s); MIXED
+        # additionally falls back to epoch millis for numeric-looking values
+        # (TimestampBasedAvroKeyGenerator TimestampType.DATE_STRING/MIXED)
+        fmts = [f.strip() for f in (cfg.keygen_input_format or "yyyy-MM-dd")
+                .split(",") if f.strip()]
+        tries = [F.try_to_timestamp(src.cast("string"), F.lit(f)) for f in fmts]
+        if unit == "mixed":
+            tries.append(F.timestamp_millis(src.cast("string").try_cast("long")))
+        ts = F.coalesce(*tries) if len(tries) > 1 else tries[0]
+    else:  # date / timestamp / string column
+        ts = src.cast("timestamp")
+    return F.date_format(ts, _java_to_strftime(cfg.keygen_output_format))
+
+
+def _partition_specs(cfg) -> list[tuple[str, str]]:
+    """[(field, style)] from the partition_field config. Styles: a
+    ``field:simple`` / ``field:timestamp`` suffix wins (CustomAvroKeyGenerator
+    SPLIT_REGEX ':'); otherwise the table-level keygen/partition_style."""
+    raw = cfg.partition_field
+    specs = raw if isinstance(raw, list) else \
+        [s.strip() for s in str(raw).split(",") if s.strip()]
+    default_style = "timestamp" if (cfg.keygen == "timestamp"
+                                    or cfg.partition_style == "timestamp") \
+        else "simple"
+    out = []
+    for spec in specs:
+        if ":" in spec:
+            fname, style = spec.split(":", 1)
+            style = "timestamp" if style.strip().lower().startswith("timestamp") \
+                else "simple"
+            out.append((fname.strip(), style))
+        else:
+            out.append((spec, default_style))
+    return out
+
+
 def partition_path_expr(cfg, df=None) -> Column:
-    if cfg.keygen == "nonpartitioned" or not cfg.partition_field:
+    if cfg.keygen in ("nonpartitioned", "global_delete") or not cfg.partition_field:
         return F.lit("")
-    src = F.col(cfg.partition_field)
-    # timestamp-formatted partitions combine with ANY record-key style
-    # (CustomAvroKeyGenerator allows per-field simple/timestamp mixes)
-    if cfg.keygen == "timestamp" or cfg.partition_style == "timestamp":
-        unit = cfg.keygen_timestamp_unit
-        if unit == "auto":
-            # infer from the column's type: temporal/string columns convert
-            # directly, numeric columns are epoch millis (the fork's default,
-            # HoodieFlinkStreamerWithApollo.java:100-112)
-            dt = dict(df.dtypes).get(cfg.partition_field, "") if df is not None else ""
-            unit = "epochms" if dt in ("bigint", "long", "int", "double", "float") \
-                else "timestamp"
-        if unit == "epochms":
-            ts = F.timestamp_millis(src.cast("long"))
-        elif unit == "epochsec":
-            ts = F.timestamp_seconds(src.cast("long"))
-        else:  # date / timestamp / string column
-            ts = src.cast("timestamp")
-        val = F.date_format(ts, _java_to_strftime(cfg.keygen_output_format))
-    else:
-        val = src.cast("string")
-    val = F.coalesce(val, F.lit(DEFAULT_PARTITION))
-    if cfg.hive_style_partitioning:
-        val = F.concat(F.lit(cfg.partition_field + "="), val)
-    return val
+    parts = []
+    for fname, style in _partition_specs(cfg):
+        if style == "timestamp":
+            val = _timestamp_field_expr(cfg, fname, df)
+        else:
+            val = F.col(fname).cast("string")
+        val = F.coalesce(val, F.lit(DEFAULT_PARTITION))
+        if cfg.hive_style_partitioning:
+            val = F.concat(F.lit(fname + "="), val)
+        parts.append(val)
+    # multi-field partition paths join with "/" (CustomAvroKeyGenerator's
+    # DEFAULT_PARTITION_PATH_SEPARATOR), producing nested directories
+    return parts[0] if len(parts) == 1 else F.concat_ws("/", *parts)

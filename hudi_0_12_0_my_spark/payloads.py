@@ -154,3 +154,37 @@ def apply_cdc_ops(df: DataFrame, op_col: str = "op",
     and AWSDmsAvroPayload.java:95 (Op == 'D' -> delete)."""
     return (df.withColumn(meta.DELETE_MARKER, F.col(op_col).isin(*delete_values))
               .drop(op_col))
+
+
+# --------------------------------------------------------- debezium ordering
+MYSQL_SEQ_COL = "_event_seq"      # DebeziumConstants.ADDED_SEQ_COL_NAME
+POSTGRES_LSN_COL = "_event_lsn"   # DebeziumConstants.FLATTENED_LSN_COL_NAME
+DEBEZIUM_OP_COL = "_change_operation_type"  # FLATTENED_OP_COL_NAME
+
+
+def debezium_transform(df: DataFrame, source: str = "mysql",
+                       op_col: str = DEBEZIUM_OP_COL) -> DataFrame:
+    """Flattened Debezium events -> engine rows with source-specific ordering.
+
+    MySQL (MySqlDebeziumAvroPayload.java + MysqlDebeziumSource.java:94-100):
+    ordering value `_event_seq` = binlog-file numeric suffix + "." + pos,
+    compared as a STRING (the reference's compareTo) — reproduced exactly,
+    including its lexicographic comparison. Postgres
+    (PostgresDebeziumAvroPayload.java): ordering by the `_event_lsn` long.
+    Ops: i/c/r -> insert, u -> update, d -> delete (tombstone).
+
+    Use with a table whose payload='event_time' and precombine_field =
+    MYSQL_SEQ_COL / POSTGRES_LSN_COL: stored rows then survive late-arriving
+    older events (AbstractDebeziumAvroPayload.shouldPickCurrentRecord)."""
+    if source == "mysql":
+        if MYSQL_SEQ_COL not in df.columns:
+            df = df.withColumn(
+                MYSQL_SEQ_COL,
+                F.concat(F.substring_index(F.col("_event_bin_file"), ".", -1),
+                         F.lit("."), F.col("_event_pos").cast("string")))
+    elif source == "postgres":
+        if POSTGRES_LSN_COL not in df.columns:
+            raise ValueError(f"postgres debezium events need {POSTGRES_LSN_COL}")
+    else:
+        raise ValueError(f"unknown debezium source {source!r}")
+    return apply_cdc_ops(df, op_col=op_col, delete_values=("d", "D"))

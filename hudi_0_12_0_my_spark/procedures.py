@@ -594,6 +594,110 @@ def show_fs_path_detail(engine, **kw):
     return _df(engine, rows[:limit], "path string, size_bytes long")
 
 
+def show_commit_files(engine, **kw):
+    """File-level write stats of one commit (ShowCommitFilesProcedure)."""
+    t = _t(engine, kw)
+    instant = kw["instant"]
+    rows = []
+    for ins in t.timeline.completed():
+        if ins.time != instant:
+            continue
+        md = t.timeline.metadata(ins)
+        for partition, sts in (md.get("partition_to_write_stats") or {}).items():
+            for st in sts:
+                rows.append(Row(
+                    partition=partition, file_id=st.get("file_id"),
+                    path=st.get("path"), kind=st.get("kind", "base"),
+                    records=st.get("records", 0), bytes=st.get("bytes", 0)))
+    return _df(engine, rows, "partition string, file_id string, path string, "
+               "kind string, records long, bytes long")
+
+
+def show_commit_partitions(engine, **kw):
+    """Per-partition aggregates of one commit (ShowCommitPartitionsProcedure)."""
+    t = _t(engine, kw)
+    instant = kw["instant"]
+    rows = []
+    for ins in t.timeline.completed():
+        if ins.time != instant:
+            continue
+        md = t.timeline.metadata(ins)
+        for partition, sts in (md.get("partition_to_write_stats") or {}).items():
+            rows.append(Row(
+                partition=partition, num_files=len(sts),
+                total_records=sum(s.get("records", 0) for s in sts),
+                total_bytes=sum(s.get("bytes", 0) for s in sts)))
+    return _df(engine, rows, "partition string, num_files int, "
+               "total_records long, total_bytes long")
+
+
+def show_commit_write_stats(engine, **kw):
+    """Whole-commit write stats (ShowCommitWriteStatsProcedure)."""
+    t = _t(engine, kw)
+    instant = kw["instant"]
+    rows = []
+    for ins in t.timeline.completed():
+        if ins.time != instant:
+            continue
+        md = t.timeline.metadata(ins)
+        nfiles = sum(len(sts) for sts in
+                     (md.get("partition_to_write_stats") or {}).values())
+        rows.append(Row(commit_time=ins.time, action=ins.action,
+                        operation=md.get("operation"), total_files=nfiles,
+                        total_records=md.get("total_records", 0),
+                        total_bytes=md.get("total_bytes", 0)))
+    return _df(engine, rows, "commit_time string, action string, "
+               "operation string, total_files int, total_records long, "
+               "total_bytes long")
+
+
+def show_archived_commits_metadata(engine, **kw):
+    """Archived instants with full metadata
+    (ShowArchivedCommitsProcedure includeExtraMetadata=true)."""
+    t = _t(engine, kw)
+    rows = [Row(commit_time=i.time, action=i.action,
+                metadata=json.dumps(md, default=str))
+            for i, md in t.timeline.archived()]
+    return _df(engine, rows, "commit_time string, action string, metadata string")
+
+
+def show_rollback_detail(engine, **kw):
+    """Files deleted by one rollback instant (ShowRollbackDetailProcedure)."""
+    t = _t(engine, kw)
+    instant = kw["instant"]
+    rows = []
+    from . import timeline as tl
+    for ins in t.timeline.completed(actions=(tl.ROLLBACK,)):
+        if ins.time != instant:
+            continue
+        md = t.timeline.metadata(ins)
+        for f in md.get("deleted_files", []):
+            rows.append(Row(rollback_instant=ins.time,
+                            rolled_back_instant=md.get("rolled_back_instant"),
+                            deleted_file=f))
+    return _df(engine, rows, "rollback_instant string, "
+               "rolled_back_instant string, deleted_file string")
+
+
+def show_fsview_latest(engine, **kw):
+    """Latest live file slice per file group, optionally one partition
+    (ShowFileSystemViewProcedure 'latest')."""
+    t = _t(engine, kw)
+    part = kw.get("partition")
+    view = t.view()
+    rows = []
+    for g, s in view.live_slices([part] if part is not None else None):
+        rows.append(Row(
+            partition=g.partition, file_id=g.file_id,
+            base_instant=s.base_instant,
+            base_file=None if s.base_file is None else s.base_file.path,
+            base_bytes=0 if s.base_file is None else s.base_file.bytes,
+            num_deltas=len(s.deltas), delta_bytes=s.delta_bytes))
+    return _df(engine, rows, "partition string, file_id string, "
+               "base_instant string, base_file string, base_bytes long, "
+               "num_deltas int, delta_bytes long")
+
+
 PROCEDURES = {
     "show_commits": show_commits,
     "show_commits_metadata": show_commits_metadata,
@@ -639,6 +743,12 @@ PROCEDURES = {
     "downgrade_table": downgrade_table,
     "validate_hoodie_sync": validate_hoodie_sync,
     "show_fs_path_detail": show_fs_path_detail,
+    "show_commit_files": show_commit_files,
+    "show_commit_partitions": show_commit_partitions,
+    "show_commit_write_stats": show_commit_write_stats,
+    "show_archived_commits_metadata": show_archived_commits_metadata,
+    "show_rollback_detail": show_rollback_detail,
+    "show_fsview_latest": show_fsview_latest,
 }
 
 

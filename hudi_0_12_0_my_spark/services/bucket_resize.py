@@ -57,7 +57,7 @@ def resize_buckets(table, split_above: int | None = None,
         return None
 
     with FileLock(os.path.join(table.base_path, ".hoodie", "lock")):
-        instant = tl.new_instant_time()
+        instant = table.timeline.new_instant()
         selected = {(p, fid) for p, fids in rewritten.items() for fid in fids}
         table.timeline.save_requested(instant, tl.REPLACECOMMIT, {
             "operation": "cluster", "layout": "consistent_bucket_resize",

@@ -2,8 +2,10 @@
 
 Re-expression of CleanPlanner
 (hudi-client/hudi-client-common/.../clean/CleanPlanner.java:74, 497 LoC) with
-policies KEEP_LATEST_COMMITS / KEEP_LATEST_FILE_VERSIONS
-(HoodieCleaningPolicy.java:25). Savepointed files are never cleaned
+policies KEEP_LATEST_COMMITS / KEEP_LATEST_FILE_VERSIONS /
+KEEP_LATEST_BY_HOURS (HoodieCleaningPolicy.java:25), plus replaced-file-group
+GC (groups invalidated by insert_overwrite / delete_partition / clustering are
+fully cleaned once out of retention). Savepointed files are never cleaned
 (SavepointActionExecutor contract). Driver-side metadata planning + file
 deletes only — no Spark job.
 """
@@ -29,13 +31,51 @@ def run_clean(table, policy: str | None = None, retain: int | None = None) -> di
             os.unlink(p)
         return path_rel
 
-    if policy == "KEEP_LATEST_COMMITS":
-        n = retain or cfg.cleaner_retain_commits
-        if len(writes) <= n:
-            return {"removed": 0}
-        retain_instant = writes[-n].time
+    def _remove_slice(partition, s):
+        if s.base_file.path in view.savepointed_files:
+            return
+        removed.setdefault(partition, []).append(_remove(s.base_file.path))
+        for d in s.deltas:
+            removed.setdefault(partition, []).append(_remove(d.path))
+
+    def _clean_replaced_group(partition, g, boundary):
+        """A group replaced by insert_overwrite / delete_partition /
+        clustering has NO live slice — once the replacement is out of the
+        retention window (and nothing is savepointed) every file is dead
+        (CleanPlanner cleans replaced file groups; ADVICE r1). Returns True
+        when the group was handled here."""
+        if g.replaced_at is None:
+            return False
+        if boundary is not None and g.replaced_at > boundary:
+            return True   # replaced but still in retention: keep everything
+        for s in g.slices:
+            if s.base_file is not None:
+                _remove_slice(partition, s)
+        return True
+
+    if policy in ("KEEP_LATEST_COMMITS", "KEEP_LATEST_BY_HOURS"):
+        if policy == "KEEP_LATEST_COMMITS":
+            n = retain or cfg.cleaner_retain_commits
+            if len(writes) <= n:
+                return {"removed": 0}
+            retain_instant = writes[-n].time
+        else:
+            # KEEP_LATEST_BY_HOURS (HoodieCleaningPolicy.java:25): keep every
+            # slice a commit in the last N hours could still serve — i.e. the
+            # boundary is the earliest completed write inside the window
+            import time as _time
+            hours = cfg.cleaner_retain_hours if retain is None else retain
+            cutoff = _time.strftime("%Y%m%d%H%M%S",
+                                    _time.gmtime(_time.time() - hours * 3600)) + "000"
+            inside = [i for i in writes if i.time >= cutoff]
+            # no commit inside the window -> still keep the latest snapshot
+            retain_instant = inside[0].time if inside else writes[-1].time
+            if not writes or retain_instant == writes[0].time:
+                return {"removed": 0}
         earliest_retained = retain_instant
         for (partition, fid), g in sorted(view.groups.items()):
+            if _clean_replaced_group(partition, g, retain_instant):
+                continue
             slices = [s for s in g.slices if s.base_file is not None]
             # the slice active AT retain_instant must survive; everything older goes
             keep_from = None
@@ -43,27 +83,21 @@ def run_clean(table, policy: str | None = None, retain: int | None = None) -> di
                 if s.base_instant <= retain_instant:
                     keep_from = i
             for s in (slices[:keep_from] if keep_from is not None else []):
-                if s.base_file.path in view.savepointed_files:
-                    continue
-                removed.setdefault(partition, []).append(_remove(s.base_file.path))
-                for d in s.deltas:
-                    removed.setdefault(partition, []).append(_remove(d.path))
+                _remove_slice(partition, s)
     elif policy == "KEEP_LATEST_FILE_VERSIONS":
         n = retain or cfg.cleaner_retain_file_versions
         for (partition, fid), g in sorted(view.groups.items()):
+            if _clean_replaced_group(partition, g, None):
+                continue
             slices = [s for s in g.slices if s.base_file is not None]
             for s in slices[:-n] if len(slices) > n else []:
-                if s.base_file.path in view.savepointed_files:
-                    continue
-                removed.setdefault(partition, []).append(_remove(s.base_file.path))
-                for d in s.deltas:
-                    removed.setdefault(partition, []).append(_remove(d.path))
+                _remove_slice(partition, s)
     else:
         raise ValueError(f"unknown cleaning policy {policy}")
 
     nremoved = sum(len(v) for v in removed.values())
     if nremoved:
-        instant = tl.new_instant_time()
+        instant = table.timeline.new_instant()
         md = {"operation": "clean", "policy": policy, "removed_files": removed}
         if earliest_retained:
             md["earliest_retained_instant"] = earliest_retained

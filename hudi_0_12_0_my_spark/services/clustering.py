@@ -49,7 +49,7 @@ def run_clustering(table, sort_cols: list | None = None, layout: str = "linear",
         return None
 
     with FileLock(os.path.join(table.base_path, ".hoodie", "lock")):
-        instant = tl.new_instant_time()
+        instant = table.timeline.new_instant()
         plan = {"operation": "cluster", "layout": layout,
                 "sort_cols": sort_cols or [],
                 "groups": [{"partition": g.partition, "file_id": g.file_id}

@@ -24,17 +24,52 @@ import os
 
 
 def schedule_compaction(table, strategy: str = "log_file_size",
-                        max_groups: int | None = None) -> dict | None:
-    """Write a requested compaction plan instant; returns the plan."""
+                        max_groups: int | None = None,
+                        target_io_bytes: int | None = None,
+                        target_partitions: int = 10) -> dict | None:
+    """Write a requested compaction plan instant; returns the plan.
+
+    Strategies (hudi-client/hudi-client-common/.../compact/strategy/):
+      log_file_size — biggest delta backlog first
+                      (LogFileSizeBasedCompactionStrategy)
+      day_based     — newest `target_partitions` partitions only
+                      (DayBasedCompactionStrategy: partition paths are
+                      day-formatted, so reverse-lexicographic = newest first)
+      bounded_io    — greedy under an IO budget: read base + read logs +
+                      rewrite base per group (BoundedIOCompactionStrategy,
+                      hoodie.compaction.target.io)
+      unbounded     — everything with deltas (UnBoundedCompactionStrategy)
+    """
     view = table.view()
     cands = [(g, s) for g, s in view.live_slices() if s.deltas]
     if not cands:
         return None
     if strategy == "log_file_size":        # LogFileSizeBasedCompactionStrategy
         cands.sort(key=lambda gs: gs[1].delta_bytes, reverse=True)
+    elif strategy == "day_based":          # DayBasedCompactionStrategy
+        newest = sorted({g.partition for g, _s in cands},
+                        reverse=True)[:target_partitions]
+        cands = [(g, s) for g, s in cands if g.partition in newest]
+        cands.sort(key=lambda gs: (gs[0].partition, gs[0].file_id),
+                   reverse=True)
+    elif strategy == "bounded_io":         # BoundedIOCompactionStrategy
+        cands.sort(key=lambda gs: gs[1].delta_bytes, reverse=True)
+        budget = target_io_bytes if target_io_bytes is not None \
+            else 500 * 1024 * 1024         # reference default 500GB scaled down
+        picked, spent = [], 0
+        for g, s in cands:
+            base_bytes = s.base_file.bytes if s.base_file else 0
+            io = base_bytes * 2 + s.delta_bytes   # read base + logs, write base
+            if picked and spent + io > budget:
+                break
+            picked.append((g, s))
+            spent += io
+        cands = picked
+    elif strategy != "unbounded":
+        raise ValueError(f"unknown compaction strategy {strategy!r}")
     if max_groups:
         cands = cands[:max_groups]
-    instant = tl.new_instant_time()
+    instant = table.timeline.new_instant()
     plan = {"operation": "compact", "strategy": strategy,
             "groups": [{"partition": g.partition, "file_id": g.file_id}
                        for g, s in cands]}
@@ -44,7 +79,9 @@ def schedule_compaction(table, strategy: str = "log_file_size",
 
 def run_compaction(table, strategy: str = "log_file_size",
                    max_groups: int | None = None,
-                   plan: dict | None = None) -> str | None:
+                   plan: dict | None = None,
+                   target_io_bytes: int | None = None,
+                   target_partitions: int = 10) -> str | None:
     cfg = table.cfg
     spec = payloads.get(cfg.payload)
     if plan is None:
@@ -56,7 +93,9 @@ def run_compaction(table, strategy: str = "log_file_size",
             ins = pending[0]
             plan = {"instant": ins.time, **table.timeline.metadata(ins)}
         else:
-            plan = schedule_compaction(table, strategy, max_groups)
+            plan = schedule_compaction(table, strategy, max_groups,
+                                       target_io_bytes=target_io_bytes,
+                                       target_partitions=target_partitions)
     if plan is None:
         return None
     instant = plan["instant"]

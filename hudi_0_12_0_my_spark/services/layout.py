@@ -19,20 +19,40 @@ from pyspark.sql import types as T
 BITS = 16   # per-column resolution; 3 cols * 16 bits = 48-bit curve key
 
 
-def _scaled(df: DataFrame, col: str, bits: int) -> Column:
-    """Map a column into [0, 2^bits): numeric/temporal via min-max scaling
-    (sample-boundary mode of SpaceCurveSortingHelper), strings via hash bits."""
+def _numeric_expr(df: DataFrame, col: str) -> Column | None:
+    """The column on its scaling scale (temporal -> unix seconds), or None for
+    string/binary columns (those scale via hash bits, no bounds needed)."""
     dt = dict(df.dtypes)[col]
     if dt in ("string", "binary"):
-        return F.pmod(F.xxhash64(F.col(col)), F.lit(1 << bits)).cast("long")
-    row = df.agg(F.min(F.col(col)).alias("mn"), F.max(F.col(col)).alias("mx")).collect()[0]
-    mn, mx = row.mn, row.mx
-    c = F.col(col)
+        return None
     if dt.startswith(("date", "timestamp")):
-        c = F.unix_timestamp(F.col(col).cast("timestamp"))
-        mn = None if mn is None else None  # recompute on cast scale below
-        row2 = df.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).collect()[0]
-        mn, mx = row2.mn, row2.mx
+        return F.unix_timestamp(F.col(col).cast("timestamp"))
+    return F.col(col)
+
+
+def _bounds(df: DataFrame, cols: list[str]) -> dict:
+    """min/max of every curve column folded into ONE agg — a single driver
+    round trip and one scan of the rewrite set, instead of 2 collects per
+    column (VERDICT r1 'What's wrong' #5)."""
+    exprs = []
+    for col in cols:
+        c = _numeric_expr(df, col)
+        if c is not None:
+            exprs += [F.min(c).alias(f"__mn_{col}"), F.max(c).alias(f"__mx_{col}")]
+    if not exprs:
+        return {}
+    row = df.agg(*exprs).collect()[0].asDict()
+    return {col: (row.get(f"__mn_{col}"), row.get(f"__mx_{col}"))
+            for col in cols if f"__mn_{col}" in row}
+
+
+def _scaled(df: DataFrame, col: str, bits: int, bounds: dict) -> Column:
+    """Map a column into [0, 2^bits): numeric/temporal via min-max scaling
+    (sample-boundary mode of SpaceCurveSortingHelper), strings via hash bits."""
+    c = _numeric_expr(df, col)
+    if c is None:
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(1 << bits)).cast("long")
+    mn, mx = bounds.get(col, (None, None))
     if mn is None or mx is None or float(mx) == float(mn):
         return F.lit(0).cast("long")
     frac = (c.cast("double") - F.lit(float(mn))) / F.lit(float(mx) - float(mn))
@@ -43,7 +63,8 @@ def _scaled(df: DataFrame, col: str, bits: int) -> Column:
 def zorder_key(df: DataFrame, cols: list[str], bits: int = BITS) -> Column:
     """Interleave the bits of the scaled columns (direct bit-interleave build
     method of HoodieClusteringConfig layout optimization)."""
-    scaled = [_scaled(df, c, bits) for c in cols]
+    bounds = _bounds(df, cols)
+    scaled = [_scaled(df, c, bits, bounds) for c in cols]
     n = len(cols)
     out = F.lit(0).cast("long")
     for bit in range(bits):
@@ -98,7 +119,9 @@ def hilbert_key(df: DataFrame, cols: list[str], bits: int = BITS) -> DataFrame:
                 out = (out << np.uint64(1)) | ((X[i] >> np.uint64(bit)) & np.uint64(1))
         return pd.Series(out.astype("int64"))
 
-    scaled = [_scaled(df, c, bits).alias(f"__sc_{i}") for i, c in enumerate(cols)]
+    bounds = _bounds(df, cols)
+    scaled = [_scaled(df, c, bits, bounds).alias(f"__sc_{i}")
+              for i, c in enumerate(cols)]
     df2 = df.select("*", *scaled)
     df2 = df2.withColumn("__curve_key", _hilbert(*[F.col(f"__sc_{i}") for i in range(n)]))
     return df2.drop(*[f"__sc_{i}" for i in range(n)])

@@ -76,7 +76,7 @@ def rollback_instant(table, instant_time: str, _allow_non_latest: bool = False) 
                     rm_rf(os.path.join(temp_root, d))
     else:
         raise ValueError(f"no instant {instant_time} on the timeline")
-    rb = tl.new_instant_time()
+    rb = timeline.new_instant()
     md = {"operation": "rollback", "rolled_back_instant": instant_time,
           "deleted_files": deleted}
     timeline.save_completed(rb, tl.ROLLBACK, md)

@@ -24,7 +24,7 @@ def create_savepoint(table, instant_time: str | None = None) -> str:
     for g, s in view.live_slices():
         files.setdefault(g.partition, []).append(s.base_file.path)
         files[g.partition].extend(d.path for d in s.deltas_as_of(instant_time))
-    sp = tl.new_instant_time()
+    sp = timeline.new_instant()
     timeline.save_completed(sp, tl.SAVEPOINT,
                             {"operation": "savepoint", "pinned_instant": instant_time,
                              "files": files})
@@ -45,7 +45,7 @@ def restore_to_savepoint(table, savepoint_or_instant: str) -> dict:
         if ins.time > target:
             rollback_instant(table, ins.time, _allow_non_latest=True)
             rolled.append(ins.time)
-    rs = tl.new_instant_time()
+    rs = timeline.new_instant()
     timeline.save_completed(rs, tl.RESTORE,
                             {"operation": "restore", "restored_to": target,
                              "rolled_back": rolled})

@@ -118,9 +118,10 @@ class LakeTable:
         return df
 
     # -------------------------------------------------------------- services
-    def compact(self, strategy: str = "log_file_size", max_groups: int | None = None) -> str | None:
+    def compact(self, strategy: str = "log_file_size", max_groups: int | None = None,
+                **kw) -> str | None:
         from .services.compaction import run_compaction
-        return run_compaction(self, strategy=strategy, max_groups=max_groups)
+        return run_compaction(self, strategy=strategy, max_groups=max_groups, **kw)
 
     def cluster(self, sort_cols: list | None = None, layout: str = "linear",
                 partitions: list | None = None, target_file_bytes: int | None = None) -> str | None:

@@ -78,6 +78,30 @@ class Timeline:
         self.dir = os.path.join(base_path, ".hoodie", "timeline")
         os.makedirs(self.dir, exist_ok=True)
 
+    def new_instant(self) -> str:
+        """Mint a table-unique instant: the last minted millisecond persists in
+        `.hoodie/.last_instant` and is bumped under the table file lock, so two
+        WRITER PROCESSES (OCC) can never mint the same instant — the in-process
+        `new_instant_time()` lock alone cannot guarantee that, and colliding
+        instants would commingle timeline metadata undetectably (the conflict
+        check skips same-time instants)."""
+        from .util import FileLock, ensure_dir
+        ensure_dir(os.path.join(self.base_path, ".hoodie"))
+        marker = os.path.join(self.base_path, ".hoodie", ".last_instant")
+        with FileLock(os.path.join(self.base_path, ".hoodie", "instant_lock")):
+            last = 0
+            if os.path.exists(marker):
+                try:
+                    with open(marker) as fh:
+                        last = int(fh.read().strip() or 0)
+                except ValueError:
+                    last = 0
+            ms = max(int(time.time() * 1000), last + 1)
+            with open(marker, "w") as fh:
+                fh.write(str(ms))
+        t = time.gmtime(ms / 1000.0)
+        return time.strftime("%Y%m%d%H%M%S", t) + f"{ms % 1000:03d}"
+
     # -- paths -------------------------------------------------------------
     def _fname(self, instant: Instant) -> str:
         if instant.state == COMPLETED:

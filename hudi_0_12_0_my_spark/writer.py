@@ -108,6 +108,45 @@ def read_files(spark, paths: list[str], schema: T.StructType,
     return df
 
 
+_INTEGRAL_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+_FRACTIONAL_RANK = {"float": 1, "double": 2}
+
+
+def promoted_type(reg: T.DataType, inc: T.DataType) -> T.DataType | None:
+    """Schema-on-write compatibility (the reference's Avro schema check on
+    write + TableChanges type-widen): returns the WIDER type when the incoming
+    column legally promotes the registered one (int->long, float->double,
+    decimal widening), None when the existing cast is lossless, and raises on
+    an incompatible narrowing (long into int, double into float, string into a
+    numeric) that the old behavior silently nulled/overflowed."""
+    rs, is_ = reg.simpleString(), inc.simpleString()
+    if rs == is_:
+        return None
+    if rs in _INTEGRAL_RANK and is_ in _INTEGRAL_RANK:
+        return inc if _INTEGRAL_RANK[is_] > _INTEGRAL_RANK[rs] else None
+    if rs in _FRACTIONAL_RANK and is_ in _FRACTIONAL_RANK:
+        return inc if _FRACTIONAL_RANK[is_] > _FRACTIONAL_RANK[rs] else None
+    if rs in _FRACTIONAL_RANK and is_ in _INTEGRAL_RANK:
+        return None                      # int -> double: legal Avro promotion
+    if isinstance(reg, T.DecimalType) and isinstance(inc, T.DecimalType):
+        if (inc.precision - inc.scale <= reg.precision - reg.scale
+                and inc.scale <= reg.scale):
+            return None
+        ip = max(inc.precision - inc.scale, reg.precision - reg.scale)
+        sc = max(inc.scale, reg.scale)
+        return T.DecimalType(min(38, ip + sc), sc)
+    incompatible = (
+        (rs in _INTEGRAL_RANK and is_ in _FRACTIONAL_RANK)
+        or ((rs in _INTEGRAL_RANK or rs in _FRACTIONAL_RANK
+             or isinstance(reg, T.DecimalType)) and is_ == "string"))
+    if incompatible:
+        raise ValueError(
+            f"incompatible write: incoming type {is_} does not fit registered "
+            f"column type {rs} (schema-compatibility check; evolve the schema "
+            f"explicitly instead of silently narrowing)")
+    return None                          # other combos keep the legacy cast
+
+
 class Writer:
     def __init__(self, table):
         self.t = table
@@ -208,6 +247,22 @@ class Writer:
             if new_fields:
                 schema = T.StructType(list(schema.fields) + new_fields)
                 cfg.schema_json = schema.json()
+                cfgmod.save_config(self.base, cfg)
+            # type promotion / narrowing guard (reference: Avro schema
+            # compatibility on write): widen the registry for wider incoming
+            # types, refuse silent narrowing
+            in_types = {f.name: f.dataType for f in df.schema.fields}
+            promoted_fields, changed = [], False
+            for f in business_schema(cfg).fields:
+                inc = in_types.get(f.name)
+                p = promoted_type(f.dataType, inc) if inc is not None else None
+                if p is not None:
+                    promoted_fields.append(T.StructField(f.name, p, True))
+                    changed = True
+                else:
+                    promoted_fields.append(f)
+            if changed:
+                cfg.schema_json = T.StructType(promoted_fields).json()
                 cfgmod.save_config(self.base, cfg)
 
         schema = business_schema(cfg)
@@ -485,7 +540,7 @@ class Writer:
         cow = cfg.table_type == cfgmod.COW
         action = tl.COMMIT if cow else tl.DELTACOMMIT
         with self._guard():
-            instant = tl.new_instant_time()
+            instant = self.t.timeline.new_instant()
             self.t.timeline.save_requested(instant, action, {"operation": operation})
             incoming = payloads.precombine(self.prepare(df, instant), cfg, spec)
             incoming.persist()
@@ -681,7 +736,7 @@ class Writer:
         cow = cfg.table_type == cfgmod.COW
         action = tl.COMMIT if cow else tl.DELTACOMMIT
         with self._guard():
-            instant = tl.new_instant_time()
+            instant = self.t.timeline.new_instant()
             self.t.timeline.save_requested(instant, action, {"operation": "insert"})
             incoming = self.prepare(df, instant).filter(F.col(meta.OPERATION) != "D")
             incoming.persist()
@@ -730,7 +785,7 @@ class Writer:
         action = tl.COMMIT if cow else tl.DELTACOMMIT
         sort_mode = sort_mode.upper()
         with self._guard():
-            instant = tl.new_instant_time()
+            instant = self.t.timeline.new_instant()
             self.t.timeline.save_requested(instant, action,
                                            {"operation": "bulk_insert"})
             incoming = self.prepare(df, instant).filter(F.col(meta.OPERATION) != "D")
@@ -785,7 +840,7 @@ class Writer:
         replacecommit marks every prior group in the touched partitions (or the
         whole table) replaced — manifest-only invalidation, no data deletes."""
         with self._guard():
-            instant = tl.new_instant_time()
+            instant = self.t.timeline.new_instant()
             self.t.timeline.save_requested(instant, tl.REPLACECOMMIT,
                                            {"operation": "insert_overwrite"})
             incoming = self.prepare(df, instant).filter(F.col(meta.OPERATION) != "D")
@@ -823,7 +878,7 @@ class Writer:
         """WriteOperationType.DELETE_PARTITION (SparkRDDWriteClient.java:264-267):
         pure-metadata replacecommit, zero data IO."""
         with self._guard():
-            instant = tl.new_instant_time()
+            instant = self.t.timeline.new_instant()
             view = self.t.view()
             self._occ_since = self.t.timeline.latest_completed_write().time \
                 if self.t.timeline.latest_completed_write() else "0"

@@ -101,6 +101,108 @@ def test_delete_partition(spark, table):
     assert table.partitions() == ["2021-01-02"]
 
 
+def test_custom_keygen_two_level_partition(spark, tmp_table_dir):
+    """CustomAvroKeyGenerator 'f1:simple,f2:timestamp' -> nested 'v1/2021-01'
+    partition paths (CustomAvroKeyGenerator.java:63-92)."""
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", keygen="custom",
+                         partition_field="dt:simple,ts:timestamp",
+                         keygen_timestamp_unit="epochsec",
+                         keygen_output_format="yyyy-MM")
+    rows = make_rows(spark, [(1, "a", 1.0, 1609459200, "x"),    # 2021-01
+                             (2, "b", 2.0, 1612137600, "x"),    # 2021-02
+                             (3, "c", 3.0, 1609459200, "y")])
+    t.bulk_insert(rows)
+    assert sorted(t.partitions()) == ["x/2021-01", "x/2021-02", "y/2021-01"]
+    t.upsert(make_rows(spark, [(1, "a2", 9.0, 1609459200, "x")]))
+    snap = {r.id: r.name for r in t.snapshot().collect()}
+    assert snap == {1: "a2", 2: "b", 3: "c"}
+    t.delete_partition(["x/2021-02"])
+    assert {r.id for r in t.snapshot().collect()} == {1, 3}
+
+
+def test_date_string_and_mixed_timestamp_keygen(spark, tmp_path):
+    """TimestampBased DATE_STRING (explicit input format) and MIXED (string
+    dates + epoch millis in one column) input types
+    (TimestampBasedAvroKeyGenerator.java:88-123)."""
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "ds"), record_key_fields=["id"],
+                         precombine_field="id", keygen="timestamp",
+                         partition_field="d",
+                         keygen_timestamp_unit="date_string",
+                         keygen_input_format="dd/MM/yyyy",
+                         keygen_output_format="yyyy-MM")
+    t.bulk_insert(spark.createDataFrame([(1, "15/01/2021"), (2, "02/03/2021")],
+                                        "id long, d string"))
+    assert sorted(t.partitions()) == ["2021-01", "2021-03"]
+
+    t2 = eng.create_table(str(tmp_path / "mx"), record_key_fields=["id"],
+                          precombine_field="id", keygen="timestamp",
+                          partition_field="d",
+                          keygen_timestamp_unit="mixed",
+                          keygen_input_format="yyyy-MM-dd",
+                          keygen_output_format="yyyy-MM")
+    t2.bulk_insert(spark.createDataFrame(
+        [(1, "2021-01-15"), (2, "1612137600000")],   # date string + epoch ms
+        "id long, d string"))
+    assert sorted(t2.partitions()) == ["2021-01", "2021-02"]
+
+
+def test_uuid_keygen_inserts(spark, tmp_path):
+    """UuidKeyGenerator: random record keys, insert-only tables."""
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "u"), record_key_fields=["id"],
+                         precombine_field="id", keygen="uuid")
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "id long, v string")
+    t.insert(df)
+    snap = t.reader.snapshot(keep_meta=True)
+    keys = [r["_hoodie_record_key"] for r in snap.collect()]
+    assert len(keys) == 2 and len(set(keys)) == 2   # both rows kept, distinct keys
+    assert all(len(k) == 36 for k in keys)          # uuid format
+
+
+def test_debezium_mysql_ordering(spark, tmp_path):
+    """MySQL Debezium: late-arriving older binlog events (file+pos seq) must
+    not clobber newer stored state (MySqlDebeziumAvroPayload.java)."""
+    from hudi_0_12_0_my_spark.payloads import debezium_transform
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "dbz"), record_key_fields=["id"],
+                         precombine_field="_event_seq", payload="event_time")
+
+    def ev(rows):
+        return debezium_transform(spark.createDataFrame(
+            rows, "id long, v string, _event_bin_file string, "
+                  "_event_pos long, _change_operation_type string"))
+
+    t.upsert(ev([(1, "a", "mysql-bin.000001", 10, "r"),
+                 (2, "b", "mysql-bin.000001", 11, "r")]))
+    t.upsert(ev([(1, "new", "mysql-bin.000003", 5, "u")]))   # newer, applied first
+    t.upsert(ev([(1, "old", "mysql-bin.000002", 9, "u")]))   # older, arrives late
+    snap = {r.id: r.v for r in t.snapshot().collect()}
+    assert snap == {1: "new", 2: "b"}
+    t.upsert(ev([(2, "b", "mysql-bin.000004", 1, "d")]))     # delete event
+    assert {r.id for r in t.snapshot().collect()} == {1}
+
+
+def test_debezium_postgres_lsn(spark, tmp_path):
+    """Postgres Debezium orders by LSN (PostgresDebeziumAvroPayload.java)."""
+    from hudi_0_12_0_my_spark.payloads import debezium_transform
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "dbzp"), record_key_fields=["id"],
+                         precombine_field="_event_lsn", payload="event_time")
+
+    def ev(rows):
+        return debezium_transform(spark.createDataFrame(
+            rows, "id long, v string, _event_lsn long, "
+                  "_change_operation_type string"), source="postgres")
+
+    t.upsert(ev([(1, "a", 100, "r")]))
+    t.upsert(ev([(1, "new", 300, "u")]))
+    t.upsert(ev([(1, "old", 200, "u")]))     # lower LSN arrives late -> loses
+    assert {r.v for r in t.snapshot().collect()} == {"new"}
+
+
 def test_incremental_fallback_after_cleaning(spark, tmp_table_dir):
     """A row whose latest in-range version lived in a since-cleaned file must
     still appear in the incremental pull (IncrementalRelation.scala:199-254

@@ -171,6 +171,116 @@ def test_cleaner_keep_latest_commits(spark, tmp_table_dir):
         t.time_travel(as_of=first).collect()
 
 
+def test_cleaner_gc_replaced_groups(spark, tmp_table_dir):
+    """Groups replaced by insert_overwrite must be physically cleaned once the
+    replacement is out of retention (CleanPlanner replaced-group GC)."""
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt",
+                         cleaner_retain_commits=1)
+    t.bulk_insert(make_rows(spark, BATCH1))
+    old_files = set(t.view().live_base_files())
+    t.insert_overwrite_table(make_rows(spark, [(9, "z", 9.0, 1, "2021-01-01")]))
+    t.upsert(make_rows(spark, [(9, "z2", 10.0, 2, "2021-01-01")]))
+    out = t.clean()
+    assert out["removed"] > 0
+    for p in old_files:               # every replaced group's file is gone
+        assert not os.path.exists(p)
+    assert {r.name for r in t.snapshot().collect()} == {"z2"}
+
+
+def test_cleaner_keep_latest_by_hours(spark, tmp_table_dir):
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt")
+    t.bulk_insert(make_rows(spark, BATCH1))
+    for v in range(3):
+        t.upsert(make_rows(spark, [(1, f"v{v}", float(v), 100 + v, "2021-01-01")]))
+    # a 1000h window keeps everything; a 0h window cleans old slices
+    assert t.clean(policy="KEEP_LATEST_BY_HOURS", retain=1000)["removed"] == 0
+    out = t.clean(policy="KEEP_LATEST_BY_HOURS", retain=0)
+    assert out["removed"] > 0
+    assert {r.name for r in t.snapshot().filter("id = 1").collect()} == {"v2"}
+
+
+def test_schema_promotion_and_narrowing_guard(spark, tmp_table_dir):
+    """Wider incoming types promote the registry (int->long, float->double);
+    incompatible narrowing raises instead of nulling (ADVICE r1)."""
+    import pytest as _pytest
+
+    from hudi_0_12_0_my_spark.writer import business_schema
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="seq")
+    t.bulk_insert(spark.createDataFrame([(1, 1, 1.5, 1)],
+                                        "id long, small int, f float, seq long"))
+    big = 2 ** 40
+    t.upsert(spark.createDataFrame([(2, big, 2.5, 1)],
+                                   "id long, small bigint, f double, seq long"))
+    sch = {f.name: f.dataType.simpleString()
+           for f in business_schema(t.reload().cfg).fields}
+    assert sch["small"] == "bigint" and sch["f"] == "double"
+    snap = {r.id: r.small for r in t.snapshot().collect()}
+    assert snap == {1: 1, 2: big}     # wide value survives, old rows readable
+    with _pytest.raises(ValueError, match="incompatible write"):
+        t.upsert(spark.createDataFrame([(3, "oops", 0.0, 1)],
+                                       "id long, small string, f double, seq long"))
+
+
+def test_instant_minting_is_table_unique(spark, tmp_table_dir):
+    """Instants mint under the table lock with a persisted high-water mark, so
+    two writer handles (processes) can never mint the same instant."""
+    import hudi_0_12_0_my_spark.timeline as tlmod
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts")
+    t2 = eng.load_table(tmp_table_dir)     # separate handle = separate Timeline
+    minted = [t.timeline.new_instant() if i % 2 == 0
+              else t2.timeline.new_instant() for i in range(20)]
+    assert len(set(minted)) == 20
+    assert minted == sorted(minted)        # strictly monotonic across handles
+    # the high-water mark survives a fresh handle even if the process-local
+    # counter is behind
+    tlmod._last_ts[0] = 0
+    t3 = eng.load_table(tmp_table_dir)
+    assert t3.timeline.new_instant() > minted[-1]
+
+
+def test_compaction_strategies_select_subsets(spark, tmp_table_dir):
+    """DayBasedCompactionStrategy limits to the newest partitions;
+    BoundedIOCompactionStrategy respects an IO budget (compact/strategy/)."""
+    from hudi_0_12_0_my_spark.services.compaction import schedule_compaction
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt",
+                         table_type="mor")
+    days = ["2021-01-01", "2021-01-02", "2021-01-03"]
+    t.bulk_insert(make_rows(spark, [(i, f"r{i}", 1.0, 1, d)
+                                    for i, d in enumerate(days)]))
+    t.upsert(make_rows(spark, [(i, f"u{i}", 2.0, 2, d)
+                               for i, d in enumerate(days)]))
+    plan = schedule_compaction(t, strategy="day_based", target_partitions=2)
+    got_parts = {g["partition"] for g in plan["groups"]}
+    assert got_parts == {"2021-01-02", "2021-01-03"}   # newest 2 days only
+    t.timeline.remove(plan["instant"], "commit")       # discard requested plan
+
+    plan_io = schedule_compaction(t, strategy="bounded_io", target_io_bytes=1)
+    assert len(plan_io["groups"]) == 1                 # budget of 1 byte -> first group only
+    t.timeline.remove(plan_io["instant"], "commit")
+
+    plan_all = schedule_compaction(t, strategy="unbounded")
+    assert len(plan_all["groups"]) == 3
+    t.timeline.remove(plan_all["instant"], "commit")
+    # executing the day_based plan leaves the untouched partition's deltas
+    instant = t.compact(strategy="day_based", target_partitions=2)
+    assert instant is not None
+    view = t.view()
+    dirty = {g.partition for g, s in view.live_slices() if s.deltas}
+    assert dirty == {"2021-01-01"}
+    snap = {r.id: r.name for r in t.snapshot().collect()}
+    assert snap == {0: "u0", 1: "u1", 2: "u2"}         # results unchanged
+
+
 def test_archival_manifest_checkpoint(spark, tmp_table_dir):
     eng = Engine(spark)
     t = eng.create_table(tmp_table_dir, record_key_fields=["id"],

@@ -69,6 +69,41 @@ def test_copy_to_table_and_export(eng_table, tmp_path_factory):
     assert exp.exported == 2
 
 
+def test_commit_inspection_procedures(eng_table):
+    """show_commit_files / _partitions / _write_stats (HoodieProcedures.scala
+    registry parity — the 5 procedures missing in round 1)."""
+    eng, t = eng_table
+    last = t.latest_instant()
+    files = eng.call("show_commit_files", table="t1", instant=last).collect()
+    assert len(files) >= 2 and all(r.records > 0 for r in files)
+    parts = eng.call("show_commit_partitions", table="t1",
+                     instant=last).collect()
+    assert {r.partition for r in parts} == {"a", "b"}
+    assert all(r.num_files >= 1 and r.total_bytes > 0 for r in parts)
+    ws = eng.call("show_commit_write_stats", table="t1",
+                  instant=last).collect()[0]
+    assert ws.total_records == 4 and ws.total_files == len(files)
+
+
+def test_rollback_detail_and_archived_metadata(eng_table):
+    eng, t = eng_table
+    latest = eng.call("show_fsview_latest", table="t1").collect()
+    assert {r.partition for r in latest} == {"a", "b"}
+    assert all(r.base_file for r in latest)
+    last = t.latest_instant()
+    eng.call("rollback_to_instant", table="t1", instant_time=last)
+    rb = eng.call("show_rollbacks", table="t1").collect()[0].instant
+    detail = eng.call("show_rollback_detail", table="t1", instant=rb).collect()
+    assert len(detail) >= 1
+    assert all(r.rolled_back_instant == last for r in detail)
+    # archive, then read archived metadata back
+    for i in range(6):
+        t.upsert(t.snapshot().limit(1).withColumn("val", F.lit(float(i))))
+    t.archive(retain_active=2)
+    md = eng.call("show_archived_commits_metadata", table="t1").collect()
+    assert len(md) > 0 and all(r.metadata for r in md)
+
+
 def test_unknown_procedure(eng_table):
     eng, _ = eng_table
     with pytest.raises(ValueError, match="unknown procedure"):
