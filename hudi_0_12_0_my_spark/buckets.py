@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from . import meta
 from .util import atomic_write_json, read_json
+from .storage import get_storage
 
 RING_MAX = 1 << 31
 
@@ -68,10 +69,11 @@ def save_ring(base_path: str, partition: str, nodes: list, instant: str) -> None
 def all_rings(base_path: str) -> dict:
     """-> {partition: ring dict} for every ring on disk."""
     d = ring_dir(base_path)
-    if not os.path.isdir(d):
+    st = get_storage(d)
+    if not st.isdir(d):
         return {}
     out = {}
-    for f in os.listdir(d):
+    for f in st.listdir(d):
         if f.endswith(".json"):
             name = unquote(f[:-5])
             out["" if name == "__root__" else name] = read_json(os.path.join(d, f))

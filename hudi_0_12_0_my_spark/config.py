@@ -13,6 +13,7 @@ import os
 from dataclasses import dataclass, field, asdict
 
 from .util import atomic_write_json, read_json
+from .storage import get_storage
 
 COW = "cow"
 MOR = "mor"
@@ -74,4 +75,4 @@ def load_config(base_path: str) -> TableConfig:
 
 
 def table_exists(base_path: str) -> bool:
-    return os.path.exists(config_path(base_path))
+    return get_storage(base_path).exists(config_path(base_path))

@@ -137,6 +137,15 @@ def simhash(df: DataFrame, text_col: str = "text",
     aggregate(token_hashes, 0, acc +/- 1) — the same shuffle-shape rewrite
     minhash got (no explode(tokens) -> groupBy(id), which shuffles every
     token of every document; VERDICT r1 'What's wrong' #3)."""
+    # CPU-heavy map: spread a few-file source across all cores first (same
+    # metadata-only probe as minhash_signatures; no-op at scale)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file-backed plan
+        nfiles = par
+    if 0 < nfiles < par:
+        df = df.repartition(par, id_col)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     th = F.transform(toks, lambda t: F.xxhash64(t))
 

@@ -15,6 +15,8 @@ import os
 
 from pyspark.sql import DataFrame, Row
 
+from .storage import get_storage
+
 
 def _t(engine, kwargs):
     if "path" in kwargs:
@@ -71,12 +73,12 @@ def commits_compare(engine, **kw):
 def export_instants(engine, **kw):
     t = _t(engine, kw)
     out_dir = kw["out_path"]
-    os.makedirs(out_dir, exist_ok=True)
+    st = get_storage(out_dir)
+    st.makedirs(out_dir)
     n = 0
     for ins in t.timeline.completed():
         md = t.timeline.metadata(ins)
-        with open(os.path.join(out_dir, f"{ins.time}.{ins.action}.json"), "w") as f:
-            json.dump(md, f, default=str)
+        st.write_json(os.path.join(out_dir, f"{ins.time}.{ins.action}.json"), md)
         n += 1
     return _df(engine, [Row(exported=n, out_path=out_dir)],
                "exported int, out_path string")
@@ -206,9 +208,9 @@ def show_metadata_table_files(engine, **kw):
     for g, s in view.live_slices():
         for f in ([s.base_file] if s.base_file else []) + list(s.deltas):
             p = view.abs(f.path)
+            st = get_storage(p)
             rows.append(Row(partition=g.partition, file=f.path,
-                            size_bytes=os.path.getsize(p)
-                            if os.path.exists(p) else None))
+                            size_bytes=st.size(p) if st.exists(p) else None))
     return _df(engine, rows, "partition string, file string, size_bytes long")
 
 
@@ -231,8 +233,9 @@ def stats_file_sizes(engine, **kw):
     for _g, s in view.live_slices():
         for f in ([s.base_file] if s.base_file else []) + list(s.deltas):
             p = view.abs(f.path)
-            if os.path.exists(p):
-                sizes.append(os.path.getsize(p))
+            st = get_storage(p)
+            if st.exists(p):
+                sizes.append(st.size(p))
     if not sizes:
         return _df(engine, [], "num_files int, total_bytes long, "
                    "min_bytes long, max_bytes long, avg_bytes long")
@@ -265,10 +268,10 @@ def stats_wa(engine, **kw):
     """Write amplification: bytes written by each commit vs live table bytes
     (stats_wa procedure)."""
     t = _t(engine, kw)
-    live = sum(os.path.getsize(t.view().abs(f.path))
+    live = sum(get_storage(t.base_path).size(t.view().abs(f.path))
                for _g, s in t.view().live_slices()
                for f in ([s.base_file] if s.base_file else []) + list(s.deltas)
-               if os.path.exists(t.view().abs(f.path)))
+               if get_storage(t.base_path).exists(t.view().abs(f.path)))
     rows = []
     for c in t.commits():
         wb = c.get("total_bytes") or 0
@@ -316,7 +319,7 @@ def validate_metadata_table_files(engine, **kw):
         for f in ([s.base_file] if s.base_file else []) + list(s.deltas):
             p = view.abs(f.path)
             rows.append(Row(partition=g.partition, file=f.path,
-                            exists=os.path.exists(p)))
+                            exists=get_storage(p).exists(p)))
     return _df(engine, rows, "partition string, file string, exists boolean")
 
 
@@ -403,12 +406,12 @@ def init_metadata_table(engine, **kw):
 
 
 def delete_metadata_table(engine, **kw):
-    import shutil
     from .services.archival import manifest_dir
     t = _t(engine, kw)
     d = manifest_dir(t.base_path)
-    existed = os.path.isdir(d)
-    shutil.rmtree(d, ignore_errors=True)
+    st = get_storage(d)
+    existed = st.isdir(d)
+    st.rm_rf(d)
     return _df(engine, [Row(deleted=existed)], "deleted boolean")
 
 
@@ -425,13 +428,13 @@ def repair_add_partition_meta(engine, **kw):
     for p in t.partitions():
         pdir = os.path.join(t.base_path, p) if p else t.base_path
         marker = os.path.join(pdir, PARTITION_META)
-        if os.path.exists(marker):
+        if get_storage(marker).exists(marker):
             action = "exists"
         else:
             action = "would_add" if dry else "added"
             if not dry:
                 from .util import atomic_write_json
-                os.makedirs(pdir, exist_ok=True)
+                get_storage(pdir).makedirs(pdir)
                 atomic_write_json(marker, {
                     "commit_time": t.latest_instant(),
                     "partition_depth": len([x for x in p.split("/") if x])})
@@ -450,10 +453,9 @@ def repair_migrate_partition_meta(engine, **kw):
         pdir = os.path.join(t.base_path, p) if p else t.base_path
         marker = os.path.join(pdir, PARTITION_META)
         action = "missing"
-        if os.path.exists(marker):
+        if get_storage(marker).exists(marker):
             try:
-                with open(marker) as f:
-                    _json.load(f)
+                _json.loads(get_storage(marker).read_bytes(marker).decode())
                 action = "ok"
             except (ValueError, OSError):
                 atomic_write_json(marker, {

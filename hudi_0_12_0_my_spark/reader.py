@@ -27,6 +27,7 @@ from . import config as cfgmod
 from . import meta, payloads, stats as statsmod
 from . import timeline as tl
 from .writer import base_read_schema, delta_read_schema, read_files
+from .storage import get_storage
 
 
 def bootstrap_instant(timeline) -> str | None:
@@ -184,7 +185,7 @@ class Reader:
                 for st in sts:
                     p = self.t.abs(st["path"])
                     import os
-                    if not os.path.exists(p):
+                    if not get_storage(p).exists(p):
                         missing = True            # cleaned since this commit
                         continue
                     (base_paths if st.get("kind", "base") == "base"

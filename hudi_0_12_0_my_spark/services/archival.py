@@ -16,6 +16,7 @@ import os
 
 from .. import timeline as tl
 from ..util import atomic_write_json, read_json
+from ..storage import get_storage
 
 
 def manifest_dir(base_path: str) -> str:
@@ -32,19 +33,21 @@ def invalidate_manifests_from(base_path: str, instant_time: str) -> list[str]:
     """
     d = manifest_dir(base_path)
     dropped = []
-    if os.path.isdir(d):
-        for f in sorted(os.listdir(d)):
+    st = get_storage(d)
+    if st.isdir(d):
+        for f in st.listdir(d):
             if f.endswith(".json") and f[:-len(".json")] >= instant_time:
-                os.unlink(os.path.join(d, f))
+                st.unlink(os.path.join(d, f))
                 dropped.append(f)
     return dropped
 
 
 def latest_manifest(base_path: str) -> dict | None:
     d = manifest_dir(base_path)
-    if not os.path.isdir(d):
+    st = get_storage(d)
+    if not st.isdir(d):
         return None
-    names = sorted(f for f in os.listdir(d) if f.endswith(".json"))
+    names = [f for f in st.listdir(d) if f.endswith(".json")]
     return read_json(os.path.join(d, names[-1])) if names else None
 
 
@@ -89,5 +92,5 @@ def archive_timeline(table, retain_active: int = 20) -> dict:
     adir = os.path.join(table.base_path, ".hoodie", "archived")
     atomic_write_json(os.path.join(adir, f"batch_{boundary}.json"), batch)
     for i in to_archive:
-        os.unlink(timeline.path(i))
+        get_storage(timeline.path(i)).unlink(timeline.path(i))
     return {"archived": len(to_archive), "checkpoint": boundary}

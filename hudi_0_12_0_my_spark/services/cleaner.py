@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from .. import timeline as tl
+from ..storage import get_storage
 
 
 def run_clean(table, policy: str | None = None, retain: int | None = None) -> dict:
@@ -27,8 +28,7 @@ def run_clean(table, policy: str | None = None, retain: int | None = None) -> di
 
     def _remove(path_rel):
         p = table.abs(path_rel)
-        if os.path.exists(p):
-            os.unlink(p)
+        get_storage(p).unlink(p)
         return path_rel
 
     def _remove_slice(partition, s):

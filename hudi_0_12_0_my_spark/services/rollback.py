@@ -12,14 +12,16 @@ import os
 
 from .. import timeline as tl
 from ..util import read_json, rm_rf
+from ..storage import get_storage
 
 
 def _delete_files(table, rel_paths) -> list[str]:
     deleted = []
     for rel in rel_paths:
         p = table.abs(rel)
-        if os.path.exists(p):
-            os.unlink(p)
+        st = get_storage(p)
+        if st.exists(p):
+            st.unlink(p)
             deleted.append(rel)
     return deleted
 
@@ -59,9 +61,9 @@ def rollback_instant(table, instant_time: str, _allow_non_latest: bool = False) 
         invalidate_manifests_from(table.base_path, instant_time)
     elif pending:
         marker = table.writer._marker_path(instant_time)
-        if os.path.exists(marker):
+        if get_storage(marker).exists(marker):
             deleted = _delete_files(table, read_json(marker)["files"])
-            os.unlink(marker)
+            get_storage(marker).unlink(marker)
         for ins in pending:
             try:
                 _restore_rings(table, timeline.metadata(ins), instant_time)
@@ -70,8 +72,9 @@ def rollback_instant(table, instant_time: str, _allow_non_latest: bool = False) 
             timeline.remove(instant_time, ins.action)
         # drop any staging leftovers of the crashed write
         temp_root = os.path.join(table.base_path, ".hoodie", ".temp")
-        if os.path.isdir(temp_root):
-            for d in os.listdir(temp_root):
+        st = get_storage(temp_root)
+        if st.isdir(temp_root):
+            for d in st.listdir(temp_root):
                 if d.startswith(instant_time):
                     rm_rf(os.path.join(temp_root, d))
     else:

@@ -9,7 +9,9 @@ df.transform(...) and with the streaming sink's ``transform=`` hook.
 
 from __future__ import annotations
 
+import io
 import uuid
+from ..storage import get_storage
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -33,7 +35,7 @@ def sql_query_transformer(sql: str):
 
 def sql_file_transformer(path: str):
     """SqlFileBasedTransformer: the query text lives in a file."""
-    with open(path) as fh:
+    with io.StringIO(get_storage(path).read_bytes(path).decode()) as fh:
         return sql_query_transformer(fh.read())
 
 

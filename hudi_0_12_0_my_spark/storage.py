@@ -1,0 +1,226 @@
+"""Pluggable metadata/data storage backends.
+
+The reference engine runs every IO through Hadoop ``FileSystem`` wrapped in
+``HoodieWrapperFileSystem`` (reference:
+hudi-common/src/main/java/org/apache/hudi/common/fs/HoodieWrapperFileSystem.java,
+FSUtils.java) so the same table code serves HDFS, S3A, ABFS and local disk.
+This module is the Spark-port analogue: a small path-string API with a posix
+implementation and an fsspec-backed one resolved by URL scheme.
+
+Division of labor at scale:
+- *Bulk data* (parquet base/delta files) is always read and written by Spark
+  executors via Hadoop IO — any scheme Spark supports works unchanged.
+- *Metadata* (timeline instants, markers, manifests, locks) is driver-side,
+  tiny, and is what this module abstracts: O(#instants + #file-groups) JSON
+  blobs, never row data, so a driver round-trip per operation is fine even
+  against an object store.
+
+Atomicity notes (the part that actually differs per backend):
+- posix: temp file + ``os.replace`` (atomic rename on the same volume).
+- object stores: single-object PUT is atomic by itself; there is no rename,
+  so ``atomic_put`` writes directly. Hudi does the same on S3 (timeline
+  files are immutable-once-written; see HoodieActiveTimeline.java
+  createImmutableFileInPath).
+- locks: posix gets O_CREAT|O_EXCL; fsspec gets best-effort "xb" open where
+  the backend supports it. Hudi itself requires an external lock provider
+  (Zookeeper/DynamoDB) for OCC on S3 — mirrored here by letting callers
+  plug a lock factory into the table config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from urllib.parse import urlparse
+
+
+class Storage:
+    """Path-string storage API. All paths are absolute (posix) or fully
+    qualified URLs (fsspec)."""
+
+    scheme = "abstract"
+
+    # --- reads
+    def exists(self, path: str) -> bool: raise NotImplementedError
+    def isdir(self, path: str) -> bool: raise NotImplementedError
+    def listdir(self, path: str) -> list:
+        """Child *names* (not paths) of a directory; [] if missing."""
+        raise NotImplementedError
+    def read_bytes(self, path: str) -> bytes: raise NotImplementedError
+    def size(self, path: str) -> int: raise NotImplementedError
+
+    # --- writes
+    def atomic_put(self, path: str, data: bytes) -> None:
+        """All-or-nothing single-blob write (readers never see a torn file)."""
+        raise NotImplementedError
+    def move(self, src: str, dst: str) -> None:
+        """Publish a finished file at dst (rename locally, copy+delete remote)."""
+        raise NotImplementedError
+    def makedirs(self, path: str) -> None: raise NotImplementedError
+    def unlink(self, path: str) -> None: raise NotImplementedError
+    def rm_rf(self, path: str) -> None: raise NotImplementedError
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        """Create iff absent; True on success. Used by FileLock."""
+        raise NotImplementedError
+
+    # --- convenience (shared)
+    def read_json(self, path: str):
+        return json.loads(self.read_bytes(path))
+
+    def write_json(self, path: str, obj) -> None:
+        self.atomic_put(
+            path, json.dumps(obj, separators=(",", ":"), default=str).encode())
+
+
+class LocalStorage(Storage):
+    """Posix-backed storage (the test/default backend)."""
+
+    scheme = "file"
+
+    def exists(self, path): return os.path.exists(path)
+    def isdir(self, path): return os.path.isdir(path)
+
+    def listdir(self, path):
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def read_bytes(self, path):
+        with open(path, "rb") as f:
+            return f.read()
+
+    def size(self, path): return os.path.getsize(path)
+
+    def atomic_put(self, path, data):
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp_")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def move(self, src, dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+
+    def makedirs(self, path): os.makedirs(path, exist_ok=True)
+
+    def unlink(self, path):
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+    def rm_rf(self, path):
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.unlink(path)
+
+    def create_exclusive(self, path, data):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        os.write(fd, data)
+        os.close(fd)
+        return True
+
+
+class FsspecStorage(Storage):
+    """fsspec-backed storage for object stores / remote FS (s3://, gs://,
+    abfs://, hdfs://...). Requires the `fsspec` package plus the protocol's
+    driver; import is deferred so local-only deployments need neither."""
+
+    def __init__(self, scheme: str):
+        try:
+            import fsspec
+        except ImportError as e:  # pragma: no cover - env without fsspec
+            raise RuntimeError(
+                f"path scheme '{scheme}://' needs the fsspec package "
+                "(pip install fsspec + the protocol driver)") from e
+        self.scheme = scheme
+        self.fs = fsspec.filesystem(scheme)
+
+    def exists(self, path): return self.fs.exists(path)
+    def isdir(self, path): return self.fs.isdir(path)
+
+    def listdir(self, path):
+        try:
+            return sorted(p.rstrip("/").rsplit("/", 1)[-1]
+                          for p in self.fs.ls(path, detail=False))
+        except FileNotFoundError:
+            return []
+
+    def read_bytes(self, path): return self.fs.cat_file(path)
+    def size(self, path): return self.fs.size(path)
+
+    def atomic_put(self, path, data):
+        # single-object PUT is atomic on object stores; no rename dance
+        with self.fs.open(path, "wb") as f:
+            f.write(data)
+
+    def move(self, src, dst):
+        # local staging file -> remote publish, or remote -> remote
+        if os.path.exists(src):
+            self.fs.put_file(src, dst)
+            os.unlink(src)
+        else:
+            self.fs.mv(src, dst)
+
+    def makedirs(self, path):
+        try:
+            self.fs.makedirs(path, exist_ok=True)
+        except Exception:  # noqa: BLE001 - object stores have no real dirs
+            pass
+
+    def unlink(self, path):
+        try:
+            self.fs.rm_file(path)
+        except FileNotFoundError:
+            pass
+
+    def rm_rf(self, path):
+        try:
+            self.fs.rm(path, recursive=True)
+        except FileNotFoundError:
+            pass
+
+    def create_exclusive(self, path, data):
+        # best effort: "xb" where the backend supports it, else exists-check.
+        # Hudi requires an external lock provider for OCC on S3 for the same
+        # reason (FileSystemBasedLockProvider is only safe on HDFS/posix).
+        try:
+            with self.fs.open(path, "xb") as f:
+                f.write(data)
+            return True
+        except (FileExistsError, ValueError):
+            return False
+        except OSError:
+            if self.fs.exists(path):
+                return False
+            with self.fs.open(path, "wb") as f:
+                f.write(data)
+            return True
+
+
+_LOCAL = LocalStorage()
+_CACHE: dict = {}
+
+
+def get_storage(path: str) -> Storage:
+    """Resolve a Storage by the path's URL scheme ('' / file -> posix)."""
+    scheme = urlparse(path).scheme if "://" in path else ""
+    if scheme in ("", "file"):
+        return _LOCAL
+    if scheme not in _CACHE:
+        _CACHE[scheme] = FsspecStorage(scheme)
+    return _CACHE[scheme]

@@ -22,6 +22,7 @@ a broker (same parse path).
 
 from __future__ import annotations
 
+import io
 import json
 import os
 from dataclasses import dataclass, field
@@ -32,6 +33,7 @@ from pyspark.sql import types as T
 from .. import payloads
 from ..config import MOR
 from .sink import stream_write
+from ..storage import get_storage
 
 _TYPE_ALIASES = {
     "varchar": T.StringType(), "string": T.StringType(),
@@ -83,7 +85,7 @@ class TableStreamConfig:
 
     @staticmethod
     def from_file(path: str) -> "TableStreamConfig":
-        with open(path) as fh:
+        with io.StringIO(get_storage(path).read_bytes(path).decode()) as fh:
             d = json.load(fh)
         known = set(TableStreamConfig.__dataclass_fields__)
         cfg = TableStreamConfig(**{k: v for k, v in d.items() if k in known})
@@ -93,7 +95,7 @@ class TableStreamConfig:
 
 def load_stream_configs(config_dir: str) -> list[TableStreamConfig]:
     return [TableStreamConfig.from_file(os.path.join(config_dir, f))
-            for f in sorted(os.listdir(config_dir)) if f.endswith(".json")]
+            for f in get_storage(config_dir).listdir(config_dir) if f.endswith(".json")]
 
 
 def _raw_stream(spark, source: dict) -> DataFrame:
@@ -144,7 +146,7 @@ def start_table_stream(engine, cfg: TableStreamConfig, checkpoint_root: str,
 
     def parse(batch_df: DataFrame) -> DataFrame:
         live = cfg
-        if cfg.config_path and os.path.exists(cfg.config_path):
+        if cfg.config_path and get_storage(cfg.config_path).exists(cfg.config_path):
             live = TableStreamConfig.from_file(cfg.config_path)
         schema = schema_from_fields(live.fields)
         if live.op_col:

@@ -19,6 +19,7 @@ from . import timeline as tl
 from .fsview import FileSystemView
 from .reader import Reader
 from .writer import Writer
+from .storage import get_storage
 
 
 class LakeTable:
@@ -42,7 +43,7 @@ class LakeTable:
             raise FileExistsError(f"table already exists at {base_path}")
         cfg = cfgmod.TableConfig(name=name or os.path.basename(base_path.rstrip("/")),
                                  **cfg_kwargs)
-        os.makedirs(os.path.join(base_path, ".hoodie", "timeline"), exist_ok=True)
+        get_storage(base_path).makedirs(os.path.join(base_path, ".hoodie", "timeline"))
         cfgmod.save_config(base_path, cfg)
         t = LakeTable(spark, base_path)
         if df is not None:

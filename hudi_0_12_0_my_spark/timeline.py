@@ -23,6 +23,7 @@ import threading
 import time
 from dataclasses import dataclass
 
+from .storage import get_storage
 from .util import atomic_write_json, read_json
 
 # actions (HoodieTimeline.java:46-64)
@@ -76,7 +77,8 @@ class Timeline:
     def __init__(self, base_path: str):
         self.base_path = base_path
         self.dir = os.path.join(base_path, ".hoodie", "timeline")
-        os.makedirs(self.dir, exist_ok=True)
+        self.storage = get_storage(base_path)
+        self.storage.makedirs(self.dir)
 
     def new_instant(self) -> str:
         """Mint a table-unique instant: the last minted millisecond persists in
@@ -90,15 +92,13 @@ class Timeline:
         marker = os.path.join(self.base_path, ".hoodie", ".last_instant")
         with FileLock(os.path.join(self.base_path, ".hoodie", "instant_lock")):
             last = 0
-            if os.path.exists(marker):
+            if self.storage.exists(marker):
                 try:
-                    with open(marker) as fh:
-                        last = int(fh.read().strip() or 0)
+                    last = int(self.storage.read_bytes(marker).strip() or 0)
                 except ValueError:
                     last = 0
             ms = max(int(time.time() * 1000), last + 1)
-            with open(marker, "w") as fh:
-                fh.write(str(ms))
+            self.storage.atomic_put(marker, str(ms).encode())
         t = time.gmtime(ms / 1000.0)
         return time.strftime("%Y%m%d%H%M%S", t) + f"{ms % 1000:03d}"
 
@@ -127,25 +127,23 @@ class Timeline:
         ins = self.transition(instant_time, action, COMPLETED, metadata)
         # completed state supersedes requested/inflight marker files
         for st in (REQUESTED, INFLIGHT):
-            p = self.path(Instant(instant_time, action, st))
-            if os.path.exists(p):
-                os.unlink(p)
+            self.storage.unlink(self.path(Instant(instant_time, action, st)))
         return ins
 
     def remove(self, instant_time: str, action: str | None = None) -> None:
         """Drop every state file of an instant (rollback/restore path)."""
-        for fname in os.listdir(self.dir):
+        for fname in self.storage.listdir(self.dir):
             t, _, rest = fname.partition(".")
             if t != instant_time:
                 continue
             act = rest.split(".")[0]
             if action is None or act == action:
-                os.unlink(os.path.join(self.dir, fname))
+                self.storage.unlink(os.path.join(self.dir, fname))
 
     # -- reads -------------------------------------------------------------
     def instants(self, states=(COMPLETED,), actions=None) -> list[Instant]:
         out = []
-        for fname in sorted(os.listdir(self.dir)):
+        for fname in self.storage.listdir(self.dir):
             if fname.startswith("."):
                 continue
             parts = fname.split(".")
@@ -185,10 +183,10 @@ class Timeline:
     # -- archived timeline (HoodieArchivedTimeline.java) ---------------------
     def archived(self) -> list[tuple[Instant, dict]]:
         adir = os.path.join(self.base_path, ".hoodie", "archived")
-        if not os.path.isdir(adir):
+        if not self.storage.isdir(adir):
             return []
         out = []
-        for fname in sorted(os.listdir(adir)):
+        for fname in self.storage.listdir(adir):
             if not fname.endswith(".json"):
                 continue
             for entry in read_json(os.path.join(adir, fname)):

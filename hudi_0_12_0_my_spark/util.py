@@ -1,41 +1,30 @@
 """Filesystem + JSON helpers.
 
-All physical-FS side effects of the engine funnel through this module so the
-storage backend can be swapped (posix now; S3A/ABFS would replace rename with
-conditional PUT — see SURVEY.md §7 "What's hard" #2).
+All driver-side FS side effects funnel through the Storage abstraction in
+storage.py so the metadata backend can be swapped (posix default; fsspec for
+object stores — see storage.py for the atomicity contract per backend, and
+SURVEY.md §7 "What's hard" #2 for why rename-free stores need PUT-atomic
+timeline files).
 """
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
-import tempfile
 import time
 import uuid
 
+from .storage import get_storage
+
 
 def atomic_write_json(path: str, obj) -> None:
-    """Write JSON atomically: temp file in the same directory + rename.
-
-    Mirrors Hudi's createImmutableFileInPath / requested->inflight->completed
-    rename protocol (reference: hudi-common/.../table/timeline/HoodieActiveTimeline.java).
-    """
-    d = os.path.dirname(path)
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp_", suffix=".json")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(obj, f, separators=(",", ":"), default=str)
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    """Write JSON atomically: temp+rename on posix, single PUT on object
+    stores. Mirrors Hudi's createImmutableFileInPath protocol (reference:
+    hudi-common/.../table/timeline/HoodieActiveTimeline.java)."""
+    get_storage(path).write_json(path, obj)
 
 
 def read_json(path: str):
-    with open(path) as f:
-        return json.load(f)
+    return get_storage(path).read_json(path)
 
 
 def new_file_id() -> str:
@@ -45,45 +34,38 @@ def new_file_id() -> str:
 
 
 def ensure_dir(path: str) -> None:
-    os.makedirs(path, exist_ok=True)
+    get_storage(path).makedirs(path)
 
 
 def rm_rf(path: str) -> None:
-    if os.path.isdir(path):
-        shutil.rmtree(path, ignore_errors=True)
-    elif os.path.exists(path):
-        os.unlink(path)
+    get_storage(path).rm_rf(path)
 
 
 class FileLock:
-    """Single-writer exclusion via O_CREAT|O_EXCL lock file.
+    """Single-writer exclusion via create-if-absent lock file.
 
     v1 of Hudi's WriteConcurrencyMode.SINGLE_WRITER + FileSystemBasedLockProvider
     (reference: hudi-client/hudi-client-common/.../transaction/lock/FileSystemBasedLockProvider.java).
+    On object stores create-if-absent is best effort (see
+    Storage.create_exclusive) — production OCC there wants an external lock
+    provider, exactly as the reference requires on S3.
     """
 
     def __init__(self, path: str, timeout_sec: float = 60.0, poll_sec: float = 0.05):
         self.path = path
         self.timeout = timeout_sec
         self.poll = poll_sec
+        self.storage = get_storage(path)
 
     def __enter__(self):
         deadline = time.time() + self.timeout
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
         while True:
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
+            if self.storage.create_exclusive(self.path, str(os.getpid()).encode()):
                 return self
-            except FileExistsError:
-                if time.time() > deadline:
-                    raise TimeoutError(f"could not acquire table lock {self.path}")
-                time.sleep(self.poll)
+            if time.time() > deadline:
+                raise TimeoutError(f"could not acquire table lock {self.path}")
+            time.sleep(self.poll)
 
     def __exit__(self, *exc):
-        try:
-            os.unlink(self.path)
-        except FileNotFoundError:
-            pass
+        self.storage.unlink(self.path)
         return False

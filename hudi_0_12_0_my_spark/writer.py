@@ -164,6 +164,11 @@ class Writer:
     def base(self):
         return self.t.base_path
 
+    @property
+    def storage(self):
+        from .storage import get_storage
+        return get_storage(self.t.base_path)
+
     def _lock(self):
         return FileLock(os.path.join(self.base, ".hoodie", "lock"))
 
@@ -212,12 +217,10 @@ class Writer:
         """Delete this write's already-moved files + timeline leftovers
         (marker-based undo, MarkerBasedRollbackStrategy.java)."""
         marker = self._marker_path(instant)
-        if os.path.exists(marker):
+        if self.storage.exists(marker):
             for rel in read_json(marker).get("files", []):
-                p = os.path.join(self.base, rel)
-                if os.path.exists(p):
-                    os.unlink(p)
-            os.unlink(marker)
+                self.storage.unlink(os.path.join(self.base, rel))
+            self.storage.unlink(marker)
         for ins in self.t.timeline.pending():
             if ins.time == instant:
                 self.t.timeline.remove(instant, ins.action)
@@ -324,17 +327,17 @@ class Writer:
         df.write.mode("overwrite").partitionBy("__pp", "__fid").parquet(staging)
 
         moves = []   # (src, dest_rel, partition, fid)
-        for ppdir in sorted(os.listdir(staging)):
+        for ppdir in self.storage.listdir(staging):
             if not ppdir.startswith("__pp="):
                 continue
             ppval = urllib.parse.unquote(ppdir[len("__pp="):])
             partition = "" if ppval == ROOT_SENTINEL else ppval
-            for fiddir in sorted(os.listdir(os.path.join(staging, ppdir))):
+            for fiddir in self.storage.listdir(os.path.join(staging, ppdir)):
                 if not fiddir.startswith("__fid="):
                     continue
                 fid = urllib.parse.unquote(fiddir[len("__fid="):])
                 d = os.path.join(staging, ppdir, fiddir)
-                parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+                parts = [f for f in self.storage.listdir(d) if f.endswith(".parquet")]
                 assert len(parts) == 1, f"file group split across tasks: {d} -> {parts}"
                 dest_rel = os.path.join(partition, f"{fid}_{instant}{ext}") if partition \
                     else f"{fid}_{instant}{ext}"
@@ -350,8 +353,7 @@ class Writer:
         def _move_and_stat(m):
             src, dest_rel, partition, fid = m
             dest = os.path.join(self.base, dest_rel)
-            ensure_dir(os.path.dirname(dest))
-            os.replace(src, dest)
+            self.storage.move(src, dest)
             st = _parquet_footer_stats(dest, stats_cols)
             st.update({"file_id": fid, "file_name": os.path.basename(dest_rel),
                        "path": dest_rel, "kind": kind})
@@ -368,13 +370,11 @@ class Writer:
 
     def _append_marker(self, instant: str, rel_paths: list[str]) -> None:
         p = self._marker_path(instant)
-        existing = read_json(p)["files"] if os.path.exists(p) else []
+        existing = read_json(p)["files"] if self.storage.exists(p) else []
         atomic_write_json(p, {"files": existing + rel_paths})
 
     def _remove_marker(self, instant: str) -> None:
-        p = self._marker_path(instant)
-        if os.path.exists(p):
-            os.unlink(p)
+        self.storage.unlink(self._marker_path(instant))
 
     def _stats_columns(self) -> list[str] | None:
         return self.cfg.stats_columns
@@ -912,9 +912,14 @@ def _parquet_footer_stats(path: str, stats_cols: list[str] | None) -> dict:
     column_stats metadata partition equivalent). Truncated parquet string
     bounds stay valid (parquet truncates min down / max up)."""
     import pyarrow.parquet as pq
-    pf = pq.ParquetFile(path)
+    from .storage import get_storage
+    st_backend = get_storage(path)
+    if st_backend.scheme == "file":
+        pf = pq.ParquetFile(path)
+    else:   # remote: pyarrow reads the footer through the fsspec file object
+        pf = pq.ParquetFile(st_backend.fs.open(path, "rb"))
     md = pf.metadata
-    out = {"records": md.num_rows, "bytes": os.path.getsize(path), "col_stats": {}}
+    out = {"records": md.num_rows, "bytes": st_backend.size(path), "col_stats": {}}
     names = {}
     for i in range(md.num_columns if md.num_row_groups else 0):
         col = md.row_group(0).column(i)
