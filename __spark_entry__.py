@@ -671,6 +671,35 @@ def q_bloom_key_range(spark, sf_dir):
             .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
 
 
+def _build_bloomidx(spark, sf_dir):
+    """bloom_filters metadata partition live end-to-end: bitsets appended at
+    commit time, probe prunes absent-key files at tag time
+    (MetadataPartitionType.BLOOM_FILTERS, HoodieBloomIndex.java:115-132)."""
+    key = (sf_dir, "bloomidx")
+    if key not in _BUILT:
+        orders = _read(spark, sf_dir, "orders")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "bloomidx")),
+            record_key_fields=["o_orderkey"], precombine_field="o_totalprice",
+            bloom_index_enabled=True, target_file_bytes=8 * 1024 * 1024)
+        t.bulk_insert(orders)
+        # mixed batch: updates (keys present -> bloom keeps their files) +
+        # brand-new keys inside existing ranges (bloom prunes their files)
+        upd = (orders.filter(F.col("o_orderkey") % 17 == 0)
+               .withColumn("o_totalprice", F.col("o_totalprice") + 555.0))
+        new = (orders.filter(F.col("o_orderkey") % 97 == 0)
+               .withColumn("o_orderkey", F.col("o_orderkey") + 100000000))
+        t.upsert(upd.unionByName(new))
+        _BUILT[key] = t
+    return _BUILT[key]
+
+
+def q_bloom_filters_index(spark, sf_dir):
+    t = _build_bloomidx(spark, sf_dir)
+    return (t.snapshot().groupBy("o_orderpriority")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
 def _build_inc_clean(spark, sf_dir):
     """Clean-then-incremental: the pull range's files were cleaned, forcing
     the fallback-to-full-scan path (IncrementalRelation.scala:199-254)."""
@@ -836,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_index": q_bucket_index,
         "bucket_consistent": q_bucket_consistent,
         "bloom_key_range": q_bloom_key_range,
+        "bloom_filters_index": q_bloom_filters_index,
         "incremental_after_clean": q_incremental_after_clean,
         "custom_keygen_partitions": q_custom_keygen_partitions,
         "debezium_cdc": q_debezium_cdc,
@@ -1018,6 +1048,18 @@ WITH {KR_CTES}
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM kcur WHERE l_orderkey BETWEEN 900 AND 1300 GROUP BY 1""",
+        "bloom_filters_index": """
+WITH upd AS (SELECT o_orderkey, o_totalprice + 555.0 AS np
+             FROM orders WHERE o_orderkey % 17 = 0),
+bcur AS (SELECT orders.* REPLACE (coalesce(upd.np, o_totalprice) AS o_totalprice)
+         FROM orders LEFT JOIN upd USING (o_orderkey)),
+ball AS (SELECT o_orderpriority, o_totalprice FROM bcur
+         UNION ALL
+         SELECT o_orderpriority, o_totalprice FROM orders
+         WHERE o_orderkey % 97 = 0)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM ball GROUP BY 1""",
         "incremental_after_clean": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(o_totalprice + 1111.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

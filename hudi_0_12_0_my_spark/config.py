@@ -36,6 +36,12 @@ class TableConfig:
     global_index: bool = False               # HoodieGlobalSimpleIndex vs HoodieSimpleIndex
     index_type: str = "simple"               # simple | bucket (HoodieIndex.java:45 impls)
     num_buckets: int = 8                     # bucket index (HoodieSimpleBucketIndex.java:40)
+    # bloom_filters metadata partition (MetadataPartitionType.java:24-27):
+    # when enabled, write-path tagging probes per-file bitsets after key-range
+    # pruning, and every commit appends bitsets for its new base files
+    bloom_index_enabled: bool = False
+    bloom_bits_per_key: int = 10             # ~0.9% fpp with 5 hashes
+    bloom_num_hashes: int = 5
     concurrency_mode: str = "single_writer"  # single_writer | occ (WriteConcurrencyMode.java:30-32)
     # sizing (HoodieStorageConfig.java:43, HoodieCompactionConfig.java:81)
     target_file_bytes: int = 120 * 1024 * 1024

@@ -378,9 +378,39 @@ def show_metadata_table_partitions(engine, **kw):
     n_files = sum(1 + len(s.deltas) for _g, s in slices)
     n_stats = sum(len(s.base_file.col_stats or {})
                   for _g, s in slices if s.base_file)
+    from . import bloom
+    bl = bloom.load_blooms(engine.spark, t.base_path, t.cfg.bloom_num_hashes)
+    n_blooms = bl.count() if bl is not None else 0
     rows = [Row(partition="files", enabled=True, entries=n_files),
-            Row(partition="column_stats", enabled=True, entries=n_stats)]
+            Row(partition="column_stats", enabled=True, entries=n_stats),
+            Row(partition="bloom_filters", enabled=t.cfg.bloom_index_enabled,
+                entries=n_blooms)]
     return _df(engine, rows, "partition string, enabled boolean, entries long")
+
+
+def run_index(engine, **kw):
+    """Async bloom_filters metadata-partition build (RunIndexActionExecutor):
+    backfills bitsets for live base files lacking one and commits an
+    `indexing` instant."""
+    from .services.indexing import run_index as _run
+    t = _t(engine, kw)
+    if kw.get("enable", True) and not t.cfg.bloom_index_enabled:
+        from . import config as cfgmod
+        t.cfg.bloom_index_enabled = True
+        cfgmod.save_config(t.base_path, t.cfg)
+    r = _run(t)
+    return _df(engine, [Row(instant=r["instant"],
+                            files_indexed=r["files_indexed"])],
+               "instant string, files_indexed long")
+
+
+def drop_index(engine, **kw):
+    """DROP INDEX counterpart: delete the bloom_filters partition and disable
+    the probe (deleteMetadataPartition equivalent)."""
+    from .services.indexing import drop_index as _drop
+    t = _t(engine, kw)
+    r = _drop(t)
+    return _df(engine, [Row(dropped=r["dropped"])], "dropped boolean")
 
 
 def create_metadata_table(engine, **kw):
@@ -751,6 +781,8 @@ PROCEDURES = {
     "show_archived_commits_metadata": show_archived_commits_metadata,
     "show_rollback_detail": show_rollback_detail,
     "show_fsview_latest": show_fsview_latest,
+    "run_index": run_index,
+    "drop_index": drop_index,
 }
 
 

@@ -93,5 +93,6 @@ def resize_buckets(table, split_above: int | None = None,
         md["prev_rings"] = prev_rings
         md["resized"] = {p: acts for p, acts in rewritten.items()}
         table.timeline.save_completed(instant, tl.REPLACECOMMIT, md)
+        table.writer._maybe_index_blooms(instant, md)
         table.writer._remove_marker(instant)
         return instant

@@ -89,5 +89,6 @@ def run_clustering(table, sort_cols: list | None = None, layout: str = "linear",
         md = table.writer._commit_md("cluster", stats, replaced)
         md["layout"] = layout
         table.timeline.save_completed(instant, tl.REPLACECOMMIT, md)
+        table.writer._maybe_index_blooms(instant, md)
         table.writer._remove_marker(instant)
         return instant

@@ -121,6 +121,7 @@ def run_compaction(table, strategy: str = "log_file_size",
         md = table.writer._commit_md("compact", stats, replaced)
         md["compacted_groups"] = sorted(f"{p}/{fid}" for p, fid in selected)
         table.timeline.save_completed(instant, tl.COMMIT, md)
+        table.writer._maybe_index_blooms(instant, md)
         table.writer._remove_marker(instant)
     return instant
 

@@ -186,12 +186,24 @@ def dispatch(engine, text: str):
     # CREATE INDEX idx ON t [USING column_stats] (c1, c2) — scopes the
     # column-stats manifest (HoodieSqlCommon.g4:51-56 index commands)
     m = re.match(r"^CREATE\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?\w+\s+ON\s+"
-                 r"([\w.`\"]+)\s*(?:USING\s+\w+\s*)?\(\s*(.+?)\s*\)\s*$",
+                 r"([\w.`\"]+)\s*(?:USING\s+(\w+)\s*)?\(\s*(.+?)\s*\)\s*$",
                  sql, re.IGNORECASE)
     if m and engine.has_table(_ident(m.group(1))):
         t = engine.table(_ident(m.group(1)))
-        t.cfg.stats_columns = [_ident(c) for c in m.group(2).split(",")]
         from . import config as cfgmod
+        using = (m.group(2) or "").lower()
+        if using in ("bloom_filters", "bloom"):
+            # CREATE INDEX ... USING bloom_filters: enable the bloom probe
+            # and backfill bitsets for existing files (IndexCommands.scala /
+            # RunIndexActionExecutor)
+            from .services.indexing import run_index
+            t.cfg.bloom_index_enabled = True
+            cfgmod.save_config(t.base_path, t.cfg)
+            r = run_index(t)
+            return engine.spark.createDataFrame(
+                [("bloom_filters", r["files_indexed"])],
+                "index_type string, files_indexed long")
+        t.cfg.stats_columns = [_ident(c) for c in m.group(3).split(",")]
         cfgmod.save_config(t.base_path, t.cfg)
         return engine.spark.createDataFrame(
             [(c,) for c in t.cfg.stats_columns], "indexed_column string")
@@ -203,6 +215,9 @@ def dispatch(engine, text: str):
         t.cfg.stats_columns = []
         from . import config as cfgmod
         cfgmod.save_config(t.base_path, t.cfg)
+        if t.cfg.bloom_index_enabled:
+            from .services.indexing import drop_index
+            drop_index(t)
         return engine.spark.createDataFrame([(True,)], "dropped boolean")
 
     m = re.match(r"^SHOW\s+INDEX(?:ES)?\s+(?:ON|FROM)\s+([\w.`\"]+)\s*$",
@@ -212,6 +227,8 @@ def dispatch(engine, text: str):
         cols = t.cfg.stats_columns
         rows = [(c, "column_stats") for c in cols] if cols else \
             ([] if cols == [] else [("*", "column_stats")])
+        if t.cfg.bloom_index_enabled:
+            rows = rows + [("_hoodie_record_key", "bloom_filters")]
         return engine.spark.createDataFrame(
             rows, "indexed_column string, index_type string")
 

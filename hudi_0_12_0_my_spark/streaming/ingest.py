@@ -82,6 +82,10 @@ class TableStreamConfig:
     op_col: str | None = "op"                    # CDC I/U/D column (None = plain)
     source: dict = field(default_factory=dict)   # {"format": kafka|json-files, ...}
     config_path: str | None = None               # backing file (hot reload)
+    # optional schema provider spec ({"kind": file|registry|hive|jdbc, ...});
+    # when set it wins over the inline `fields` list
+    # (utilities/schema/SchemaProvider.java family)
+    schema_provider: dict | None = None
 
     @staticmethod
     def from_file(path: str) -> "TableStreamConfig":
@@ -148,7 +152,12 @@ def start_table_stream(engine, cfg: TableStreamConfig, checkpoint_root: str,
         live = cfg
         if cfg.config_path and get_storage(cfg.config_path).exists(cfg.config_path):
             live = TableStreamConfig.from_file(cfg.config_path)
-        schema = schema_from_fields(live.fields)
+        if live.schema_provider:
+            from ..sources.schema_providers import create_schema_provider
+            schema = create_schema_provider(
+                live.schema_provider, engine.spark).source_schema()
+        else:
+            schema = schema_from_fields(live.fields)
         if live.op_col:
             schema = schema.add(T.StructField(live.op_col, T.StringType()))
         return (batch_df

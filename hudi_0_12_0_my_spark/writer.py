@@ -188,6 +188,7 @@ class Writer:
         clean up staged files and abort on conflict."""
         if self.cfg.concurrency_mode != "occ":
             self.t.timeline.save_completed(instant, action, md)
+            self._maybe_index_blooms(instant, md)
             return
         touched = {(p, st["file_id"])
                    for p, sts in (md.get("partition_to_write_stats") or {}).items()
@@ -212,6 +213,31 @@ class Writer:
                         f"commit {instant} conflicts with concurrent commit "
                         f"{ins.time} on file groups {sorted(overlap)[:5]}")
             self.t.timeline.save_completed(instant, action, md)
+        self._maybe_index_blooms(instant, md)
+
+    def _maybe_index_blooms(self, instant: str, md: dict) -> None:
+        """Synchronous bloom_filters maintenance on commit
+        (HoodieBackedTableMetadataWriter.update equivalent): append bitsets
+        for this commit's NEW base files. One narrow scan (3 meta columns) of
+        just-written files — cost scales with the write batch, never the
+        table. A failure here leaves index entries missing, not wrong: files
+        without a bitset simply stay un-bloom-pruned at tag time."""
+        if not self.cfg.bloom_index_enabled:
+            return
+        paths = [os.path.join(self.base, st["path"])
+                 for sts in (md.get("partition_to_write_stats") or {}).values()
+                 for st in sts if st.get("kind") == "base"]
+        if not paths:
+            return
+        from . import bloom
+        keys = (self.spark.read.parquet(*paths)
+                .select(F.col(meta.PARTITION_PATH).alias("partition"),
+                        F.col(meta.FILE_NAME).alias("file_name"),
+                        F.col(meta.RECORD_KEY).alias("key")))
+        bloom.write_blooms(
+            bloom.build_blooms(keys, self.cfg.bloom_bits_per_key,
+                               self.cfg.bloom_num_hashes),
+            self.base, instant)
 
     def _abort_staged(self, instant: str) -> None:
         """Delete this write's already-moved files + timeline leftovers
@@ -475,10 +501,45 @@ class Writer:
                 and meta.PARTITION_PATH in incoming.columns:
             cond = cond & (F.col(meta.PARTITION_PATH) == F.col("p"))
             probe_cols.insert(0, meta.PARTITION_PATH)
-        hits = (incoming.select(*probe_cols)
-                .join(F.broadcast(rdf), cond)
-                .select("path").distinct().collect())
-        return [view.abs(r[0]) for r in hits] + unpruned
+        hits = incoming.select(*probe_cols).join(F.broadcast(rdf), cond)
+        if self.cfg.bloom_index_enabled:
+            hits = self._bloom_prune(hits)
+        rows = hits.select("path").distinct().collect()
+        return [view.abs(r[0]) for r in rows] + unpruned
+
+    def _bloom_prune(self, hits: DataFrame) -> DataFrame:
+        """Second pruning layer after key ranges (HoodieBloomIndex.java:115-132
+        probe, HoodieMetadataBloomIndexCheckFunction.java): a (key, candidate
+        file) pair survives only if the file has no bitset or all k bits for
+        the key are set. The bloom side is NOT force-broadcast — AQE
+        broadcasts small candidate sets and shuffle-joins big ones, so a
+        100 TB table with thousands of MB-sized bitsets can't OOM the driver."""
+        from . import bloom
+        bl = bloom.load_blooms(self.spark, self.base, self.cfg.bloom_num_hashes)
+        if bl is None:
+            return hits
+        bl = bl.select(F.col("file_name").alias("__bf"),
+                       F.col("num_bits").alias("__bm"),
+                       F.col("bitset").alias("__bs"))
+        fname = F.element_at(F.split(F.col("path"), "/"), -1)
+        pairs = (hits.withColumn("__bk", F.col(meta.RECORD_KEY))
+                 .join(bl, fname == F.col("__bf"), "left"))
+        keep = F.col("__bf").isNull() \
+            | F.expr(bloom.probe_sql(self.cfg.bloom_num_hashes))
+        return pairs.filter(keep).drop("__bf", "__bm", "__bs", "__bk")
+
+    def _meta_scan(self, view: FileSystemView, paths: list[str]) -> DataFrame:
+        """Read base files with their hudi meta columns; bootstrapped source
+        files lack them, so reconstruct (wider scan only for bootstrapped
+        tables)."""
+        from .reader import bootstrap_instant, fill_bootstrap_meta
+        bs = bootstrap_instant(self.t.timeline)
+        if bs:
+            return fill_bootstrap_meta(
+                self.spark,
+                read_files(self.spark, paths, base_read_schema(self.cfg), self.cfg),
+                self.cfg, view, bs)
+        return self.spark.read.parquet(*paths)
 
     def _location_df(self, view: FileSystemView, partitions: list[str],
                      incoming: DataFrame | None = None) -> DataFrame | None:
@@ -493,16 +554,7 @@ class Writer:
             paths = view.live_base_files(None if self.cfg.global_index else partitions)
         if not paths:
             return None
-        from .reader import bootstrap_instant, fill_bootstrap_meta
-        bs = bootstrap_instant(self.t.timeline)
-        if bs:
-            # bootstrapped files lack meta columns: read the full schema and
-            # reconstruct keys (wider scan only for bootstrapped tables)
-            df = fill_bootstrap_meta(
-                self.spark, read_files(self.spark, paths, base_read_schema(self.cfg), self.cfg),
-                self.cfg, view, bs)
-        else:
-            df = self.spark.read.parquet(*paths)
+        df = self._meta_scan(view, paths)
         return (df.select(F.col(meta.RECORD_KEY),
                           F.col(meta.PARTITION_PATH).alias("__loc_pp"),
                           meta.file_id_from_name().alias("__loc_fid")))
