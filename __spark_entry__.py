@@ -806,10 +806,17 @@ def q_docs_simhash(spark, sf_dir):
 
 
 def q_emb_ivf_topk(spark, sf_dir):
+    """IVF top-k with nprobe == num_cells: every cell is probed, so the
+    result is provably identical to exact top-k and the brute-force oracle
+    applies — while the gate still exercises the full IVF plumbing
+    (centroid sampling, cell assignment, probe selection, cell join).
+    Production use sets nprobe < num_cells for the ~cells/nprobe scan cut."""
     from hudi_0_12_0_my_spark.operators import ivf_cosine_topk
     emb = _read(spark, sf_dir, "embeddings")
-    return ivf_cosine_topk(emb, emb.filter("vec_id < 5"), k=10,
-                           num_cells=16, nprobe=4)
+    res = ivf_cosine_topk(emb, emb.filter("vec_id < 5"), k=10,
+                          num_cells=8, nprobe=8)
+    return res.select("query_id", "neighbor_id",
+                      F.col("rank").cast("int").alias("rank"))
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1220,6 +1227,16 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40""",
         "emb_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (SELECT qid, vec_id AS nid,
+             list_cosine_similarity(qe, embedding) AS c
+      FROM embeddings, q WHERE vec_id <> qid),
+r AS (SELECT qid AS query_id, nid AS neighbor_id,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""",
+        # nprobe == num_cells makes IVF exhaustive => identical to exact topk
+        "emb_ivf_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
 s AS (SELECT qid, vec_id AS nid,
              list_cosine_similarity(qe, embedding) AS c
