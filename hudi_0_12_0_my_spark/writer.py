@@ -471,39 +471,72 @@ class Writer:
     # --------------------------------------------------------------- index
     def _candidate_base_files(self, view: FileSystemView, partitions,
                               incoming: DataFrame,
-                              ignore_partition: bool = False) -> list[str]:
+                              ignore_partition: bool = False,
+                              bands: dict | None = None) -> list[str]:
         """Key-range file pruning before the tag join — the bloom-index plan
         (HoodieBloomIndex.java:89-161 + IntervalTreeBasedIndexFileFilter.java):
         every live base file carries _hoodie_record_key min/max in its footer
-        stats; a file is a tag candidate only if some incoming key lands in
-        its range. The interval probe is ONE broadcast join over the (tiny)
-        file-range table — no shuffle — and on a GLOBAL_SORT table with
-        localized updates it shrinks the tag scan from O(partition) to the
-        few files whose ranges the update band intersects. Files written
-        before key stats existed have no range and stay unpruned."""
+        stats; a file is a tag candidate only if some incoming key can land in
+        its range.
+
+        Stage 1 is DRIVER-SIDE and costs at most one tiny agg job: the
+        incoming batch's per-partition key band (min/max — callers that
+        already aggregate over the batch pass it in via ``bands`` for zero
+        extra jobs) is interval-intersected with each file's key range, the
+        exact overlap test of IntervalTreeBasedIndexFileFilter. On a
+        GLOBAL_SORT table with localized updates this shrinks the tag scan
+        from O(partition) to the few files the band touches. Stage 2 (bloom
+        only) runs the per-key probe join + bitset check over stage-1
+        survivors, where per-key precision actually pays (sparse keys inside
+        wide bands). Files written before key stats existed have no range and
+        stay unpruned."""
         slices = view.live_slices(None if self.cfg.global_index else partitions)
+        per_partition = not self.cfg.global_index and not ignore_partition \
+            and meta.PARTITION_PATH in incoming.columns
+        if bands is None:
+            if per_partition:
+                rows = (incoming.groupBy(meta.PARTITION_PATH)
+                        .agg(F.min(meta.RECORD_KEY).alias("kmin"),
+                             F.max(meta.RECORD_KEY).alias("kmax")).collect())
+                bands = {r[0]: (r[1], r[2]) for r in rows}
+            else:
+                r = incoming.agg(F.min(meta.RECORD_KEY),
+                                 F.max(meta.RECORD_KEY)).collect()[0]
+                bands = {None: (r[0], r[1])}
+        if not per_partition and None not in bands:
+            # collapse to one global band (global index: an incoming key may
+            # be stored under any partition)
+            mins = [b[0] for b in bands.values() if b[0] is not None]
+            maxs = [b[1] for b in bands.values() if b[1] is not None]
+            bands = {None: (min(mins, default=None), max(maxs, default=None))}
         ranged, unpruned = [], []
         for g, s in slices:
             ks = (s.base_file.col_stats or {}).get(meta.RECORD_KEY) or {}
-            if ks.get("min") is not None and ks.get("max") is not None:
-                ranged.append((g.partition, s.base_file.path,
-                               str(ks["min"]), str(ks["max"])))
-            else:
+            kmin, kmax = ks.get("min"), ks.get("max")
+            if kmin is None or kmax is None:
                 unpruned.append(view.abs(s.base_file.path))
+                continue
+            b = bands.get(None) if None in bands else bands.get(g.partition)
+            if b is None or b[0] is None or b[1] is None:
+                continue            # no incoming rows can touch this file
+            if str(kmax) < str(b[0]) or str(kmin) > str(b[1]):
+                continue            # disjoint ranges -> pruned
+            ranged.append((g.partition, s.base_file.path,
+                           str(kmin), str(kmax)))
         if not ranged:
             return unpruned
+        if not self.cfg.bloom_index_enabled:
+            return [view.abs(p) for _, p, _, _ in ranged] + unpruned
         rdf = self.spark.createDataFrame(
             ranged, "p string, path string, kmin string, kmax string")
         cond = ((F.col(meta.RECORD_KEY) >= F.col("kmin"))
                 & (F.col(meta.RECORD_KEY) <= F.col("kmax")))
         probe_cols = [meta.RECORD_KEY]
-        if not self.cfg.global_index and not ignore_partition \
-                and meta.PARTITION_PATH in incoming.columns:
+        if per_partition:
             cond = cond & (F.col(meta.PARTITION_PATH) == F.col("p"))
             probe_cols.insert(0, meta.PARTITION_PATH)
         hits = incoming.select(*probe_cols).join(F.broadcast(rdf), cond)
-        if self.cfg.bloom_index_enabled:
-            hits = self._bloom_prune(hits)
+        hits = self._bloom_prune(hits)
         rows = hits.select("path").distinct().collect()
         return [view.abs(r[0]) for r in rows] + unpruned
 
@@ -542,14 +575,16 @@ class Writer:
         return self.spark.read.parquet(*paths)
 
     def _location_df(self, view: FileSystemView, partitions: list[str],
-                     incoming: DataFrame | None = None) -> DataFrame | None:
+                     incoming: DataFrame | None = None,
+                     bands: dict | None = None) -> DataFrame | None:
         """HoodieSimpleIndex.tagLocation (index/simple/HoodieSimpleIndex.java:50):
         key -> (partition, fileId) from live base files, reading only the three
         meta columns (parquet column pruning keeps this scan narrow). When the
         incoming batch is provided, candidate files are key-range pruned first
         (see _candidate_base_files)."""
         if incoming is not None:
-            paths = self._candidate_base_files(view, partitions, incoming)
+            paths = self._candidate_base_files(view, partitions, incoming,
+                                               bands=bands)
         else:
             paths = view.live_base_files(None if self.cfg.global_index else partitions)
         if not paths:
@@ -602,9 +637,15 @@ class Writer:
                 if cfg.index_type in ("bucket", "bucket_consistent"):
                     return self._upsert_bucket(incoming, view, instant,
                                                operation, action)
-                partitions = [r[0] for r in
-                              incoming.select(meta.PARTITION_PATH).distinct().collect()]
-                loc = self._location_df(view, partitions, incoming)
+                # ONE agg job yields both the touched partitions and the
+                # per-partition key bands the candidate-file prune needs
+                band_rows = (incoming.groupBy(meta.PARTITION_PATH)
+                             .agg(F.min(meta.RECORD_KEY).alias("kmin"),
+                                  F.max(meta.RECORD_KEY).alias("kmax"))
+                             .collect())
+                partitions = [r[0] for r in band_rows]
+                bands = {r[0]: (r[1], r[2]) for r in band_rows}
+                loc = self._location_df(view, partitions, incoming, bands=bands)
                 if loc is None:
                     tagged = (incoming
                               .withColumn("__loc_pp", F.lit(None).cast("string"))
