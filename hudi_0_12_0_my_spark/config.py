@@ -34,7 +34,7 @@ class TableConfig:
     hive_style_partitioning: bool = False    # KeyGeneratorOptions hive-style flag
     payload: str = "overwrite_latest"        # payloads.py registry key
     global_index: bool = False               # HoodieGlobalSimpleIndex vs HoodieSimpleIndex
-    index_type: str = "simple"               # simple | bucket (HoodieIndex.java:45 impls)
+    index_type: str = "simple"               # simple | bucket | bucket_consistent | inmemory (HoodieIndex.java:45 impls)
     num_buckets: int = 8                     # bucket index (HoodieSimpleBucketIndex.java:40)
     # bloom_filters metadata partition (MetadataPartitionType.java:24-27):
     # when enabled, write-path tagging probes per-file bitsets after key-range

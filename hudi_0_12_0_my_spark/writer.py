@@ -41,6 +41,14 @@ from .util import FileLock, atomic_write_json, ensure_dir, new_file_id, read_jso
 
 ROOT_SENTINEL = "__ROOT__"   # staging stand-in for the empty (unpartitioned) path
 
+# HoodieInMemoryHashIndex (index/inmemory/HoodieInMemoryHashIndex.java):
+# a process-wide {(partition, key) -> file_id} map per table base path — the
+# testing index. Like the reference's static ConcurrentHashMap it lives for
+# the driver process, is shared across Table reloads, and is updated on write
+# (never pruned on delete: stale entries tag to a file group that simply no
+# longer holds the key, which the payload merge resolves).
+_INMEMORY_INDEX: dict[str, dict] = {}
+
 
 class ConcurrentWriteConflictError(RuntimeError):
     """OCC conflict: two concurrent commits touched the same file groups."""
@@ -331,6 +339,16 @@ class Writer:
         partitionBy write: all rows of a file group are co-located by the
         repartition, so each staging directory holds exactly one part file.
         """
+        if self.cfg.index_type == "inmemory" \
+                and meta.RECORD_KEY in df.columns \
+                and meta.TARGET_FILE_ID in df.columns:
+            # updateLocation (HoodieInMemoryHashIndex.java): remember every
+            # written record's file group (testing index; driver-side collect
+            # is the point — it only runs when this index is selected)
+            idx = _INMEMORY_INDEX.setdefault(self.base, {})
+            for r in df.select(meta.PARTITION_PATH, meta.RECORD_KEY,
+                               meta.TARGET_FILE_ID).collect():
+                idx[(r[0], r[1])] = r[2]
         ext = ".parquet" if kind == "base" else ".delta.parquet"
         staging = os.path.join(self.base, ".hoodie", ".temp", f"{instant}_{kind}")
         rm_rf(staging)
@@ -582,6 +600,17 @@ class Writer:
         meta columns (parquet column pruning keeps this scan narrow). When the
         incoming batch is provided, candidate files are key-range pruned first
         (see _candidate_base_files)."""
+        if self.cfg.index_type == "inmemory":
+            idx = _INMEMORY_INDEX.get(self.base, {})
+            pset = None if (self.cfg.global_index or partitions is None) \
+                else set(partitions)
+            rows = [(k, pp, fid) for (pp, k), fid in idx.items()
+                    if pset is None or pp in pset]
+            if not rows:
+                return None
+            return self.spark.createDataFrame(
+                rows, f"{meta.RECORD_KEY} string, __loc_pp string, "
+                      "__loc_fid string")
         if incoming is not None:
             paths = self._candidate_base_files(view, partitions, incoming,
                                                bands=bands)
