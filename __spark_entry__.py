@@ -558,13 +558,18 @@ def q_q5_nation_volume(spark, sf_dir):
 
 
 def _read_events(spark, sf_dir):
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long and convert (floor to micros — the
-    same truncation DuckDB applies going ns -> its native us timestamps)."""
+    """events.parquet stores TIMESTAMP(NANOS). Newer Spark (4.1+) reads it
+    natively as timestamp_ntz (floor-truncated to micros — the same
+    truncation DuckDB applies going ns -> its native us timestamps); older
+    readers reject nanos unless the legacy nanos-as-long conf is set, which
+    yields a bigint column we convert by hand. Branch on the actual dtype so
+    both behaviors produce identical micro-precision timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _read(spark, sf_dir, "events")
-    return ev.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return ev
 
 
 def q_events_hourly(spark, sf_dir):
@@ -631,6 +636,49 @@ def q_docs_ngram_jaccard(spark, sf_dir):
     from hudi_0_12_0_my_spark.operators import ngram_jaccard_pairs
     docs = _read(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
+def q_docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word 4-gram with the
+    simulated eval set (doc_id % 97 == 0) are flagged. The benchmark gram
+    set broadcasts; the corpus side never shuffles."""
+    from hudi_0_12_0_my_spark.operators import contaminated_ids
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    probe = docs.filter(F.col("doc_id") % 97 != 0)
+    return contaminated_ids(probe, bench, n=4)
+
+
+def q_docs_pii_scrub(spark, sf_dir):
+    """PII scrubbing over text with synthetic PII spans appended (the corpus
+    itself is PII-free word salad). Rules are RE2-safe so the DuckDB oracle
+    applies the byte-identical regex set."""
+    from hudi_0_12_0_my_spark.operators import scrub_pii
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = docs.withColumn("text", F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 ssn 123-45-6789"
+              " card 4111 1111 1111 1111 end")))
+    return scrub_pii(docs).select("doc_id", "text")
+
+
+def q_docs_sample_stratified(spark, sf_dir):
+    """Per-language deterministic sampling quotas (engine-portable bucket
+    hash, reproducible across runs/retries — never rand())."""
+    from hudi_0_12_0_my_spark.operators import stratified_sample
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.75},
+        id_col="doc_id").select("doc_id", "lang")
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (24h inactivity gap): one shuffle on
+    user_id shared by the lag window, the island numbering, and the final
+    per-session aggregate."""
+    from hudi_0_12_0_my_spark.operators import session_stats
+    ev = _read_events(spark, sf_dir)
+    return session_stats(ev, gap_seconds=86400, value_col="value")
 
 
 def q_emb_near_dup(spark, sf_dir):
@@ -890,6 +938,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_language_id": q_docs_language_id,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_decontaminate": q_docs_decontaminate,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_sample_stratified": q_docs_sample_stratified,
+        "events_sessionize": q_events_sessionize,
         "emb_topk": q_emb_topk,
         "emb_near_dup": q_emb_near_dup,
         # rows-only checks
@@ -1222,6 +1274,50 @@ pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           GROUP BY 1, 2, 3, 4)
 SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
 FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""",
+        "docs_decontaminate": """
+WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(toks) - 3, 0) + 1),
+        i -> array_to_string(list_slice(toks, i, i + 3), ' ')))) AS g
+      FROM t),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+SELECT DISTINCT a.doc_id FROM g a JOIN bench USING (g)
+WHERE a.doc_id % 97 <> 0""",
+        "docs_pii_scrub": """
+WITH d AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-123-4567 ssn 123-45-6789'
+                  || ' card 4111 1111 1111 1111 end' AS text
+           FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+      '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+    '\\b\\d(?:[ -]?\\d){12,15}\\b', '<CARD>', 'g') AS text
+FROM d""",
+        "docs_sample_stratified": """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id % 1000000007) * 2654435761 + 42) % 1000000 <
+      CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                WHEN 'fr' THEN 100000 WHEN 'es' THEN 750000 ELSE 0 END""",
+        "events_sessionize": """
+WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
+l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM e),
+f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 86400000000
+                     THEN 1 ELSE 0 END AS nf FROM l),
+s AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM s GROUP BY 1, 2""",
         "emb_near_dup": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

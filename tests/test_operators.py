@@ -159,3 +159,72 @@ def test_frame_sample_plan(docs):
     frames = ops.frame_sample_plan(mm, every_ms=1000)
     per_doc = frames.groupBy("doc_id").count().collect()
     assert all(r["count"] == 3 for r in per_doc)  # 0ms, 1000ms, 2000ms
+
+
+# --------------------------------------------- pipeline curation (pipeline.py)
+def test_decontaminate_flags_shared_ngrams(docs, spark):
+    bench = spark.createDataFrame(
+        [(100, "jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    bad = ops.contaminated_ids(docs, bench, n=4)
+    got = {r.doc_id for r in bad.collect()}
+    # docs 1,2,3 share "jumps over the lazy dog"; 7 shares "jumps over the
+    # lazy" (4-gram); 4,5,6 share nothing
+    assert got == {1, 2, 3, 7}
+    kept = ops.decontaminate(docs, bench, n=4)
+    assert {r.doc_id for r in kept.collect()} == {4, 5, 6}
+    marked = ops.decontaminate(docs, bench, n=4, mark_only=True)
+    flags = {r.doc_id: r.contaminated for r in marked.collect()}
+    assert flags[1] is True and flags[4] is False and len(flags) == 7
+
+
+def test_scrub_pii_rules(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.co.uk now"),
+         (2, "call 555-123-4567 or ssn 123-45-6789"),
+         (3, "card 4111 1111 1111 1111 thanks"),
+         (4, "clean text, nothing to scrub 12-34")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text for r in ops.scrub_pii(df).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "call <PHONE> or ssn <SSN>"
+    assert out[3] == "card <CARD> thanks"
+    assert out[4] == "clean text, nothing to scrub 12-34"
+
+
+def test_normalize_text(docs):
+    out = {r.doc_id: r.text for r in ops.normalize_text(docs).collect()}
+    assert out[3] == "the quick brown fox jumps over the lazy dog"
+
+
+def test_deterministic_sample_reproducible(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in ops.deterministic_sample(df, 0.3).collect()}
+    b = {r.doc_id for r in ops.deterministic_sample(df, 0.3).collect()}
+    assert a == b                          # reproducible, unlike rand()
+    assert 0.25 < len(a) / 10_000 < 0.35   # roughly the requested fraction
+    sub = {r.doc_id for r in ops.deterministic_sample(df, 0.1).collect()}
+    assert sub <= a                        # nested: smaller fraction ⊂ larger
+
+
+def test_stratified_sample_quotas(docs):
+    out = ops.stratified_sample(docs, "lang", {"en": 1.0}, id_col="doc_id")
+    got = {r.doc_id for r in out.collect()}
+    assert got == {1, 2, 3, 4, 6, 7}       # all en kept, de (5) dropped
+
+
+def test_sessionize_islands(spark):
+    rows = [(i, u, f"2024-01-01 0{h}:{m:02d}:00")
+            for i, (u, h, m) in enumerate([
+                (1, 0, 0), (1, 0, 10), (1, 2, 0),   # user 1: 2 sessions
+                (2, 0, 0), (2, 3, 0), (2, 3, 20),   # user 2: 2 sessions
+            ])]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string") \
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = ops.sessionize(ev, gap_seconds=3600)
+    got = {(r.user_id, r.event_id): r.session_id for r in sess.collect()}
+    assert got[(1, 0)] == 1 and got[(1, 1)] == 1 and got[(1, 2)] == 2
+    assert got[(2, 3)] == 1 and got[(2, 4)] == 2 and got[(2, 5)] == 2
+    stats = ops.session_stats(ev, gap_seconds=3600)
+    by_key = {(r.user_id, r.session_id): r.n_events for r in stats.collect()}
+    assert by_key[(1, 1)] == 2 and by_key[(1, 2)] == 1 and by_key[(2, 2)] == 2
