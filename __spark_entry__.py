@@ -619,6 +619,17 @@ def q_docs_fingerprint(spark, sf_dir):
                     .alias("n_distinct"), _n())
 
 
+def q_emb_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN (rows-only: banded recall is probabilistic, not
+    SQL-reproducible; pytest checks recall vs brute force)."""
+    from hudi_0_12_0_my_spark.operators import lsh_cosine_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    res = lsh_cosine_topk(emb, emb.filter("vec_id < 5"), dim=64, k=10,
+                          num_bits=16, bands=8)
+    return res.select("query_id", "neighbor_id",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_emb_topk(spark, sf_dir):
     from hudi_0_12_0_my_spark.operators import cosine_topk
     emb = _read(spark, sf_dir, "embeddings")
@@ -948,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_lsh_topk": q_emb_lsh_topk,
         "multimodal_features": q_multimodal_features,
     }
 

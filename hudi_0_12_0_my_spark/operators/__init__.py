@@ -17,7 +17,9 @@ from .pipeline import (contaminated_ids, decontaminate, scrub_pii,
                        normalize_text, deterministic_sample,
                        stratified_sample)
 from .sessions import sessionize, session_stats
-from .similarity import cosine_topk, ivf_cosine_topk, embedding_near_dup_pairs
+from .similarity import (cosine_topk, ivf_cosine_topk,
+                         embedding_near_dup_pairs, hyperplane_signatures,
+                         lsh_cosine_topk)
 from .textstats import (with_token_stats, with_quality_score,
                         with_language_id, with_fingerprint)
 
@@ -26,6 +28,7 @@ __all__ = [
     "minhash_lsh_dedup", "simhash", "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "cosine_topk", "ivf_cosine_topk", "embedding_near_dup_pairs",
+    "hyperplane_signatures", "lsh_cosine_topk",
     "with_token_stats", "with_quality_score", "with_language_id",
     "with_fingerprint",
     "with_media_columns", "extract_features", "frame_sample_plan",

@@ -102,6 +102,73 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                         "cosine", "rank"))
 
 
+def hyperplane_signatures(df: DataFrame, dim: int, num_bits: int = 16,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          seed: int = 42) -> DataFrame:
+    """Signed-random-projection (SimHash-for-vectors) LSH signature.
+
+    `num_bits` seeded hyperplanes are generated driver-side (Rademacher ±1
+    components — the Achlioptas construction, same cosine-LSH guarantee as
+    gaussian planes) and embedded as literal arrays, so the signature is ONE
+    map-only projection per row: sign(dot(v, h_i)) folded into a bigint.
+    No shuffle, no UDF; at 100 TB this runs at scan speed.
+
+    Returns (id, sig) where bit i of `sig` = [dot(v, h_i) > 0].
+    """
+    import random
+    rnd = random.Random(seed)
+    planes = [[1.0 if rnd.random() < 0.5 else -1.0 for _ in range(dim)]
+              for _ in range(num_bits)]
+    v = F.col(vec_col)
+    sig = F.lit(0).cast("long")
+    for i, hp in enumerate(planes):
+        lit = F.array(*[F.lit(x) for x in hp])
+        bit = F.when(_dot(v, lit) > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+        sig = sig + bit * F.lit(1 << i).cast("long")
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+                    k: int = 10, num_bits: int = 16, bands: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> DataFrame:
+    """Approximate top-k via hyperplane-LSH banding + exact cosine re-rank.
+
+    Candidates = corpus rows sharing at least one of `bands` signature bands
+    with the query (equi-join on (band, chunk) — bucketed, never all-pairs).
+    The exact cosine then re-ranks only candidates. Recall rises with bands
+    (more, smaller bands = more candidates); the scale knobs are the same as
+    MinHash-LSH banding. Output: (query_id, neighbor_id, cosine, rank).
+    """
+    assert num_bits % bands == 0
+    r = num_bits // bands
+    mask = (1 << r) - 1
+
+    def banded(sig_df, idc):
+        return sig_df.select(
+            F.col(idc), F.posexplode(F.array(*[
+                F.shiftright("sig", r * b).bitwiseAND(mask)
+                for b in range(bands)])).alias("band", "chunk"))
+
+    csig = hyperplane_signatures(corpus, dim, num_bits, id_col, vec_col, seed)
+    qsig = hyperplane_signatures(queries, dim, num_bits, id_col, vec_col, seed) \
+        .withColumnRenamed(id_col, "query_id")
+    cand = (banded(csig, id_col)
+            .join(F.broadcast(banded(qsig, "query_id")), on=["band", "chunk"])
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select("query_id", id_col).distinct())
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    scored = (cand.join(F.broadcast(q), on="query_id").join(c, on=id_col)
+              .withColumn("cosine", _dot(F.col("qvec"), F.col("cvec"))
+                          / (_norm(F.col("qvec")) * _norm(F.col("cvec")))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", F.col(id_col).alias("neighbor_id"),
+                          "cosine", "rank"))
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

@@ -228,3 +228,22 @@ def test_sessionize_islands(spark):
     stats = ops.session_stats(ev, gap_seconds=3600)
     by_key = {(r.user_id, r.session_id): r.n_events for r in stats.collect()}
     assert by_key[(1, 1)] == 2 and by_key[(1, 2)] == 1 and by_key[(2, 2)] == 2
+
+
+def test_lsh_topk_recall_vs_brute_force(emb):
+    brute = {(r.query_id, r.neighbor_id)
+             for r in ops.cosine_topk(emb, emb.filter("vec_id < 3"), k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ops.lsh_cosine_topk(emb, emb.filter("vec_id < 3"), dim=8,
+                                           k=5, num_bits=16, bands=8).collect()}
+    # banded LSH is approximate; 8 bands of 2 bits on 8-dim vectors gives
+    # high candidate recall on this tiny corpus
+    assert len(brute & approx) >= len(brute) * 0.6
+
+
+def test_hyperplane_signatures_deterministic(emb):
+    a = {r.vec_id: r.sig for r in ops.hyperplane_signatures(emb, dim=8).collect()}
+    b = {r.vec_id: r.sig for r in ops.hyperplane_signatures(emb, dim=8).collect()}
+    assert a == b
+    # near-identical vectors agree on (almost) all sign bits
+    assert bin(a[0] ^ a[100]).count("1") <= 2

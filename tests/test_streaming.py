@@ -195,3 +195,92 @@ def test_hudi_stream_source_mor_deletes(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r.id, r.val) for r in spark.read.parquet(out).collect()}
     assert rows == {(1, 1.0), (2, 2.0)}   # the delete row itself is NOT emitted
+
+
+def _write_events_json(dirpath, name, rows):
+    _write_jsonl(dirpath, name, rows)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over two micro-batches equals
+    the batch gaps-and-islands operator on the union of the data."""
+    from hudi_0_12_0_my_spark.operators import session_stats
+    from hudi_0_12_0_my_spark.streaming import streaming_sessionize
+
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "ev_out")
+    ck = str(tmp_path / "ev_ck")
+    batch1 = [{"event_id": 1, "user_id": 1, "ts": "2024-01-01 00:00:00", "value": 1.0},
+              {"event_id": 2, "user_id": 1, "ts": "2024-01-01 00:10:00", "value": 2.0},
+              {"event_id": 3, "user_id": 2, "ts": "2024-01-01 00:00:00", "value": 5.0}]
+    batch2 = [{"event_id": 4, "user_id": 1, "ts": "2024-01-01 03:00:00", "value": 3.0},
+              {"event_id": 5, "user_id": 2, "ts": "2024-01-01 00:20:00", "value": 7.0}]
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(src)
+        q = (streaming_sessionize(stream, gap_seconds=3600)
+             .writeStream.foreachBatch(
+                 lambda df, _bid: df.write.mode("append").parquet(out))
+             .option("checkpointLocation", ck)
+             .outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _write_events_json(src, "b1.json", batch1)
+    run_once()
+    _write_events_json(src, "b2.json", batch2)
+    run_once()
+
+    # latest emitted row per (user, session) = final running stats
+    emitted = spark.read.parquet(out)
+    w_latest = (emitted.groupBy("user_id", "session_id")
+                .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+                .select("user_id", "session_id", "s.n_events", "s.sum_value"))
+    got = {(r.user_id, r.session_id): (r.n_events, r.sum_value)
+           for r in w_latest.collect()}
+
+    allev = spark.createDataFrame(
+        [tuple(b.values()) for b in batch1 + batch2],
+        "event_id long, user_id long, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {(r.user_id, r.session_id): (r.n_events, r.sum_value)
+            for r in session_stats(allev, gap_seconds=3600,
+                                   value_col="value").collect()}
+    assert got == want
+    assert got[(1, 1)] == (2, 3.0) and got[(1, 2)] == (1, 3.0)
+    assert got[(2, 1)] == (2, 12.0)
+
+
+def test_windowed_sessions_closes_on_watermark(spark, tmp_path):
+    """Built-in session_window path: sessions close once the watermark passes
+    end+gap; late-but-in-watermark events merge into their session."""
+    from hudi_0_12_0_my_spark.streaming import windowed_sessions
+
+    src = str(tmp_path / "sw_src")
+    out = str(tmp_path / "sw_out")
+    ck = str(tmp_path / "sw_ck")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    rows = [{"event_id": 1, "user_id": 1, "ts": "2024-01-01 00:00:00", "value": 1.0},
+            {"event_id": 2, "user_id": 1, "ts": "2024-01-01 00:05:00", "value": 2.0},
+            # far-future event advances the watermark past session end + gap
+            {"event_id": 3, "user_id": 9, "ts": "2024-01-02 00:00:00", "value": 0.0}]
+    _write_events_json(src, "b1.json", rows)
+    stream = spark.readStream.schema(schema).json(src)
+    q = (windowed_sessions(stream, gap_seconds=600, watermark="10 minutes")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # run a second empty-ish trigger so the advanced watermark flushes
+    _write_events_json(src, "b2.json",
+                       [{"event_id": 4, "user_id": 9,
+                         "ts": "2024-01-03 00:00:00", "value": 0.0}])
+    q2 = (windowed_sessions(spark.readStream.schema(schema).json(src),
+                            gap_seconds=600, watermark="10 minutes")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck)
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    closed = {(r.user_id, r.n_events) for r in spark.read.parquet(out).collect()}
+    assert (1, 2) in closed   # the two user-1 events merged into one session
