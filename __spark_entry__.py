@@ -853,15 +853,22 @@ def q_custom_keygen_partitions(spark, sf_dir):
 
 # ---- rows-only (no SQL-expressible oracle; driver records weaker check)
 def q_docs_minhash_lsh(spark, sf_dir):
+    """Full MinHash-LSH semantics (signatures -> banding -> candidate join ->
+    jaccard estimate) with the engine-portable md5 hash, so DuckDB replays
+    the entire pipeline exactly (the production default stays xxhash64)."""
     from hudi_0_12_0_my_spark.operators import minhash_lsh_pairs
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, jaccard_threshold=0.4)
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8,
+                             jaccard_threshold=0.4, hash_fn="portable_md5")
 
 
 def q_docs_simhash(spark, sf_dir):
+    """48-bit SimHash near-dup pairs with the portable hash (60 usable hash
+    bits cap it below the xxhash64 default of 64) — oracle-exact."""
     from hudi_0_12_0_my_spark.operators import simhash_near_dup_pairs
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=6)
+    return simhash_near_dup_pairs(docs, max_hamming=6, bits=48,
+                                  hash_fn="portable_md5")
 
 
 def q_emb_ivf_topk(spark, sf_dir):
@@ -1286,6 +1293,56 @@ pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           GROUP BY 1, 2, 3, 4)
 SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
 FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""",
+        # portable-md5 MinHash: DuckDB replays signatures, banding, candidate
+        # join, and the jaccard estimate bit-for-bit (hash_fn="portable_md5")
+        "docs_minhash_lsh": """
+WITH d0 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         range(1, greatest(length(t) - 4, 1) + 1), i -> substr(t, i, 5))) AS shingles
+       FROM d0),
+sig AS (SELECT doc_id,
+          [list_min(list_transform(shingles,
+             s -> ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 15))::BIGINT))
+           for k in range(0, 32)] AS sig
+        FROM sh),
+b AS (SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM sig),
+bk AS (SELECT doc_id, sig, band,
+         ('0x' || substr(md5(
+             CAST(sig[4*band+1] AS VARCHAR) || '|' || CAST(sig[4*band+2] AS VARCHAR)
+             || '|' || CAST(sig[4*band+3] AS VARCHAR) || '|' || CAST(sig[4*band+4] AS VARCHAR)
+           ), 1, 15))::BIGINT AS bucket
+       FROM b),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                a.sig AS sa, b2.sig AS sb
+         FROM bk a JOIN bk b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                            AND a.doc_id < b2.doc_id)
+SELECT id_a, id_b,
+       len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0 AS est_jaccard
+FROM cand
+WHERE len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0 >= 0.4""",
+        # portable-md5 48-bit SimHash near-dup pairs, fully replayed
+        "docs_simhash": """
+WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+th AS (SELECT doc_id, list_transform(toks,
+         s -> ('0x' || substr(md5('0|' || s), 1, 15))::BIGINT) AS hs
+       FROM t),
+fp AS (SELECT doc_id,
+         list_sum(list_transform(range(0, 48), i ->
+           CASE WHEN list_sum(list_transform(hs, h ->
+                  CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS simhash
+       FROM th),
+b AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM fp),
+bk AS (SELECT doc_id, simhash, band,
+              (simhash >> (12 * band)::INT) & 4095 AS chunk FROM b),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                a.simhash AS fa, b2.simhash AS fb
+         FROM bk a JOIN bk b2 ON a.band = b2.band AND a.chunk = b2.chunk
+                            AND a.doc_id < b2.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 6""",
         "docs_decontaminate": """
 WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
            FROM documents),

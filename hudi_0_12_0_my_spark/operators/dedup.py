@@ -15,7 +15,35 @@ All hashing is xxhash64 (JVM, codegen); no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _seeded_hash(hash_fn: str):
+    """(seed, col) -> bigint hash column factory.
+
+    - "xxhash64": JVM codegen, the fast default for production runs.
+    - "portable_md5": 60-bit value any SQL engine reproduces exactly —
+      Spark `conv(substr(md5(seed||'|'||x),1,15),16,10)` equals DuckDB
+      `('0x'||substr(md5(seed||'|'||x),1,15))::BIGINT`. Used by the
+      correctness gate so MinHash/SimHash results are oracle-checkable;
+      ~3-5x slower than xxhash64, same LSH guarantees.
+    """
+    if hash_fn == "xxhash64":
+        return lambda seed, c: F.xxhash64(F.lit(seed), c)
+    if hash_fn == "portable_md5":
+        return lambda seed, c: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), c)), 1, 15),
+            16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def _combine_hash(hash_fn: str, cols: list[Column]) -> Column:
+    """Order-sensitive hash of several bigint columns (LSH band buckets)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(*cols)
+    return F.conv(F.substring(F.md5(F.concat_ws("|", *[c.cast("string")
+                                                       for c in cols])),
+                              1, 15), 16, 10).cast("long")
 
 
 # --------------------------------------------------------------- exact dedup
@@ -41,7 +69,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 # ------------------------------------------------------------------- minhash
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 32,
-                       shingle_k: int = 5) -> DataFrame:
+                       shingle_k: int = 5,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) MinHash signatures.
 
     Character-shingle -> num_hashes seeded xxhash64 -> min per seed, computed
@@ -69,10 +98,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                     lambda i: norm.substr(i, F.lit(shingle_k))))
     with_sh = df.select(F.col(id_col), sh.alias("_shingles"))
 
+    h = _seeded_hash(hash_fn)
+
     def seeded(seed):
         # NB: must be a one-arg lambda — F.transform treats a two-arg callable
         # as (element, index) and would silently override a default-arg seed
-        return lambda s: F.xxhash64(F.lit(seed), s)
+        return lambda s: h(seed, s)
 
     sig = F.array(*[F.array_min(F.transform("_shingles", seeded(i)))
                     for i in range(num_hashes)])
@@ -82,7 +113,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, shingle_k: int = 5,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified by signature overlap.
 
     rows-per-band r = num_hashes/bands; docs sharing any band bucket become
@@ -92,11 +124,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
+                              hash_fn)
     band_entries = sigs.select(
         id_col, "sig",
         F.posexplode(F.array(*[
-            F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
+            _combine_hash(hash_fn, [F.col("sig")[b * r + j] for j in range(r)])
             for b in range(bands)])).alias("band", "bucket"))
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -130,7 +163,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------------------------- simhash
 def simhash(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+            id_col: str = "doc_id", bits: int = 64,
+            hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over whitespace tokens: sign of per-bit weight sums.
 
     MAP-ONLY: the per-bit counters fold per row via
@@ -146,8 +180,11 @@ def simhash(df: DataFrame, text_col: str = "text",
         nfiles = par
     if 0 < nfiles < par:
         df = df.repartition(par, id_col)
+    assert bits <= 64 and (hash_fn != "portable_md5" or bits <= 60), \
+        "portable_md5 yields 60 hash bits"
+    h = _seeded_hash(hash_fn)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    th = F.transform(toks, lambda t: h(0, t))
 
     def bitsum(i):
         # factory closure: captures the PYTHON int i per bit (shiftright
@@ -170,18 +207,20 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
-                           max_hamming: int = 3) -> DataFrame:
+                           max_hamming: int = 3, bits: int = 64,
+                           hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Candidate generation by 4x16-bit band equality (any identical band =>
-    candidate — guarantees recall for hamming <= 3), then exact popcount
+    Candidate generation by 4x(bits/4)-bit band equality (any identical band
+    => candidate — guarantees recall for hamming <= 3), then exact popcount
     verification via bit ops; join is band-bucketed, never all-pairs.
     """
-    sh = simhash(df, text_col, id_col)
+    width = bits // 4
+    sh = simhash(df, text_col, id_col, bits, hash_fn)
     bands = sh.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
-            F.shiftright("simhash", 16 * i).bitwiseAND((1 << 16) - 1)
+            F.shiftright("simhash", width * i).bitwiseAND((1 << width) - 1)
             for i in range(4)])).alias("band", "chunk"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

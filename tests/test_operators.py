@@ -247,3 +247,15 @@ def test_hyperplane_signatures_deterministic(emb):
     assert a == b
     # near-identical vectors agree on (almost) all sign bits
     assert bin(a[0] ^ a[100]).count("1") <= 2
+
+
+def test_portable_hash_minhash_same_semantics(docs):
+    """portable_md5 mode finds the same near-dup structure as xxhash64 (the
+    hashes differ; the LSH guarantees don't)."""
+    pairs = {(r.id_a, r.id_b)
+             for r in ops.minhash_lsh_pairs(docs, jaccard_threshold=0.5,
+                                            hash_fn="portable_md5").collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs   # identical/normalized dups
+    sh = {r.doc_id: r.simhash
+          for r in ops.simhash(docs, bits=48, hash_fn="portable_md5").collect()}
+    assert sh[1] == sh[2] and 0 <= sh[1] < (1 << 48)
