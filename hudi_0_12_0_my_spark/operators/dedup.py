@@ -66,6 +66,50 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
               .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def _bucket_pairs(band_entries: DataFrame, id_col: str,
+                  payload_col: str, max_bucket_size: int | None = None) -> DataFrame:
+    """(id_a, id_b, <payload>_a, <payload>_b) for all pairs sharing a
+    (band, bucket) — WITHOUT a self-join.
+
+    A self-join of the banded signatures evaluates the signature plan once
+    per join side and relies on (AQE-fragile) exchange reuse to dedupe the
+    work. Grouping each LSH bucket instead (collect_list is partially
+    aggregated map-side) STRUCTURALLY computes signatures once and pairs
+    members in-place; pair generation per bucket is the same O(B^2) the join
+    pays. Measured at sf0.1 the two shapes tie (~3.3s minhash / ~5s simhash,
+    noisy host) — the bucket shape is kept because the single signature pass
+    is guaranteed by plan shape, not by an optimizer rewrite, which is what
+    you want when the signature stage reads 100 TB.
+
+    max_bucket_size (None = unlimited) drops degenerate mega-buckets — at
+    100 TB a stop-bucket (e.g. thousands of empty docs) otherwise produces
+    B^2 pairs in one task; such clusters are exact-dup territory anyway.
+    """
+    grouped = (band_entries.groupBy("band", "bucket")
+               .agg(F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                            F.col(payload_col).alias("p")))
+                    .alias("ms"))
+               .filter(F.size("ms") > 1))
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ms") <= max_bucket_size)
+    n = F.size("ms")
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.slice("ms", i + 1, n),   # slice clamps length — tail from i+1
+            lambda x: F.struct(F.element_at("ms", i).alias("a"),
+                               x.alias("b")))))
+    ex = grouped.select(F.explode(pairs).alias("pr")).select(
+        F.col("pr.a.i").alias("__ia"), F.col("pr.a.p").alias("__pa"),
+        F.col("pr.b.i").alias("__ib"), F.col("pr.b.p").alias("__pb"))
+    swap = F.col("__ia") < F.col("__ib")
+    return ex.select(
+        F.when(swap, F.col("__ia")).otherwise(F.col("__ib")).alias("id_a"),
+        F.when(swap, F.col("__ib")).otherwise(F.col("__ia")).alias("id_b"),
+        F.when(swap, F.col("__pa")).otherwise(F.col("__pb")).alias(f"{payload_col}_a"),
+        F.when(swap, F.col("__pb")).otherwise(F.col("__pa")).alias(f"{payload_col}_b"))
+
+
 # ------------------------------------------------------------------- minhash
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 32,
@@ -131,15 +175,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         F.posexplode(F.array(*[
             _combine_hash(hash_fn, [F.col("sig")[b * r + j] for j in range(r)])
             for b in range(bands)])).alias("band", "bucket"))
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand = _bucket_pairs(band_entries, id_col, "sig") \
+        .dropDuplicates(["id_a", "id_b"])
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                       lambda x, y: x == y), lambda v: v))
            / F.lit(float(num_hashes)))
@@ -222,14 +259,10 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
         F.posexplode(F.array(*[
             F.shiftright("simhash", width * i).bitwiseAND((1 << width) - 1)
             for i in range(4)])).alias("band", "chunk"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.chunk") == F.col("b.chunk"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.simhash").alias("sh_a"),
-                    F.col("b.simhash").alias("sh_b"))
+    cand = (_bucket_pairs(bands.withColumnRenamed("chunk", "bucket"),
+                          id_col, "simhash")
+            .withColumnRenamed("simhash_a", "sh_a")
+            .withColumnRenamed("simhash_b", "sh_b")
             .dropDuplicates(["id_a", "id_b"]))
     x = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     ham = F.bit_count(x)
