@@ -137,6 +137,16 @@ def main() -> None:
     with step("simhash"):                   # map-only signatures (no explode)
         simhash_near_dup_pairs(docs, max_hamming=6).count()
 
+    with step("decontaminate"):             # broadcast n-gram semi-join
+        from hudi_0_12_0_my_spark.operators import contaminated_ids
+        contaminated_ids(docs.filter("doc_id % 97 != 0"),
+                         docs.filter("doc_id % 97 = 0"), n=4).count()
+
+    with step("sessionize"):                # one shuffle on user_id
+        from hudi_0_12_0_my_spark.operators import session_stats
+        ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        session_stats(ev, gap_seconds=86400, value_col="value").count()
+
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     with step("emb_topk"):
         cosine_topk(emb, emb.filter("vec_id < 10"), k=10).count()

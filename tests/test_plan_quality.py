@@ -146,3 +146,60 @@ def test_mor_merge_stays_vectorized(spark, tmp_path):
     assert "Scan parquet" in plan
     # the merge is a window over the union — no Python eval nodes anywhere
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------- pipeline/session operator plan shapes
+def test_decontaminate_probe_side_never_shuffles(spark):
+    """The corpus side of decontamination must reach the contamination probe
+    via BroadcastHashJoin (benchmark grams broadcast); the only Exchange in
+    the plan belongs to the contaminated-id distinct, which is bounded by the
+    contamination rate, not the corpus size."""
+    from hudi_0_12_0_my_spark.operators import contaminated_ids
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(100)],
+        "doc_id long, text string")
+    bench = docs.filter("doc_id % 10 = 0")
+    plan = contaminated_ids(docs, bench, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan          # no Python row UDFs
+
+
+def test_scrub_and_sample_are_map_only(spark):
+    """PII scrubbing and deterministic sampling are pure projections/filters:
+    no Exchange anywhere, fully codegen."""
+    from hudi_0_12_0_my_spark.operators import scrub_pii, stratified_sample
+    docs = spark.createDataFrame(
+        [(i, "txt", "en") for i in range(10)], "doc_id long, text string, lang string")
+    for df in (scrub_pii(docs),
+               stratified_sample(docs, "lang", {"en": 0.5})):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_session_stats_single_shuffle(spark):
+    """sessionize + session_stats share ONE hash exchange on user_id: the
+    lag window, island numbering, and per-session aggregate all reuse the
+    same partitioning."""
+    from hudi_0_12_0_my_spark.operators import session_stats
+    ev = spark.createDataFrame(
+        [(i, i % 7, "2024-01-01 00:00:00", 1.0) for i in range(50)],
+        "event_id long, user_id long, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = session_stats(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_single_signature_pass(spark):
+    """Bucket-grouped pair generation: the signature projection (xxhash64 of
+    shingles) appears in ONE subtree — no self-join recomputation."""
+    from hudi_0_12_0_my_spark.operators import minhash_lsh_pairs
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i}") for i in range(50)],
+        "doc_id long, text string")
+    plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # signature stage scans the source exactly once
+    assert plan.count("Scan ExistingRDD") <= 1
