@@ -217,6 +217,57 @@ def q_insert_overwrite(spark, sf_dir):
             .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
 
 
+def q_insert_overwrite_table(spark, sf_dir):
+    """INSERT OVERWRITE TABLE (whole-table replace): only the overwrite
+    batch survives, every prior file group is replaced."""
+    def act(t, orders):
+        keep = (orders.filter(F.col("o_orderkey") % 5 == 0)
+                .withColumn("o_totalprice", F.col("o_totalprice") + 1.0))
+        t.insert_overwrite_table(keep)
+    t = _build_orders(spark, sf_dir, "ord_iot", act)
+    return (t.snapshot().groupBy("o_orderpriority")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
+def q_bootstrap_read(spark, sf_dir):
+    """METADATA_ONLY bootstrap of the plain part.parquet: no data rewrite,
+    meta columns synthesized at read (BootstrapMode.java:29-34)."""
+    key = (sf_dir, "boot_part")
+    if key not in _BUILT:
+        _BUILT[key] = _eng(spark).bootstrap(
+            _fresh(_root(sf_dir, "boot_part")),
+            os.path.join(sf_dir, "part.parquet"), mode="METADATA_ONLY",
+            record_key_fields=["p_partkey"], precombine_field="p_retailprice")
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("p_brand")
+            .agg(_n(), _dec_sum("p_retailprice", "sum_price")))
+
+
+def q_global_index_upsert(spark, sf_dir):
+    """Global-index upsert whose incoming rows CHANGE the partition value:
+    the update lands in the stored partition (update_partition_path=false,
+    HoodieGlobalSimpleIndex) — exactly one row per key survives, where a
+    partition-local index would have produced a duplicate in the new
+    partition."""
+    key = (sf_dir, "ord_gl")
+    if key not in _BUILT:
+        orders = _read(spark, sf_dir, "orders")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "ord_gl")),
+            record_key_fields=["o_orderkey"], precombine_field="o_orderdate",
+            partition_field="o_orderpriority", global_index=True)
+        t.bulk_insert(orders)
+        moved = (orders.filter(F.col("o_orderkey") % 7 == 0)
+                 .withColumn("o_orderpriority", F.lit("1-URGENT"))
+                 .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0))
+        t.upsert(moved)
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot()
+            .agg(_n(), F.count_distinct("o_orderkey").cast("bigint")
+                 .alias("n_keys"), _dec_sum("o_totalprice", "sum_price")))
+
+
 def q_delete_partition(spark, sf_dir):
     t = _build_orders(spark, sf_dir, "ord_dp",
                       lambda t, o: t.delete_partition(["5-LOW"]))
@@ -922,6 +973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_incremental": q_mor_incremental,
         "mor_compacted": q_mor_compacted,
         "insert_overwrite": q_insert_overwrite,
+        "insert_overwrite_table": q_insert_overwrite_table,
+        "bootstrap_read": q_bootstrap_read,
+        "global_index_upsert": q_global_index_upsert,
         "delete_partition": q_delete_partition,
         "merge_into": q_merge_into,
         "update_where": q_update_where,
@@ -1026,6 +1080,22 @@ FROM orders GROUP BY 1""",
         "delete_partition": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
 FROM orders WHERE o_orderpriority <> '5-LOW' GROUP BY 1""",
+        "insert_overwrite_table": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice + 1.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1""",
+        "bootstrap_read": """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM part GROUP BY 1""",
+        "global_index_upsert": """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+                          THEN o_totalprice + 1000.0
+                          ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders""",
         "merge_into": """
 WITH after_del AS (
   SELECT * FROM orders WHERE NOT (o_orderkey % 3 = 0 AND o_orderstatus = 'F')),
