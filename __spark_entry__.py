@@ -577,6 +577,39 @@ def q_q6_revenue(spark, sf_dir):
             .agg(F.sum(rev).cast("double").alias("revenue"), _n()))
 
 
+def q_q12_shipmode(spark, sf_dir):
+    """TPC-H Q12 shape (adapted to the synthetic schema, which has no
+    shipmode/commitdate): late-shipped lines bucketed by order priority."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    hi = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1) \
+        .otherwise(0).cast("long")
+    lo = F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1) \
+        .otherwise(0).cast("long")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter((F.col("l_shipdate") >= "1996-01-01")
+                    & (F.col("l_shipdate") < "1997-01-01")
+                    & (F.col("l_shipdate") > F.col("o_orderdate")))
+            .groupBy("l_returnflag")
+            .agg(F.sum(hi).alias("high_line_count"),
+                 F.sum(lo).alias("low_line_count")))
+
+
+def q_q14_promo(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share; part side broadcast."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev) \
+        .otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1996-07-01"))
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.sum(promo).cast("double").alias("promo_revenue"),
+                 F.sum(rev).cast("double").alias("total_revenue"), _n()))
+
+
 def q_q3_top10(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _read(spark, sf_dir, "orders")
@@ -1001,6 +1034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue": q_q6_revenue,
         "q3_top10": q_q3_top10,
         "q5_nation_volume": q_q5_nation_volume,
+        "q12_shipmode": q_q12_shipmode,
+        "q14_promo": q_q14_promo,
         "events_hourly": q_events_hourly,
         "events_latest_per_user": q_events_latest_per_user,
         # LLM-pipeline operators (§2.11)
@@ -1235,6 +1270,27 @@ SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count_order,
          AS sum_disc_price
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
 GROUP BY 1, 2""",
+        "q12_shipmode": """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > o_orderdate
+GROUP BY 1""",
+        "q14_promo": """
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""",
         "q6_revenue": """
 SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
          AS revenue,

@@ -12,7 +12,7 @@ from .dedup import (exact_dedup, minhash_signatures, minhash_lsh_pairs,
                     minhash_lsh_dedup, simhash, simhash_near_dup_pairs,
                     ngram_jaccard_pairs)
 from .multimodal import (with_media_columns, extract_features,
-                         frame_sample_plan)
+                         frame_sample_plan, resize_plan, audio_chunk_plan)
 from .pipeline import (contaminated_ids, decontaminate, scrub_pii,
                        normalize_text, deterministic_sample,
                        stratified_sample)
@@ -32,6 +32,7 @@ __all__ = [
     "with_token_stats", "with_quality_score", "with_language_id",
     "with_fingerprint",
     "with_media_columns", "extract_features", "frame_sample_plan",
+    "resize_plan", "audio_chunk_plan",
     "contaminated_ids", "decontaminate", "scrub_pii", "normalize_text",
     "deterministic_sample", "stratified_sample",
     "sessionize", "session_stats",

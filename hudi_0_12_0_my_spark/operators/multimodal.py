@@ -95,6 +95,62 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True,
     return cols.mapInPandas(run, schema=out_schema)
 
 
+def resize_plan(df: DataFrame, max_side: int = 256,
+                id_col: str = "doc_id", fake: bool = True) -> DataFrame:
+    """Image resize via mapInPandas: emit (id, out_width, out_height, media).
+
+    Target dimensions (aspect-preserving, longest side = max_side, never
+    upscaled) are computed JVM-side from media_meta so Catalyst can prune
+    no-op rows BEFORE bytes reach Python — at 100 TB most images are already
+    small and the binary column for them is never shipped through Arrow. The
+    pixel resample itself is stubbed like decode (fake=True passes bytes
+    through; fake=False raises inside the executor).
+    """
+    w, h = F.col("media_meta.width"), F.col("media_meta.height")
+    scale = F.lit(max_side) / F.greatest(w, h)
+    need = F.greatest(w, h) > max_side
+    tw = F.when(need, F.floor(w * scale)).otherwise(w).cast("int")
+    th = F.when(need, F.floor(h * scale)).otherwise(h).cast("int")
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("media", BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resampling requires PIL/opencv, not present "
+                    "in this environment; use fake=True for the pass-through")
+            yield pdf[[id_col, "out_width", "out_height", "media"]]
+
+    todo = (df.filter(F.col("media_meta.media_type") == "image")
+            .filter(need)        # no-op rows pruned before Python/Arrow
+            .select(id_col, tw.alias("out_width"), th.alias("out_height"),
+                    "media"))
+    return todo.mapInPandas(run, schema=out_schema)
+
+
+def audio_chunk_plan(df: DataFrame, chunk_ms: int = 30_000,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Audio chunking plan: one row per chunk_ms window of each clip.
+
+    Same shape as frame_sample_plan — the explode happens before decode so
+    chunks of one long recording parallelize across tasks; a later
+    mapInPandas consumes (media, chunk_start_ms, chunk_end_ms).
+    """
+    dur = F.coalesce(F.col("media_meta.duration_ms"), F.lit(0))
+    starts = F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)),
+                        F.lit(chunk_ms))
+    return (df.filter(F.col("media_meta.media_type") == "audio")
+            .select(id_col, "media_meta",
+                    F.explode(starts).alias("chunk_start_ms"))
+            .withColumn("chunk_end_ms",
+                        F.least(F.col("chunk_start_ms") + chunk_ms, dur)))
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000,
                       id_col: str = "doc_id") -> DataFrame:
     """Frame-sampling *plan*: one output row per sampled frame timestamp.

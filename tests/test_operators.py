@@ -259,3 +259,28 @@ def test_portable_hash_minhash_same_semantics(docs):
     sh = {r.doc_id: r.simhash
           for r in ops.simhash(docs, bits=48, hash_fn="portable_md5").collect()}
     assert sh[1] == sh[2] and 0 <= sh[1] < (1 << 48)
+
+
+def test_resize_plan_prunes_noop_rows(docs, spark):
+    mm = ops.with_media_columns(
+        docs.withColumn("payload", F.col("text").cast("binary")),
+        "payload", "image", "image/png", width=1024, height=512)
+    out = ops.resize_plan(mm, max_side=256).collect()
+    assert len(out) == 7
+    assert all(r.out_width == 256 and r.out_height == 128 for r in out)
+    small = ops.with_media_columns(
+        docs.withColumn("payload", F.col("text").cast("binary")),
+        "payload", "image", "image/png", width=100, height=50)
+    # already within bounds: pruned JVM-side, nothing reaches Python
+    assert ops.resize_plan(small, max_side=256).count() == 0
+
+
+def test_audio_chunk_plan(docs):
+    mm = ops.with_media_columns(
+        docs.withColumn("payload", F.col("text").cast("binary")),
+        "payload", "audio", "audio/wav", duration_ms=65_000)
+    chunks = ops.audio_chunk_plan(mm, chunk_ms=30_000)
+    per_doc = chunks.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in per_doc)     # 0-30s, 30-60s, 60-65s
+    ends = {r.chunk_end_ms for r in chunks.filter("chunk_start_ms = 60000").collect()}
+    assert ends == {65_000}                          # tail chunk clamped
