@@ -36,8 +36,25 @@ def stream_write(table, stream_df: DataFrame, checkpoint_dir: str,
       after each batch (CompactFunction.java equivalent, synchronous)
     """
 
+    def last_committed_batch() -> int:
+        """Largest batch id this sink already committed to the table
+        (HoodieStreamingSink.scala's getLatestBatchId: commit metadata is
+        the authority, surviving a lost/rebuilt Spark checkpoint)."""
+        last = -1
+        for ins in table.timeline.completed_write_instants():
+            md = table.timeline.metadata(ins) or {}
+            s = (md.get("extra_metadata") or {}).get("streaming") or {}
+            if s.get("checkpoint") == checkpoint_dir:
+                last = max(last, int(s.get("batch_id", -1)))
+        return last
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if batch_id <= last_committed_batch():
+            # replayed micro-batch (failure between table commit and Spark
+            # checkpoint write): already applied, skipping keeps
+            # insert/bulk_insert exactly-once instead of duplicating rows
             return
         df = transform(batch_df) if transform else batch_df
         if cdc_op_col and cdc_op_col in df.columns:
@@ -45,6 +62,9 @@ def stream_write(table, stream_df: DataFrame, checkpoint_dir: str,
         attempt, delay = 0, retry_interval_sec
         while True:
             try:
+                table.writer.set_extra_metadata(
+                    {"streaming": {"batch_id": batch_id,
+                                   "checkpoint": checkpoint_dir}})
                 getattr(table.writer, operation)(df)
                 break
             except Exception:  # noqa: BLE001 — HoodieStreamingSink retry loop

@@ -636,16 +636,29 @@ class Writer:
         return out
 
     # ------------------------------------------------------------ commits
+    def set_extra_metadata(self, extra: dict | None) -> None:
+        """Attach caller metadata to the NEXT commit (Hudi's extraMetadata:
+        DeltaStreamer checkpoints, streaming batch ids). Consumed once —
+        the streaming sink sets it per micro-batch so a replayed batch can
+        be recognized and skipped (HoodieStreamingSink.scala's
+        latestBatchId / STREAMING_BATCH_ID mechanism)."""
+        self._extra_md = extra
+
     def _commit_md(self, operation: str, stats_by_partition: dict,
                    replaced: dict | None = None) -> dict:
         total_records = sum(s.get("records", 0) for sts in stats_by_partition.values()
                             for s in sts)
         total_bytes = sum(s.get("bytes", 0) for sts in stats_by_partition.values()
                           for s in sts)
-        return {"operation": operation, "schema": self.cfg.schema_json,
-                "partition_to_write_stats": stats_by_partition,
-                "replaced_file_groups": replaced or {},
-                "total_records": total_records, "total_bytes": total_bytes}
+        md = {"operation": operation, "schema": self.cfg.schema_json,
+              "partition_to_write_stats": stats_by_partition,
+              "replaced_file_groups": replaced or {},
+              "total_records": total_records, "total_bytes": total_bytes}
+        extra = getattr(self, "_extra_md", None)
+        if extra:
+            md["extra_metadata"] = extra
+            self._extra_md = None
+        return md
 
     # ========================================================== operations
     def upsert(self, df: DataFrame, operation: str = "upsert") -> str:
