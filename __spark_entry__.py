@@ -733,6 +733,30 @@ def q_docs_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
 
 
+def q_docs_table_dedup(spark, sf_dir):
+    """Composition: curation operators run over the LAKE TABLE snapshot, not
+    raw parquet — documents ingested (bulk_insert), corrected (upsert), then
+    exact-deduped. Proves the operator layer rides on the table format."""
+    from hudi_0_12_0_my_spark.operators import exact_dedup
+    key = (sf_dir, "docs_tbl")
+    if key not in _BUILT:
+        docs = _read(spark, sf_dir, "documents")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "docs_tbl")),
+            record_key_fields=["doc_id"], precombine_field="n_chars",
+            partition_field="lang")
+        t.bulk_insert(docs)
+        fix = (docs.filter(F.col("doc_id") % 10 == 0)
+               .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+               .withColumn("n_chars", F.col("n_chars") + 3))
+        t.upsert(fix)
+        _BUILT[key] = t
+    t = _BUILT[key]
+    kept = exact_dedup(t.snapshot())
+    return kept.agg(_n("n_kept"),
+                    F.sum("dup_count").cast("bigint").alias("n_total"))
+
+
 def q_docs_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs sharing any word 4-gram with the
     simulated eval set (doc_id % 97 == 0) are flagged. The benchmark gram
@@ -1045,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_language_id": q_docs_language_id,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_table_dedup": q_docs_table_dedup,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_sample_stratified": q_docs_sample_stratified,
@@ -1419,6 +1444,17 @@ pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           GROUP BY 1, 2, 3, 4)
 SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
 FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""",
+        "docs_table_dedup": """
+WITH cur AS (SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+             FROM documents),
+h AS (SELECT doc_id,
+        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+      FROM cur),
+k AS (SELECT ch, CAST(count(*) AS BIGINT) AS dup_count FROM h GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(SUM(dup_count) AS BIGINT) AS n_total
+FROM k""",
         # portable-md5 MinHash: DuckDB replays signatures, banding, candidate
         # join, and the jaccard estimate bit-for-bit (hash_fn="portable_md5")
         "docs_minhash_lsh": """
