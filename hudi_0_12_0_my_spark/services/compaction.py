@@ -109,7 +109,16 @@ def run_compaction(table, strategy: str = "log_file_size",
                 continue
             if s.base_file is not None:
                 base_paths.append(view.abs(s.base_file.path))
-            delta_paths.extend(view.abs(d.path) for d in s.deltas)
+            # merge ONLY deltas at-or-before the plan instant: a deltacommit
+            # that landed between schedule and run has a LATER instant and
+            # must stay attached to the new slice (the timeline fold hangs it
+            # on the compacted base), not be baked into a base stamped with
+            # the earlier compaction instant — otherwise a time-travel read
+            # as-of [compaction, delta) would see future rows. Mirrors Hudi:
+            # logs after a requested compaction target the new base instant
+            # (HoodieCompactor merges logs <= compactionInstantTime).
+            delta_paths.extend(view.abs(d.path) for d in s.deltas
+                               if d.instant <= instant)
         base = read_files(table.spark, base_paths, base_read_schema(cfg), cfg)
         delta = read_files(table.spark, delta_paths, delta_read_schema(cfg), cfg)
         merged = payloads.resolve(base.unionByName(delta, allowMissingColumns=True),

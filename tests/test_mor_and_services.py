@@ -341,3 +341,37 @@ def test_merge_into(spark, tmp_table_dir):
                                      "dt": "'2021-01-03'"})
     snap = {r.id: (r.name, r.price) for r in t.snapshot().collect()}
     assert snap == {1: ("a", 99.0), 3: ("c", 30.0), 7: ("new", 70.0)}
+
+
+def test_compaction_excludes_post_schedule_deltas(spark, tmp_path):
+    """A deltacommit landing between schedule and run must NOT be baked into
+    the compacted base (its instant is later than the compaction instant);
+    it stays attached to the new slice and still merges at read."""
+    from hudi_0_12_0_my_spark import Engine
+    from hudi_0_12_0_my_spark.services.compaction import (run_compaction,
+                                                          schedule_compaction)
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "m"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         table_type="mor")
+    df = spark.createDataFrame([(i, "a", float(i), 1) for i in range(10)],
+                               "id long, grp string, val double, seq long")
+    t.bulk_insert(df)
+    t.upsert(spark.createDataFrame([(1, "a", 100.0, 2)],
+                                   "id long, grp string, val double, seq long"))
+    plan = schedule_compaction(t, strategy="unbounded")
+    assert plan is not None
+    # late delta AFTER the plan was scheduled
+    t.upsert(spark.createDataFrame([(2, "a", 200.0, 2)],
+                                   "id long, grp string, val double, seq long"))
+    instant = run_compaction(t)
+    assert instant == plan["instant"]
+
+    snap = {r.id: r.val for r in t.snapshot().collect()}
+    assert snap[1] == 100.0 and snap[2] == 200.0       # late delta applied once
+    # read-optimized (base only) must NOT contain the late update
+    ro = {r.id: r.val for r in t.read_optimized().collect()}
+    assert ro[1] == 100.0 and ro[2] == 2.0
+    # time travel as-of the compaction instant: late delta invisible
+    tt = {r.id: r.val for r in t.time_travel(instant).collect()}
+    assert tt[1] == 100.0 and tt[2] == 2.0
