@@ -181,13 +181,37 @@ class Writer:
         return FileLock(os.path.join(self.base, ".hoodie", "lock"))
 
     def _guard(self):
-        """Write-wide mutual exclusion in single-writer mode; a no-op under
-        OCC, where only the commit itself takes the lock
+        """Write-wide mutual exclusion in single-writer mode (plus lazy
+        healing of crashed-writer leftovers, Hudi's rollbackFailedWrites);
+        a no-op under OCC, where only the commit itself takes the lock
         (WriteConcurrencyMode.java:30-32; LockManager around commit)."""
+        import contextlib
         if self.cfg.concurrency_mode == "occ":
-            import contextlib
             return contextlib.nullcontext()
-        return self._lock()
+
+        @contextlib.contextmanager
+        def guarded():
+            with self._lock():
+                self._heal_stale()
+                yield
+        return guarded()
+
+    def _heal_stale(self) -> None:
+        """Roll back failed writes lazily (BaseHoodieWriteClient.
+        rollbackFailedWrites with LAZY cleaning): while we hold the
+        single-writer lock no other writer can be active, so any pending
+        write instant is a crashed/failed attempt — delete its staged and
+        already-moved files (marker-based) and its timeline entries. A
+        REQUESTED compaction plan is legitimate pending state (the
+        schedule/run split) and is kept; an INFLIGHT one (crash mid-run) is
+        fully aborted and must be rescheduled."""
+        for ins in self.t.timeline.pending():
+            if ins.action not in (tl.COMMIT, tl.DELTACOMMIT, tl.REPLACECOMMIT):
+                continue
+            md = self.t.timeline.metadata(ins) or {}
+            if md.get("operation") == "compact" and ins.state == tl.REQUESTED:
+                continue
+            self._abort_staged(ins.time)
 
     def _commit_completed(self, instant: str, action: str, md: dict) -> None:
         """Finalize a commit. Under OCC: take the table lock, validate that no
@@ -249,12 +273,16 @@ class Writer:
 
     def _abort_staged(self, instant: str) -> None:
         """Delete this write's already-moved files + timeline leftovers
-        (marker-based undo, MarkerBasedRollbackStrategy.java)."""
+        (marker-based undo, MarkerBasedRollbackStrategy.java), plus any
+        staging directory a mid-stage crash left behind."""
         marker = self._marker_path(instant)
         if self.storage.exists(marker):
             for rel in read_json(marker).get("files", []):
                 self.storage.unlink(os.path.join(self.base, rel))
             self.storage.unlink(marker)
+        temp_root = os.path.join(self.base, ".hoodie", ".temp")
+        for kind in ("base", "delta"):
+            rm_rf(os.path.join(temp_root, f"{instant}_{kind}"))
         for ins in self.t.timeline.pending():
             if ins.time == instant:
                 self.t.timeline.remove(instant, ins.action)

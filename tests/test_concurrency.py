@@ -86,3 +86,49 @@ def test_occ_disjoint_writes_both_commit(spark, tmp_path, occ_table):
     snap = {r.id: r.val for r in t.reload().snapshot().collect()}
     assert snap[0] == -1.0 and snap[19] == -2.0
     assert len(t.timeline.completed_write_instants()) == 3
+
+
+def test_failed_write_healed_on_next_write(spark, tmp_path):
+    """A write that dies mid-job leaves a pending instant (+ staged files);
+    the next write under the single-writer lock rolls it back lazily
+    (rollbackFailedWrites) — but keeps scheduled compaction plans."""
+    from pyspark.sql import functions as F
+    from hudi_0_12_0_my_spark import Engine
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "t"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    ok = spark.createDataFrame([(1, "a", 1.0, 1), (2, "a", 2.0, 1)],
+                               "id long, grp string, val double, seq long")
+    t.bulk_insert(ok)
+
+    bad = ok.withColumn("val", F.expr("raise_error('boom') is null")
+                        .cast("double"))
+    try:
+        t.upsert(bad)
+        raise AssertionError("expected the poisoned upsert to fail")
+    except AssertionError:
+        raise
+    except Exception:
+        pass
+    assert len(t.timeline.pending()) > 0         # crashed attempt left debris
+
+    t.upsert(spark.createDataFrame([(2, "a", 20.0, 2)],
+                                   "id long, grp string, val double, seq long"))
+    assert t.timeline.pending() == []            # healed
+    snap = {r.id: r.val for r in t.snapshot().collect()}
+    assert snap == {1: 1.0, 2: 20.0}
+
+    # a scheduled (requested) compaction plan is NOT garbage-collected
+    t2 = eng.create_table(str(tmp_path / "m"), record_key_fields=["id"],
+                          precombine_field="seq", partition_field="grp",
+                          table_type="mor")
+    t2.bulk_insert(ok)
+    t2.upsert(spark.createDataFrame([(1, "a", 9.0, 2)],
+                                    "id long, grp string, val double, seq long"))
+    from hudi_0_12_0_my_spark.services.compaction import schedule_compaction
+    plan = schedule_compaction(t2)
+    assert plan is not None
+    t2.upsert(spark.createDataFrame([(2, "a", 8.0, 2)],
+                                    "id long, grp string, val double, seq long"))
+    kept = [i for i in t2.timeline.pending()]
+    assert any(i.time == plan["instant"] for i in kept)   # plan survived
