@@ -696,6 +696,18 @@ def q_docs_quality(spark, sf_dir):
                     "quality_score"))
 
 
+def q_docs_repetition(spark, sf_dir):
+    """Gopher-style repetition/format signals, row-level oracle (floats are
+    computed identically: integer counts ratioed then rounded to 6)."""
+    from hudi_0_12_0_my_spark.operators import with_repetition_stats
+    docs = with_repetition_stats(_read(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", F.col("n_lines").cast("bigint").alias("n_lines"),
+        "dup_line_frac", "dup_line_char_frac", "top_bigram_char_frac",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "mean_word_len")
+
+
 def q_docs_fingerprint(spark, sf_dir):
     from hudi_0_12_0_my_spark.operators import with_fingerprint
     docs = with_fingerprint(_read(spark, sf_dir, "documents"))
@@ -970,6 +982,19 @@ def q_docs_minhash_lsh(spark, sf_dir):
                              jaccard_threshold=0.4, hash_fn="portable_md5")
 
 
+def q_docs_dup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: portable-hash MinHash-LSH pairs fed
+    through alternating large-star/small-star connected components. DuckDB
+    replays the pair pipeline and closes it with a recursive CTE, so the
+    exact cluster memberships are oracle-checked."""
+    from hudi_0_12_0_my_spark.operators import (dup_clusters,
+                                                minhash_lsh_pairs)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8,
+                              jaccard_threshold=0.4, hash_fn="portable_md5")
+    return dup_clusters(pairs)
+
+
 def q_docs_simhash(spark, sf_dir):
     """48-bit SimHash near-dup pairs with the portable hash (60 usable hash
     bits cap it below the xxhash64 default of 64) — oracle-exact."""
@@ -1066,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
+        "docs_repetition": q_docs_repetition,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_language_id": q_docs_language_id,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
@@ -1078,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         # rows-only checks
         "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_dup_clusters": q_docs_dup_clusters,
         "docs_simhash": q_docs_simhash,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
@@ -1399,6 +1426,59 @@ SELECT doc_id, CAST(n_punct AS BIGINT) AS n_punct,
       + CAST(0.3 AS DOUBLE) * least(stop_ratio * 4, CAST(1.0 AS DOUBLE)), 4)
     AS quality_score
 FROM m""",
+        "docs_repetition": """
+WITH L AS (
+  SELECT doc_id,
+    list_slice(list_filter(list_transform(string_split(text, chr(10)),
+        l -> trim(l)), l -> length(l) > 0), 1, 500) AS lines,
+    list_slice(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        t -> length(t) > 0), 1, 500) AS toks
+  FROM documents),
+G AS (
+  SELECT doc_id, lines, toks,
+    len(lines) AS n_lines, len(toks) AS n_tok,
+    list_distinct(lines) AS dl,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM L),
+M AS (
+  SELECT doc_id, lines, toks, n_lines, n_tok, dl, grams,
+    list_distinct(grams) AS dg,
+    coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS line_chars,
+    coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS tok_chars,
+    coalesce(list_sum(list_transform(dl, d ->
+      CASE WHEN len(list_filter(lines, x -> x = d)) > 1
+           THEN len(list_filter(lines, x -> x = d)) * length(d)
+           ELSE 0 END)), 0) AS dup_chars
+  FROM G),
+U AS (
+  SELECT *,
+    list_max(list_transform(dg, g ->
+      {'cnt': len(list_filter(grams, x -> x = g)), 'ln': length(g)})) AS best
+  FROM M)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+  round(CASE WHEN n_lines > 0
+        THEN (n_lines - len(dl)) / CAST(n_lines AS DOUBLE) ELSE 0 END, 6)
+    AS dup_line_frac,
+  round(CASE WHEN line_chars > 0
+        THEN dup_chars / CAST(line_chars AS DOUBLE) ELSE 0 END, 6)
+    AS dup_line_char_frac,
+  round(CASE WHEN len(dg) > 0 AND tok_chars > 0
+        THEN best.cnt * (best.ln - 1) / CAST(tok_chars AS DOUBLE) ELSE 0 END, 6)
+    AS top_bigram_char_frac,
+  round(CASE WHEN n_lines > 0
+        THEN len(list_filter(lines, l -> regexp_matches(l, '^(-|\\*|•)')))
+             / CAST(n_lines AS DOUBLE) ELSE 0 END, 6) AS bullet_line_frac,
+  round(CASE WHEN n_lines > 0
+        THEN len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+             / CAST(n_lines AS DOUBLE) ELSE 0 END, 6) AS ellipsis_line_frac,
+  round(CASE WHEN n_tok > 0
+        THEN len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+             / CAST(n_tok AS DOUBLE) ELSE 0 END, 6) AS alpha_word_frac,
+  round(CASE WHEN n_tok > 0
+        THEN tok_chars / CAST(n_tok AS DOUBLE) ELSE 0 END, 6) AS mean_word_len
+FROM U""",
         "docs_fingerprint": """
 SELECT CAST(count(DISTINCT trim(regexp_replace(
          regexp_replace(lower(text), '[.,!?;:''"()\\[\\]{}-]', '', 'g'),
@@ -1483,6 +1563,41 @@ SELECT id_a, id_b,
        len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0 AS est_jaccard
 FROM cand
 WHERE len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0 >= 0.4""",
+        # pair pipeline replayed as above, closed transitively with a
+        # recursive CTE — exact duplicate-cluster memberships
+        "docs_dup_clusters": """
+WITH RECURSIVE d0 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         range(1, greatest(length(t) - 4, 1) + 1), i -> substr(t, i, 5))) AS shingles
+       FROM d0),
+sig AS (SELECT doc_id,
+          [list_min(list_transform(shingles,
+             s -> ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 15))::BIGINT))
+           for k in range(0, 32)] AS sig
+        FROM sh),
+b AS (SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM sig),
+bk AS (SELECT doc_id, sig, band,
+         ('0x' || substr(md5(
+             CAST(sig[4*band+1] AS VARCHAR) || '|' || CAST(sig[4*band+2] AS VARCHAR)
+             || '|' || CAST(sig[4*band+3] AS VARCHAR) || '|' || CAST(sig[4*band+4] AS VARCHAR)
+           ), 1, 15))::BIGINT AS bucket
+       FROM b),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                a.sig AS sa, b2.sig AS sb
+         FROM bk a JOIN bk b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                            AND a.doc_id < b2.doc_id),
+prs AS (SELECT id_a, id_b FROM cand
+        WHERE len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0 >= 0.4),
+e AS (SELECT id_a AS u, id_b AS v FROM prs
+      UNION SELECT id_b, id_a FROM prs),
+reach(u, v) AS (SELECT u, v FROM e
+                UNION SELECT r.u, e2.v FROM reach r JOIN e e2
+                      ON r.v = e2.u AND e2.v <> r.u),
+cmp AS (SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u)
+SELECT comp, CAST(count(*) AS BIGINT) AS n_members,
+       min(id) AS min_id, max(id) AS max_id
+FROM cmp GROUP BY comp""",
         # portable-md5 48-bit SimHash near-dup pairs, fully replayed
         "docs_simhash": """
 WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks

@@ -137,6 +137,17 @@ def main() -> None:
     with step("simhash"):                   # map-only signatures (no explode)
         simhash_near_dup_pairs(docs, max_hamming=6).count()
 
+    with step("dup_clusters"):              # LSH pairs -> alternating-star CC
+        from hudi_0_12_0_my_spark.operators import dup_clusters
+        dup_clusters(minhash_lsh_pairs(docs, num_hashes=32, bands=8,
+                                       jaccard_threshold=0.4)).count()
+
+    with step("repetition_stats"):          # map-only Gopher signals
+        from hudi_0_12_0_my_spark.operators import with_repetition_stats
+        (with_repetition_stats(docs)
+         .agg(F.sum("dup_line_frac"), F.sum("top_bigram_char_frac"),
+              F.sum("mean_word_len")).collect())
+
     with step("decontaminate"):             # broadcast n-gram semi-join
         from hudi_0_12_0_my_spark.operators import contaminated_ids
         contaminated_ids(docs.filter("doc_id % 97 != 0"),

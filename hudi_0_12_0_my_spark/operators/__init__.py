@@ -11,6 +11,8 @@ Python appears only in the (stubbed) multimodal decode path.
 from .dedup import (exact_dedup, minhash_signatures, minhash_lsh_pairs,
                     minhash_lsh_dedup, simhash, simhash_near_dup_pairs,
                     ngram_jaccard_pairs)
+from .graph import (connected_components, dup_clusters,
+                    dedup_by_components)
 from .multimodal import (with_media_columns, extract_features,
                          frame_sample_plan, resize_plan, audio_chunk_plan)
 from .pipeline import (contaminated_ids, decontaminate, scrub_pii,
@@ -21,16 +23,18 @@ from .similarity import (cosine_topk, ivf_cosine_topk,
                          embedding_near_dup_pairs, hyperplane_signatures,
                          lsh_cosine_topk)
 from .textstats import (with_token_stats, with_quality_score,
-                        with_language_id, with_fingerprint)
+                        with_language_id, with_fingerprint,
+                        with_repetition_stats)
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "minhash_lsh_dedup", "simhash", "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "connected_components", "dup_clusters", "dedup_by_components",
     "cosine_topk", "ivf_cosine_topk", "embedding_near_dup_pairs",
     "hyperplane_signatures", "lsh_cosine_topk",
     "with_token_stats", "with_quality_score", "with_language_id",
-    "with_fingerprint",
+    "with_fingerprint", "with_repetition_stats",
     "with_media_columns", "extract_features", "frame_sample_plan",
     "resize_plan", "audio_chunk_plan",
     "contaminated_ids", "decontaminate", "scrub_pii", "normalize_text",

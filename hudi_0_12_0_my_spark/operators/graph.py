@@ -1,0 +1,122 @@
+"""Connected components for duplicate-cluster resolution.
+
+`minhash_lsh_dedup`'s default one-hop loser removal is the cheap scalable
+choice, but it under-merges chains (a~b, b~c with ids c<b<a drops b and a
+only if they neighbor the minimum directly). This module adds EXACT
+transitive duplicate clusters via the alternating large-star / small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) — the standard O(log n)-round formulation for commodity
+shared-nothing engines:
+
+- large-star: every node connects its LARGER neighbors to the minimum of
+  its closed neighborhood;
+- small-star: every node connects its smaller-or-equal neighbors (and
+  itself) to that minimum.
+
+Each half-round is ONE shuffle (groupBy(u).min + co-partitioned join back —
+the join reuses the groupBy's hash exchange, no second shuffle of the edge
+list) and never materializes an adjacency list in a single row, so degree
+skew (a viral duplicate cluster) cannot blow a task's memory the way a
+collect_set/GraphX-style grouping would. Rounds are lineage-truncated with
+localCheckpoint: iterative DataFrame algorithms otherwise stack every
+iteration into one plan and die in the optimizer long before 100 TB.
+
+Convergence is by edge-set fingerprint (count + xor of per-edge hashes) —
+two scalar aggregates per round, no driver-side edge materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge list: (u < v), distinct, no self-loops."""
+    return (edges.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v"))
+            .distinct())
+
+
+def _star(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (v > u attach to min) or small-star (v <= u) round."""
+    bid = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if not large:
+        # small-star only looks at the smaller-or-equal side of each node
+        bid = bid.filter(F.col("v") < F.col("u"))
+    mins = bid.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = F.least(F.col("u"), F.col("_mn"))
+    att = bid.join(mins, "u")          # co-partitioned: reuses groupBy exchange
+    if large:
+        att = att.filter(F.col("v") > F.col("u"))
+        out = att.select(F.col("v").alias("u"), m.alias("v"))
+    else:
+        out = att.select(F.col("v").alias("u"), m.alias("v")) \
+                 .union(mins.select("u", m.alias("v")))
+    return _canon(out)
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """(id, comp) for every node in `pairs`; comp = min id of its component.
+
+    Alternating large-star/small-star until the canonical edge set's
+    fingerprint is stable — at that fixpoint the edges form stars rooted at
+    each component's minimum, so the labeling is one final groupBy.
+    Singleton ids (no edges) are the caller's concern: anything absent from
+    `pairs` is its own component.
+    """
+    edges = _canon(pairs.select(F.col(id_a).alias("u"),
+                                F.col(id_b).alias("v")))
+    edges = edges.localCheckpoint(eager=True)
+
+    def _fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold: order-independent and cannot overflow under ANSI mode
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    fp = _fingerprint(edges)
+    for _ in range(max_iter):
+        edges = _star(_star(edges, large=True), large=False)
+        edges = edges.localCheckpoint(eager=True)
+        nfp = _fingerprint(edges)
+        if nfp == fp:
+            break
+        fp = nfp
+    # star fixpoint: canonical edges are (root=u < member=v) since the root
+    # is the component minimum; roots label themselves
+    members = edges.select(F.col("v").alias("id"), F.col("u").alias("comp"))
+    roots = edges.select(F.col("u").alias("id"), F.col("u").alias("comp"))
+    return (members.union(roots)
+            .groupBy("id").agg(F.min("comp").alias("comp")))
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iter: int = 50) -> DataFrame:
+    """Cluster summary over near-dup pairs: one row per duplicate cluster.
+
+    (comp, n_members, min_id, max_id) — comp == min_id by construction;
+    kept as separate columns so callers can assert the invariant cheaply.
+    """
+    cc = connected_components(pairs, id_a, id_b, max_iter)
+    return (cc.groupBy("comp")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.min("id").alias("min_id"),
+                 F.max("id").alias("max_id")))
+
+
+def dedup_by_components(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id",
+                        id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Transitive-closure dedup: keep exactly one row (the min id) per
+    duplicate component — the exact counterpart of minhash_lsh_dedup's
+    one-hop approximation."""
+    cc = connected_components(pairs, id_a, id_b)
+    losers = cc.filter(F.col("id") != F.col("comp")) \
+               .select(F.col("id").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")

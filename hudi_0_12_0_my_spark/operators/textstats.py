@@ -82,6 +82,117 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text",
+                          max_lines: int = 500,
+                          max_tokens: int = 500) -> DataFrame:
+    """Gopher-style repetition/format quality signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1) as pure column expressions:
+
+      dup_line_frac         fraction of (trimmed, non-empty) lines that are
+                            repeats of an earlier line
+      dup_line_char_frac    fraction of line characters inside duplicated lines
+      top_bigram_char_frac  fraction of token characters covered by the most
+                            frequent word bigram (ties: longest bigram)
+      bullet_line_frac      lines starting with a bullet ("-", "*", "•")
+      ellipsis_line_frac    lines ending with "..." or "…"
+      alpha_word_frac       words containing at least one alphabetic char
+      mean_word_len         mean whitespace-token length
+
+    Everything folds per-row with higher-order functions — a map-only stage,
+    no shuffle at any scale. The per-line/per-gram frequency counts are
+    O(k^2) in the first `max_lines`/`max_tokens` items (capped so a
+    pathological document cannot quadratically blow a task); the caps are
+    part of the operator contract and the oracle replays them.
+    """
+    c = F.col(text_col)
+
+    # PERF NOTE: every intermediate array is STAGED as a named column and
+    # referenced via F.col(...). Composing these as Python expression
+    # variables instead duplicates the whole subtree per reference, and
+    # HOFs are interpreted (CodegenFallback) with no common-subexpression
+    # elimination — the inlined version measured 150s for 500 small docs
+    # (~0.3s/doc); staged it's milliseconds. CollapseProject keeps a
+    # multi-referenced non-cheap alias in its own projection, so the
+    # staging survives optimization.
+    def occ(arr_col, item):
+        return F.size(F.filter(arr_col, lambda x: x == item))
+
+    staged = (df
+              .withColumn("_lines", F.slice(
+                  F.filter(F.transform(F.split(c, r"\n"),
+                                       lambda l: F.trim(l)),
+                           lambda l: F.length(l) > 0), 1, max_lines))
+              # trim() strips spaces only — a trailing newline leaves an
+              # empty token after the whitespace split; drop empties
+              .withColumn("_toks", F.slice(
+                  F.filter(_ws_tokens(F.lower(c)),
+                           lambda t: F.length(t) > 0), 1, max_tokens)))
+    staged = (staged
+              .withColumn("_dlines", F.array_distinct(F.col("_lines")))
+              .withColumn("_grams", F.when(
+                  F.size("_toks") >= 2, F.transform(
+                      F.sequence(F.lit(1), F.greatest(F.size("_toks") - 1,
+                                                      F.lit(1))),
+                      lambda i: F.concat_ws(
+                          " ", F.element_at(F.col("_toks"), i),
+                          F.element_at(F.col("_toks"), i + 1))))
+                  .otherwise(F.array().cast("array<string>"))))
+    staged = (staged
+              .withColumn("_line_chars", F.aggregate(
+                  "_lines", F.lit(0).cast("long"),
+                  lambda acc, l: acc + F.length(l)))
+              .withColumn("_tok_chars", F.aggregate(
+                  "_toks", F.lit(0).cast("long"),
+                  lambda acc, t: acc + F.length(t)))
+              .withColumn("_dup_chars", F.aggregate(
+                  F.transform(
+                      "_dlines",
+                      lambda d: F.when(occ(F.col("_lines"), d) > 1,
+                                       occ(F.col("_lines"), d) * F.length(d))
+                                .otherwise(F.lit(0)).cast("long")),
+                  F.lit(0).cast("long"), lambda acc, x: acc + x))
+              # single-pass argmax via struct ordering (field-order
+              # lexicographic in both Spark and DuckDB): max count, ties to
+              # the longest bigram — a two-pass "filter to max count, then
+              # max length" would re-inline the max-count subtree per element
+              .withColumn("_best", F.array_max(F.transform(
+                  F.array_distinct(F.col("_grams")),
+                  lambda g: F.struct(occ(F.col("_grams"), g).alias("cnt"),
+                                     F.length(g).alias("ln"))))))
+
+    n_lines = F.size("_lines")
+    n_tok = F.size("_toks")
+    frac = lambda num, den: F.when(den > 0, num / den.cast("double")) \
+        .otherwise(F.lit(0.0))  # noqa: E731
+    dup_line_frac = frac(n_lines - F.size("_dlines"), n_lines)
+    dup_line_char_frac = frac(F.col("_dup_chars"), F.col("_line_chars"))
+    # the bigram string contains one separator space: chars covered are
+    # (len-1) per occurrence, measured against total token chars
+    top_bigram_char_frac = F.when(
+        (F.size("_grams") > 0) & (F.col("_tok_chars") > 0),
+        (F.col("_best.cnt") * (F.col("_best.ln") - 1))
+        / F.col("_tok_chars").cast("double")).otherwise(F.lit(0.0))
+    bullet = F.size(F.filter("_lines", lambda l: l.rlike(r"^(-|\*|•)")))
+    ellipsis = F.size(F.filter("_lines",
+                               lambda l: l.rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter("_toks", lambda t: t.rlike("[a-z]")))
+
+    return (staged
+            .withColumn("n_lines", n_lines)
+            .withColumn("dup_line_frac", F.round(dup_line_frac, 6))
+            .withColumn("dup_line_char_frac", F.round(dup_line_char_frac, 6))
+            .withColumn("top_bigram_char_frac",
+                        F.round(top_bigram_char_frac, 6))
+            .withColumn("bullet_line_frac", F.round(frac(bullet, n_lines), 6))
+            .withColumn("ellipsis_line_frac",
+                        F.round(frac(ellipsis, n_lines), 6))
+            .withColumn("alpha_word_frac", F.round(frac(alpha, n_tok), 6))
+            .withColumn("mean_word_len",
+                        F.round(frac(F.col("_tok_chars"), n_tok), 6))
+            .drop("_lines", "_toks", "_dlines", "_grams", "_line_chars",
+                  "_tok_chars", "_dup_chars", "_best"))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic 64-bit document fingerprint over normalized text.
 

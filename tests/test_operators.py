@@ -110,6 +110,27 @@ def test_language_id(docs):
     assert got[6] == "und"
 
 
+def test_repetition_stats(spark):
+    rows = {r.doc_id: r.asDict() for r in ops.with_repetition_stats(
+        spark.createDataFrame([
+            (1, "a b\na b\nc d"),               # duplicate line "a b"
+            (2, "- one\n- two\nplain\nwait...\n"),
+            (3, "x y x y x y x y"),             # dominant bigram
+            (4, ""),
+        ], "doc_id long, text string")).collect()}
+    r1 = rows[1]
+    assert r1["n_lines"] == 3
+    assert abs(r1["dup_line_frac"] - 1 / 3) < 1e-5
+    assert abs(r1["dup_line_char_frac"] - 6 / 9) < 1e-5   # "a b" twice
+    r2 = rows[2]
+    assert abs(r2["bullet_line_frac"] - 0.5) < 1e-6
+    assert abs(r2["ellipsis_line_frac"] - 0.25) < 1e-6
+    assert abs(r2["mean_word_len"] - 20 / 6) < 1e-5       # no empty token
+    assert abs(rows[3]["top_bigram_char_frac"] - 1.0) < 1e-6
+    r4 = rows[4]
+    assert r4["n_lines"] == 0 and r4["mean_word_len"] == 0.0
+
+
 def test_fingerprint_whitespace_invariant(docs):
     got = {r.doc_id: r.fingerprint for r in ops.with_fingerprint(docs).collect()}
     assert got[1] == got[3]

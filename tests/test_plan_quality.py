@@ -192,6 +192,39 @@ def test_session_stats_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_repetition_stats_map_only(spark):
+    """Gopher repetition signals fold per-row with higher-order functions:
+    no Exchange, no Python eval — a pure map stage over the scan."""
+    from hudi_0_12_0_my_spark.operators import with_repetition_stats
+    docs = spark.createDataFrame(
+        [(i, "line one\nline two") for i in range(10)],
+        "doc_id long, text string")
+    plan = with_repetition_stats(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_connected_components_shuffles_bounded_per_round(spark):
+    """One star half-round = groupBy(u).min + join back on u: the join must
+    reuse the groupBy's hash exchange (co-partitioned), not add a second
+    shuffle of the edge list, and nothing may broadcast (at 100 TB the edge
+    list is huge; a driver-side broadcast would OOM)."""
+    from hudi_0_12_0_my_spark.operators.graph import _canon, _star
+    # rounds always run on a localCheckpoint'd edge list (as in
+    # connected_components) — otherwise the canon distinct replays per branch
+    edges = _canon(spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "u long, v long")) \
+        .localCheckpoint(eager=True)
+    plan = _star(edges, large=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # groupBy(u).min (1) + join side (1) + output canon distinct (1):
+    # the edge list is exchanged at most 3 times per half-round, never
+    # broadcast and never more than linearly in the round count
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_minhash_single_signature_pass(spark):
     """Bucket-grouped pair generation: the signature projection (xxhash64 of
     shingles) appears in ONE subtree — no self-join recomputation."""
