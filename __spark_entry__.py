@@ -169,6 +169,24 @@ def q_cow_incremental(spark, sf_dir):
     return inc.groupBy("l_returnflag").agg(_n(), _dec_sum("l_quantity", "sum_qty"))
 
 
+def q_cow_incremental_cdc(spark, sf_dir):
+    """Read-side CDC diff over the whole build: upserted keys surface as
+    `u` with before/after images, deleted keys as `d` with the before image
+    (the state at `begin` is the bulk_insert base, so mutated-then-deleted
+    keys report the BASE before image)."""
+    t, commits = _build_cow(spark, sf_dir)
+    cdc = t.incremental_cdc(begin=commits[0])
+
+    def pick(f):
+        return F.coalesce(F.col(f"after.{f}"), F.col(f"before.{f}"))
+
+    return cdc.select(
+        "op", pick("l_orderkey").alias("l_orderkey"),
+        pick("l_linenumber").alias("l_linenumber"),
+        F.col("before.l_quantity").cast("double").alias("before_qty"),
+        F.col("after.l_quantity").cast("double").alias("after_qty"))
+
+
 def q_cow_time_travel(spark, sf_dir):
     t, commits = _build_cow(spark, sf_dir)
     tt = t.time_travel(commits[0])
@@ -1048,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine semantics (SURVEY.md §2.1, §2.2, §2.3)
         "cow_snapshot": q_cow_snapshot,
         "cow_incremental": q_cow_incremental,
+        "cow_incremental_cdc": q_cow_incremental_cdc,
         "cow_time_travel": q_cow_time_travel,
         "cow_point_lookup": q_cow_point_lookup,
         "mor_snapshot": q_mor_snapshot,
@@ -1127,6 +1146,16 @@ SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
 FROM cur WHERE EXISTS (SELECT 1 FROM mut m
   WHERE m.l_orderkey = cur.l_orderkey AND m.l_linenumber = cur.l_linenumber)
 GROUP BY 1""",
+        "cow_incremental_cdc": f"""
+WITH {LI_CTES}
+SELECT 'u' AS op, l_orderkey, l_linenumber,
+       CAST(l_quantity AS DOUBLE) AS before_qty,
+       CAST(l_quantity + 1000.0 AS DOUBLE) AS after_qty
+FROM base WHERE l_orderkey % 10 = 0 AND l_orderkey % 100 <> 0
+UNION ALL
+SELECT 'd', l_orderkey, l_linenumber,
+       CAST(l_quantity AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM base WHERE l_orderkey % 100 = 0""",
         "cow_time_travel": f"""
 WITH {LI_CTES}
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

@@ -95,6 +95,9 @@ def main() -> None:
                 when_matched_update={"l_quantity": "s.nq"},
                 when_not_matched_insert=None)
 
+    with step("incremental_cdc"):           # touched-partition diff, i/u/d
+        t.incremental_cdc(begin=commits[0]).count()
+
     m = eng.create_table(
         os.path.join(BENCH_ROOT, "lineitem_mor"),
         record_key_fields=["l_orderkey", "l_linenumber"],

@@ -219,3 +219,56 @@ class Reader:
             cond = cond & (F.col(meta.COMMIT_TIME) <= F.lit(end))
         df = payloads.resolve(df.filter(cond), cfg, spec, drop_deletes=True)
         return df if keep_meta else meta.strip_meta(df)
+
+    def incremental_cdc(self, begin: str | None = None,
+                        end: str | None = None) -> DataFrame:
+        """Change-data-capture diff between two instants: one row per key
+        whose RESOLVED state differs between the table as-of `begin` and
+        as-of `end` — op `i` (inserted), `u` (updated: before+after), `d`
+        (deleted). Unlike `incremental`, this surfaces deletes and before
+        images; unlike log-based CDC (Hudi 0.13's cdc.enabled write path,
+        out of scope for the 0.12 reference), it is a read-side
+        reconstruction: correct for any table, no write-path cooperation.
+
+        Scale shape: only partitions TOUCHED by in-range commits (write
+        stats + replaced-group metadata) are scanned — twice (state at each
+        boundary) — and the diff is one full-outer join shuffled on the
+        record key, bounded by the touched partitions' size, never the
+        table. Rows rewritten with identical values (clustering, re-upsert
+        of the same payload) compare equal and emit nothing.
+        """
+        cfg = self.cfg
+        begin = begin or "0"
+        instants = [i for i in self.t.timeline.completed_write_instants()
+                    if i.time > begin and (end is None or i.time <= end)]
+        touched: set[str] = set()
+        for ins in instants:
+            md = self.t.timeline.metadata(ins)
+            touched |= set((md.get("partition_to_write_stats") or {}).keys())
+            touched |= set((md.get("replaced_file_groups") or {}).keys())
+        new = self.snapshot(as_of=end, keep_meta=True)
+        if instants and touched:
+            new = new.filter(F.col(meta.PARTITION_PATH).isin(*touched))
+        try:
+            old = self.snapshot(as_of=begin, keep_meta=True) if begin != "0" \
+                else new.filter(F.lit(False))
+        except ValueError:     # begin predates the first surviving instant
+            old = new.filter(F.lit(False))
+        if instants and touched:
+            old = old.filter(F.col(meta.PARTITION_PATH).isin(*touched))
+        # non-global tables scope key uniqueness to the partition; global
+        # index lets a key move across partitions and still be ONE entity
+        keys = [meta.RECORD_KEY] if cfg.global_index \
+            else [meta.PARTITION_PATH, meta.RECORD_KEY]
+        data_cols = sorted(c for c in new.columns
+                           if c not in meta.META_COLS
+                           and c not in (meta.OPERATION, meta.TARGET_FILE_ID))
+        pack = F.struct(*[F.col(c) for c in data_cols])
+        o = old.select(*keys, pack.alias("before"))
+        n = new.select(*keys, pack.alias("after"))
+        j = o.join(n, on=keys, how="full_outer")
+        op = (F.when(F.col("before").isNull(), F.lit("i"))
+               .when(F.col("after").isNull(), F.lit("d"))
+               .otherwise(F.lit("u")))
+        return (j.filter(~F.col("before").eqNullSafe(F.col("after")))
+                 .select(op.alias("op"), *keys, "before", "after"))

@@ -108,6 +108,10 @@ class LakeTable:
     def time_travel(self, as_of: str, filters=None, keep_meta: bool = False) -> DataFrame:
         return self.reader.time_travel(as_of, filters=filters, keep_meta=keep_meta)
 
+    def incremental_cdc(self, begin: str | None = None,
+                        end: str | None = None) -> DataFrame:
+        return self.reader.incremental_cdc(begin=begin, end=end)
+
     def incremental(self, begin: str | None = None, end: str | None = None,
                     keep_meta: bool = False) -> DataFrame:
         return self.reader.incremental(begin=begin, end=end, keep_meta=keep_meta)

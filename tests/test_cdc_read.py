@@ -1,0 +1,82 @@
+"""Read-side CDC diff (reader.incremental_cdc)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_12_0_my_spark import Engine
+
+
+SCHEMA = "id long, grp string, val double, seq long"
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, SCHEMA)
+
+
+def _collect_ops(cdc):
+    out = {}
+    for r in cdc.collect():
+        out[int(r["_hoodie_record_key"])] = (
+            r.op,
+            r.before["val"] if r.before else None,
+            r.after["val"] if r.after else None)
+    return out
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_cdc_classifies_iud_and_suppresses_noops(spark, tmp_path, table_type):
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / table_type),
+                         record_key_fields=["id"], precombine_field="seq",
+                         partition_field="grp", table_type=table_type)
+    t.bulk_insert(_rows(spark, [(i, "a" if i % 2 else "b", float(i), 1)
+                                for i in range(1, 11)]))
+    c0 = t.timeline.completed_write_instants()[-1].time
+    t.upsert(_rows(spark, [
+        (100, "a", 1.0, 2),                 # i
+        (3, "a", 103.0, 2), (6, "b", 106.0, 2),   # u
+        (7, "a", 7.0, 1),                   # identical re-upsert -> no row
+    ]))
+    t.delete(t.snapshot().filter("id = 4"))
+    got = _collect_ops(t.incremental_cdc(begin=c0))
+    assert got == {100: ("i", None, 1.0),
+                   3: ("u", 3.0, 103.0), 6: ("u", 6.0, 106.0),
+                   4: ("d", 4.0, None)}
+
+
+def test_cdc_full_range_is_all_inserts(spark, tmp_path):
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "t"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    t.bulk_insert(_rows(spark, [(1, "a", 1.0, 1), (2, "b", 2.0, 1)]))
+    t.upsert(_rows(spark, [(1, "a", 9.0, 2)]))
+    cdc = t.incremental_cdc()
+    assert cdc.filter("op != 'i'").count() == 0
+    assert cdc.count() == 2
+
+
+def test_cdc_bounded_end_sees_intermediate_state(spark, tmp_path):
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "t"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    t.bulk_insert(_rows(spark, [(1, "a", 1.0, 1)]))
+    c0 = t.timeline.completed_write_instants()[-1].time
+    t.upsert(_rows(spark, [(1, "a", 5.0, 2)]))
+    c1 = t.timeline.completed_write_instants()[-1].time
+    t.upsert(_rows(spark, [(1, "a", 9.0, 3)]))
+    got = _collect_ops(t.incremental_cdc(begin=c0, end=c1))
+    assert got == {1: ("u", 1.0, 5.0)}      # later commit invisible
+
+
+def test_cdc_global_index_partition_move_is_update(spark, tmp_path):
+    """With a global index a key moving partitions is ONE entity: the diff
+    joins on the record key alone and reports u, not d+i."""
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "g"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         global_index=True)
+    t.bulk_insert(_rows(spark, [(1, "a", 1.0, 1), (2, "a", 2.0, 1)]))
+    c0 = t.timeline.completed_write_instants()[-1].time
+    t.upsert(_rows(spark, [(1, "b", 10.0, 2)]))     # a -> b move
+    got = _collect_ops(t.incremental_cdc(begin=c0))
+    assert got == {1: ("u", 1.0, 10.0)}
