@@ -1036,6 +1036,16 @@ def q_emb_ivf_topk(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup survivors with num_cells=1: the cell blocking is exhaustive,
+    so pairs == all cosine-threshold pairs and the recursive-CTE oracle is
+    exact (production runs use num_cells >> 1 for the bucketed scale path)."""
+    from hudi_0_12_0_my_spark.operators import semantic_dedup
+    emb = _read(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(emb, threshold=0.40, num_cells=1)
+    return kept.select("vec_id", F.col("label").cast("int").alias("label"))
+
+
 def q_multimodal_features(spark, sf_dir):
     from hudi_0_12_0_my_spark.operators import (extract_features,
                                                 with_media_columns)
@@ -1121,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "emb_topk": q_emb_topk,
         "emb_near_dup": q_emb_near_dup,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         # rows-only checks
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -1697,6 +1708,21 @@ FROM s GROUP BY 1, 2""",
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40""",
+        # same pair set, closed transitively; survivors = component minima
+        # plus singletons never appearing in a pair
+        "emb_semantic_dedup": """
+WITH RECURSIVE prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40),
+e AS (SELECT id_a AS u, id_b AS v FROM prs
+      UNION SELECT id_b, id_a FROM prs),
+reach(u, v) AS (SELECT u, v FROM e
+                UNION SELECT r.u, e2.v FROM reach r JOIN e e2
+                      ON r.v = e2.u AND e2.v <> r.u),
+cmp AS (SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u)
+SELECT vec_id, CAST(label AS INT) AS label FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM cmp WHERE id <> comp)""",
         "emb_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
 s AS (SELECT qid, vec_id AS nid,

@@ -21,7 +21,7 @@ from .pipeline import (contaminated_ids, decontaminate, scrub_pii,
 from .sessions import sessionize, session_stats
 from .similarity import (cosine_topk, ivf_cosine_topk,
                          embedding_near_dup_pairs, hyperplane_signatures,
-                         lsh_cosine_topk)
+                         lsh_cosine_topk, semantic_dedup)
 from .textstats import (with_token_stats, with_quality_score,
                         with_language_id, with_fingerprint,
                         with_repetition_stats)
@@ -32,7 +32,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "connected_components", "dup_clusters", "dedup_by_components",
     "cosine_topk", "ivf_cosine_topk", "embedding_near_dup_pairs",
-    "hyperplane_signatures", "lsh_cosine_topk",
+    "hyperplane_signatures", "lsh_cosine_topk", "semantic_dedup",
     "with_token_stats", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_repetition_stats",
     "with_media_columns", "extract_features", "frame_sample_plan",

@@ -169,6 +169,27 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int,
                           "cosine", "rank"))
 
 
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   num_cells: int = 16) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop semantic
+    near-duplicates — documents whose embeddings are nearly identical even
+    when their text is not — keeping one representative (min id) per
+    duplicate group.
+
+    Pipeline = the paper's recipe re-expressed in existing operators:
+    k-means-style cells (`assign_ivf_cells`) bound the pair search, cosine
+    >= threshold pairs within a cell (`embedding_near_dup_pairs`), and
+    transitive closure over those pairs (`dedup_by_components`) so chains
+    of pairwise-similar embeddings collapse to one survivor. Every stage is
+    bucketed or map-only; nothing is all-pairs at any scale.
+    """
+    from .graph import dedup_by_components
+    pairs = embedding_near_dup_pairs(corpus, threshold, id_col, vec_col,
+                                     num_cells)
+    return dedup_by_components(corpus, pairs, id_col=id_col)
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

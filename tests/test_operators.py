@@ -159,6 +159,23 @@ def test_embedding_near_dup(emb):
     assert (0, 100) in got
 
 
+def test_semantic_dedup_collapses_transitive_chain(spark):
+    """Vectors 0~1 and 1~2 are each near-dup pairs but 0~2 is below the
+    threshold: SemDeDup must still collapse all three (transitive), keeping
+    the min id; the orthogonal vector survives."""
+    import math
+    base = [1.0, 0.0, 0.0, 0.0]
+    tilt1 = [math.cos(0.25), math.sin(0.25), 0.0, 0.0]    # cos ~0.969 to base
+    tilt2 = [math.cos(0.50), math.sin(0.50), 0.0, 0.0]    # cos ~0.969 to t1,
+    ortho = [0.0, 0.0, 1.0, 0.0]                          # ~0.878 to base
+    emb = spark.createDataFrame(
+        [(0, base, 0), (1, tilt1, 0), (2, tilt2, 0), (9, ortho, 1)],
+        "vec_id long, embedding array<float>, label int")
+    kept = sorted(r.vec_id for r in ops.semantic_dedup(
+        emb, threshold=0.95, num_cells=1).collect())
+    assert kept == [0, 9]
+
+
 def test_multimodal_plumbing(docs, spark):
     mm = ops.with_media_columns(
         docs.withColumn("payload", F.col("text").cast("binary")),
