@@ -158,7 +158,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, shingle_k: int = 5,
                       jaccard_threshold: float = 0.5,
-                      hash_fn: str = "xxhash64") -> DataFrame:
+                      hash_fn: str = "xxhash64",
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified by signature overlap.
 
     rows-per-band r = num_hashes/bands; docs sharing any band bucket become
@@ -175,7 +176,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         F.posexplode(F.array(*[
             _combine_hash(hash_fn, [F.col("sig")[b * r + j] for j in range(r)])
             for b in range(bands)])).alias("band", "bucket"))
-    cand = _bucket_pairs(band_entries, id_col, "sig") \
+    cand = _bucket_pairs(band_entries, id_col, "sig", max_bucket_size) \
         .dropDuplicates(["id_a", "id_b"])
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                       lambda x, y: x == y), lambda v: v))
@@ -186,14 +187,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", **kw) -> DataFrame:
-    """Drop near-duplicates: keep the smallest id of each connected pair.
+                      id_col: str = "doc_id", method: str = "one_hop",
+                      **kw) -> DataFrame:
+    """Drop near-duplicates, keeping one representative per duplicate group.
 
-    Single-link one-hop (a->min neighbor) — at 100 TB full transitive closure
-    would need iterative connected components; one-hop removal of every doc
-    that has a smaller near-dup neighbor is the standard scalable choice.
+    method="one_hop" (default): remove every doc with a smaller near-dup
+    neighbor — one anti-join, no iteration; under-merges chains whose
+    endpoints only connect transitively, the standard cheap choice.
+    method="cc": exact transitive closure via alternating-star connected
+    components (operators/graph.py) — O(log n) bounded-shuffle rounds;
+    chains collapse to exactly one survivor (the component minimum).
     """
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
+    if method == "cc":
+        from .graph import dedup_by_components
+        return dedup_by_components(df, pairs, id_col=id_col)
+    if method != "one_hop":
+        raise ValueError(f"unknown dedup method {method!r}")
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
@@ -245,7 +255,8 @@ def simhash(df: DataFrame, text_col: str = "text",
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            max_hamming: int = 3, bits: int = 64,
-                           hash_fn: str = "xxhash64") -> DataFrame:
+                           hash_fn: str = "xxhash64",
+                           max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Candidate generation by 4x(bits/4)-bit band equality (any identical band
@@ -260,7 +271,7 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
             F.shiftright("simhash", width * i).bitwiseAND((1 << width) - 1)
             for i in range(4)])).alias("band", "chunk"))
     cand = (_bucket_pairs(bands.withColumnRenamed("chunk", "bucket"),
-                          id_col, "simhash")
+                          id_col, "simhash", max_bucket_size)
             .withColumnRenamed("simhash_a", "sh_a")
             .withColumnRenamed("simhash_b", "sh_b")
             .dropDuplicates(["id_a", "id_b"]))

@@ -66,6 +66,29 @@ def test_minhash_lsh_dedup_removes_near_dups(docs):
     assert 4 in ids and 5 in ids
 
 
+def test_minhash_lsh_dedup_cc_method(docs):
+    """method='cc' closes chains transitively; same fixture as one-hop
+    (1,2,3,7 mutually similar) keeps only the minimum."""
+    kept = ops.minhash_lsh_dedup(docs, method="cc", num_hashes=32, bands=8,
+                                 jaccard_threshold=0.5)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 in ids and 2 not in ids and 7 not in ids
+    assert 4 in ids and 5 in ids
+
+
+def test_lsh_max_bucket_size_drops_mega_buckets(spark):
+    """A stop-bucket (many identical docs) exceeds the cap and produces no
+    pairs — the 100 TB degenerate-bucket guard."""
+    rows = [(i, "same exact text body") for i in range(20)] + \
+           [(100, "completely different words here"),
+            (101, "completely different words here")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ops.minhash_lsh_pairs(d, num_hashes=32, bands=8,
+                                   jaccard_threshold=0.5, max_bucket_size=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}           # 20-doc bucket dropped, pair kept
+
+
 def test_simhash_near_dup(docs):
     pairs = ops.simhash_near_dup_pairs(docs, max_hamming=0)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
