@@ -22,8 +22,8 @@ import json
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
-                                    InputPartition)
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader, InputPartition)
 from pyspark.sql.types import StructType
 
 COMMIT_TIME = "_hoodie_commit_time"
@@ -82,62 +82,105 @@ class HudiStreamReader(DataSourceStreamReader):
         return {"instant": instants[-1] if instants else self.start_instant}
 
     def partitions(self, start: dict, end: dict):
-        lo, hi = start.get("instant", ""), end.get("instant", "")
-        paths = []
-        for ins in _completed_write_instants(self.base_path):
-            if lo < ins <= hi:
-                md = _instant_metadata(self.base_path, ins)
-                for stats in (md.get("partition_to_write_stats") or {}).values():
-                    for st in stats:
-                        paths.append(os.path.join(self.base_path, st["path"]))
-        if not paths:
-            return []
-        n = self.files_per_partition
-        return [_FilesPartition(paths[i:i + n], lo, hi)
-                for i in range(0, len(paths), n)]
+        return _range_partitions(self.base_path, start.get("instant", ""),
+                                 end.get("instant", ""),
+                                 self.files_per_partition)
 
     def read(self, partition: _FilesPartition):
-        import pyarrow.parquet as pq
-
-        want = [f.name for f in self._schema.fields]
-        for path in partition.paths:
-            if not os.path.exists(path):   # cleaned/rolled back afterwards
-                continue
-            tbl = pq.read_table(path)
-            cols = set(tbl.column_names)
-            if COMMIT_TIME in cols:
-                import pyarrow.compute as pc
-                m = pc.and_(
-                    pc.greater(tbl[COMMIT_TIME], partition.begin),
-                    pc.less_equal(tbl[COMMIT_TIME], partition.end))
-                tbl = tbl.filter(m)
-            # drop tombstones (mirrors payloads.is_tombstone): COW carries a
-            # business _hoodie_is_deleted marker; MOR delta files persist
-            # deletes as _hoodie_operation='D' rows
-            if "_hoodie_is_deleted" in cols:
-                import pyarrow.compute as pc
-                alive = pc.fill_null(
-                    pc.invert(tbl["_hoodie_is_deleted"].cast("bool")), True)
-                tbl = tbl.filter(alive)
-            if "_hoodie_operation" in cols:
-                import pyarrow.compute as pc
-                alive = pc.fill_null(
-                    pc.not_equal(tbl["_hoodie_operation"], "D"), True)
-                tbl = tbl.filter(alive)
-            missing = [c for c in want if c not in tbl.column_names]
-            if missing:
-                import pyarrow as pa
-                for c in missing:
-                    tbl = tbl.append_column(c, pa.nulls(len(tbl)))
-            tbl = tbl.select(want)
-            # exact arrow schema Spark expects (parquet may differ in
-            # timestamp tz flavor / nullability -> ArrowInvalid otherwise)
-            from pyspark.sql.pandas.types import to_arrow_schema
-            target = to_arrow_schema(self._schema)
-            yield from tbl.cast(target).to_batches()
+        yield from _change_batches(self._schema, partition)
 
     def commit(self, end: dict) -> None:
         pass
+
+
+def _change_batches(schema: StructType, partition: _FilesPartition):
+    """Arrow batches of change rows for one file-list partition (shared by
+    the stream reader and the batch reader; runs in the Python worker, so
+    pyarrow only — no SparkSession exists executor-side)."""
+    import pyarrow.parquet as pq
+
+    want = [f.name for f in schema.fields]
+    for path in partition.paths:
+        if not os.path.exists(path):   # cleaned/rolled back afterwards
+            continue
+        tbl = pq.read_table(path)
+        cols = set(tbl.column_names)
+        if COMMIT_TIME in cols:
+            import pyarrow.compute as pc
+            m = pc.and_(
+                pc.greater(tbl[COMMIT_TIME], partition.begin),
+                pc.less_equal(tbl[COMMIT_TIME], partition.end))
+            tbl = tbl.filter(m)
+        # drop tombstones (mirrors payloads.is_tombstone): COW carries a
+        # business _hoodie_is_deleted marker; MOR delta files persist
+        # deletes as _hoodie_operation='D' rows
+        if "_hoodie_is_deleted" in cols:
+            import pyarrow.compute as pc
+            alive = pc.fill_null(
+                pc.invert(tbl["_hoodie_is_deleted"].cast("bool")), True)
+            tbl = tbl.filter(alive)
+        if "_hoodie_operation" in cols:
+            import pyarrow.compute as pc
+            alive = pc.fill_null(
+                pc.not_equal(tbl["_hoodie_operation"], "D"), True)
+            tbl = tbl.filter(alive)
+        missing = [c for c in want if c not in tbl.column_names]
+        if missing:
+            import pyarrow as pa
+            for c in missing:
+                tbl = tbl.append_column(c, pa.nulls(len(tbl)))
+        tbl = tbl.select(want)
+        # exact arrow schema Spark expects (parquet may differ in
+        # timestamp tz flavor / nullability -> ArrowInvalid otherwise)
+        from pyspark.sql.pandas.types import to_arrow_schema
+        target = to_arrow_schema(schema)
+        yield from tbl.cast(target).to_batches()
+
+
+def _range_partitions(base_path: str, lo: str, hi: str,
+                      files_per_partition: int) -> list:
+    paths = []
+    for ins in _completed_write_instants(base_path):
+        if lo < ins <= hi:
+            md = _instant_metadata(base_path, ins)
+            for stats in (md.get("partition_to_write_stats") or {}).values():
+                for st in stats:
+                    paths.append(os.path.join(base_path, st["path"]))
+    if not paths:
+        return []
+    n = files_per_partition
+    return [_FilesPartition(paths[i:i + n], lo, hi)
+            for i in range(0, len(paths), n)]
+
+
+class HudiBatchChangesReader(DataSourceReader):
+    """Batch flavor of the same change feed: all change rows with
+    begininstant < _hoodie_commit_time <= endinstant (endinstant defaults to
+    the latest commit). NOTE these are RAW change rows — per-key payload
+    resolution is the library reader's job (`Table.incremental`); this
+    format exists so external Spark jobs can pull increments through
+    `spark.read.format("hudi_stream")` without importing the package."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.base_path = options.get("path")
+        if not self.base_path:
+            raise ValueError("hudi_stream requires .option('path', <table dir>)")
+        self.begin = options.get("begininstant", "")
+        instants = _completed_write_instants(self.base_path)
+        self.end = options.get("endinstant") or \
+            (instants[-1] if instants else "")
+        self._schema = schema
+        self.files_per_partition = int(options.get("filesperpartition", "4"))
+
+    def partitions(self):
+        parts = _range_partitions(self.base_path, self.begin, self.end,
+                                  self.files_per_partition)
+        # the API requires at least one partition; an empty range yields an
+        # empty file list, which _change_batches turns into zero batches
+        return parts or [_FilesPartition([], self.begin, self.end)]
+
+    def read(self, partition: _FilesPartition):
+        yield from _change_batches(self._schema, partition)
 
 
 class HudiStreamDataSource(DataSource):
@@ -164,6 +207,9 @@ class HudiStreamDataSource(DataSource):
 
     def streamReader(self, schema: StructType):
         return HudiStreamReader(schema, dict(self.options))
+
+    def reader(self, schema: StructType):
+        return HudiBatchChangesReader(schema, dict(self.options))
 
 
 def register_stream_source(spark) -> None:

@@ -197,6 +197,36 @@ def test_hudi_stream_source_mor_deletes(spark, tmp_path):
     assert rows == {(1, 1.0), (2, 2.0)}   # the delete row itself is NOT emitted
 
 
+def test_hudi_batch_changes_reader(spark, tmp_path):
+    """spark.read.format('hudi_stream') (batch flavor): raw change rows in
+    (begininstant, endinstant], defaulting to everything; tombstone rows are
+    never emitted. External jobs get incremental pulls without the library."""
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "b_tbl"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "a", 1.0, 1), (2, "b", 2.0, 1)],
+        "id long, grp string, val double, seq long"))
+    c0 = t.timeline.completed_write_instants()[-1].time
+    t.upsert(spark.createDataFrame([(1, "a", 99.0, 2), (3, "a", 3.0, 1)],
+                                   "id long, grp string, val double, seq long"))
+
+    register_stream_source(spark)
+    path = str(tmp_path / "b_tbl")
+    full = spark.read.format("hudi_stream").option("path", path).load()
+    assert {(r.id, r.val) for r in full.collect()} == \
+        {(1, 1.0), (2, 2.0), (1, 99.0), (3, 3.0)}
+    assert "_hoodie_commit_time" in full.columns
+
+    inc = (spark.read.format("hudi_stream").option("path", path)
+           .option("begininstant", c0).load())
+    assert {(r.id, r.val) for r in inc.collect()} == {(1, 99.0), (3, 3.0)}
+
+    empty = (spark.read.format("hudi_stream").option("path", path)
+             .option("begininstant", "99999999999999999").load())
+    assert empty.count() == 0
+
+
 def _write_events_json(dirpath, name, rows):
     _write_jsonl(dirpath, name, rows)
 
