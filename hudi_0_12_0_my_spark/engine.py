@@ -52,6 +52,35 @@ class Engine:
             raise KeyError(f"unknown table '{name}'; known: {sorted(self.catalog)}")
         return LakeTable(self.spark, self.catalog[name])
 
+    def drop_table(self, name: str, purge: bool = True) -> bool:
+        """DROP TABLE: deregister (and with purge, delete the table dir) —
+        DropHoodieTableCommand.scala semantics."""
+        if name not in self.catalog:
+            return False
+        base = self.catalog.pop(name)
+        try:
+            self.spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — view may not exist
+            pass
+        if purge:
+            import shutil
+            shutil.rmtree(base, ignore_errors=True)
+        return True
+
+    def rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE .. RENAME TO ..: catalog + persisted config name
+        (AlterHoodieTableRenameCommand.scala — a metadata-only operation)."""
+        from . import config as cfgmod
+        base = self.catalog.pop(old)
+        t = LakeTable(self.spark, base)
+        t.cfg.name = new
+        cfgmod.save_config(base, t.cfg)
+        self.catalog[new] = base
+        try:
+            self.spark.catalog.dropTempView(old)
+        except Exception:  # noqa: BLE001
+            pass
+
     def table_exists(self, base_path: str) -> bool:
         from .config import table_exists
         return table_exists(base_path)

@@ -81,7 +81,8 @@ def _split_assignments(s: str) -> dict:
 
 _MERGE_RE = re.compile(
     r"^MERGE\s+INTO\s+(?P<target>[\w.`\"]+)(?:\s+AS)?(?:\s+(?P<talias>\w+))?"
-    r"\s+USING\s+(?P<source>[\w.`\"]+)(?:\s+AS)?(?:\s+(?P<salias>\w+))?"
+    r"\s+USING\s+(?:(?P<source>[\w.`\"]+)|\((?P<subq>.+)\))"
+    r"(?:\s+AS)?(?:\s+(?P<salias>\w+))?"
     r"\s+ON\s+(?P<on>.+?)"
     r"(?P<clauses>\s+WHEN\s+.+)$",
     re.IGNORECASE | re.DOTALL)
@@ -93,6 +94,16 @@ _WHEN_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 
+def _refresh_view(engine, t) -> None:
+    """Keep the table's snapshot temp view current after DML so plain
+    `SELECT ... FROM name` (delegated to spark.sql) sees the new state —
+    the catalog-sync the reference gets for free from its V2 catalog."""
+    try:
+        t.reload().register(t.cfg.name)
+    except Exception:  # noqa: BLE001 — e.g. empty table with no schema yet
+        pass
+
+
 def dispatch(engine, text: str):
     sql = text.strip().rstrip(";")
     up = sql.upper()
@@ -101,61 +112,97 @@ def dispatch(engine, text: str):
     if m:
         return engine.call(m.group(1).lower(), **_parse_call_args(m.group(2)))
 
-    # CREATE TABLE t [(col type, ...)] USING hudi LOCATION 'p'
-    #   [OPTIONS (k='v',...)] [AS SELECT ...]
+    # CREATE TABLE t [(col type, ...)] USING hudi with clauses in ANY order:
+    #   LOCATION 'p' | OPTIONS(k='v',...) | PARTITIONED BY (c,...)
+    #   [AS SELECT ...]
+    # Option spellings: recordKey/primaryKey, preCombine(Field), tableType/
+    # type — both the engine's names and the reference's SQL option names
+    # (HoodieOptionConfig.scala:38-77 maps primaryKey/preCombineField/type).
     m = re.match(r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`\"]+)\s*"
                  r"(?:\(([^)]+)\)\s*)?"
-                 r"USING\s+hudi\s+LOCATION\s+'([^']+)'"
-                 r"(?:\s+OPTIONS\s*\((.*?)\))?"
-                 r"(?:\s+AS\s+(SELECT\s+.+))?$",
+                 r"USING\s+hudi\b(?P<tail>.*)$",
                  sql, re.IGNORECASE | re.DOTALL)
     if m:
         from pyspark.sql import types as T
-        name, coldefs, loc, opts_s, select = (
-            _ident(m.group(1)), m.group(2), m.group(3), m.group(4), m.group(5))
+        name, coldefs, tail = _ident(m.group(1)), m.group(2), m.group("tail")
+        select = None
+        am = re.search(r"\bAS\s+(SELECT\s.+)$", tail,
+                       re.IGNORECASE | re.DOTALL)
+        if am:
+            select, tail = am.group(1), tail[:am.start()]
+        loc_m = re.search(r"\bLOCATION\s+'([^']+)'", tail, re.IGNORECASE)
+        if not loc_m:
+            raise ValueError("CREATE TABLE ... USING hudi requires LOCATION")
+        part_m = re.search(r"\bPARTITIONED\s+BY\s*\(([^)]*)\)", tail,
+                           re.IGNORECASE)
+        opt_m = re.search(r"\bOPTIONS\s*\((.*?)\)", tail,
+                          re.IGNORECASE | re.DOTALL)
+        loc = loc_m.group(1)
         opts = {}
-        for part in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", opts_s or ""):
+        for part in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)",
+                             opt_m.group(1) if opt_m else ""):
             if "=" in part:
                 k, v = part.split("=", 1)
                 opts[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        get = {k.lower(): v for k, v in opts.items()}
         kw = {}
-        if "recordkey" in {k.lower() for k in opts}:
-            get = {k.lower(): v for k, v in opts.items()}
-            kw["record_key_fields"] = [c.strip() for c in
-                                       get["recordkey"].split(",")]
-            if get.get("precombine"):
-                kw["precombine_field"] = get["precombine"]
-            if get.get("partitionfield"):
-                kw["partition_field"] = get["partitionfield"]
-            if get.get("tabletype"):
-                kw["table_type"] = get["tabletype"]
-            if get.get("payload"):
-                kw["payload"] = get["payload"]
+        primary = get.get("recordkey") or get.get("primarykey")
+        if primary:
+            kw["record_key_fields"] = [c.strip() for c in primary.split(",")]
+        precombine = get.get("precombine") or get.get("precombinefield")
+        if precombine:
+            kw["precombine_field"] = precombine
+        ttype = get.get("tabletype") or get.get("type")
+        if ttype:
+            kw["table_type"] = ttype
+        if get.get("payload"):
+            kw["payload"] = get["payload"]
+        pf = get.get("partitionfield") or \
+            (part_m.group(1).strip() if part_m and part_m.group(1).strip()
+             else None)
+        if pf:
+            parts = [c.strip() for c in pf.split(",")]
+            kw["partition_field"] = parts[0] if len(parts) == 1 else parts
         if coldefs:
             kw["schema_json"] = T._parse_datatype_string(
                 f"struct<{coldefs}>").json()
         df = engine.spark.sql(select) if select else None
         t = engine.create_table(loc, name=name, df=df, **kw)
+        _refresh_view(engine, t)
         return engine.spark.createDataFrame([(t.cfg.name, loc)],
                                             "table string, location string")
 
-    m = re.match(r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.`\"]+)\s+"
-                 r"(SELECT\s+.+|VALUES\s+.+)$", sql, re.IGNORECASE | re.DOTALL)
+    m = re.match(r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.`\"]+)\s*"
+                 r"(?:PARTITION\s*\(([^)]*)\)\s*)?"
+                 r"(SELECT\b.+|VALUES\b.+)$", sql, re.IGNORECASE | re.DOTALL)
     if m and engine.has_table(_ident(m.group(2))):
+        from pyspark.sql import functions as F
         t = engine.table(_ident(m.group(2)))
-        body = m.group(3)
+        static = {}          # static-partition columns (k = 'v')
+        for part in (m.group(3) or "").split(","):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                static[_ident(k)] = v.strip().strip("'\"")
+        body = m.group(4)
+        schema_fields = __import__("hudi_0_12_0_my_spark.writer",
+                                   fromlist=["business_schema"]) \
+            .business_schema(t.cfg).fields
         if body.upper().startswith("VALUES"):
-            cols = ", ".join(f.name for f in
-                             __import__("hudi_0_12_0_my_spark.writer",
-                                        fromlist=["business_schema"])
-                             .business_schema(t.cfg).fields)
+            cols = ", ".join(f.name for f in schema_fields
+                             if f.name not in static)
             df = engine.spark.sql(f"SELECT * FROM ({body}) AS v({cols})")
         else:
             df = engine.spark.sql(body)
+        for k, v in static.items():     # static partition values as literals
+            typ = next((f.dataType for f in schema_fields if f.name == k),
+                       None)
+            col = F.lit(v).cast(typ) if typ is not None else F.lit(v)
+            df = df.withColumn(k, col)
         if m.group(1).upper() == "OVERWRITE":
             instant = t.insert_overwrite(df)
         else:
             instant = t.insert(df)
+        _refresh_view(engine, t)
         return engine.spark.createDataFrame([(instant,)], "instant string")
 
     m = re.match(r"^(RUN|SCHEDULE)\s+COMPACTION\s+ON\s+([\w.`\"]+)\s*$",
@@ -246,6 +293,7 @@ def dispatch(engine, text: str):
     if m and engine.has_table(_ident(m.group(1))):
         t = engine.table(_ident(m.group(1)))
         instant = t.update(set=_split_assignments(m.group(2)), where=m.group(3))
+        _refresh_view(engine, t)
         return engine.spark.createDataFrame([(instant,)], "instant string")
 
     m = re.match(r"^DELETE\s+FROM\s+([\w.`\"]+)(?:\s+WHERE\s+(.+))?$",
@@ -257,6 +305,7 @@ def dispatch(engine, text: str):
         else:
             instant = t.writer.insert_overwrite(
                 t.snapshot().limit(0), whole_table=True)  # TRUNCATE semantics
+        _refresh_view(engine, t)
         return engine.spark.createDataFrame([(instant,)], "instant string")
 
     m = re.match(r"^ALTER\s+TABLE\s+([\w.`\"]+)\s+ADD\s+COLUMNS?\s*"
@@ -289,7 +338,22 @@ def dispatch(engine, text: str):
         t = engine.table(_ident(m.group(1)))
         instant = t.writer.insert_overwrite(t.snapshot().limit(0),
                                             whole_table=True)
+        _refresh_view(engine, t)
         return engine.spark.createDataFrame([(instant,)], "instant string")
+
+    # table rename AFTER the rename-COLUMN pattern so the two never collide
+    m = re.match(r"^ALTER\s+TABLE\s+([\w.`\"]+)\s+RENAME\s+TO\s+"
+                 r"([\w.`\"]+)\s*$", sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        engine.rename_table(_ident(m.group(1)), _ident(m.group(2)))
+        _refresh_view(engine, engine.table(_ident(m.group(2))))
+        return engine.spark.createDataFrame([(True,)], "ok boolean")
+
+    m = re.match(r"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`\"]+)"
+                 r"(?:\s+PURGE)?\s*$", sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        engine.drop_table(_ident(m.group(1)))
+        return engine.spark.createDataFrame([(True,)], "ok boolean")
 
     # everything relational -> Catalyst, as in the reference
     return engine.spark.sql(sql)
@@ -304,11 +368,14 @@ def _merge(engine, sql: str):
     if not engine.has_table(target):
         raise ValueError(f"unknown hudi table '{target}' in MERGE")
     t = engine.table(target)
-    source_df = engine.spark.table(_ident(m.group("source")))
+    if m.group("subq"):
+        source_df = engine.spark.sql(m.group("subq"))
+        source_name = None
+    else:
+        source_df = engine.spark.table(_ident(m.group("source")))
+        source_name = _ident(m.group("source"))
     salias = m.group("salias") or "s"
     talias = m.group("talias") or "t"
-
-    source_name = _ident(m.group("source"))
 
     def _norm(expr: str | None) -> str | None:
         """Rewrite user aliases (or bare table/source names used as
@@ -317,7 +384,8 @@ def _merge(engine, sql: str):
             return None
         out = re.sub(rf"\b{re.escape(salias)}\.", "s.", expr)
         out = re.sub(rf"\b{re.escape(talias)}\.", "t.", out)
-        out = re.sub(rf"\b{re.escape(source_name)}\.", "s.", out)
+        if source_name:
+            out = re.sub(rf"\b{re.escape(source_name)}\.", "s.", out)
         out = re.sub(rf"\b{re.escape(target)}\.", "t.", out)
         return out.strip()
 
@@ -349,10 +417,11 @@ def _merge(engine, sql: str):
         else:
             assigns = action[len("UPDATE SET"):].strip()
             branches.append({"type": "update", "condition": cond,
-                             "assignments": {
+                             "assignments": "*" if assigns == "*" else {
                                  c: _norm(e)
                                  for c, e in _split_assignments(assigns).items()}})
 
     instant = t.merge(source_df, on=_norm(m.group("on")),
                       ordered_branches=branches)
+    _refresh_view(engine, t)
     return engine.spark.createDataFrame([(instant,)], "instant string")
