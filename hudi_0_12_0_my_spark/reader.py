@@ -239,6 +239,20 @@ class Reader:
         """
         cfg = self.cfg
         begin = begin or "0"
+        # retention guard: cleaning drops pre-boundary slices from the
+        # manifest fold, so a view as-of an earlier instant reconstructs
+        # EMPTY and the diff would silently report the whole table as
+        # inserts (observed). Refuse loudly instead — same constraint the
+        # reference's CDC read has (history must be within retention).
+        if begin != "0":
+            for ins in self.t.timeline.completed(actions=(tl.CLEAN,)):
+                er = (self.t.timeline.metadata(ins) or {}) \
+                    .get("earliest_retained_instant")
+                if er and er > begin:
+                    raise ValueError(
+                        f"incremental_cdc: state as-of begin={begin} is no "
+                        f"longer reconstructable — cleaning retained only "
+                        f"instants >= {er}; choose begin within retention")
         instants = [i for i in self.t.timeline.completed_write_instants()
                     if i.time > begin and (end is None or i.time <= end)]
         touched: set[str] = set()

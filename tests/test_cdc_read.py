@@ -68,6 +68,27 @@ def test_cdc_bounded_end_sees_intermediate_state(spark, tmp_path):
     assert got == {1: ("u", 1.0, 5.0)}      # later commit invisible
 
 
+def test_cdc_refuses_begin_older_than_retention(spark, tmp_path):
+    """Cleaning drops pre-boundary slices from the manifest: a diff from an
+    unreconstructable begin must raise, not report the table as inserts."""
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "c"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         cleaner_retain_commits=1)
+    t.bulk_insert(_rows(spark, [(1, "a", 1.0, 1), (2, "a", 2.0, 1)]))
+    c0 = t.timeline.completed_write_instants()[-1].time
+    for s in range(2, 6):
+        t.upsert(_rows(spark, [(1, "a", float(s), s)]))
+    assert t.clean()["removed"] > 0
+    with pytest.raises(ValueError, match="no longer reconstructable"):
+        t.incremental_cdc(begin=c0)
+    # a begin at/after the retained boundary still works
+    boundary = t.timeline.completed_write_instants()[-1].time
+    t.upsert(_rows(spark, [(2, "a", 20.0, 9)]))
+    got = _collect_ops(t.incremental_cdc(begin=boundary))
+    assert got == {2: ("u", 2.0, 20.0)}
+
+
 def test_cdc_global_index_partition_move_is_update(spark, tmp_path):
     """With a global index a key moving partitions is ONE entity: the diff
     joins on the record key alone and reports u, not d+i."""
