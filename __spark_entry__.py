@@ -726,6 +726,16 @@ def q_docs_repetition(spark, sf_dir):
         "mean_word_len")
 
 
+def q_docs_curate(spark, sf_dir):
+    """End-to-end curation composition (scrub -> normalize -> quality
+    filter -> exact dedup -> deterministic 50% sample) — the full pipeline
+    replayed as one DuckDB query."""
+    from hudi_0_12_0_my_spark.operators import curate
+    docs = _read(spark, sf_dir, "documents")
+    out = curate(docs, min_quality=0.3, dedup="exact", sample_fraction=0.5)
+    return out.select("doc_id", "lang", "quality_score")
+
+
 def q_docs_fingerprint(spark, sf_dir):
     from hudi_0_12_0_my_spark.operators import with_fingerprint
     docs = with_fingerprint(_read(spark, sf_dir, "documents"))
@@ -1121,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_repetition": q_docs_repetition,
+        "docs_curate": q_docs_curate,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_language_id": q_docs_language_id,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
@@ -1519,6 +1530,56 @@ SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
   round(CASE WHEN n_tok > 0
         THEN tok_chars / CAST(n_tok AS DOUBLE) ELSE 0 END, 6) AS mean_word_len
 FROM U""",
+        # full curation pipeline: scrub -> normalize -> quality>=0.3 ->
+        # exact dedup (min id per content hash) -> deterministic 50% sample
+        "docs_curate": """
+WITH s AS (
+  SELECT doc_id, lang,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+        '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+      '\\b\\d(?:[ -]?\\d){12,15}\\b', '<CARD>', 'g') AS text
+  FROM documents),
+n AS (SELECT doc_id, lang,
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text FROM s),
+q0 AS (
+  SELECT doc_id, lang, text,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+    length(text) - length(regexp_replace(text,
+        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+    length(text) AS n_chars
+  FROM n),
+q1 AS (
+  SELECT doc_id, lang, text,
+    len(toks) AS n_tok,
+    CASE WHEN len(toks) > 0 THEN
+      len(list_intersect(toks, ['the','a','an','and','or','of','to','in','is',
+        'are','was','be','for','on','with','as','at','by','it','this','that',
+        'from'])) / CAST(22.0 AS DOUBLE)
+    ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
+    CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE)
+         ELSE CAST(1.0 AS DOUBLE) END AS punct_ratio
+  FROM q0),
+q2 AS (
+  SELECT doc_id, lang, text,
+    round(CAST(0.4 AS DOUBLE) * least(n_tok / CAST(50.0 AS DOUBLE),
+                                      CAST(1.0 AS DOUBLE))
+        + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+            - least(punct_ratio * 5, CAST(1.0 AS DOUBLE)))
+        + CAST(0.3 AS DOUBLE) * least(stop_ratio * 4, CAST(1.0 AS DOUBLE)), 4)
+      AS quality_score
+  FROM q1),
+f AS (SELECT * FROM q2 WHERE quality_score >= 0.3),
+d AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn FROM f)
+SELECT doc_id, lang, quality_score FROM d
+WHERE rn = 1
+  AND ((doc_id % 1000000007) * 2654435761 + 42) % 1000000 < 500000""",
         "docs_fingerprint": """
 SELECT CAST(count(DISTINCT trim(regexp_replace(
          regexp_replace(lower(text), '[.,!?;:''"()\\[\\]{}-]', '', 'g'),

@@ -15,7 +15,7 @@ from .graph import (connected_components, dup_clusters,
                     dedup_by_components)
 from .multimodal import (with_media_columns, extract_features,
                          frame_sample_plan, resize_plan, audio_chunk_plan)
-from .pipeline import (contaminated_ids, decontaminate, scrub_pii,
+from .pipeline import (contaminated_ids, curate, decontaminate, scrub_pii,
                        normalize_text, deterministic_sample,
                        stratified_sample)
 from .sessions import sessionize, session_stats
@@ -37,7 +37,8 @@ __all__ = [
     "with_fingerprint", "with_repetition_stats",
     "with_media_columns", "extract_features", "frame_sample_plan",
     "resize_plan", "audio_chunk_plan",
-    "contaminated_ids", "decontaminate", "scrub_pii", "normalize_text",
+    "contaminated_ids", "curate", "decontaminate", "scrub_pii",
+    "normalize_text",
     "deterministic_sample", "stratified_sample",
     "sessionize", "session_stats",
 ]

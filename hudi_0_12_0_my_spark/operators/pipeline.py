@@ -113,6 +113,54 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col or text_col, c)
 
 
+def curate(docs: DataFrame, benchmark: DataFrame | None = None, *,
+           text_col: str = "text", id_col: str = "doc_id",
+           scrub: bool = True, normalize: bool = True,
+           min_quality: float | None = None,
+           dedup: str | None = "exact",
+           sample_fraction: float | None = None,
+           strata: tuple[str, dict] | None = None,
+           seed: int = 42, **dedup_kw) -> DataFrame:
+    """End-to-end curation pipeline: decontaminate -> scrub PII ->
+    normalize -> quality filter -> dedup -> deterministic sample, in the
+    order a production corpus build runs them (cheap map-only filters
+    first, the dedup shuffle over the already-shrunk survivor set last).
+
+    The whole pipeline composes into ONE DataFrame plan: Catalyst fuses the
+    map-only stages into a single scan projection, so the corpus is read
+    once regardless of how many steps are enabled. dedup: "exact",
+    "minhash" (one-hop), "minhash_cc" (transitive), or None; strata:
+    (column, {value: fraction}) overrides sample_fraction.
+    """
+    out = docs
+    if benchmark is not None:
+        out = decontaminate(out, benchmark, text_col, id_col)
+    if scrub:
+        out = scrub_pii(out, text_col)
+    if normalize:
+        out = normalize_text(out, text_col)
+    if min_quality is not None:
+        from .textstats import with_quality_score
+        out = with_quality_score(out, text_col) \
+            .filter(F.col("quality_score") >= min_quality)
+    if dedup == "exact":
+        from .dedup import exact_dedup
+        out = exact_dedup(out, text_col, id_col, normalize=not normalize) \
+            .drop("content_hash", "dup_count")
+    elif dedup in ("minhash", "minhash_cc"):
+        from .dedup import minhash_lsh_dedup
+        out = minhash_lsh_dedup(
+            out, text_col, id_col,
+            method="cc" if dedup == "minhash_cc" else "one_hop", **dedup_kw)
+    elif dedup is not None:
+        raise ValueError(f"unknown dedup {dedup!r}")
+    if strata is not None:
+        out = stratified_sample(out, strata[0], strata[1], id_col, seed)
+    elif sample_fraction is not None:
+        out = deterministic_sample(out, sample_fraction, id_col, seed)
+    return out
+
+
 def _sample_bucket(id_col: str, seed: int, buckets: int) -> Column:
     """Deterministic, ENGINE-PORTABLE bucket in [0, buckets).
 

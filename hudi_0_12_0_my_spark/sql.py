@@ -199,7 +199,14 @@ def dispatch(engine, text: str):
             col = F.lit(v).cast(typ) if typ is not None else F.lit(v)
             df = df.withColumn(k, col)
         if m.group(1).upper() == "OVERWRITE":
-            instant = t.insert_overwrite(df)
+            if static and df.isEmpty():
+                # Spark semantics: a static-partition OVERWRITE clears the
+                # partition even when the query yields no rows
+                vals = [f"{k}={v}" if t.cfg.hive_style_partitioning else v
+                        for k, v in static.items()]
+                instant = t.delete_partition(vals)
+            else:
+                instant = t.insert_overwrite(df)
         else:
             instant = t.insert(df)
         _refresh_view(engine, t)

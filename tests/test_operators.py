@@ -274,6 +274,29 @@ def test_stratified_sample_quotas(docs):
     assert got == {1, 2, 3, 4, 6, 7}       # all en kept, de (5) dropped
 
 
+def test_curate_pipeline_composition(spark):
+    """scrub -> normalize -> quality -> dedup -> sample composes into one
+    plan; PII scrubbed before dedup so scrub-equal docs collapse."""
+    rows = [
+        (1, "the quick brown fox is on the hill contact a@b.com ok"),
+        (2, "the quick brown fox is on the hill contact x@y.org ok"),
+        (3, "!!!"),                        # punctuation-only: low quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("lang", __import__("pyspark.sql.functions",
+                                       fromlist=["lit"]).lit("en"))
+    out = ops.curate(docs, min_quality=0.3, dedup="exact",
+                     sample_fraction=1.0)
+    kept = {r.doc_id for r in out.collect()}
+    # 1 and 2 become identical after <EMAIL> scrubbing -> min id survives;
+    # 3 fails the quality floor
+    assert kept == {1}
+    plan = out._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]            # AQE repeats the tree
+    assert plan.count("Scan ExistingRDD") <= 1     # corpus read once
+    assert "BatchEvalPython" not in plan
+
+
 def test_sessionize_islands(spark):
     rows = [(i, u, f"2024-01-01 0{h}:{m:02d}:00")
             for i, (u, h, m) in enumerate([
