@@ -726,6 +726,28 @@ def q_docs_repetition(spark, sf_dir):
         "mean_word_len")
 
 
+def q_mor_incremental_cdc(spark, sf_dir):
+    """CDC diff over the MOR build: the new side resolves base+delta, so
+    the before/after images exercise the log-merge path."""
+    t, commits = _build_mor(spark, sf_dir, compact=False)
+    cdc = t.incremental_cdc(begin=commits[0])
+
+    def pick(f):
+        return F.coalesce(F.col(f"after.{f}"), F.col(f"before.{f}"))
+
+    return cdc.select(
+        "op", pick("l_orderkey").alias("l_orderkey"),
+        pick("l_linenumber").alias("l_linenumber"),
+        F.col("before.l_quantity").cast("double").alias("before_qty"),
+        F.col("after.l_quantity").cast("double").alias("after_qty"))
+
+
+def q_events_funnel(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import funnel_stats
+    ev = _read(spark, sf_dir, "events")
+    return funnel_stats(ev, ["view", "click", "purchase"])
+
+
 def q_docs_curate(spark, sf_dir):
     """End-to-end curation composition (scrub -> normalize -> quality
     filter -> exact dedup -> deterministic 50% sample) — the full pipeline
@@ -1087,6 +1109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cow_snapshot": q_cow_snapshot,
         "cow_incremental": q_cow_incremental,
         "cow_incremental_cdc": q_cow_incremental_cdc,
+        "mor_incremental_cdc": q_mor_incremental_cdc,
+        "events_funnel": q_events_funnel,
         "cow_time_travel": q_cow_time_travel,
         "cow_point_lookup": q_cow_point_lookup,
         "mor_snapshot": q_mor_snapshot,
@@ -1178,6 +1202,29 @@ UNION ALL
 SELECT 'd', l_orderkey, l_linenumber,
        CAST(l_quantity AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM base WHERE l_orderkey % 100 = 0""",
+        # MOR build has no delete commit: every mutated key surfaces as u
+        "mor_incremental_cdc": f"""
+WITH {LI_CTES}
+SELECT 'u' AS op, l_orderkey, l_linenumber,
+       CAST(l_quantity AS DOUBLE) AS before_qty,
+       CAST(l_quantity + 1000.0 AS DOUBLE) AS after_qty
+FROM base WHERE l_orderkey % 10 = 0""",
+        # cascade definition: t_k = earliest step-k event with ts > t_(k-1)
+        "events_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+SELECT 1 AS step, 'view' AS event_type,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)""",
         "cow_time_travel": f"""
 WITH {LI_CTES}
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

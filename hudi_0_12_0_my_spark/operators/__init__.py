@@ -18,7 +18,7 @@ from .multimodal import (with_media_columns, extract_features,
 from .pipeline import (contaminated_ids, curate, decontaminate, scrub_pii,
                        normalize_text, deterministic_sample,
                        stratified_sample)
-from .sessions import sessionize, session_stats
+from .sessions import sessionize, session_stats, funnel_stats
 from .similarity import (cosine_topk, ivf_cosine_topk,
                          embedding_near_dup_pairs, hyperplane_signatures,
                          lsh_cosine_topk, semantic_dedup)
@@ -40,5 +40,5 @@ __all__ = [
     "contaminated_ids", "curate", "decontaminate", "scrub_pii",
     "normalize_text",
     "deterministic_sample", "stratified_sample",
-    "sessionize", "session_stats",
+    "sessionize", "session_stats", "funnel_stats",
 ]

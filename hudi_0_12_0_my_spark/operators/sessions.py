@@ -58,3 +58,50 @@ def session_stats(df: DataFrame, user_col: str = "user_id",
         aggs.append(F.sum(F.col(value_col).cast("decimal(18,4)"))
                     .cast("double").alias("sum_value"))
     return sess.groupBy(user_col, "session_id").agg(*aggs)
+
+
+def funnel_stats(df: DataFrame, steps: list[str],
+                 user_col: str = "user_id", type_col: str = "event_type",
+                 ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """Ordered-funnel analysis: how many users completed step 1, then step 2
+    strictly after their earliest step-1 time, and so on.
+
+    Semantics match the standard cascade definition (t_k = the user's
+    earliest step-k event with ts > t_{k-1}), but the plan is ONE shuffle:
+    events filtered to funnel types, collected per user as a sorted array,
+    and the step progression folded per-row with `aggregate` — versus the
+    textbook k-way cascade of self-joins, which shuffles the event table k
+    times. Per-user arrays are bounded by the funnel types' frequency, not
+    total activity; ties on ts break by event id in the sort but a next
+    step still requires strictly increasing ts (same as the cascade).
+
+    Output: (step int, event_type, users) — users whose progression reached
+    at least that step.
+    """
+    k = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    ev = df.filter(F.col(type_col).isin(*steps))
+    arr = ev.groupBy(user_col).agg(F.sort_array(F.collect_list(F.struct(
+        F.col(ts_col).alias("ts"), F.col(id_col).alias("eid"),
+        F.col(type_col).alias("et")))).alias("evs"))
+    acc0 = F.struct(F.lit(0).alias("step"),
+                    F.lit(None).cast("timestamp").alias("last"))
+
+    def advance(acc, e):
+        hit = (acc["step"] < k) \
+            & (e["et"] == F.element_at(step_arr, acc["step"] + 1)) \
+            & (acc["last"].isNull() | (e["ts"] > acc["last"]))
+        return F.when(hit, F.struct((acc["step"] + 1).alias("step"),
+                                    e["ts"].alias("last"))).otherwise(acc)
+
+    reached = arr.select(F.aggregate("evs", acc0, advance)["step"]
+                         .alias("reached"))
+    return (reached
+            .select(F.explode(F.sequence(F.lit(1), F.lit(k))).alias("step"),
+                    "reached")
+            .filter(F.col("reached") >= F.col("step"))
+            .groupBy("step")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("users"))
+            .withColumn("event_type",
+                        F.element_at(step_arr, F.col("step")))
+            .select("step", "event_type", "users"))

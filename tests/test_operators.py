@@ -314,6 +314,34 @@ def test_sessionize_islands(spark):
     assert by_key[(1, 1)] == 2 and by_key[(1, 2)] == 1 and by_key[(2, 2)] == 2
 
 
+def test_funnel_ordered_cascade(spark):
+    """Step k counts only users whose earliest step-k event is STRICTLY
+    after their earliest step-(k-1) event — order matters, ties don't."""
+    rows = [
+        # u1: full ordered funnel
+        (1, 1, "view", "2024-01-01 10:00:00"),
+        (2, 1, "click", "2024-01-01 10:05:00"),
+        (3, 1, "purchase", "2024-01-01 10:10:00"),
+        # u2: click BEFORE view -> that click can't count; no later click
+        (4, 2, "click", "2024-01-01 09:00:00"),
+        (5, 2, "view", "2024-01-01 10:00:00"),
+        # u3: click ties view's timestamp -> strict > rejects it
+        (6, 3, "view", "2024-01-01 10:00:00"),
+        (7, 3, "click", "2024-01-01 10:00:00"),
+        # u4: view then click, purchase never
+        (8, 4, "view", "2024-01-01 08:00:00"),
+        (9, 4, "click", "2024-01-01 09:00:00"),
+        # u5: irrelevant events only
+        (10, 5, "error", "2024-01-01 08:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.step: (r.event_type, r.users) for r in
+           ops.funnel_stats(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {1: ("view", 4), 2: ("click", 2), 3: ("purchase", 1)}
+
+
 def test_lsh_topk_recall_vs_brute_force(emb):
     brute = {(r.query_id, r.neighbor_id)
              for r in ops.cosine_topk(emb, emb.filter("vec_id < 3"), k=5).collect()}
