@@ -1101,6 +1101,7 @@ def _parquet_footer_stats(path: str, stats_cols: list[str] | None) -> dict:
             continue
         names[i] = name
     agg: dict = {}
+    unextractable: set = set()   # e.g. BYTE_ARRAY binary — pyarrow raises
     for rg in range(md.num_row_groups):
         for i, name in names.items():
             col = md.row_group(rg).column(i)
@@ -1111,8 +1112,17 @@ def _parquet_footer_stats(path: str, stats_cols: list[str] | None) -> dict:
                 continue
             if st.has_null_count and a["nulls"] is not None:
                 a["nulls"] += st.null_count
-            if st.has_min_max:
-                mn, mx = _json_safe(st.min), _json_safe(st.max)
+            if st.has_min_max and name not in unextractable:
+                try:
+                    mn, mx = _json_safe(st.min), _json_safe(st.max)
+                except Exception as e:  # noqa: BLE001
+                    if type(e).__name__ != "ArrowNotImplementedError":
+                        raise
+                    # STICKY: a partial range from other row groups would
+                    # be a wrong (unsafely narrow) pruning bound
+                    unextractable.add(name)
+                    a["min"] = a["max"] = None
+                    continue
                 a["min"] = mn if a["min"] is None else min(a["min"], mn)
                 a["max"] = mx if a["max"] is None else max(a["max"], mx)
     out["col_stats"] = agg
