@@ -29,7 +29,14 @@ def record_key_expr(cfg) -> Column:
         return F.expr("uuid()")
     fields = cfg.record_key_fields
     if len(fields) == 1 and cfg.keygen not in ("complex", "global_delete"):
-        return F.col(fields[0]).cast("string")
+        key = F.col(fields[0]).cast("string")
+        # null/empty keys fail the WRITE, not silently create untargetable
+        # rows (null joins match nothing, so such a row could never be
+        # updated or deleted again) — KeyGenUtils.getRecordKey's
+        # HoodieKeyException, JVM-side so no extra validation job
+        return F.when(key.isNull() | (key == ""), F.raise_error(F.concat(
+            F.lit(f"record key field '{fields[0]}' is null/empty "
+                  "(HoodieKeyException)")))).otherwise(key)
     # ComplexAvroKeyGenerator format: f1:v1,f2:v2 (GlobalAvroDeleteKeyGenerator
     # reuses it for the delete-key record)
     parts = []

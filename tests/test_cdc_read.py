@@ -1,4 +1,4 @@
-"""Read-side CDC diff (reader.incremental_cdc)."""
+"""Read-side CDC diff (reader.incremental_cdc) + write-key validation."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -101,3 +101,19 @@ def test_cdc_global_index_partition_move_is_update(spark, tmp_path):
     t.upsert(_rows(spark, [(1, "b", 10.0, 2)]))     # a -> b move
     got = _collect_ops(t.incremental_cdc(begin=c0))
     assert got == {1: ("u", 1.0, 10.0)}
+
+
+def test_null_record_key_fails_the_write(spark, tmp_path):
+    """A null/empty record key must fail the write (HoodieKeyException) —
+    a silently-accepted null key row joins nothing and could never be
+    updated or deleted again. The failed attempt's debris heals lazily."""
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "nk"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    t.bulk_insert(_rows(spark, [(1, "a", 1.0, 1)]))
+    with pytest.raises(Exception, match="HoodieKeyException"):
+        t.upsert(spark.createDataFrame([(None, "a", 9.0, 2)], SCHEMA))
+    assert t.snapshot().count() == 1          # state intact
+    t.upsert(_rows(spark, [(2, "a", 2.0, 1)]))
+    assert t.timeline.pending() == []         # debris healed
+    assert t.snapshot().count() == 2
