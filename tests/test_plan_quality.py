@@ -225,6 +225,22 @@ def test_connected_components_shuffles_bounded_per_round(spark):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_funnel_single_event_shuffle(spark):
+    """funnel_stats shuffles the event table ONCE (groupBy user); the only
+    other exchange aggregates the k-row step counts. No joins — the k-way
+    cascade shape would show k SortMergeJoins."""
+    from hudi_0_12_0_my_spark.operators import funnel_stats
+    ev = spark.createDataFrame(
+        [(i, i % 5, "view" if i % 2 else "click", "2024-01-01 00:00:00")
+         for i in range(40)],
+        "event_id long, user_id long, event_type string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = funnel_stats(ev, ["view", "click"])._jdf.queryExecution() \
+        .executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_minhash_single_signature_pass(spark):
     """Bucket-grouped pair generation: the signature projection (xxhash64 of
     shingles) appears in ONE subtree — no self-join recomputation."""
