@@ -758,6 +758,12 @@ def q_docs_curate(spark, sf_dir):
     return out.select("doc_id", "lang", "quality_score")
 
 
+def q_docs_chunks(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import chunk_documents
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=64, overlap=8)
+
+
 def q_docs_fingerprint(spark, sf_dir):
     from hudi_0_12_0_my_spark.operators import with_fingerprint
     docs = with_fingerprint(_read(spark, sf_dir, "documents"))
@@ -1156,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_repetition": q_docs_repetition,
         "docs_curate": q_docs_curate,
+        "docs_chunks": q_docs_chunks,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_language_id": q_docs_language_id,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
@@ -1627,6 +1634,27 @@ d AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
 SELECT doc_id, lang, quality_score FROM d
 WHERE rn = 1
   AND ((doc_id % 1000000007) * 2654435761 + 42) % 1000000 < 500000""",
+        # token-window chunking: starts at 1, 1+56, ... (step = 64-8); a
+        # start opens a chunk only when it adds tokens beyond the overlap
+        "docs_chunks": """
+WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> length(x) > 0) AS toks
+           FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+s AS (SELECT doc_id, toks, n,
+        unnest(list_filter(range(1, n + 1, 56),
+                           s -> s = 1 OR s + 8 <= n)) AS st
+      FROM n),
+c AS (SELECT doc_id, st,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1
+             AS INT) AS chunk_idx,
+        list_slice(toks, st, least(st + 63, n)) AS ctoks
+      FROM s)
+SELECT doc_id, chunk_idx,
+       CAST(len(ctoks) AS INT) AS n_chunk_tokens,
+       array_to_string(ctoks, ' ') AS chunk_text
+FROM c""",
         "docs_fingerprint": """
 SELECT CAST(count(DISTINCT trim(regexp_replace(
          regexp_replace(lower(text), '[.,!?;:''"()\\[\\]{}-]', '', 'g'),

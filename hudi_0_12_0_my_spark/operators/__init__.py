@@ -15,9 +15,9 @@ from .graph import (connected_components, dup_clusters,
                     dedup_by_components)
 from .multimodal import (with_media_columns, extract_features,
                          frame_sample_plan, resize_plan, audio_chunk_plan)
-from .pipeline import (contaminated_ids, curate, decontaminate, scrub_pii,
-                       normalize_text, deterministic_sample,
-                       stratified_sample)
+from .pipeline import (chunk_documents, contaminated_ids, curate,
+                       decontaminate, scrub_pii, normalize_text,
+                       deterministic_sample, stratified_sample)
 from .sessions import sessionize, session_stats, funnel_stats
 from .similarity import (cosine_topk, ivf_cosine_topk,
                          embedding_near_dup_pairs, hyperplane_signatures,
@@ -37,8 +37,8 @@ __all__ = [
     "with_fingerprint", "with_repetition_stats",
     "with_media_columns", "extract_features", "frame_sample_plan",
     "resize_plan", "audio_chunk_plan",
-    "contaminated_ids", "curate", "decontaminate", "scrub_pii",
-    "normalize_text",
+    "chunk_documents", "contaminated_ids", "curate", "decontaminate",
+    "scrub_pii", "normalize_text",
     "deterministic_sample", "stratified_sample",
     "sessionize", "session_stats", "funnel_stats",
 ]

@@ -113,6 +113,42 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col or text_col, c)
 
 
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", max_tokens: int = 128,
+                    overlap: int = 16) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the standard
+    pretraining/RAG chunking step): chunk k starts at token k*(max_tokens-
+    overlap)+1 and spans up to max_tokens tokens. A start position opens a
+    new chunk only if it contributes tokens beyond the previous chunk's
+    overlap (s == 1 or s + overlap <= n), so short tails are not emitted
+    twice. Empty documents produce no chunks.
+
+    Map-only (tokens -> filtered start sequence -> posexplode); at scale
+    this is a scan-speed projection, no shuffle.
+
+    Output: (id, chunk_idx 0-based, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    step = max_tokens - overlap
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: F.length(t) > 0)
+    staged = df.select(F.col(id_col), toks.alias("_toks")) \
+               .withColumn("_n", F.size("_toks")).filter(F.col("_n") > 0)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col("_n"), F.lit(step)),
+        lambda s: (s == 1) | ((s + overlap) <= F.col("_n")))
+    chunk = staged.select(
+        id_col, "_n",
+        F.posexplode(F.transform(
+            starts, lambda s: F.slice("_toks", s, max_tokens)))
+        .alias("chunk_idx", "_ctoks"))
+    return chunk.select(
+        id_col, F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("_ctoks").cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "_ctoks").alias("chunk_text"))
+
+
 def curate(docs: DataFrame, benchmark: DataFrame | None = None, *,
            text_col: str = "text", id_col: str = "doc_id",
            scrub: bool = True, normalize: bool = True,

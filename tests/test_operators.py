@@ -274,6 +274,23 @@ def test_stratified_sample_quotas(docs):
     assert got == {1, 2, 3, 4, 6, 7}       # all en kept, de (5) dropped
 
 
+def test_chunk_documents_overlap_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),
+         (2, " ".join(f"t{i}" for i in range(25))),
+         (3, ""),                               # no chunks
+         (4, " ".join(f"t{i}" for i in range(13)))],
+        "doc_id long, text string")
+    out = ops.chunk_documents(docs, max_tokens=12, overlap=4)
+    rows = sorted((r.doc_id, r.chunk_idx, r.n_chunk_tokens)
+                  for r in out.collect())
+    # step 8: doc 2 (25 toks) chunks at 1/9/17; doc 4 (13) at 1/9 (9+4<=13)
+    assert rows == [(1, 0, 10), (2, 0, 12), (2, 1, 12), (2, 2, 9),
+                    (4, 0, 12), (4, 1, 5)]
+    txt = {(r.doc_id, r.chunk_idx): r.chunk_text for r in out.collect()}
+    assert txt[(2, 1)].split(" ")[0] == "t8"    # overlap: restarts at tok 9
+
+
 def test_curate_pipeline_composition(spark):
     """scrub -> normalize -> quality -> dedup -> sample composes into one
     plan; PII scrubbed before dedup so scrub-equal docs collapse."""
