@@ -764,6 +764,12 @@ def q_docs_chunks(spark, sf_dir):
     return chunk_documents(docs, max_tokens=64, overlap=8)
 
 
+def q_docs_pack(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import pack_sequences
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, token_budget=512)
+
+
 def q_docs_fingerprint(spark, sf_dir):
     from hudi_0_12_0_my_spark.operators import with_fingerprint
     docs = with_fingerprint(_read(spark, sf_dir, "documents"))
@@ -1163,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_curate": q_docs_curate,
         "docs_chunks": q_docs_chunks,
+        "docs_pack": q_docs_pack,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_language_id": q_docs_language_id,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
@@ -1654,6 +1661,21 @@ c AS (SELECT doc_id, st,
 SELECT doc_id, chunk_idx,
        CAST(len(ctoks) AS INT) AS n_chunk_tokens,
        array_to_string(ctoks, ' ') AS chunk_text
+FROM c""",
+        # packing = concat docs in id order, cut every 512 tokens; a doc is
+        # labeled with the sequence where it starts + its offset there
+        "docs_pack": """
+WITH t AS (SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> length(x) > 0)) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM t)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(excl // 512 AS BIGINT) AS seq_id,
+       CAST(excl % 512 AS BIGINT) AS start_offset
 FROM c""",
         "docs_fingerprint": """
 SELECT CAST(count(DISTINCT trim(regexp_replace(

@@ -17,7 +17,8 @@ from .multimodal import (with_media_columns, extract_features,
                          frame_sample_plan, resize_plan, audio_chunk_plan)
 from .pipeline import (chunk_documents, contaminated_ids, curate,
                        decontaminate, scrub_pii, normalize_text,
-                       deterministic_sample, stratified_sample)
+                       deterministic_sample, stratified_sample,
+                       pack_sequences)
 from .sessions import sessionize, session_stats, funnel_stats
 from .similarity import (cosine_topk, ivf_cosine_topk,
                          embedding_near_dup_pairs, hyperplane_signatures,
@@ -38,7 +39,7 @@ __all__ = [
     "with_media_columns", "extract_features", "frame_sample_plan",
     "resize_plan", "audio_chunk_plan",
     "chunk_documents", "contaminated_ids", "curate", "decontaminate",
-    "scrub_pii", "normalize_text",
+    "pack_sequences", "scrub_pii", "normalize_text",
     "deterministic_sample", "stratified_sample",
     "sessionize", "session_stats", "funnel_stats",
 ]

@@ -149,6 +149,53 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         F.concat_ws(" ", "_ctoks").alias("chunk_text"))
 
 
+def pack_sequences(df: DataFrame, token_budget: int = 2048,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   tokens_col: str | None = None) -> DataFrame:
+    """Sequence packing for pretraining batches: documents are concatenated
+    in id order into one token stream that is cut every `token_budget`
+    tokens; each document is labeled with the sequence (bin) where it
+    STARTS and its offset inside it — exactly the "concat and chunk"
+    packing LLM training uses (documents may straddle cut points).
+
+    The global ordered cumulative sum is computed as a DISTRIBUTED prefix
+    sum, never a single-partition window: range-repartition by id (ranges
+    are disjoint and ordered, so (partition, id) is the global order),
+    per-partition exclusive cumsum via a partition-local window, and the
+    per-partition totals — one tiny row each — prefix-summed and broadcast
+    back as offsets. Scales to any corpus; the only single-partition step
+    touches #partitions rows.
+
+    Output: (id, n_tokens, seq_id, start_offset).
+    """
+    from pyspark.sql import Window
+    if tokens_col is None:
+        toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                        lambda t: F.length(t) > 0)
+        base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    else:
+        base = df.select(F.col(id_col),
+                         F.col(tokens_col).cast("long").alias("n_tokens"))
+    part = base.repartitionByRange(id_col) \
+               .withColumn("_pid", F.spark_partition_id())
+    totals = part.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptotal"))
+    w_off = Window.orderBy("_pid") \
+                  .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_poff", F.coalesce(F.sum("_ptotal").over(w_off), F.lit(0)))
+    w_local = Window.partitionBy("_pid").orderBy(id_col) \
+                    .rowsBetween(Window.unboundedPreceding, -1)
+    excl = (F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+            + F.col("_poff"))
+    return (part.join(F.broadcast(offsets.select("_pid", "_poff")), "_pid")
+            .withColumn("_excl", excl)
+            .select(id_col, F.col("n_tokens").cast("int").alias("n_tokens"),
+                    F.floor(F.col("_excl") / token_budget).cast("bigint")
+                     .alias("seq_id"),
+                    F.pmod(F.col("_excl"), F.lit(token_budget))
+                     .cast("bigint").alias("start_offset")))
+
+
 def curate(docs: DataFrame, benchmark: DataFrame | None = None, *,
            text_col: str = "text", id_col: str = "doc_id",
            scrub: bool = True, normalize: bool = True,

@@ -291,6 +291,21 @@ def test_chunk_documents_overlap_windows(spark):
     assert txt[(2, 1)].split(" ")[0] == "t8"    # overlap: restarts at tok 9
 
 
+def test_pack_sequences_concat_and_cut(spark):
+    """Packing = concatenate in id order, cut every budget tokens; the
+    distributed prefix sum must be invariant to input partitioning."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e f g"), (3, "a b c"),
+         (4, " ".join(["x"] * 10)), (5, "y z")],
+        "doc_id long, text string")
+    want = {1: (5, 0, 0), 2: (7, 0, 5), 3: (3, 1, 4),
+            4: (10, 1, 7), 5: (2, 3, 1)}
+    for src in (docs, docs.repartition(3)):
+        got = {r.doc_id: (r.n_tokens, r.seq_id, r.start_offset)
+               for r in ops.pack_sequences(src, token_budget=8).collect()}
+        assert got == want
+
+
 def test_curate_pipeline_composition(spark):
     """scrub -> normalize -> quality -> dedup -> sample composes into one
     plan; PII scrubbed before dedup so scrub-equal docs collapse."""
