@@ -770,6 +770,12 @@ def q_docs_pack(spark, sf_dir):
     return pack_sequences(docs, token_budget=512)
 
 
+def q_docs_top_ngrams(spark, sf_dir):
+    from hudi_0_12_0_my_spark.operators import top_ngrams
+    docs = _read(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=20)
+
+
 def q_docs_fingerprint(spark, sf_dir):
     from hudi_0_12_0_my_spark.operators import with_fingerprint
     docs = with_fingerprint(_read(spark, sf_dir, "documents"))
@@ -1170,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curate": q_docs_curate,
         "docs_chunks": q_docs_chunks,
         "docs_pack": q_docs_pack,
+        "docs_top_ngrams": q_docs_top_ngrams,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_language_id": q_docs_language_id,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
@@ -1677,6 +1684,19 @@ SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
        CAST(excl // 512 AS BIGINT) AS seq_id,
        CAST(excl % 512 AS BIGINT) AS start_offset
 FROM c""",
+        "docs_top_ngrams": """
+WITH t AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> length(x) > 0) AS toks
+           FROM documents),
+g AS (SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+        i -> toks[i] || ' ' || toks[i+1])) AS ngram
+      FROM t WHERE len(toks) >= 2),
+c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS occurrences
+      FROM g GROUP BY 1),
+r AS (SELECT *, row_number() OVER (ORDER BY occurrences DESC, ngram ASC)
+             AS rank FROM c)
+SELECT CAST(rank AS INT) AS rank, ngram, occurrences FROM r
+WHERE rank <= 20""",
         "docs_fingerprint": """
 SELECT CAST(count(DISTINCT trim(regexp_replace(
          regexp_replace(lower(text), '[.,!?;:''"()\\[\\]{}-]', '', 'g'),

@@ -25,7 +25,7 @@ from .similarity import (cosine_topk, ivf_cosine_topk,
                          lsh_cosine_topk, semantic_dedup)
 from .textstats import (with_token_stats, with_quality_score,
                         with_language_id, with_fingerprint,
-                        with_repetition_stats)
+                        with_repetition_stats, top_ngrams)
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
@@ -35,7 +35,7 @@ __all__ = [
     "cosine_topk", "ivf_cosine_topk", "embedding_near_dup_pairs",
     "hyperplane_signatures", "lsh_cosine_topk", "semantic_dedup",
     "with_token_stats", "with_quality_score", "with_language_id",
-    "with_fingerprint", "with_repetition_stats",
+    "with_fingerprint", "with_repetition_stats", "top_ngrams",
     "with_media_columns", "extract_features", "frame_sample_plan",
     "resize_plan", "audio_chunk_plan",
     "chunk_documents", "contaminated_ids", "curate", "decontaminate",

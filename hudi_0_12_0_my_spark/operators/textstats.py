@@ -6,7 +6,7 @@ At 100 TB these run as a single narrow map stage over the scan — no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # BPE-ish token proxy: letter runs, digit runs, or single other non-space chars
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -191,6 +191,41 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text",
                         F.round(frac(F.col("_tok_chars"), n_tok), 6))
             .drop("_lines", "_toks", "_dlines", "_grams", "_line_chars",
                   "_tok_chars", "_dup_chars", "_best"))
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
+               text_col: str = "text",
+               min_count: int | None = None) -> DataFrame:
+    """Corpus-wide most frequent word n-grams: (ngram, occurrences), top k
+    by count (ties: lexicographically smallest ngram — deterministic).
+
+    Shape: grams generated map-side (one projection), ONE shuffle on the
+    gram for the count (map-side partial aggregation folds the heavy
+    hitters before the exchange, so stop-gram skew compresses instead of
+    hot-spotting), then a k-row total ordering. `min_count` pre-filters
+    the tail before the final sort at 100 TB (trillions of singleton grams
+    otherwise flow into the ordering exchange).
+    """
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    staged = df.select(toks.alias("_toks")) \
+               .withColumn("_m", F.size("_toks") - (n - 1))
+    grams = staged.filter(F.col("_m") >= 1).select(
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.col("_m")),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, n))))
+        .alias("ngram"))
+    counts = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occurrences"))
+    if min_count is not None:
+        counts = counts.filter(F.col("occurrences") >= min_count)
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition top-k
+    # then a k-row merge — no global sort exchange of the full gram counts
+    top = counts.orderBy(F.desc("occurrences"), F.asc("ngram")).limit(k)
+    w = Window.orderBy(F.desc("occurrences"), F.asc("ngram"))
+    return (top.withColumn("rank", F.row_number().over(w))   # k rows only
+            .select(F.col("rank").cast("int").alias("rank"),
+                    "ngram", "occurrences"))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -3,6 +3,7 @@
 
 from .ingest import (TableStreamConfig, load_stream_configs, schema_from_fields,
                      start_multi_table_ingest, start_table_stream)
+from .dedup import streaming_exact_dedup
 from .sessions import streaming_sessionize, windowed_sessions
 from .sink import stream_write
 from .source import HudiStreamDataSource, register_stream_source
@@ -11,5 +12,5 @@ __all__ = [
     "stream_write", "HudiStreamDataSource", "register_stream_source",
     "TableStreamConfig", "load_stream_configs", "schema_from_fields",
     "start_table_stream", "start_multi_table_ingest",
-    "streaming_sessionize", "windowed_sessions",
+    "streaming_sessionize", "windowed_sessions", "streaming_exact_dedup",
 ]

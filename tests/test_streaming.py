@@ -227,6 +227,33 @@ def test_hudi_batch_changes_reader(spark, tmp_path):
     assert empty.count() == 0
 
 
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Duplicate content arriving later in the stream is suppressed; the
+    whitespace/case normalization matches the batch exact_dedup."""
+    from hudi_0_12_0_my_spark.streaming import streaming_exact_dedup
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_jsonl(src, "b1.json", [
+        {"doc_id": 1, "text": "the quick fox", "ts": "2024-01-01 10:00:00"},
+        {"doc_id": 2, "text": "other text", "ts": "2024-01-01 10:00:10"},
+        {"doc_id": 3, "text": "THE  quick fox", "ts": "2024-01-01 10:00:20"},
+        {"doc_id": 4, "text": "the quick fox", "ts": "2024-01-01 10:00:30"},
+    ])
+    stream = (spark.readStream.schema("doc_id long, text string, ts string")
+              .json(str(src))
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = str(tmp_path / "out")
+    q = (streaming_exact_dedup(stream, watermark="5 minutes")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2                     # 1/3/4 collapse to one
+    kept_texts = {r.content_hash for r in rows}
+    assert len(kept_texts) == 2
+
+
 def _write_events_json(dirpath, name, rows):
     _write_jsonl(dirpath, name, rows)
 
