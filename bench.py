@@ -151,6 +151,17 @@ def main() -> None:
          .agg(F.sum("dup_line_frac"), F.sum("top_bigram_char_frac"),
               F.sum("mean_word_len")).collect())
 
+    with step("curate"):                    # scrub->normalize->quality->
+        from hudi_0_12_0_my_spark.operators import curate   # dedup->sample
+        curate(docs, min_quality=0.3, dedup="exact",
+               sample_fraction=0.5).count()
+
+    with step("chunk_pack"):                # chunking + packing, map-heavy
+        from hudi_0_12_0_my_spark.operators import (chunk_documents,
+                                                    pack_sequences)
+        chunk_documents(docs, max_tokens=64, overlap=8).count()
+        pack_sequences(docs, token_budget=512).count()
+
     with step("decontaminate"):             # broadcast n-gram semi-join
         from hudi_0_12_0_my_spark.operators import contaminated_ids
         contaminated_ids(docs.filter("doc_id % 97 != 0"),
