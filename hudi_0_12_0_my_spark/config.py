@@ -53,6 +53,9 @@ class TableConfig:
     cleaner_retain_file_versions: int = 3
     cleaner_retain_hours: int = 24                # KEEP_LATEST_BY_HOURS window
     compaction_max_delta_commits: int = 5         # inline-compaction trigger (NUM_COMMITS)
+    # post-commit notification (HoodieWriteCommitCallback):
+    # "module:function" | "file:/path" | "http(s)://url" — see callbacks.py
+    commit_callback: str | None = None
     # stats / skipping
     stats_columns: list | None = None        # None => all top-level primitive columns
     schema_json: str | None = None           # canonical table schema (StructType.json())

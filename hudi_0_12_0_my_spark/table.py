@@ -32,6 +32,14 @@ class LakeTable:
         self.timeline = tl.Timeline(base_path)
         self.writer = Writer(self)
         self.reader = Reader(self)
+        self._commit_listeners: list = []
+
+    def on_commit(self, fn) -> None:
+        """Register an in-process post-commit listener — called with the
+        HoodieWriteCommitCallbackMessage-shaped dict after every successful
+        write commit of THIS table handle (callbacks.py for external
+        file:/http:/module: specs via cfg.commit_callback)."""
+        self._commit_listeners.append(fn)
 
     # ------------------------------------------------------------ lifecycle
     @staticmethod

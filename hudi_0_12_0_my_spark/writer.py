@@ -221,6 +221,7 @@ class Writer:
         if self.cfg.concurrency_mode != "occ":
             self.t.timeline.save_completed(instant, action, md)
             self._maybe_index_blooms(instant, md)
+            self._fire_callbacks(instant, action, md)
             return
         touched = {(p, st["file_id"])
                    for p, sts in (md.get("partition_to_write_stats") or {}).items()
@@ -246,6 +247,14 @@ class Writer:
                         f"{ins.time} on file groups {sorted(overlap)[:5]}")
             self.t.timeline.save_completed(instant, action, md)
         self._maybe_index_blooms(instant, md)
+        self._fire_callbacks(instant, action, md)
+
+    def _fire_callbacks(self, instant: str, action: str, md: dict) -> None:
+        """Post-commit notifications (HoodieWriteCommitCallback); failures
+        log, never unwind a durable commit."""
+        from . import callbacks
+        callbacks.fire(self.cfg, self.base, instant, action, md,
+                       extra=getattr(self.t, "_commit_listeners", ()))
 
     def _maybe_index_blooms(self, instant: str, md: dict) -> None:
         """Synchronous bloom_filters maintenance on commit
