@@ -261,14 +261,20 @@ class Reader:
             touched |= set((md.get("partition_to_write_stats") or {}).keys())
             touched |= set((md.get("replaced_file_groups") or {}).keys())
         new = self.snapshot(as_of=end, keep_meta=True)
-        if instants and touched:
+        if not instants:
+            # nothing committed in range: provably empty diff — the false
+            # filter folds to an empty LocalRelation, no files are scanned
+            new = new.filter(F.lit(False))
+        elif touched:
             new = new.filter(F.col(meta.PARTITION_PATH).isin(*touched))
         try:
             old = self.snapshot(as_of=begin, keep_meta=True) if begin != "0" \
                 else new.filter(F.lit(False))
         except ValueError:     # begin predates the first surviving instant
             old = new.filter(F.lit(False))
-        if instants and touched:
+        if not instants:
+            old = old.filter(F.lit(False))
+        elif touched:
             old = old.filter(F.col(meta.PARTITION_PATH).isin(*touched))
         # non-global tables scope key uniqueness to the partition; global
         # index lets a key move across partitions and still be ONE entity
