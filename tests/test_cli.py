@@ -44,3 +44,39 @@ def test_cli_commands(spark, tmp_path, capsys):
     sp = run("savepoint", "--instant_time", commits[-1]["commit_time"])
     assert sp
     assert run("savepoints")
+
+
+def test_export_instants_procedure(spark, tmp_path):
+    """hudi-cli ExportCommand parity: every completed instant exported as a
+    JSON file with its metadata."""
+    import json as _json
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "e"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    t.bulk_insert(_mk(spark, [(1, "a", 1.0, 1)]))
+    t.upsert(_mk(spark, [(1, "a", 2.0, 2)]))
+    out = tmp_path / "export"
+    res = eng.call("export_instants", table=t.cfg.name,
+                   local_path=str(out)).collect()
+    assert len(res) == 2
+    files = sorted(p.name for p in out.iterdir())
+    assert len(files) == 2 and all(f.endswith(".json") for f in files)
+    doc = _json.loads((out / files[-1]).read_text())
+    assert doc["metadata"]["operation"] == "upsert"
+
+
+def test_sql_two_level_partitioned_table(spark, tmp_path):
+    """PARTITIONED BY (a, b) through SQL: nested partition directories,
+    SHOW PARTITIONS and partition-scoped queries work."""
+    eng = Engine(spark)
+    eng.sql(f"create table t2p (id bigint, name string, region string, "
+            f"day string) using hudi partitioned by (region, day) "
+            f"options (primaryKey = 'id') location '{tmp_path}/t2p'")
+    eng.sql("insert into t2p values (1, 'a', 'eu', '2024-01-01'), "
+            "(2, 'b', 'eu', '2024-01-02'), (3, 'c', 'us', '2024-01-01')")
+    t = eng.table("t2p")
+    assert sorted(t.partitions()) == \
+        ["eu/2024-01-01", "eu/2024-01-02", "us/2024-01-01"]
+    rows = sorted(tuple(r) for r in spark.sql(
+        "select id, region, day from t2p where region = 'eu'").collect())
+    assert rows == [(1, "eu", "2024-01-01"), (2, "eu", "2024-01-02")]
