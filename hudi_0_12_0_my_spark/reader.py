@@ -260,13 +260,24 @@ class Reader:
             md = self.t.timeline.metadata(ins)
             touched |= set((md.get("partition_to_write_stats") or {}).keys())
             touched |= set((md.get("replaced_file_groups") or {}).keys())
+        def _scope(df):
+            """Restrict to touched partitions; beyond a few hundred the
+            literal In-list bloats the plan, so switch to a broadcast
+            semi-join on a partitions DataFrame (still metadata-sized)."""
+            if len(touched) <= 256:
+                return df.filter(F.col(meta.PARTITION_PATH).isin(*touched))
+            pdf = self.spark.createDataFrame(
+                [(p,) for p in sorted(touched)], f"{meta.PARTITION_PATH} string")
+            return df.join(F.broadcast(pdf), on=meta.PARTITION_PATH,
+                           how="left_semi")
+
         new = self.snapshot(as_of=end, keep_meta=True)
         if not instants:
             # nothing committed in range: provably empty diff — the false
             # filter folds to an empty LocalRelation, no files are scanned
             new = new.filter(F.lit(False))
         elif touched:
-            new = new.filter(F.col(meta.PARTITION_PATH).isin(*touched))
+            new = _scope(new)
         try:
             old = self.snapshot(as_of=begin, keep_meta=True) if begin != "0" \
                 else new.filter(F.lit(False))
@@ -275,7 +286,7 @@ class Reader:
         if not instants:
             old = old.filter(F.lit(False))
         elif touched:
-            old = old.filter(F.col(meta.PARTITION_PATH).isin(*touched))
+            old = _scope(old)
         # non-global tables scope key uniqueness to the partition; global
         # index lets a key move across partitions and still be ONE entity
         keys = [meta.RECORD_KEY] if cfg.global_index \

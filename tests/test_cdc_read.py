@@ -117,3 +117,19 @@ def test_null_record_key_fails_the_write(spark, tmp_path):
     t.upsert(_rows(spark, [(2, "a", 2.0, 1)]))
     assert t.timeline.pending() == []         # debris healed
     assert t.snapshot().count() == 2
+
+
+def test_cdc_ignores_compaction_rewrites(spark, tmp_path):
+    """A compaction between begin and end rewrites whole file groups with
+    identical values — the value-compare diff must emit only the one real
+    update, no phantom rows for rewritten bystanders."""
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "mc"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         table_type="mor")
+    t.bulk_insert(_rows(spark, [(i, "a", float(i), 1) for i in range(10)]))
+    c0 = t.timeline.completed_write_instants()[-1].time
+    t.upsert(_rows(spark, [(3, "a", 33.0, 2)]))
+    t.compact()
+    got = _collect_ops(t.incremental_cdc(begin=c0))
+    assert got == {3: ("u", 3.0, 33.0)}
