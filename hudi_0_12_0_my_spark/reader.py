@@ -120,6 +120,39 @@ class Reader:
                       .unionByName(merged.select(*out.columns)))
         return out
 
+    def _bucket_prune(self, view, slices, preds) -> set | None:
+        """Bucket-index read pruning (HoodieBucketIndex query-side
+        counterpart): an equality/IN predicate on the single record-key
+        field pins the pmod bucket, and the bucket number IS the first 8
+        chars of the file id — a point lookup then scans ONE file group per
+        partition instead of num_buckets. Returns the allowed path set, or
+        None when inapplicable (no bucket index, composite key, no key
+        predicate, or a value whose string form may differ from the
+        engine's cast — only int/str values are pinned)."""
+        cfg = self.cfg
+        if cfg.index_type != "bucket" or len(cfg.record_key_fields) != 1 \
+                or not preds:
+            return None
+        keyf = cfg.record_key_fields[0]
+        vals = None
+        for col, op, lit in preds:
+            if col == keyf and op in ("=", "==", "in"):
+                vals = list(lit) if op == "in" else [lit]
+                break
+        if not vals or not all(isinstance(v, (int, str))
+                               and not isinstance(v, bool) for v in vals):
+            return None
+        # xxhash64 must match the write side bit-for-bit: evaluate the same
+        # JVM expression over the literal keys (one local 1-row-per-key job)
+        hashed = (self.spark.createDataFrame([(str(v),) for v in vals],
+                                             "k string")
+                  .select(F.pmod(F.xxhash64("k"),
+                                 F.lit(cfg.num_buckets)).alias("b"))
+                  .collect())
+        allowed = {f"{r['b']:08d}" for r in hashed}
+        return {view.abs(s.base_file.path) for g, s in slices
+                if s.base_file is not None and g.file_id[:8] in allowed}
+
     def _apply_filters(self, df: DataFrame, filters):
         if filters is None:
             return df
@@ -140,6 +173,9 @@ class Reader:
         if cfg.table_type == cfgmod.COW:
             preds = statsmod.parse_predicates(filters)
             paths = statsmod.prune_files(view, slices, preds)
+            bp = self._bucket_prune(view, slices, preds)
+            if bp is not None:
+                paths = [p for p in paths if p in bp]
             if key_probe is not None:
                 cand = set(self.t.writer._candidate_base_files(
                     view, None, key_probe, ignore_partition=True))

@@ -49,10 +49,20 @@ def parse_predicates(filters):
         return filters
     if not isinstance(filters, str):
         return None
-    if re.search(r"\bor\b|\bnot\b|\(", filters, re.IGNORECASE):
+    if re.search(r"\bor\b|\bnot\b", filters, re.IGNORECASE):
         return None
     preds = []
     for clause in re.split(r"\band\b", filters, flags=re.IGNORECASE):
+        inm = re.match(r"^\s*`?(\w+)`?\s+in\s*\(([^()]*)\)\s*$",
+                       clause, re.IGNORECASE)
+        if inm:
+            vals = [_parse_literal(v) for v in inm.group(2).split(",")]
+            if any(v is None for v in vals):
+                return None
+            preds.append((inm.group(1), "in", vals))
+            continue
+        if "(" in clause:       # function calls etc: no pruning, row filter
+            return None         # still applies
         m = _PRED_RE.match(clause)
         if not m:
             return None

@@ -124,3 +124,29 @@ def test_rollback_restores_ring(spark, tmp_path):
     nodes_after = {p: r["nodes"] for p, r in bk.all_rings(t.base_path).items()}
     assert nodes_after == nodes_before
     assert _snap_dict(t.reload()) == {(r.id, r.grp): r.val for r in df.collect()}
+
+
+def test_bucket_read_pruning_point_lookup(spark, tmp_path):
+    """Equality on the record key pins the pmod bucket: a point lookup
+    scans ONE file group (file id prefix == bucket) instead of all
+    num_buckets, and every key remains reachable through the pruned path."""
+    from hudi_0_12_0_my_spark import Engine
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "bp"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         index_type="bucket", num_buckets=8)
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i), 1) for i in range(64)],
+        "id long, grp string, val double, seq long")
+    t.upsert(df)
+    full = t.snapshot()
+    point = t.snapshot(filters="id = 5")
+    assert len(point.inputFiles()) == 1
+    assert len(full.inputFiles()) == 16          # 8 buckets x 2 partitions
+    assert [r.id for r in point.collect()] == [5]
+    for i in (0, 31, 63):                        # no key lost to pruning
+        assert [r.id for r in
+                t.snapshot(filters=f"id = {i}").collect()] == [i]
+    inq = t.snapshot(filters="id in (3, 9)")
+    assert {r.id for r in inq.collect()} == {3, 9}
+    assert len(inq.inputFiles()) <= 4            # <= 2 buckets x 2 parts
