@@ -84,7 +84,7 @@ class Reader:
         return self.t.cfg
 
     # ------------------------------------------------------------- helpers
-    def _merge_plan(self, view, slices) -> DataFrame:
+    def _merge_plan(self, view, slices, filters=None) -> DataFrame:
         """MOR merge: groups without deltas stream straight from their base
         file; groups with deltas split base rows by delta-key membership so
         the payload window runs ONLY over contested keys.
@@ -99,8 +99,19 @@ class Reader:
         """
         cfg = self.cfg
         spec = payloads.get(cfg.payload)
-        clean = [view.abs(s.base_file.path) for g, s in slices
-                 if not s.deltas_as_of(view.as_of) and s.base_file is not None]
+        preds = statsmod.parse_predicates(filters)
+        ab = self._allowed_buckets(preds)
+        if ab is not None:
+            # bucket pruning is delta-safe: a key's file group is pinned by
+            # its hash, so every version (base AND delta) of a non-matching
+            # key lives in a pruned group
+            slices = [(g, s) for g, s in slices if g.file_id[:8] in ab]
+        clean_slices = [(g, s) for g, s in slices
+                        if not s.deltas_as_of(view.as_of)
+                        and s.base_file is not None]
+        # min/max stats pruning is only safe for groups WITHOUT deltas — a
+        # delta row may carry values outside the base file's range
+        clean = statsmod.prune_files(view, clean_slices, preds)
         dirty_base = [view.abs(s.base_file.path) for g, s in slices
                       if s.deltas_as_of(view.as_of) and s.base_file is not None]
         dirty_delta = [view.abs(d.path) for g, s in slices
@@ -120,13 +131,13 @@ class Reader:
                       .unionByName(merged.select(*out.columns)))
         return out
 
-    def _bucket_prune(self, view, slices, preds) -> set | None:
+    def _allowed_buckets(self, preds) -> set | None:
         """Bucket-index read pruning (HoodieBucketIndex query-side
         counterpart): an equality/IN predicate on the single record-key
         field pins the pmod bucket, and the bucket number IS the first 8
         chars of the file id — a point lookup then scans ONE file group per
-        partition instead of num_buckets. Returns the allowed path set, or
-        None when inapplicable (no bucket index, composite key, no key
+        partition instead of num_buckets. Returns allowed file-id prefixes,
+        or None when inapplicable (no bucket index, composite key, no key
         predicate, or a value whose string form may differ from the
         engine's cast — only int/str values are pinned)."""
         cfg = self.cfg
@@ -149,7 +160,12 @@ class Reader:
                   .select(F.pmod(F.xxhash64("k"),
                                  F.lit(cfg.num_buckets)).alias("b"))
                   .collect())
-        allowed = {f"{r['b']:08d}" for r in hashed}
+        return {f"{r['b']:08d}" for r in hashed}
+
+    def _bucket_prune(self, view, slices, preds) -> set | None:
+        allowed = self._allowed_buckets(preds)
+        if allowed is None:
+            return None
         return {view.abs(s.base_file.path) for g, s in slices
                 if s.base_file is not None and g.file_id[:8] in allowed}
 
@@ -182,7 +198,7 @@ class Reader:
                 paths = [p for p in paths if p in cand]
             df = read_files(self.spark, paths, base_read_schema(cfg), cfg)
         else:
-            df = self._merge_plan(view, slices)
+            df = self._merge_plan(view, slices, filters)
         bs = bootstrap_instant(self.t.timeline)
         if bs:
             df = fill_bootstrap_meta(self.spark, df, cfg, view, bs)

@@ -150,3 +150,28 @@ def test_bucket_read_pruning_point_lookup(spark, tmp_path):
     inq = t.snapshot(filters="id in (3, 9)")
     assert {r.id for r in inq.collect()} == {3, 9}
     assert len(inq.inputFiles()) <= 4            # <= 2 buckets x 2 parts
+
+
+def test_mor_bucket_read_pruning_with_deltas(spark, tmp_path):
+    """MOR point lookup on a bucket table prunes base AND delta files to
+    the key's group (hash pins the group for every version); min/max stats
+    pruning additionally applies to delta-free groups only."""
+    from hudi_0_12_0_my_spark import Engine
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "mbp"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         index_type="bucket", num_buckets=8,
+                         table_type="mor")
+    df = spark.createDataFrame(
+        [(i, "a", float(i), 1) for i in range(64)],
+        "id long, grp string, val double, seq long")
+    t.upsert(df)                                   # bases
+    t.upsert(spark.createDataFrame([(5, "a", 55.0, 2)],
+                                   "id long, grp string, val double, seq long"))
+    point = t.snapshot(filters="id = 5")
+    assert [(r.id, r.val) for r in point.collect()] == [(5, 55.0)]
+    # one group's base + its delta, not 8 groups
+    assert len(point.inputFiles()) <= 2
+    other = t.snapshot(filters="id = 6")           # clean group, no delta
+    assert [(r.id, r.val) for r in other.collect()] == [(6, 6.0)]
+    assert len(other.inputFiles()) == 1
