@@ -207,8 +207,14 @@ class Reader:
 
     def read_optimized(self, filters=None, keep_meta: bool = False) -> DataFrame:
         view = self.t.view()
-        paths = [view.abs(s.base_file.path) for _, s in view.live_slices()
-                 if s.base_file is not None]
+        slices = view.live_slices()
+        # RO reads bases only, so base-file min/max pruning is always safe
+        # here (deltas are ignored BY DEFINITION); bucket pruning likewise
+        preds = statsmod.parse_predicates(filters)
+        paths = statsmod.prune_files(view, slices, preds)
+        bp = self._bucket_prune(view, slices, preds)
+        if bp is not None:
+            paths = [p for p in paths if p in bp]
         df = read_files(self.spark, paths, base_read_schema(self.cfg), self.cfg)
         bs = bootstrap_instant(self.t.timeline)
         if bs:
