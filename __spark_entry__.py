@@ -512,6 +512,31 @@ def q_bucket_index(spark, sf_dir):
             .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
 
 
+def q_bucket_point_lookup(spark, sf_dir):
+    """Point lookups on a single-key bucket table: the =/IN predicate pins
+    the pmod bucket so only matching file groups are scanned (the read-side
+    counterpart of bucket routing; verified by plan tests — this gate
+    checks the pruned path returns exactly the right rows)."""
+    key = (sf_dir, "ord_bucket")
+    if key not in _BUILT:
+        orders = _read(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_orderkey").orderBy(
+            F.desc("o_orderdate"), F.desc("o_totalprice"), F.desc("o_custkey"))
+        ded = orders.withColumn("_rn", F.row_number().over(w)) \
+                    .filter("_rn = 1").drop("_rn")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "ord_bucket")),
+            record_key_fields=["o_orderkey"], precombine_field="o_orderdate",
+            partition_field="o_orderpriority",
+            index_type="bucket", num_buckets=8)
+        t.upsert(ded)
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot(filters="o_orderkey in (7, 32, 4357)")
+            .select("o_orderkey", "o_custkey",
+                    F.col("o_totalprice").cast("double").alias("price")))
+
+
 def q_bucket_consistent(spark, sf_dir):
     """Consistent-hashing bucket index: upsert -> split every bucket ->
     upsert again; snapshot must equal the simple-index result."""
@@ -1154,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "savepoint_restore": q_savepoint_restore,
         "bucket_index": q_bucket_index,
         "bucket_consistent": q_bucket_consistent,
+        "bucket_point_lookup": q_bucket_point_lookup,
         "bloom_key_range": q_bloom_key_range,
         "bloom_filters_index": q_bloom_filters_index,
         "incremental_after_clean": q_incremental_after_clean,
@@ -1397,6 +1423,14 @@ WITH {LI_CTES}
 SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM cur GROUP BY 1, 2""",
+        "bucket_point_lookup": """
+WITH ded AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      ORDER BY o_orderdate DESC, o_totalprice DESC, o_custkey DESC) AS rn
+    FROM orders) WHERE rn = 1)
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM ded WHERE o_orderkey IN (7, 32, 4357)""",
         "bloom_key_range": f"""
 WITH {KR_CTES}
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
