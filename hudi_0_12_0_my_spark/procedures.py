@@ -711,32 +711,6 @@ def show_rollback_detail(engine, **kw):
                "rolled_back_instant string, deleted_file string")
 
 
-def export_instants(engine, **kw):
-    """Export timeline metadata (active + archived checkpoints) as JSON
-    files into ``local_path`` (hudi-cli ExportCommand / ExportInstants).
-    One file per instant, named ``<time>.<action>.json``."""
-    import json as _json
-    import os as _os
-
-    t = _t(engine, kw)
-    out_dir = kw["local_path"]
-    limit = int(kw.get("limit", 0)) or None
-    _os.makedirs(out_dir, exist_ok=True)
-    rows = []
-    instants = t.timeline.completed()
-    if limit:
-        instants = instants[-limit:]
-    for ins in instants:
-        md = t.timeline.metadata(ins) or {}
-        name = f"{ins.time}.{ins.action}.json"
-        with open(_os.path.join(out_dir, name), "w") as fh:
-            _json.dump({"instant": ins.time, "action": ins.action,
-                        "state": ins.state, "metadata": md}, fh,
-                       default=str, indent=1)
-        rows.append(Row(exported_file=name, action=ins.action))
-    return _df(engine, rows, "exported_file string, action string")
-
-
 def show_fsview_latest(engine, **kw):
     """Latest live file slice per file group, optionally one partition
     (ShowFileSystemViewProcedure 'latest')."""
@@ -808,7 +782,6 @@ PROCEDURES = {
     "show_rollback_detail": show_rollback_detail,
     "show_fsview_latest": show_fsview_latest,
     "run_index": run_index,
-    "export_instants": export_instants,
     "drop_index": drop_index,
 }
 

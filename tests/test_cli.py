@@ -46,23 +46,21 @@ def test_cli_commands(spark, tmp_path, capsys):
     assert run("savepoints")
 
 
-def test_export_instants_procedure(spark, tmp_path):
-    """hudi-cli ExportCommand parity: every completed instant exported as a
-    JSON file with its metadata."""
-    import json as _json
+def test_export_instants_via_cli(spark, tmp_path, capsys):
+    """hudi-cli ExportCommand through the CLI front-end (the procedure
+    itself is covered by test_sql_and_procedures)."""
     eng = Engine(spark)
-    t = eng.create_table(str(tmp_path / "e"), record_key_fields=["id"],
+    path = str(tmp_path / "e")
+    t = eng.create_table(path, record_key_fields=["id"],
                          precombine_field="seq", partition_field="grp")
     t.bulk_insert(_mk(spark, [(1, "a", 1.0, 1)]))
     t.upsert(_mk(spark, [(1, "a", 2.0, 2)]))
     out = tmp_path / "export"
-    res = eng.call("export_instants", table=t.cfg.name,
-                   local_path=str(out)).collect()
-    assert len(res) == 2
-    files = sorted(p.name for p in out.iterdir())
-    assert len(files) == 2 and all(f.endswith(".json") for f in files)
-    doc = _json.loads((out / files[-1]).read_text())
-    assert doc["metadata"]["operation"] == "upsert"
+    assert main(["--table", path, "--json", "export_instants",
+                 "--out_path", str(out)], spark=spark) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["exported"] == 2
+    assert len(list(out.iterdir())) == 2
 
 
 def test_sql_two_level_partitioned_table(spark, tmp_path):
