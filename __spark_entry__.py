@@ -213,6 +213,15 @@ def q_mor_read_optimized(spark, sf_dir):
             .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
 
 
+def q_mor_read_optimized_filtered(spark, sf_dir):
+    """RO + filters runs the stats/bucket pruning path (always safe on RO:
+    bases only by definition); result = pre-delta state under the filter."""
+    t, _ = _build_mor(spark, sf_dir, compact=False)
+    return (t.read_optimized(filters="l_orderkey >= 100 and l_orderkey <= 2000")
+            .groupBy("l_returnflag")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
+
+
 def q_mor_incremental(spark, sf_dir):
     t, commits = _build_mor(spark, sf_dir, compact=False)
     inc = t.incremental(begin=commits[0], end=commits[1])
@@ -1158,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cow_point_lookup": q_cow_point_lookup,
         "mor_snapshot": q_mor_snapshot,
         "mor_read_optimized": q_mor_read_optimized,
+        "mor_read_optimized_filtered": q_mor_read_optimized_filtered,
         "mor_incremental": q_mor_incremental,
         "mor_compacted": q_mor_compacted,
         "insert_overwrite": q_insert_overwrite,
@@ -1291,6 +1301,11 @@ WITH {LI_CTES}
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM base GROUP BY 1""",
+        "mor_read_optimized_filtered": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM base WHERE l_orderkey BETWEEN 100 AND 2000 GROUP BY 1""",
         "mor_incremental": f"""
 WITH {LI_CTES}
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
