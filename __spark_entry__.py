@@ -693,6 +693,212 @@ def q_q5_nation_volume(spark, sf_dir):
             .agg(F.sum(rev).cast("double").alias("revenue"), _n()))
 
 
+def q_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (synthetic schema has no commitdate, so "late" =
+    shipped after the order date): orders placed in 1996Q3 with at least one
+    late line, counted per priority. EXISTS becomes a left-semi join, so the
+    orders side is never duplicated and only (l_orderkey, l_shipdate) is
+    scanned from lineitem."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = orders.filter((F.col("o_orderdate") >= "1996-07-01")
+                      & (F.col("o_orderdate") < "1996-10-01"))
+    j = o.join(li, (F.col("l_orderkey") == F.col("o_orderkey"))
+               & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi")
+    return j.groupBy("o_orderpriority").agg(_n("order_count"))
+
+
+def q_q7_volume(spark, sf_dir):
+    """TPC-H Q7: bilateral shipping volume between two nations by year.
+    All dimension sides broadcast; lineitem never shuffles before the agg."""
+    nation = _read(spark, sf_dir, "nation")
+    supp = _read(spark, sf_dir, "supplier")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1998-01-01"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(((F.col("supp_nation") == "NATION_1")
+                     & (F.col("cust_nation") == "NATION_2"))
+                    | ((F.col("supp_nation") == "NATION_2")
+                       & (F.col("cust_nation") == "NATION_1")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(F.sum(rev).cast("double").alias("revenue"), _n()))
+
+
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8: NATION_3's share of ECONOMY-part volume sold into ASIA.
+    The share division runs over two exact decimal sums cast to double, so
+    both engines compute bit-identical quotients."""
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_regionkey").alias("c_rk"))
+    an = (li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+          .join(orders.filter((F.col("o_orderdate") >= "1996-01-01")
+                              & (F.col("o_orderdate") < "1998-01-01")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+          .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+          .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+          .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                F.col("c_rk") == F.col("r_regionkey"))
+          .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+          .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                  rev.alias("rev"), "supp_nation"))
+    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("rev")) \
+        .otherwise(F.lit(0).cast("decimal(18,4)"))
+    out = (an.groupBy("o_year")
+           .agg(F.sum(nat).cast("double").alias("nat_rev"),
+                F.sum("rev").cast("double").alias("total_rev")))
+    return out.withColumn("mkt_share", F.col("nat_rev") / F.col("total_rev"))
+
+
+def q_q10_returned(spark, sf_dir):
+    """TPC-H Q10: top-20 customers by returned-item revenue in 1996Q1.
+    Decimal-exact revenue ordering with c_custkey tie-break keeps the limit
+    boundary deterministic across engines."""
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (li.filter(F.col("l_returnflag") == "R")
+            .join(orders.filter((F.col("o_orderdate") >= "1996-01-01")
+                                & (F.col("o_orderdate") < "1996-04-01")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.sum(rev).alias("rev_dec"))
+            .orderBy(F.desc("rev_dec"), F.asc("c_custkey")).limit(20)
+            .select("c_custkey", "c_name", "c_acctbal", "n_name",
+                    F.col("rev_dec").cast("double").alias("revenue")))
+
+
+def q_q13_custdist(spark, sf_dir):
+    """TPC-H Q13: distribution of per-customer order counts, excluding
+    urgent orders via the join condition (so zero-order customers survive
+    the LEFT join into the c_count=0 bucket)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    per = (cust.join(orders,
+                     (F.col("c_custkey") == F.col("o_custkey"))
+                     & (F.col("o_orderpriority") != "1-URGENT"), "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").cast("bigint").alias("c_count")))
+    return per.groupBy("c_count").agg(_n("custdist"))
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The max
+    comparison happens on exact decimal sums (no double ties), matching the
+    reference view+subquery formulation."""
+    supp = _read(spark, sf_dir, "supplier")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    r0 = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                    & (F.col("l_shipdate") < "1996-04-01"))
+          .groupBy("l_suppkey").agg(F.sum(rev).alias("total_dec")))
+    mx = r0.agg(F.max("total_dec").alias("mx"))
+    return (r0.join(F.broadcast(mx), F.col("total_dec") == F.col("mx"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("total_dec").cast("double").alias("total_revenue")))
+
+
+def q_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17: revenue lost to small-quantity orders for one brand. The
+    correlated avg-quantity subquery becomes a per-part aggregate joined
+    back; the 20%-of-avg comparison is algebraically cleared of division
+    (5*cnt*qty < sum) so both engines evaluate the same IEEE products."""
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    pa = (li.groupBy(F.col("l_partkey").alias("pk"))
+          .agg(_n("cnt"), _dec_sum("l_quantity", "sum_qty")))
+    return (li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#23")),
+                    F.col("p_partkey") == F.col("l_partkey"))
+            .join(pa, F.col("pk") == F.col("l_partkey"))
+            .filter(F.lit(5.0) * F.col("cnt") * F.col("l_quantity")
+                    < F.col("sum_qty"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .cast("double") / 7.0).alias("avg_yearly"), _n()))
+
+
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18: orders whose total quantity exceeds 250, with customer
+    context; top-100 by exact decimal quantity, o_orderkey tie-break."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
+           .filter(F.col("sq") > 250))
+    return (big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .orderBy(F.desc("sq"), F.asc("o_orderkey")).limit(100)
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    "o_totalprice", F.col("sq").cast("double").alias("sum_qty")))
+
+
+def q_q19_discounted(spark, sf_dir):
+    """TPC-H Q19: three (brand, size, quantity) OR-branches over a broadcast
+    part join — Catalyst pushes the disjunction below the aggregate."""
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    cond = (((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+             & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+               & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+               & F.col("l_quantity").between(20, 30)))
+    return (li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+            .filter(cond)
+            .agg(F.sum(rev).cast("double").alias("revenue"), _n()))
+
+
+def q_q22_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (no phone column: market segments stand in for
+    country codes, and "no orders" becomes "no urgent orders" since every
+    synthetic customer has orders): above-average-balance customers without
+    urgent orders, per segment. The avg comparison is cleared of division
+    (acctbal*cnt > sum) for cross-engine determinism."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    pos = cust.filter((F.col("c_acctbal") > 0.0)
+                      & F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY",
+                                                   "FURNITURE"))
+    st = pos.agg(_n("cnt"), _dec_sum("c_acctbal", "tot"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_custkey")
+    return (pos.crossJoin(F.broadcast(st))
+            .filter(F.col("c_acctbal") * F.col("cnt") > F.col("tot"))
+            .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(_n("numcust"), _dec_sum("c_acctbal", "totacctbal")))
+
+
 def _read_events(spark, sf_dir):
     """events.parquet stores TIMESTAMP(NANOS). Newer Spark (4.1+) reads it
     natively as timestamp_ntz (floor-truncated to micros — the same
@@ -1200,6 +1406,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue": q_q6_revenue,
         "q3_top10": q_q3_top10,
         "q5_nation_volume": q_q5_nation_volume,
+        "q4_order_priority": q_q4_order_priority,
+        "q7_volume": q_q7_volume,
+        "q8_market_share": q_q8_market_share,
+        "q10_returned": q_q10_returned,
+        "q13_custdist": q_q13_custdist,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q17_small_qty": q_q17_small_qty,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_discounted": q_q19_discounted,
+        "q22_sales_opportunity": q_q22_sales_opportunity,
         "q12_shipmode": q_q12_shipmode,
         "q14_promo": q_q14_promo,
         "events_hourly": q_events_hourly,
@@ -1540,6 +1756,130 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1""",
+        "q4_order_priority": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1""",
+        "q7_volume": """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev) AS DOUBLE) AS revenue, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT n1.n_name supp_nation, n2.n_name cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) l_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+GROUP BY 1, 2, 3""",
+        "q8_market_share": """
+WITH an AS (SELECT CAST(year(o_orderdate) AS INTEGER) o_year,
+              CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) rev,
+              n1.n_name supp_nation
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nat_rev,
+       CAST(SUM(rev) AS DOUBLE) AS total_rev,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+FROM an GROUP BY 1""",
+        "q10_returned": """
+SELECT c_custkey, c_name, c_acctbal, n_name, CAST(rev_dec AS DOUBLE) AS revenue
+FROM (SELECT c_custkey, c_name, c_acctbal, n_name,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) rev_dec
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1, 2, 3, 4)
+ORDER BY rev_dec DESC, c_custkey LIMIT 20""",
+        "q13_custdist": """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY 1)
+GROUP BY 1""",
+        "q15_top_supplier": """
+WITH r0 AS (SELECT l_suppkey,
+              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) total_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+FROM r0 JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_dec = (SELECT MAX(total_dec) FROM r0)""",
+        "q17_small_qty": """
+WITH pa AS (SELECT l_partkey pk, CAST(COUNT(*) AS BIGINT) cnt,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty
+            FROM lineitem GROUP BY 1)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pk = l_partkey
+WHERE p_brand = 'Brand#23' AND 5.0 * cnt * l_quantity < sum_qty""",
+        "q18_large_orders": """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sq AS DOUBLE) AS sum_qty
+FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) sq
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sq DESC, o_orderkey LIMIT 100""",
+        "q19_discounted": """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)""",
+        "q22_sales_opportunity": """
+WITH pos AS (SELECT * FROM customer
+             WHERE c_acctbal > 0.0
+               AND c_mktsegment IN ('AUTOMOBILE','MACHINERY','FURNITURE')),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) cnt,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) tot
+       FROM pos)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM pos, st
+WHERE c_acctbal * cnt > tot
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 GROUP BY 1""",
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
