@@ -1303,6 +1303,30 @@ def q_docs_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs)
 
 
+def q_docs_cluster_best(spark, sf_dir):
+    """Quality-aware dedup audit: n-gram-Jaccard near-dup pairs -> exact
+    transitive clusters -> per cluster, the member that survives is the
+    HIGHEST quality_score (ties: smallest id). DuckDB replays the pair
+    pipeline, closes it with a recursive CTE, and re-ranks by the same
+    quality formula — cluster picks are oracle-exact."""
+    from hudi_0_12_0_my_spark.operators import (cluster_representatives,
+                                                ngram_jaccard_pairs,
+                                                with_quality_score)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return cluster_representatives(with_quality_score(docs), pairs)
+
+
+def q_docs_bm25(spark, sf_dir):
+    """BM25 keyword retrieval over the corpus: one stats aggregate (N,
+    avgdl, per-term df) + a map-only scoring pass + TakeOrdered top-k.
+    Scores round to 6 decimals with id tie-breaks, so the top-k set and
+    values are oracle-exact."""
+    from hudi_0_12_0_my_spark.operators import bm25_topk
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, "the data model", k=20)
+
+
 def q_docs_simhash(spark, sf_dir):
     """48-bit SimHash near-dup pairs with the portable hash (60 usable hash
     bits cap it below the xxhash64 default of 64) — oracle-exact."""
@@ -1443,6 +1467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only checks
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_cluster_best": q_docs_cluster_best,
+        "docs_bm25": q_docs_bm25,
         "docs_simhash": q_docs_simhash,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
@@ -2172,6 +2198,87 @@ FROM cand
 WHERE len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0 >= 0.4""",
         # pair pipeline replayed as above, closed transitively with a
         # recursive CTE — exact duplicate-cluster memberships
+        "docs_cluster_best": """
+WITH RECURSIVE d0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE length(trim(text)) > 0),
+d AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+      FROM d0),
+d2 AS (SELECT doc_id, grams, len(grams) AS n_grams FROM d WHERE len(grams) > 0),
+inv AS (SELECT doc_id, n_grams, unnest(grams) AS g FROM d2),
+prs AS (SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_grams AS na, b.n_grams AS nb,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+e AS (SELECT id_a AS u, id_b AS v FROM prs
+      UNION SELECT id_b, id_a FROM prs),
+reach(u, v) AS (SELECT u, v FROM e
+                UNION SELECT r.u, e2.v FROM reach r JOIN e e2
+                      ON r.v = e2.u AND e2.v <> r.u),
+cmp AS (SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u),
+qt AS (SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+         length(text) - length(regexp_replace(text,
+             '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+       FROM documents),
+qm AS (SELECT doc_id, len(toks) AS n_tok,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_intersect(toks, ['the','a','an','and','or','of','to','in',
+             'is','are','was','be','for','on','with','as','at','by','it',
+             'this','that','from'])) / CAST(22.0 AS DOUBLE)
+         ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE)
+              ELSE CAST(1.0 AS DOUBLE) END AS punct_ratio
+       FROM qt),
+qs AS (SELECT doc_id,
+         round(CAST(0.4 AS DOUBLE)
+                 * least(n_tok / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+             + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                 - least(punct_ratio * 5, CAST(1.0 AS DOUBLE)))
+             + CAST(0.3 AS DOUBLE)
+                 * least(stop_ratio * 4, CAST(1.0 AS DOUBLE)), 4) AS q
+       FROM qm),
+mem AS (SELECT cmp.id, cmp.comp, qs.q,
+          row_number() OVER (PARTITION BY cmp.comp
+                             ORDER BY qs.q DESC, cmp.id) AS rn
+        FROM cmp JOIN qs ON cmp.id = qs.doc_id)
+SELECT comp, max(CASE WHEN rn = 1 THEN id END) AS rep_id,
+       max(CASE WHEN rn = 1 THEN q END) AS rep_score,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM mem GROUP BY comp""",
+        "docs_bm25": """
+WITH d AS (SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+  FROM documents),
+t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+    CAST(len(list_filter(toks, x -> x = 'the')) AS BIGINT) AS tf0,
+    CAST(len(list_filter(toks, x -> x = 'data')) AS BIGINT) AS tf1,
+    CAST(len(list_filter(toks, x -> x = 'model')) AS BIGINT) AS tf2
+  FROM d),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM t)
+SELECT doc_id, bm25 FROM (
+  SELECT doc_id, round(
+      ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+        / (tf0 + 1.2 * (0.25 + 0.75 * (dl / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+        / (tf1 + 1.2 * (0.25 + 0.75 * (dl / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+        / (tf2 + 1.2 * (0.25 + 0.75 * (dl / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+    , 6) AS bm25
+  FROM t, st)
+WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id LIMIT 20""",
         "docs_dup_clusters": """
 WITH RECURSIVE d0 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
             FROM documents),

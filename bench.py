@@ -162,6 +162,10 @@ def main() -> None:
         chunk_documents(docs, max_tokens=64, overlap=8).count()
         pack_sequences(docs, token_budget=512).count()
 
+    with step("bm25"):                      # one stats agg + map-only scoring
+        from hudi_0_12_0_my_spark.operators import bm25_topk
+        bm25_topk(docs, "the data model", k=20).count()
+
     with step("decontaminate"):             # broadcast n-gram semi-join
         from hudi_0_12_0_my_spark.operators import contaminated_ids
         contaminated_ids(docs.filter("doc_id % 97 != 0"),

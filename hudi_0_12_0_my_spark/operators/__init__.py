@@ -12,7 +12,8 @@ from .dedup import (exact_dedup, minhash_signatures, minhash_lsh_pairs,
                     minhash_lsh_dedup, simhash, simhash_near_dup_pairs,
                     ngram_jaccard_pairs)
 from .graph import (connected_components, dup_clusters,
-                    dedup_by_components)
+                    dedup_by_components, select_cluster_representatives,
+                    cluster_representatives)
 from .multimodal import (with_media_columns, extract_features,
                          frame_sample_plan, resize_plan, audio_chunk_plan)
 from .pipeline import (chunk_documents, contaminated_ids, curate,
@@ -25,17 +26,18 @@ from .similarity import (cosine_topk, ivf_cosine_topk,
                          lsh_cosine_topk, semantic_dedup)
 from .textstats import (with_token_stats, with_quality_score,
                         with_language_id, with_fingerprint,
-                        with_repetition_stats, top_ngrams)
+                        with_repetition_stats, top_ngrams, bm25_topk)
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "minhash_lsh_dedup", "simhash", "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "connected_components", "dup_clusters", "dedup_by_components",
+    "select_cluster_representatives", "cluster_representatives",
     "cosine_topk", "ivf_cosine_topk", "embedding_near_dup_pairs",
     "hyperplane_signatures", "lsh_cosine_topk", "semantic_dedup",
     "with_token_stats", "with_quality_score", "with_language_id",
-    "with_fingerprint", "with_repetition_stats", "top_ngrams",
+    "with_fingerprint", "with_repetition_stats", "top_ngrams", "bm25_topk",
     "with_media_columns", "extract_features", "frame_sample_plan",
     "resize_plan", "audio_chunk_plan",
     "chunk_documents", "contaminated_ids", "curate", "decontaminate",

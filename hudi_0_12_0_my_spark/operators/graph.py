@@ -27,7 +27,8 @@ two scalar aggregates per round, no driver-side edge materialization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -57,9 +58,42 @@ def _star(edges: DataFrame, large: bool) -> DataFrame:
     return _canon(out)
 
 
+def _driver_cc(edges: DataFrame) -> DataFrame:
+    """Union-find over a collected edge list (small-graph fast path).
+
+    O(E α(E)) with path compression; component label = min member id, same
+    contract as the distributed fixpoint."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = {x: find(x) for x in parent}
+    # roots are already each component's minimum: unions always attach the
+    # larger root under the smaller one
+    dt = edges.schema["u"].dataType
+    schema = T.StructType([T.StructField("id", dt, False),
+                           T.StructField("comp", dt, False)])
+    return edges.sparkSession.createDataFrame(
+        sorted(comp.items()), schema)
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         small_graph_threshold: int = 500_000) -> DataFrame:
     """(id, comp) for every node in `pairs`; comp = min id of its component.
 
     Alternating large-star/small-star until the canonical edge set's
@@ -67,10 +101,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     each component's minimum, so the labeling is one final groupBy.
     Singleton ids (no edges) are the caller's concern: anything absent from
     `pairs` is its own component.
+
+    Small-graph fast path: each distributed round costs 2 shuffles +
+    checkpoint + fingerprint jobs — ~2s of fixed overhead per round
+    regardless of edge count. Near-dup candidate graphs are usually tiny
+    relative to the corpus (LSH already collapsed 100 TB to the colliding
+    pairs), so when the canonical edge count is at or below
+    `small_graph_threshold` the edges are collected and union-found on the
+    driver in one pass (the same count-gated hybrid AQE applies to
+    broadcast joins). Set it to 0 to force the distributed path.
     """
     edges = _canon(pairs.select(F.col(id_a).alias("u"),
                                 F.col(id_b).alias("v")))
     edges = edges.localCheckpoint(eager=True)
+    if small_graph_threshold and edges.count() <= small_graph_threshold:
+        return _driver_cc(edges)
 
     def _fingerprint(e: DataFrame):
         row = e.agg(
@@ -97,13 +142,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                 max_iter: int = 50) -> DataFrame:
+                 max_iter: int = 50,
+                 small_graph_threshold: int = 500_000) -> DataFrame:
     """Cluster summary over near-dup pairs: one row per duplicate cluster.
 
     (comp, n_members, min_id, max_id) — comp == min_id by construction;
     kept as separate columns so callers can assert the invariant cheaply.
     """
-    cc = connected_components(pairs, id_a, id_b, max_iter)
+    cc = connected_components(pairs, id_a, id_b, max_iter,
+                              small_graph_threshold)
     return (cc.groupBy("comp")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
                  F.min("id").alias("min_id"),
@@ -120,3 +167,54 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame,
     losers = cc.filter(F.col("id") != F.col("comp")) \
                .select(F.col("id").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def select_cluster_representatives(df: DataFrame, pairs: DataFrame,
+                                   id_col: str = "doc_id",
+                                   score_col: str = "quality_score",
+                                   id_a: str = "id_a",
+                                   id_b: str = "id_b") -> DataFrame:
+    """Quality-aware dedup: keep the BEST-scoring member of each duplicate
+    cluster instead of the smallest id.
+
+    The standard curation refinement over `dedup_by_components`: near-dup
+    pairs (LSH / n-gram Jaccard) -> transitive clusters -> the member with
+    the highest `score_col` survives (ties: smallest id), all other members
+    drop. Rows absent from `pairs` are singleton clusters and always
+    survive.
+
+    Scale shape: connected_components sees only paired ids (LSH already
+    collapsed the corpus to colliding candidates); the score lookup joins
+    |paired ids| rows; the only full-corpus pass is the final anti-join,
+    and the loser side of that join is small enough for a broadcast hash
+    join in practice.
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    scored = df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s"))
+    members = cc.join(scored, "id")
+    w = Window.partitionBy("comp").orderBy(F.desc("_s"), F.asc("id"))
+    losers = (members.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") > 1)
+              .select(F.col("id").alias(id_col)))
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def cluster_representatives(df: DataFrame, pairs: DataFrame,
+                            id_col: str = "doc_id",
+                            score_col: str = "quality_score",
+                            id_a: str = "id_a",
+                            id_b: str = "id_b") -> DataFrame:
+    """Per-cluster pick summary: (comp, rep_id, rep_score, n_members) for
+    every MULTI-member duplicate cluster — the audit view of
+    `select_cluster_representatives` (which of each cluster survived and
+    why)."""
+    cc = connected_components(pairs, id_a, id_b)
+    scored = df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s"))
+    members = cc.join(scored, "id")
+    w = Window.partitionBy("comp").orderBy(F.desc("_s"), F.asc("id"))
+    return (members.withColumn("_rn", F.row_number().over(w))
+            .groupBy("comp")
+            .agg(F.max(F.when(F.col("_rn") == 1, F.col("id"))).alias("rep_id"),
+                 F.max(F.when(F.col("_rn") == 1, F.col("_s")))
+                 .alias("rep_score"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_members")))

@@ -228,6 +228,61 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
                     "ngram", "occurrences"))
 
 
+def bm25_topk(df: DataFrame, query: str, k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a whitespace query.
+
+    (id, bm25) with Robertson idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    score rounded to 6 decimals, ties broken by id — deterministic top-k.
+
+    Shape for 100 TB: pass 1 is ONE corpus aggregate producing q+2 scalars
+    (N, Σdl, per-term document frequencies) — broadcast back as a 1-row
+    cross join; pass 2 is a map-only scoring projection feeding
+    TakeOrderedAndProject (per-partition top-k, then a k-row merge — the
+    full score column never shuffles). Term frequencies are per-row
+    higher-order-function folds over the token array; the query is a
+    literal, so nothing query-sized is ever shuffled or joined.
+    """
+    terms = list(dict.fromkeys(t for t in query.lower().split() if t))
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    toks = _ws_tokens(F.lower(F.col(text_col)))
+    staged = (df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+              .withColumn("_dl", F.size("_toks")))
+    def _tf(word):
+        # NB: the lambda must be unary — F.filter treats a 2-arg lambda as
+        # (element, index) and would bind the captured word to the index
+        return F.size(F.filter("_toks", lambda t: t == F.lit(word)))
+
+    tf_cols = [_tf(w).cast("long").alias(f"_tf_{i}")
+               for i, w in enumerate(terms)]
+    scored0 = staged.select("id", "_dl", *tf_cols)
+    stats = scored0.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_dl").cast("bigint").alias("_sumdl"),
+        *[F.sum((F.col(f"_tf_{i}") > 0).cast("long")).cast("bigint")
+          .alias(f"_df_{i}") for i in range(len(terms))])
+    j = scored0.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    parts = []
+    for i in range(len(terms)):
+        dfreq = F.col(f"_df_{i}")
+        tf = F.col(f"_tf_{i}")
+        idf = F.log(F.lit(1.0)
+                    + (F.col("_n") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)))
+        norm = tf + F.lit(k1) * (F.lit(1.0 - b)
+                                 + F.lit(b) * (F.col("_dl") / avgdl))
+        parts.append(idf * (tf * F.lit(k1 + 1.0)) / norm)
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return (j.select(F.col("id").alias(id_col),
+                     F.round(total, 6).alias("bm25"))
+            .filter(F.col("bm25") > 0)
+            .orderBy(F.desc("bm25"), F.asc(id_col)).limit(k))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic 64-bit document fingerprint over normalized text.
 

@@ -18,23 +18,32 @@ def pairs(spark):
         "id_a long, id_b long")
 
 
-def test_cc_labels_min_of_component(pairs):
-    got = {r.id: r.comp for r in ops.connected_components(pairs).collect()}
+# 0 forces the distributed star rounds; the default takes the driver
+# union-find fast path — both must produce identical labelings
+THRESHOLDS = [0, 500_000]
+
+
+@pytest.mark.parametrize("thr", THRESHOLDS)
+def test_cc_labels_min_of_component(pairs, thr):
+    got = {r.id: r.comp for r in ops.connected_components(
+        pairs, small_graph_threshold=thr).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 33: 30}
 
 
-def test_cc_adversarial_chain(spark):
+@pytest.mark.parametrize("thr", THRESHOLDS)
+def test_cc_adversarial_chain(spark, thr):
     """Descending 100-node path: worst case for naive propagation, the
     star rounds collapse it in O(log n)."""
     chain = spark.createDataFrame([(i + 1, i) for i in range(99)],
                                   "id_a long, id_b long")
-    cc = ops.connected_components(chain)
+    cc = ops.connected_components(chain, small_graph_threshold=thr)
     assert cc.count() == 100
     assert cc.filter("comp != 0").count() == 0
 
 
-def test_cc_random_graph_vs_union_find(spark):
+@pytest.mark.parametrize("thr", THRESHOLDS)
+def test_cc_random_graph_vs_union_find(spark, thr):
     random.seed(7)
     edges = [(random.randrange(400), random.randrange(400))
              for _ in range(300)]
@@ -53,7 +62,8 @@ def test_cc_random_graph_vs_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {v: find(v) for v in {x for e in edges for x in e}}
     got = {r.id: r.comp for r in ops.connected_components(
-        spark.createDataFrame(edges, "id_a long, id_b long")).collect()}
+        spark.createDataFrame(edges, "id_a long, id_b long"),
+        small_graph_threshold=thr).collect()}
     assert got == want
 
 
@@ -73,3 +83,30 @@ def test_dedup_by_components_beats_one_hop(spark, pairs):
     kept = sorted(r.doc_id for r in
                   ops.dedup_by_components(docs, pairs).collect())
     assert kept == [1, 10, 40]          # 40 = singleton, untouched
+
+
+def test_select_cluster_representatives_keeps_best(spark, pairs):
+    """Best-quality member survives each cluster (ties -> smallest id);
+    singletons always survive."""
+    docs = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5), (4, 0.2), (5, 0.8),   # comp 1 -> 2
+         (10, 0.3), (11, 0.3), (12, 0.3),                    # tie -> 10
+         (20, 0.0), (21, 1.0),                               # -> 21
+         (30, 0.4), (33, 0.6),                               # -> 33
+         (40, 0.0)],                                         # singleton
+        "doc_id long, quality_score double")
+    kept = sorted(r.doc_id for r in ops.select_cluster_representatives(
+        docs, pairs).collect())
+    assert kept == [2, 10, 21, 33, 40]
+
+
+def test_cluster_representatives_audit_view(spark, pairs):
+    docs = spark.createDataFrame(
+        [(i, float(i % 7) / 10) for i in [1, 2, 3, 4, 5, 10, 11, 12,
+                                          20, 21, 30, 33]],
+        "doc_id long, quality_score double")
+    reps = {r.comp: (r.rep_id, r.n_members)
+            for r in ops.cluster_representatives(docs, pairs).collect()}
+    # comp 1: scores .1 .2 .3 .4 .5 -> id 5; comp 10: .3 .4 .5 -> 12;
+    # comp 20: .6 .0 -> 20; comp 30: .2 .5 -> 33
+    assert reps == {1: (5, 5), 10: (12, 3), 20: (20, 2), 30: (33, 2)}

@@ -419,6 +419,44 @@ def test_resize_plan_prunes_noop_rows(docs, spark):
     assert ops.resize_plan(small, max_side=256).count() == 0
 
 
+def test_bm25_topk_matches_reference_formula(docs):
+    """Hand-computed BM25 on the 7-doc corpus: docs containing 'fox' rank by
+    the Robertson formula with length normalization; the empty doc and the
+    non-matching German doc never appear."""
+    import math
+    rows = {r.doc_id: r.bm25 for r in
+            ops.bm25_topk(docs, "fox dozen", k=10).collect()}
+    assert 6 not in rows and 5 not in rows
+    # reference computation (same tokenizer: lowercase whitespace split)
+    texts = {1: "the quick brown fox jumps over the lazy dog",
+             2: "the quick brown fox jumps over the lazy dog",
+             3: "the  quick brown fox jumps over the lazy dog",
+             4: "pack my box with five dozen liquor jugs",
+             5: "der schnelle braune fuchs springt nicht",
+             6: "", 7: "the quick brown fox jumps over the lazy cat"}
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    exp = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for w in ["fox", "dozen"]:
+            tf = tk.count(w)
+            dfreq = sum(1 for v in toks.values() if w in v)
+            idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+        if s > 0:
+            exp[i] = round(s, 6)
+    assert rows == pytest.approx(exp)
+    # rarer term dominates: 'dozen' (df=1) outweighs 'fox' (df=4)
+    assert rows[4] > rows[1]
+
+
+def test_bm25_rejects_empty_query(docs):
+    with pytest.raises(ValueError):
+        ops.bm25_topk(docs, "   ")
+
+
 def test_audio_chunk_plan(docs):
     mm = ops.with_media_columns(
         docs.withColumn("payload", F.col("text").cast("binary")),
