@@ -145,13 +145,22 @@ class Reader:
                 or not preds:
             return None
         keyf = cfg.record_key_fields[0]
-        vals = None
-        for col, op, lit in preds:
-            if col == keyf and op in ("=", "==", "in"):
-                vals = list(lit) if op == "in" else [lit]
-                break
-        if not vals or not all(isinstance(v, (int, str))
-                               and not isinstance(v, bool) for v in vals):
+        if preds and isinstance(preds[0], tuple):
+            preds = [preds]              # legacy single conjunction
+        # DNF: every disjunct must pin the key or the union is unbounded;
+        # allowed buckets = union of each disjunct's pinned values
+        vals: list = []
+        for conj in preds:
+            dv = None
+            for col, op, lit in conj:
+                if col == keyf and op in ("=", "==", "in"):
+                    dv = list(lit) if op == "in" else [lit]
+                    break
+            if not dv:
+                return None
+            vals.extend(dv)
+        if not all(isinstance(v, (int, str))
+                   and not isinstance(v, bool) for v in vals):
             return None
         # xxhash64 must match the write side bit-for-bit: evaluate the same
         # JVM expression over the literal keys (one local 1-row-per-key job)

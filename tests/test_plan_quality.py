@@ -63,6 +63,45 @@ def test_stats_pruning_shrinks_file_list(cow):
     assert eff["candidate_files"] < eff["total_files"]
 
 
+def test_stats_pruning_dnf_algebra(cow):
+    """Full DataSkippingUtils truth table: OR prunes only when every
+    disjunct prunes; !=, NOT IN and IS NULL use min==max / null counts."""
+    from hudi_0_12_0_my_spark import stats as S
+    view = cow.view()
+    base = S.skipping_effectiveness(view, "grp = 'c'")["candidate_files"]
+    # OR of two pinned values: union of the two candidate sets, still pruned
+    eff = S.skipping_effectiveness(view, "grp = 'c' or grp = 'd'")
+    assert 0 < eff["skipped"]
+    assert base <= eff["candidate_files"] < eff["total_files"]
+    # one unsatisfiable-nowhere disjunct disables pruning (row filter wins)
+    assert S.skipping_effectiveness(view, "grp = 'c' or val >= 0")["skipped"] == 0
+    # parenthesized conjunction groups
+    eff = S.skipping_effectiveness(
+        view, "(grp = 'c' and val > 1) or (grp = 'd')")
+    assert eff["skipped"] > 0
+    # IN / NOT IN
+    assert S.skipping_effectiveness(view, "grp in ('c','d')")["skipped"] > 0
+    # a single-valued file fails != / NOT IN on that value
+    one = S.parse_predicates("grp != 'x'")
+    assert S._excludes({"min": "x", "max": "x", "nulls": 0}, "!=", "x")
+    assert not S._excludes({"min": "x", "max": "x", "nulls": 3}, "!=", "x")
+    assert S._excludes({"min": "x", "max": "x", "nulls": 0}, "notin",
+                       ["x", "y"])
+    # null-count predicates
+    assert S._excludes({"min": "a", "max": "b", "nulls": 0}, "isnull", None)
+    assert not S._excludes({"min": "a", "max": "b", "nulls": 2}, "isnull", None)
+    assert S._excludes({"min": None, "max": None, "nulls": 10},
+                       "isnotnull", None, records=10)
+    assert not S._excludes({"min": None, "max": None, "nulls": 9},
+                           "isnotnull", None, records=10)
+    # parser: IS [NOT] NULL clauses and quoted 'or' literals
+    assert S.parse_predicates("grp is not null") == [[("grp", "isnotnull", None)]]
+    assert S.parse_predicates("grp = 'a or b'") == [[("grp", "=", "a or b")]]
+    assert one == [[("grp", "!=", "x")]]
+    # general NOT still bails to row-filter-only
+    assert S.parse_predicates("not (grp = 'c')") is None
+
+
 def test_broadcast_join_for_small_dim(cow, spark):
     dim = spark.createDataFrame([(chr(97 + i), f"g{i}") for i in range(5)],
                                 "grp string, label string")
