@@ -235,11 +235,18 @@ class Reader:
         return self.snapshot(as_of=as_of, filters=filters, keep_meta=keep_meta)
 
     def incremental(self, begin: str | None = None, end: str | None = None,
-                    keep_meta: bool = False) -> DataFrame:
+                    keep_meta: bool = False, filters=None) -> DataFrame:
         """Rows whose latest version landed in commits with
         begin < instant <= end (IncrementalRelation.scala:83-86). Reads only
         files written by in-range commits (from commit metadata), then filters
-        the commit-time window and resolves the latest version per key."""
+        the commit-time window and resolves the latest version per key.
+
+        `filters` mirrors the reference's extra-pushed-filters option
+        (DataSourceOptions PUSH_DOWN_INCR_FILTERS): applied AFTER version
+        resolution — pruning in-range files by a value predicate would be
+        wrong (a key's latest version could sit in a pruned file and an
+        older matching version would wrongly win); Catalyst still pushes
+        whatever is safe below the window on its own."""
         cfg = self.cfg
         spec = payloads.get(cfg.payload)
         begin = begin or "0"
@@ -274,7 +281,7 @@ class Reader:
             cond = F.col(meta.COMMIT_TIME) > F.lit(begin)
             if end is not None:
                 cond = cond & (F.col(meta.COMMIT_TIME) <= F.lit(end))
-            df = snap.filter(cond)
+            df = self._apply_filters(snap.filter(cond), filters)
             return df if keep_meta else meta.strip_meta(df)
         df = read_files(self.spark, sorted(set(base_paths)), base_read_schema(cfg), cfg)
         if delta_paths:
@@ -285,6 +292,7 @@ class Reader:
         if end is not None:
             cond = cond & (F.col(meta.COMMIT_TIME) <= F.lit(end))
         df = payloads.resolve(df.filter(cond), cfg, spec, drop_deletes=True)
+        df = self._apply_filters(df, filters)
         return df if keep_meta else meta.strip_meta(df)
 
     def incremental_cdc(self, begin: str | None = None,

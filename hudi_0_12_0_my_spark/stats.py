@@ -134,18 +134,38 @@ def parse_predicates(filters):
             else (filters or None)
     if not isinstance(filters, str):
         return None
+    # BETWEEN contains a bare AND, which would confuse the conjunction
+    # split — rewrite `col between X and Y` to the two comparisons first
+    # (literal operands only: quoted-without-spaces or unspaced scalars)
+    filters = re.sub(
+        r"`?(\w+)`?\s+between\s+('[^']*'|\"[^\"]*\"|\S+)\s+and\s+"
+        r"('[^']*'|\"[^\"]*\"|\S+)",
+        r"(\1 >= \2 and \1 <= \3)", filters, flags=re.IGNORECASE)
+    if re.search(r"\bbetween\b", filters, re.IGNORECASE):
+        return None                       # NOT BETWEEN / unparsed operands
     dnf = []
     for disjunct in _split_depth0(filters, "or"):
-        conj = []
-        for clause in _split_depth0(_strip_parens(disjunct), "and"):
-            p = _parse_clause(clause)
-            if p is None:
-                return None
-            conj.append(p)
+        conj = _parse_conj(disjunct)
         if not conj:
             return None
         dnf.append(conj)
     return dnf or None
+
+
+def _parse_conj(s: str):
+    """Flatten a (possibly parenthesized, possibly nested) conjunction into
+    [(col, op, value)] — e.g. the groups a BETWEEN rewrite produces."""
+    parts = _split_depth0(_strip_parens(s), "and")
+    if len(parts) == 1:
+        p = _parse_clause(parts[0])
+        return None if p is None else [p]
+    out = []
+    for part in parts:
+        sub = _parse_conj(part)
+        if sub is None:
+            return None
+        out.extend(sub)
+    return out
 
 
 def _comparable(a, b):

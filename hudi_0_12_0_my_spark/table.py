@@ -121,8 +121,9 @@ class LakeTable:
         return self.reader.incremental_cdc(begin=begin, end=end)
 
     def incremental(self, begin: str | None = None, end: str | None = None,
-                    keep_meta: bool = False) -> DataFrame:
-        return self.reader.incremental(begin=begin, end=end, keep_meta=keep_meta)
+                    keep_meta: bool = False, filters=None) -> DataFrame:
+        return self.reader.incremental(begin=begin, end=end,
+                                       keep_meta=keep_meta, filters=filters)
 
     def register(self, view_name: str, query_type: str = "snapshot", **kw) -> DataFrame:
         df = getattr(self, query_type)(**kw) if query_type != "snapshot" \

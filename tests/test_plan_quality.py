@@ -100,6 +100,12 @@ def test_stats_pruning_dnf_algebra(cow):
     assert one == [[("grp", "!=", "x")]]
     # general NOT still bails to row-filter-only
     assert S.parse_predicates("not (grp = 'c')") is None
+    # BETWEEN rewrites to the two comparisons (NOT BETWEEN bails)
+    assert S.parse_predicates("val between 1 and 5") == \
+        [[("val", ">=", 1), ("val", "<=", 5)]]
+    assert S.parse_predicates("val not between 1 and 5") is None
+    eff = S.skipping_effectiveness(view, "grp between 'c' and 'c'")
+    assert eff["skipped"] > 0
 
 
 def test_broadcast_join_for_small_dim(cow, spark):
