@@ -605,6 +605,76 @@ def q_insert_packing(spark, sf_dir):
             .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
 
 
+def q_schema_evolution(spark, sf_dir):
+    """ALTER TABLE add + rename with mixed-era files
+    (AlterHoodieTableAddColumnsCommand / ChangeColumnCommand, TableChanges
+    rename actions): files written before the rename surface their values
+    under the new name; the added column backfills null. Oracle replays the
+    same mutations relationally."""
+    key = (sf_dir, "part_evo")
+    if key not in _BUILT:
+        part = _read(spark, sf_dir, "part")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "part_evo")),
+            record_key_fields=["p_partkey"], precombine_field="p_size")
+        t.bulk_insert(part)
+        t.add_column("note", "string")
+        t.rename_column("p_retailprice", "price")
+        mut = (part.filter(F.col("p_partkey") % 10 == 0)
+               .select(F.col("p_partkey"), F.col("p_name"), F.col("p_brand"),
+                       F.col("p_type"), F.col("p_size"),
+                       (F.col("p_retailprice") * 2).alias("price"),
+                       F.lit("adjusted").alias("note")))
+        t.upsert(mut)
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("p_brand")
+            .agg(_n(), _dec_sum("price", "sum_price"),
+                 F.count("note").cast("bigint").alias("n_notes")))
+
+
+def q_truncate_insert(spark, sf_dir):
+    """TRUNCATE TABLE (TruncateHoodieTableCommand -> whole-table
+    replacecommit) then re-insert: only the post-truncate rows survive."""
+    key = (sf_dir, "supp_trunc")
+    if key not in _BUILT:
+        supp = _read(spark, sf_dir, "supplier")
+        eng = _eng(spark)
+        t = eng.create_table(
+            _fresh(_root(sf_dir, "supp_trunc")), name="supp_trunc",
+            record_key_fields=["s_suppkey"], precombine_field="s_nationkey")
+        t.insert(supp)
+        eng.sql("TRUNCATE TABLE supp_trunc")
+        t.insert(supp.filter(F.col("s_suppkey") % 2 == 0))
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("s_nationkey")
+            .agg(_n(), _dec_sum("s_acctbal", "sum_bal")))
+
+
+def q_archived_timeline_read(spark, sf_dir):
+    """Archival (HoodieTimelineArchiver): after folding old instants into a
+    manifest checkpoint, snapshot reads still serve the exact final state
+    (the ADVICE-r1 bug class: a checkpoint folded past its boundary served
+    rolled-back slices). Four upserts + archive(retain_active=2), state
+    oracle-checked."""
+    key = (sf_dir, "nat_arch")
+    if key not in _BUILT:
+        nation = _read(spark, sf_dir, "nation")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "nat_arch")),
+            record_key_fields=["n_nationkey"], precombine_field="n_regionkey")
+        t.bulk_insert(nation)
+        for i in range(1, 5):
+            mut = (t.snapshot().filter(F.col("n_regionkey") == i % 5)
+                   .withColumn("n_name", F.concat(F.col("n_name"), F.lit("+"))))
+            t.upsert(mut)
+        t.archive(retain_active=2)
+        _BUILT[key] = t.reload()
+    t = _BUILT[key]
+    return t.snapshot().select("n_nationkey", "n_name", "n_regionkey")
+
+
 # ---- relational queries over raw parquet (Catalyst does the work)
 def q_q1_pricing(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
@@ -1414,6 +1484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_zorder": q_clustering_zorder,
         "clustering_hilbert": q_clustering_hilbert,
         "insert_packing": q_insert_packing,
+        "schema_evolution": q_schema_evolution,
+        "truncate_insert": q_truncate_insert,
+        "archived_timeline_read": q_archived_timeline_read,
         "cleaning": q_cleaning,
         "rollback": q_rollback,
         "savepoint_restore": q_savepoint_restore,
@@ -1655,6 +1728,27 @@ FROM base GROUP BY 1""",
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM orders GROUP BY 1""",
+        "schema_evolution": """
+WITH cur AS (
+  SELECT p_partkey, p_brand,
+         CASE WHEN p_partkey % 10 = 0 THEN p_retailprice * 2
+              ELSE p_retailprice END AS price,
+         CASE WHEN p_partkey % 10 = 0 THEN 'adjusted' END AS note
+  FROM part)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(COUNT(note) AS BIGINT) AS n_notes
+FROM cur GROUP BY 1""",
+        "truncate_insert": """
+SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM supplier WHERE s_suppkey % 2 = 0 GROUP BY 1""",
+        "archived_timeline_read": """
+SELECT n_nationkey,
+       CASE WHEN n_regionkey IN (1, 2, 3, 4) THEN n_name || '+'
+            ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation""",
         "cleaning": f"""
 WITH {LI_CTES}
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
