@@ -1431,22 +1431,22 @@ def q_emb_semantic_dedup(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Full-oracle multimodal features: the deterministic fake decode is a
+    sha256 chain over the payload bytes (operators/multimodal.py), which
+    DuckDB replays byte-for-byte (sha256 hex -> per-byte /255.0 -> REAL, the
+    same float32 rounding Arrow applies). Scalar float columns keep the
+    driver's pandas canonicalizer happy (arrays are unhashable)."""
     from hudi_0_12_0_my_spark.operators import (extract_features,
                                                 with_media_columns)
     docs = _read(spark, sf_dir, "documents") \
-        .withColumn("payload", F.col("text").cast("binary"))
+        .withColumn("payload",
+                    F.coalesce(F.col("text"), F.lit("")).cast("binary"))
     mm = with_media_columns(docs, "payload", "image", "image/png",
                             width=64, height=64)
     feats = extract_features(mm, dim=8)
-    # the driver's canonicalizer sorts rows with pandas, which cannot hash an
-    # array<float> column — project the vector to a stable scalar fingerprint
-    return feats.select(
-        "doc_id", "media_type",
-        F.size("features").alias("feat_dim"),
-        F.xxhash64(F.to_json(F.transform(
-            "features", lambda x: F.round(x.cast("double"), 6)
-        ))).alias("features_hash"),
-    )
+    fcols = [F.element_at("features", i + 1).alias(f"f{i}") for i in range(8)]
+    return feats.select("doc_id", "media_type",
+                        F.size("features").alias("feat_dim"), *fcols)
 
 
 # ------------------------------------------------------------------ contract
@@ -2292,6 +2292,18 @@ FROM cand
 WHERE len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0 >= 0.4""",
         # pair pipeline replayed as above, closed transitively with a
         # recursive CTE — exact duplicate-cluster memberships
+        "multimodal_features": """
+WITH h AS (SELECT doc_id, sha256(coalesce(text, '')) AS hx FROM documents)
+SELECT doc_id, 'image' AS media_type, CAST(8 AS INTEGER) AS feat_dim,
+       CAST(('0x' || substr(hx,  1, 2))::INT / 255.0 AS REAL) AS f0,
+       CAST(('0x' || substr(hx,  3, 2))::INT / 255.0 AS REAL) AS f1,
+       CAST(('0x' || substr(hx,  5, 2))::INT / 255.0 AS REAL) AS f2,
+       CAST(('0x' || substr(hx,  7, 2))::INT / 255.0 AS REAL) AS f3,
+       CAST(('0x' || substr(hx,  9, 2))::INT / 255.0 AS REAL) AS f4,
+       CAST(('0x' || substr(hx, 11, 2))::INT / 255.0 AS REAL) AS f5,
+       CAST(('0x' || substr(hx, 13, 2))::INT / 255.0 AS REAL) AS f6,
+       CAST(('0x' || substr(hx, 15, 2))::INT / 255.0 AS REAL) AS f7
+FROM h""",
         "docs_cluster_best": """
 WITH RECURSIVE d0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
             FROM documents WHERE length(trim(text)) > 0),
