@@ -675,6 +675,60 @@ def q_archived_timeline_read(spark, sf_dir):
     return t.snapshot().select("n_nationkey", "n_name", "n_regionkey")
 
 
+def q_streaming_cdc_ingest(spark, sf_dir):
+    """Fork-parity, oracle-exact: JSON-lines CDC events (I/U/D ops + seq
+    precombine) streamed through the config-driven ingest
+    (HoodieFlinkStreamerWithApollo / StringToRowDataMapFunction semantics,
+    availableNow trigger) into a table; the snapshot must equal the folded
+    CDC state. Inserts for every order, +1000 updates for keys % 5 == 0,
+    deletes for keys % 7 == 0 (disjoint from updates)."""
+    key = (sf_dir, "stream_cdc")
+    if key not in _BUILT:
+        import json as _json
+        from hudi_0_12_0_my_spark.streaming.ingest import (
+            TableStreamConfig, start_table_stream)
+        orders = _read(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority").collect()
+        root = _fresh(_root(sf_dir, "stream_cdc"))
+        src = os.path.join(root, "in")
+        os.makedirs(src)
+        with open(os.path.join(src, "b1.json"), "w") as fh:
+            for r in orders:
+                fh.write(_json.dumps(
+                    {"o_orderkey": r.o_orderkey,
+                     "o_totalprice": r.o_totalprice,
+                     "o_orderpriority": r.o_orderpriority,
+                     "seq": 1, "op": "I"}) + "\n")
+        with open(os.path.join(src, "b2.json"), "w") as fh:
+            for r in orders:
+                if r.o_orderkey % 5 == 0:
+                    fh.write(_json.dumps(
+                        {"o_orderkey": r.o_orderkey,
+                         "o_totalprice": r.o_totalprice + 1000.0,
+                         "o_orderpriority": r.o_orderpriority,
+                         "seq": 2, "op": "U"}) + "\n")
+                elif r.o_orderkey % 7 == 0:
+                    fh.write(_json.dumps(
+                        {"o_orderkey": r.o_orderkey, "seq": 2,
+                         "op": "D"}) + "\n")
+        eng = _eng(spark)
+        tc = TableStreamConfig(
+            name="stream_cdc", base_path=os.path.join(root, "tbl"),
+            fields=[{"name": "o_orderkey", "type": "bigint"},
+                    {"name": "o_totalprice", "type": "double"},
+                    {"name": "o_orderpriority", "type": "string"},
+                    {"name": "seq", "type": "int"}],
+            record_key_fields=["o_orderkey"], precombine_field="seq",
+            source={"format": "json-files", "path": src})
+        q = start_table_stream(eng, tc, os.path.join(root, "ck"),
+                               trigger={"availableNow": True})
+        q.awaitTermination(180)
+        _BUILT[key] = eng.load_table(tc.base_path)
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("o_orderpriority")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
 # ---- relational queries over raw parquet (Catalyst does the work)
 def q_q1_pricing(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
@@ -1487,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "truncate_insert": q_truncate_insert,
         "archived_timeline_read": q_archived_timeline_read,
+        "streaming_cdc_ingest": q_streaming_cdc_ingest,
         "cleaning": q_cleaning,
         "rollback": q_rollback,
         "savepoint_restore": q_savepoint_restore,
@@ -1749,6 +1804,14 @@ SELECT n_nationkey,
             ELSE n_name END AS n_name,
        n_regionkey
 FROM nation""",
+        "streaming_cdc_ingest": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                          ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0)
+GROUP BY 1""",
         "cleaning": f"""
 WITH {LI_CTES}
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
