@@ -675,6 +675,25 @@ def q_archived_timeline_read(spark, sf_dir):
     return t.snapshot().select("n_nationkey", "n_name", "n_regionkey")
 
 
+def q_change_feed_batch(spark, sf_dir):
+    """Batch change-feed via the Python Data Source
+    (spark.read.format('hudi_stream')): RAW change rows of commits after the
+    bulk insert. A row rewritten unchanged by a later commit keeps its
+    original commit time and so appears once per surviving file — the feed
+    contract is raw per-file rows; the query dedupes on (key, commit_time)
+    to land on the exact upserted set, which the oracle replays."""
+    from hudi_0_12_0_my_spark.streaming import register_stream_source
+    t, commits = _build_cow(spark, sf_dir)
+    register_stream_source(spark)
+    df = (spark.read.format("hudi_stream")
+          .option("path", t.base_path)
+          .option("begininstant", commits[0]).load())
+    return (df.dropDuplicates(["l_orderkey", "l_linenumber",
+                               "_hoodie_commit_time"])
+            .groupBy("l_returnflag")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
+
+
 def q_streaming_cdc_ingest(spark, sf_dir):
     """Fork-parity, oracle-exact: JSON-lines CDC events (I/U/D ops + seq
     precombine) streamed through the config-driven ingest
@@ -1542,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_insert": q_truncate_insert,
         "archived_timeline_read": q_archived_timeline_read,
         "streaming_cdc_ingest": q_streaming_cdc_ingest,
+        "change_feed_batch": q_change_feed_batch,
         "cleaning": q_cleaning,
         "rollback": q_rollback,
         "savepoint_restore": q_savepoint_restore,
@@ -1804,6 +1824,13 @@ SELECT n_nationkey,
             ELSE n_name END AS n_name,
        n_regionkey
 FROM nation""",
+        "change_feed_batch": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity + 1000.0 AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_qty
+FROM base WHERE l_orderkey % 10 = 0
+GROUP BY 1""",
         "streaming_cdc_ingest": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
