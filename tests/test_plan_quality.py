@@ -108,6 +108,21 @@ def test_stats_pruning_dnf_algebra(cow):
     assert eff["skipped"] > 0
 
 
+def test_bm25_plan_shape(spark):
+    """BM25's scoring pass must stay map-only: the 1-row stats side comes
+    back as a broadcast, the score column never hash-shuffles, and the
+    top-k compiles to TakeOrderedAndProject (per-partition top-k + k-row
+    merge), not a global sort exchange."""
+    from hudi_0_12_0_my_spark.operators import bm25_topk
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i}") for i in range(500)],
+        "doc_id long, text string")
+    plan = _plan(bm25_topk(docs, "text number", k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_broadcast_join_for_small_dim(cow, spark):
     dim = spark.createDataFrame([(chr(97 + i), f"g{i}") for i in range(5)],
                                 "grp string, label string")
