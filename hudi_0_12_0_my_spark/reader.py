@@ -252,18 +252,52 @@ class Reader:
         begin = begin or "0"
         instants = [i for i in self.t.timeline.completed_write_instants()
                     if i.time > begin and (end is None or i.time <= end)]
-        base_paths, delta_paths, missing = [], [], False
+        # file groups replaced at-or-before `end` (insert_overwrite /
+        # delete_partition / clustering replacecommits): their rows are not
+        # part of the latest state as of `end`, so in-range files belonging
+        # to them must NOT resurrect (the replacing commit's own files carry
+        # any surviving rows with their original commit times). Found by the
+        # randomized DAG suite; reference behavior per IncrementalRelation's
+        # replace-aware file listing.
+        replaced: set = set()
+        for ins in self.t.timeline.completed_write_instants():
+            if end is not None and ins.time > end:
+                continue
+            md = self.t.timeline.metadata(ins) or {}
+            for p, fids in (md.get("replaced_file_groups") or {}).items():
+                replaced.update((p, f) for f in fids)
+        # Per file group, only the NEWEST in-range base file is scanned
+        # (IncrementalRelation's fileIdToFullPath map, where later commits
+        # overwrite earlier entries): a COW rewrite carries every surviving
+        # row forward with its original commit time, so older slices add
+        # nothing — and a row deleted by a later rewrite must NOT resurrect
+        # from the stale slice (found by the randomized DAG suite). Delta
+        # files all participate (their rows resolve by version).
+        base_latest: dict = {}    # (partition, file_id) -> (instant, path)
+        delta_paths, missing = [], False
         for ins in instants:
             md = self.t.timeline.metadata(ins)
             for partition, sts in (md.get("partition_to_write_stats") or {}).items():
                 for st in sts:
-                    p = self.t.abs(st["path"])
-                    import os
-                    if not get_storage(p).exists(p):
-                        missing = True            # cleaned since this commit
+                    if (partition, st.get("file_id")) in replaced:
                         continue
-                    (base_paths if st.get("kind", "base") == "base"
-                     else delta_paths).append(p)
+                    p = self.t.abs(st["path"])
+                    if st.get("kind", "base") == "base":
+                        key = (partition, st.get("file_id"))
+                        prev = base_latest.get(key)
+                        if prev is None or ins.time > prev[0]:
+                            base_latest[key] = (ins.time, p)
+                    else:
+                        if not get_storage(p).exists(p):
+                            missing = True        # cleaned since this commit
+                            continue
+                        delta_paths.append(p)
+        base_paths = []
+        for _t, p in base_latest.values():
+            if get_storage(p).exists(p):
+                base_paths.append(p)
+            else:
+                missing = True                    # cleaned since this commit
         if missing:
             # Fallback-to-full-scan (IncrementalRelation.scala:199-254): an
             # in-range file was cleaned, so a row whose latest in-range version

@@ -30,6 +30,18 @@ def run_clustering(table, sort_cols: list | None = None, layout: str = "linear",
                    target_file_bytes: int | None = None,
                    small_files_only: bool | None = None) -> str | None:
     cfg = table.cfg
+    if cfg.index_type in ("bucket", "bucket_consistent"):
+        # Bucket addressing IS the file-group id prefix: a sort-clustering
+        # rewrite would re-home rows into fresh non-bucket group ids, after
+        # which bucket-tagged writes (incl. delete tombstones) silently
+        # target empty groups — found by the randomized DAG suite as
+        # resurrecting deleted rows. The reference rejects clustering for
+        # the bucket index too (consistent hashing resizes through its own
+        # split/merge replacecommits — services/bucket_resize.py).
+        raise ValueError(
+            f"clustering is not supported with index_type={cfg.index_type!r}"
+            " (bucket ids address file groups; use resize_buckets for"
+            " consistent hashing)")
     target = target_file_bytes or cfg.target_file_bytes
     if small_files_only is None:
         small_files_only = layout == "linear" and sort_cols is None

@@ -1,0 +1,171 @@
+"""Randomized operation-DAG suite — the port of the reference's
+hudi-integ-test layer (HoodieTestSuiteJob + dag/: yaml-defined random
+sequences of insert/upsert/delete/compact/query nodes validated against
+expected state).
+
+A seeded RNG drives a sequence of write ops + table services against a real
+table AND a driver-side model folded with the same payload/index semantics;
+after every step the snapshot must equal the model exactly, and at the end
+an incremental pull over the full history must equal the final state. Runs
+for COW and MOR (bucket index included) so the same DAG exercises rewrite,
+delta-append, compaction and replacecommit paths.
+
+Index semantics matter:
+- NON-global index: record identity is (partition, key) — an upsert that
+  moves a key's partition value creates a SECOND record
+  (HoodieSimpleIndex), and a row's partition always equals its partition
+  column, so the model keys on (id, grp).
+- GLOBAL index: identity is the bare key; an update lands in the STORED
+  partition (HoodieGlobalSimpleIndex, update_partition_path=false) while
+  the business partition column keeps the incoming value — the model keys
+  on id and tracks the physical partition separately.
+
+This suite found the incremental-resurrection bug (in-range files of
+file groups later replaced by insert_overwrite / delete_partition leaked
+back into incremental pulls).
+"""
+
+import random
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_12_0_my_spark import Engine
+
+SCHEMA = "id long, grp string, val double, seq long"
+GRPS = ["a", "b", "c"]
+
+
+def _rows(rng, ids, seq, grp=None):
+    return [(i, grp if grp else GRPS[rng.randrange(len(GRPS))],
+             float(rng.randrange(10000)) / 100.0, seq) for i in ids]
+
+
+@pytest.mark.parametrize("table_type,index_type,global_index", [
+    ("cow", "simple", False), ("cow", "simple", True),
+    ("mor", "simple", False), ("mor", "bucket", False)])
+def test_random_dag(spark, tmp_path, table_type, index_type, global_index):
+    # crc32, not hash(): Python string hashing is process-salted and would
+    # make the DAG nondeterministic across runs
+    rng = random.Random(zlib.crc32(
+        f"{table_type}-{index_type}-{global_index}".encode()))
+    eng = Engine(spark)
+    kw = {"record_key_fields": ["id"], "precombine_field": "seq",
+          "partition_field": "grp", "table_type": table_type,
+          "global_index": global_index}
+    if index_type == "bucket":
+        kw.update(index_type="bucket", num_buckets=4)
+    t = eng.create_table(str(tmp_path / "dag"), **kw)
+
+    # model: key -> (pp, grp, val, seq); key = id (global) or (id, grp)
+    model: dict = {}
+    seq = 0
+
+    def _key(i, g):
+        return i if global_index else (i, g)
+
+    def _snap():
+        if global_index:
+            return {r.id: (r.grp, r.val, r.seq)
+                    for r in t.snapshot().collect()}
+        return {(r.id, r.grp): (r.grp, r.val, r.seq)
+                for r in t.snapshot().collect()}
+
+    def _want():
+        return {k: (v[1], v[2], v[3]) for k, v in model.items()}
+
+    def _check(step):
+        got, want = _snap(), _want()
+        assert got == want, (
+            f"step {step}: snapshot diverged\n"
+            f"  missing: {sorted(set(want) - set(got))[:5]}\n"
+            f"  extra:   {sorted(set(got) - set(want))[:5]}\n"
+            f"  changed: {[k for k in set(got) & set(want) if got[k] != want[k]][:5]}")
+
+    def live_ids():
+        return sorted({k if global_index else k[0] for k in model})
+
+    def write_op(kind):
+        nonlocal seq, model
+        seq += 1
+        if kind == "upsert":
+            ids = rng.sample(range(200), rng.randrange(5, 40))
+            rows = _rows(rng, ids, seq)
+            t.upsert(spark.createDataFrame(rows, SCHEMA))
+            for (i, g, v, s) in rows:
+                k = _key(i, g)
+                pp = model[k][0] if (global_index and k in model) else g
+                model[k] = (pp, g, v, s)   # overwrite_latest: incoming wins
+        elif kind == "insert":
+            taken = set(live_ids())
+            ids = [i for i in rng.sample(range(200, 400),
+                                         rng.randrange(3, 20))
+                   if i not in taken]
+            rows = _rows(rng, ids, seq)
+            t.insert(spark.createDataFrame(rows, SCHEMA))
+            for (i, g, v, s) in rows:
+                model[_key(i, g)] = (g, g, v, s)
+        elif kind == "delete":
+            live = live_ids()
+            if not live:
+                return False
+            ids = set(rng.sample(live, min(len(live), rng.randrange(1, 15))))
+            t.delete(t.snapshot().filter(F.col("id").isin(list(ids))))
+            model = {k: r for k, r in model.items()
+                     if (k if global_index else k[0]) not in ids}
+        elif kind == "insert_overwrite":
+            g = rng.choice(GRPS)
+            # per-partition id bands: insert_overwrite does NO index lookup
+            # (reference semantics), so a shared id range would create
+            # legitimate cross-partition duplicates the id-keyed global
+            # model cannot represent
+            lo = 400 + 33 * GRPS.index(g)
+            ids = rng.sample(range(lo, lo + 33), rng.randrange(3, 10))
+            rows = _rows(rng, ids, seq, grp=g)
+            t.insert_overwrite(spark.createDataFrame(rows, SCHEMA))
+            model = {k: r for k, r in model.items() if r[0] != g}
+            for (i, gg, v, s) in rows:
+                model[_key(i, gg)] = (gg, gg, v, s)
+        elif kind == "delete_partition":
+            g = rng.choice(GRPS)
+            t.delete_partition([g])
+            model = {k: r for k, r in model.items() if r[0] != g}
+        return True
+
+    ops = ["upsert", "upsert", "insert", "delete", "insert_overwrite",
+           "delete_partition"]
+    services = ["compact", "cluster", "clean", "none", "none"]
+
+    write_op("upsert")            # seed data
+    _check("seed")
+    for step in range(12):
+        did = write_op(rng.choice(ops))
+        if did:
+            _check(f"{step}-write")
+        svc = rng.choice(services)
+        if svc == "compact" and table_type == "mor":
+            t.compact()
+        elif svc == "cluster" and rng.random() < 0.5:
+            if index_type == "bucket":
+                # bucket ids address file groups; clustering must refuse
+                # (it would re-home rows into non-bucket group ids)
+                with pytest.raises(ValueError, match="bucket"):
+                    t.cluster(sort_cols=["id"])
+            else:
+                t.cluster(sort_cols=["id"])
+        elif svc == "clean":
+            t.clean(policy="KEEP_LATEST_COMMITS", retain=8)
+        if svc != "none":
+            _check(f"{step}-{svc}")
+
+    # incremental over the whole history folds to the final state (deleted
+    # rows drop, replaced file groups must not resurrect, latest version
+    # per identity survives)
+    if global_index:
+        inc = {r.id: (r.grp, r.val, r.seq)
+               for r in t.incremental(begin="0").collect()}
+    else:
+        inc = {(r.id, r.grp): (r.grp, r.val, r.seq)
+               for r in t.incremental(begin="0").collect()}
+    assert inc == _want()
