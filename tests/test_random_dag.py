@@ -60,6 +60,7 @@ def test_random_dag(spark, tmp_path, table_type, index_type, global_index):
 
     # model: key -> (pp, grp, val, seq); key = id (global) or (id, grp)
     model: dict = {}
+    commits: list = []            # (instant, model copy) after each write op
     seq = 0
 
     def _key(i, g):
@@ -131,6 +132,8 @@ def test_random_dag(spark, tmp_path, table_type, index_type, global_index):
             g = rng.choice(GRPS)
             t.delete_partition([g])
             model = {k: r for k, r in model.items() if r[0] != g}
+        commits.append((t.timeline.completed_write_instants()[-1].time,
+                        dict(model)))
         return True
 
     ops = ["upsert", "upsert", "insert", "delete", "insert_overwrite",
@@ -159,13 +162,43 @@ def test_random_dag(spark, tmp_path, table_type, index_type, global_index):
         if svc != "none":
             _check(f"{step}-{svc}")
 
+    def _fold(df):
+        if global_index:
+            return {r.id: (r.grp, r.val, r.seq) for r in df.collect()}
+        return {(r.id, r.grp): (r.grp, r.val, r.seq) for r in df.collect()}
+
+    def _proj(m):
+        return {k: (v[1], v[2], v[3]) for k, v in m.items()}
+
     # incremental over the whole history folds to the final state (deleted
     # rows drop, replaced file groups must not resurrect, latest version
     # per identity survives)
-    if global_index:
-        inc = {r.id: (r.grp, r.val, r.seq)
-               for r in t.incremental(begin="0").collect()}
-    else:
-        inc = {(r.id, r.grp): (r.grp, r.val, r.seq)
-               for r in t.incremental(begin="0").collect()}
-    assert inc == _want()
+    assert _fold(t.incremental(begin="0")) == _want()
+
+    # time travel to recent write instants reproduces the recorded model
+    # (recent = inside the cleaning retention window)
+    for instant, m in commits[-3:]:
+        assert _fold(t.time_travel(instant)) == _proj(m), \
+            f"time_travel({instant}) diverged"
+
+    # incremental windows between recorded commits equal the model diff:
+    # every seq bump changes the row value, so "changed since i, alive at
+    # j" is exactly the window's contents
+    for _ in range(3):
+        i = rng.randrange(max(len(commits) - 4, 0), len(commits) - 1)
+        j = rng.randrange(i + 1, len(commits))
+        (ci, mi), (cj, mj) = commits[i], commits[j]
+        wi, wj = _proj(mi), _proj(mj)
+        expect = {k: v for k, v in wj.items() if wi.get(k) != v}
+        got = _fold(t.incremental(begin=ci, end=cj))
+        assert got == expect, f"incremental({ci}, {cj}] diverged"
+
+    # rollback of one final upsert restores the pre-upsert state
+    pre = dict(model)
+    seq += 1
+    extra = _rows(rng, rng.sample(range(200), 5), seq)
+    t.upsert(spark.createDataFrame(extra, SCHEMA))
+    t.rollback(t.timeline.completed_write_instants()[-1].time)
+    t = t.reload()
+    model = pre
+    _check("rollback")
