@@ -202,3 +202,14 @@ def test_random_dag(spark, tmp_path, table_type, index_type, global_index):
     t = t.reload()
     model = pre
     _check("rollback")
+
+    # savepoint -> more writes -> restore lands exactly on the pinned state
+    sp = t.savepoint()
+    pinned = dict(model)
+    for _ in range(2):
+        write_op(rng.choice(["upsert", "delete", "insert_overwrite"]))
+    _check("post-savepoint-writes")
+    t.restore(sp)
+    t = t.reload()
+    model = pinned
+    _check("restore")
