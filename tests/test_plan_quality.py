@@ -108,6 +108,29 @@ def test_stats_pruning_dnf_algebra(cow):
     assert eff["skipped"] > 0
 
 
+def test_incremental_scans_newest_slice_only(spark, tmp_path):
+    """Two sequential upserts rewriting the same file group: the
+    incremental plan must scan ONE base file per group (the newest
+    in-range slice carries every surviving row with its original commit
+    time) — reading the stale slice too would both waste IO and resurrect
+    later-deleted rows."""
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "inc"), record_key_fields=["id"],
+                         precombine_field="seq")
+    t.bulk_insert(spark.createDataFrame(
+        [(i, float(i), 1) for i in range(50)], "id long, val double, seq long"))
+    t.upsert(spark.createDataFrame(
+        [(i, float(i) + 100, 2) for i in range(0, 50, 2)],
+        "id long, val double, seq long"))
+    t.upsert(spark.createDataFrame(
+        [(i, float(i) + 200, 3) for i in range(0, 50, 4)],
+        "id long, val double, seq long"))
+    live_files = sum(1 for _g, s in t.view().live_slices()
+                     if s.base_file is not None)
+    inc = t.incremental(begin="0", keep_meta=True)
+    assert len(inc.inputFiles()) == live_files
+
+
 def test_bm25_plan_shape(spark):
     """BM25's scoring pass must stay map-only: the 1-row stats side comes
     back as a broadcast, the score column never hash-shuffles, and the

@@ -42,21 +42,17 @@ def _rows(rng, ids, seq, grp=None):
              float(rng.randrange(10000)) / 100.0, seq) for i in ids]
 
 
-@pytest.mark.parametrize("table_type,index_type,global_index", [
-    ("cow", "simple", False), ("cow", "simple", True),
-    ("mor", "simple", False), ("mor", "bucket", False)])
-def test_random_dag(spark, tmp_path, table_type, index_type, global_index):
-    # crc32, not hash(): Python string hashing is process-salted and would
-    # make the DAG nondeterministic across runs
-    rng = random.Random(zlib.crc32(
-        f"{table_type}-{index_type}-{global_index}".encode()))
+def run_dag(spark, base_path, table_type, index_type, global_index,
+            seed, n_steps=12):
+    """One full randomized DAG run; importable for offline seed sweeps."""
+    rng = random.Random(seed)
     eng = Engine(spark)
     kw = {"record_key_fields": ["id"], "precombine_field": "seq",
           "partition_field": "grp", "table_type": table_type,
           "global_index": global_index}
     if index_type == "bucket":
         kw.update(index_type="bucket", num_buckets=4)
-    t = eng.create_table(str(tmp_path / "dag"), **kw)
+    t = eng.create_table(base_path, **kw)
 
     # model: key -> (pp, grp, val, seq); key = id (global) or (id, grp)
     model: dict = {}
@@ -142,7 +138,7 @@ def test_random_dag(spark, tmp_path, table_type, index_type, global_index):
 
     write_op("upsert")            # seed data
     _check("seed")
-    for step in range(12):
+    for step in range(n_steps):
         did = write_op(rng.choice(ops))
         if did:
             _check(f"{step}-write")
@@ -213,3 +209,14 @@ def test_random_dag(spark, tmp_path, table_type, index_type, global_index):
     t = t.reload()
     model = pinned
     _check("restore")
+
+
+@pytest.mark.parametrize("table_type,index_type,global_index", [
+    ("cow", "simple", False), ("cow", "simple", True),
+    ("mor", "simple", False), ("mor", "bucket", False)])
+def test_random_dag(spark, tmp_path, table_type, index_type, global_index):
+    # crc32, not hash(): Python string hashing is process-salted and would
+    # make the DAG nondeterministic across runs
+    seed = zlib.crc32(f"{table_type}-{index_type}-{global_index}".encode())
+    run_dag(spark, str(tmp_path / "dag"), table_type, index_type,
+            global_index, seed)
