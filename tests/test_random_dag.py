@@ -213,6 +213,7 @@ def run_dag(spark, base_path, table_type, index_type, global_index,
 
 @pytest.mark.parametrize("table_type,index_type,global_index", [
     ("cow", "simple", False), ("cow", "simple", True),
+    ("cow", "bucket", False), ("mor", "simple", True),
     ("mor", "simple", False), ("mor", "bucket", False)])
 def test_random_dag(spark, tmp_path, table_type, index_type, global_index):
     # crc32, not hash(): Python string hashing is process-salted and would
