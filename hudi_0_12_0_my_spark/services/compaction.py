@@ -26,7 +26,8 @@ import os
 def schedule_compaction(table, strategy: str = "log_file_size",
                         max_groups: int | None = None,
                         target_io_bytes: int | None = None,
-                        target_partitions: int = 10) -> dict | None:
+                        target_partitions: int = 10,
+                        reference_date: str | None = None) -> dict | None:
     """Write a requested compaction plan instant; returns the plan.
 
     Strategies (hudi-client/hudi-client-common/.../compact/strategy/):
@@ -38,6 +39,14 @@ def schedule_compaction(table, strategy: str = "log_file_size",
       bounded_io    — greedy under an IO budget: read base + read logs +
                       rewrite base per group (BoundedIOCompactionStrategy,
                       hoodie.compaction.target.io)
+      bounded_partition_aware — every partition within `target_partitions`
+                      days of `reference_date` (default: the table's newest
+                      partition, so tests are deterministic; the reference
+                      uses the wall clock). Unlike day_based this keeps ALL
+                      partitions past the cutoff, not a fixed count
+                      (BoundedPartitionAwareCompactionStrategy.java:58-66:
+                      earliestPartitionPathToCompact = currentDay - N days,
+                      then a >= comparison on the day-formatted path).
       unbounded     — everything with deltas (UnBoundedCompactionStrategy)
     """
     view = table.view()
@@ -65,6 +74,38 @@ def schedule_compaction(table, strategy: str = "log_file_size",
             picked.append((g, s))
             spent += io
         cands = picked
+    elif strategy == "bounded_partition_aware":
+        # BoundedPartitionAwareCompactionStrategy: keep every partition whose
+        # day is within target_partitions days of the reference day (all of
+        # them, not a fixed count — a table with gaps compacts fewer).
+        from datetime import datetime, timedelta
+
+        def _day(p: str):
+            # yyyy[-MM[-dd]] paths: pad month/day so a 6-digit "199811"
+            # (yyyy-MM partition) can't mis-parse as 1998-01-01 via
+            # strptime's greedy backtracking
+            digits = "".join(ch for ch in p if ch.isdigit())
+            if len(digits) >= 8:
+                s = digits[:8]
+            elif len(digits) >= 6:
+                s = digits[:6] + "01"
+            elif len(digits) >= 4:
+                s = digits[:4] + "0101"
+            else:
+                return None
+            try:
+                return datetime.strptime(s, "%Y%m%d")
+            except ValueError:
+                return None
+        ref = _day(reference_date) if reference_date else \
+            max((d for d in (_day(g.partition) for g, _s in cands) if d),
+                default=None)
+        if ref is not None:
+            cutoff = ref - timedelta(days=target_partitions)
+            cands = [(g, s) for g, s in cands
+                     if (_day(g.partition) or cutoff) >= cutoff]
+        cands.sort(key=lambda gs: (gs[0].partition, gs[0].file_id),
+                   reverse=True)
     elif strategy != "unbounded":
         raise ValueError(f"unknown compaction strategy {strategy!r}")
     if max_groups:
@@ -81,7 +122,8 @@ def run_compaction(table, strategy: str = "log_file_size",
                    max_groups: int | None = None,
                    plan: dict | None = None,
                    target_io_bytes: int | None = None,
-                   target_partitions: int = 10) -> str | None:
+                   target_partitions: int = 10,
+                   reference_date: str | None = None) -> str | None:
     cfg = table.cfg
     spec = payloads.get(cfg.payload)
     if plan is None:
@@ -95,7 +137,8 @@ def run_compaction(table, strategy: str = "log_file_size",
         else:
             plan = schedule_compaction(table, strategy, max_groups,
                                        target_io_bytes=target_io_bytes,
-                                       target_partitions=target_partitions)
+                                       target_partitions=target_partitions,
+                                       reference_date=reference_date)
     if plan is None:
         return None
     instant = plan["instant"]

@@ -271,6 +271,21 @@ def test_compaction_strategies_select_subsets(spark, tmp_table_dir):
     plan_all = schedule_compaction(t, strategy="unbounded")
     assert len(plan_all["groups"]) == 3
     t.timeline.remove(plan_all["instant"], "commit")
+
+    # bounded_partition_aware: day-window cutoff, not a fixed count — a 1-day
+    # window from the newest partition keeps 01-02 and 01-03 (>= ref - 1d)
+    plan_bpa = schedule_compaction(t, strategy="bounded_partition_aware",
+                                   target_partitions=1)
+    assert {g["partition"] for g in plan_bpa["groups"]} == \
+        {"2021-01-02", "2021-01-03"}
+    t.timeline.remove(plan_bpa["instant"], "commit")
+    # explicit reference date: window is anchored to it, not the table max
+    plan_ref = schedule_compaction(t, strategy="bounded_partition_aware",
+                                   target_partitions=0,
+                                   reference_date="2021-01-02")
+    assert {g["partition"] for g in plan_ref["groups"]} == {"2021-01-02",
+                                                            "2021-01-03"}
+    t.timeline.remove(plan_ref["instant"], "commit")
     # executing the day_based plan leaves the untouched partition's deltas
     instant = t.compact(strategy="day_based", target_partitions=2)
     assert instant is not None
