@@ -1254,6 +1254,27 @@ def q_docs_sample_stratified(spark, sf_dir):
         id_col="doc_id").select("doc_id", "lang")
 
 
+def q_docs_quality_percentile(spark, sf_dir):
+    """Top-30%-per-language selection by score (percentile, not an absolute
+    cutoff): one window shuffle keyed by lang in exact mode; the 100 TB
+    default is the approx mode whose corpus side never shuffles."""
+    from hudi_0_12_0_my_spark.operators import percentile_filter
+    docs = _read(spark, sf_dir, "documents")
+    return (percentile_filter(docs, 0.3, "n_chars", group_col="lang")
+            .select("doc_id", "lang", "n_chars"))
+
+
+def q_docs_mixture_sample(spark, sf_dir):
+    """Rebalance to a target language mixture (40/20/20/20): scarcest group
+    binds the achievable size, the rest downsample via the engine-portable
+    hash — one tiny count agg + a map-only filter."""
+    from hudi_0_12_0_my_spark.operators import mixture_sample
+    docs = _read(spark, sf_dir, "documents")
+    return (mixture_sample(docs, "lang",
+                           {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2})
+            .select("doc_id", "lang"))
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization (24h inactivity gap): one shuffle on
     user_id shared by the lag window, the island numbering, and the final
@@ -1608,6 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": q_docs_decontaminate,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_sample_stratified": q_docs_sample_stratified,
+        "docs_quality_percentile": q_docs_quality_percentile,
+        "docs_mixture_sample": q_docs_mixture_sample,
         "events_sessionize": q_events_sessionize,
         "emb_topk": q_emb_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -2561,6 +2584,30 @@ SELECT doc_id, lang FROM documents
 WHERE ((doc_id % 1000000007) * 2654435761 + 42) % 1000000 <
       CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                 WHEN 'fr' THEN 100000 WHEN 'es' THEN 750000 ELSE 0 END""",
+        "docs_quality_percentile": """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents)
+SELECT doc_id, lang, n_chars FROM r
+WHERE rn <= ceil(CAST(0.3 AS DOUBLE) * cnt)""",
+        "docs_mixture_sample": """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents
+           WHERE lang IN ('en','de','es','fr') GROUP BY 1),
+t AS (SELECT lang, cnt,
+        CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                  WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                  WHEN 'es' THEN CAST(0.2 AS DOUBLE)
+                  WHEN 'fr' THEN CAST(0.2 AS DOUBLE) END AS share
+      FROM c),
+m AS (SELECT min(cnt / share) AS nprime FROM t),
+f AS (SELECT lang, least(CAST(1.0 AS DOUBLE), share * nprime / cnt) AS keep
+      FROM t, m)
+SELECT d.doc_id, d.lang FROM documents d JOIN f ON d.lang = f.lang
+WHERE ((d.doc_id % 1000000007) * 2654435761 + 42) % 1000000 <
+      round(keep * 1000000)""",
         "events_sessionize": """
 WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
 l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev

@@ -19,6 +19,7 @@ from .multimodal import (with_media_columns, extract_features,
 from .pipeline import (chunk_documents, contaminated_ids, curate,
                        decontaminate, scrub_pii, normalize_text,
                        deterministic_sample, stratified_sample,
+                       percentile_filter, mixture_sample,
                        pack_sequences)
 from .sessions import sessionize, session_stats, funnel_stats
 from .similarity import (cosine_topk, ivf_cosine_topk,
@@ -43,5 +44,6 @@ __all__ = [
     "chunk_documents", "contaminated_ids", "curate", "decontaminate",
     "pack_sequences", "scrub_pii", "normalize_text",
     "deterministic_sample", "stratified_sample",
+    "percentile_filter", "mixture_sample",
     "sessionize", "session_stats", "funnel_stats",
 ]

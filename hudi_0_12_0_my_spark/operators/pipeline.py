@@ -271,6 +271,75 @@ def deterministic_sample(df: DataFrame, fraction: float,
     return df.filter(_sample_bucket(id_col, seed, buckets) < keep)
 
 
+def percentile_filter(df: DataFrame, keep_frac: float, score_col: str,
+                      group_col: str | None = None, id_col: str = "doc_id",
+                      exact: bool = True,
+                      approx_error: float = 0.001) -> DataFrame:
+    """Keep the top `keep_frac` of rows by `score_col` (per group if given).
+
+    Quality-threshold selection ("keep the best 30% per language") without a
+    hand-tuned absolute cutoff. Two shapes:
+
+    - exact=True: row_number over (group, score desc, id) vs the group count
+      — one window shuffle keyed by the group. Deterministic (id tiebreak),
+      oracle-replayable. Right for bounded groups; at 100 TB a single group
+      is a single sort partition range, which Spark's range-partitioned
+      window handles, but the whole corpus shuffles once.
+    - exact=False: per-group `percentile_approx` threshold (tiny agg result)
+      broadcast back, then a map-only `score >= threshold` filter — the
+      corpus itself never shuffles, the only wide op is a partial-agg
+      sketch merge. The kept fraction is approximate within the sketch
+      error; this is the 100 TB default shape.
+    """
+    from pyspark.sql import Window as W
+    group = [group_col] if group_col else []
+    if exact:
+        w = W.partitionBy(*group).orderBy(F.col(score_col).desc(),
+                                          F.col(id_col))
+        cw = W.partitionBy(*group)
+        return (df.withColumn("_rn", F.row_number().over(w))
+                  .withColumn("_cnt", F.count(F.lit(1)).over(cw))
+                  .filter(F.col("_rn") <=
+                          F.ceil(F.lit(float(keep_frac)) * F.col("_cnt")))
+                  .drop("_rn", "_cnt"))
+    agg = (df.groupBy(*group)
+             .agg(F.percentile_approx(score_col, 1.0 - keep_frac,
+                                      int(1.0 / approx_error))
+                  .alias("_thr")))
+    if group_col:
+        return (df.join(F.broadcast(agg), group_col)
+                  .filter(F.col(score_col) >= F.col("_thr")).drop("_thr"))
+    return (df.crossJoin(F.broadcast(agg))
+              .filter(F.col(score_col) >= F.col("_thr")).drop("_thr"))
+
+
+def mixture_sample(df: DataFrame, group_col: str,
+                   target_shares: dict[str, float], id_col: str = "doc_id",
+                   seed: int = 42, buckets: int = 1_000_000) -> DataFrame:
+    """Rebalance the corpus to a target group mixture by downsampling.
+
+    Training mixtures are specified as shares ("40% en, 20% de, ..."), not
+    per-group fractions; the achievable corpus size is limited by the
+    scarcest group: N' = min_g(count_g / share_g), and each group keeps
+    fraction share_g * N' / count_g (exactly 1.0 for the binding group).
+    Groups absent from `target_shares` are dropped.
+
+    Shape for 100 TB: one partial-agg count per group (tiny result), driver
+    computes the keep fractions, and the corpus is filtered map-only with
+    the same engine-portable bucket hash as deterministic_sample — the big
+    side never shuffles and the sample is reproducible across engines.
+    """
+    counts = {r[0]: r[1] for r in
+              df.filter(F.col(group_col).isin(*target_shares.keys()))
+                .groupBy(group_col).count().collect()}
+    nprime = min(counts[g] / s for g, s in target_shares.items()
+                 if g in counts and s > 0)
+    fractions = {g: min(1.0, s * nprime / counts[g])
+                 for g, s in target_shares.items() if g in counts}
+    return stratified_sample(df, group_col, fractions, id_col=id_col,
+                             seed=seed, buckets=buckets)
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict[str, float], id_col: str = "doc_id",
                       seed: int = 42, buckets: int = 1_000_000) -> DataFrame:

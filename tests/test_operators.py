@@ -274,6 +274,42 @@ def test_stratified_sample_quotas(docs):
     assert got == {1, 2, 3, 4, 6, 7}       # all en kept, de (5) dropped
 
 
+def test_percentile_filter_exact_and_approx(spark):
+    rows = [(i, "en" if i <= 10 else "de", float(i)) for i in range(1, 16)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    # exact: top 30% per lang -> ceil(.3*10)=3 en (scores 10,9,8),
+    # ceil(.3*5)=2 de (15,14)
+    out = ops.percentile_filter(df, 0.3, "score", group_col="lang")
+    assert {r.doc_id for r in out.collect()} == {10, 9, 8, 15, 14}
+    # ungrouped: top 20% of 15 -> ceil(3.0)=3 rows (15,14,13)
+    out2 = ops.percentile_filter(df, 0.2, "score")
+    assert {r.doc_id for r in out2.collect()} == {15, 14, 13}
+    # approx path: corpus never shuffles; threshold semantics still hold on
+    # this tiny frame (sketch is exact at this size)
+    out3 = ops.percentile_filter(df, 0.3, "score", group_col="lang",
+                                 exact=False)
+    got = {r.doc_id for r in out3.collect()}
+    assert {15, 14} <= got and got <= {10, 9, 8, 7, 15, 14}
+    plan = out3._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan     # threshold join, not a shuffle join
+
+
+def test_mixture_sample_target_shares(spark):
+    rows = [(i, "en" if i % 4 else "de") for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # counts: en 300, de 100. target 50/50 -> nprime=min(600,200)=200:
+    # keep_en=100/300, keep_de=1.0 -> expected ~100 en + all 100 de
+    out = ops.mixture_sample(df, "lang", {"en": 0.5, "de": 0.5})
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == 100                      # binding group intact
+    assert abs(counts["en"] - 100) < 30             # hash-sample tolerance
+    # groups outside the target mixture are dropped entirely
+    df2 = df.union(spark.createDataFrame([(1000, "zh")], df.schema))
+    out2 = ops.mixture_sample(df2, "lang", {"en": 0.5, "de": 0.5})
+    assert out2.filter("lang = 'zh'").count() == 0
+
+
 def test_chunk_documents_overlap_windows(spark):
     docs = spark.createDataFrame(
         [(1, " ".join(f"t{i}" for i in range(10))),
