@@ -262,6 +262,26 @@ def test_scrub_and_sample_are_map_only(spark):
         assert "BatchEvalPython" not in plan
 
 
+def test_percentile_and_mixture_corpus_never_shuffles(spark):
+    """percentile_filter(exact=False): the corpus meets the per-group
+    threshold via BroadcastHashJoin — the only Exchange aggregates the tiny
+    sketch, so no corpus-sized shuffle exists. mixture_sample's corpus plan
+    is a pure filter (counts were a separate tiny agg job)."""
+    from hudi_0_12_0_my_spark.operators import percentile_filter, mixture_sample
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de", float(i)) for i in range(60)],
+        "doc_id long, lang string, score double")
+    plan = percentile_filter(docs, 0.3, "score", group_col="lang",
+                             exact=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    mix = mixture_sample(docs, "lang", {"en": 0.6, "de": 0.4})
+    mplan = mix._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in mplan            # map-only filter on the corpus
+    assert "BatchEvalPython" not in mplan
+
+
 def test_session_stats_single_shuffle(spark):
     """sessionize + session_stats share ONE hash exchange on user_id: the
     lag window, island numbering, and per-session aggregate all reuse the
