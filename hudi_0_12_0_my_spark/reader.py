@@ -250,7 +250,16 @@ class Reader:
         cfg = self.cfg
         spec = payloads.get(cfg.payload)
         begin = begin or "0"
-        instants = [i for i in self.t.timeline.completed_write_instants()
+        # archived write instants participate with their batched metadata:
+        # a begin older than the archive boundary must still enumerate the
+        # archived commits' files (HoodieArchivedTimeline serves exactly
+        # this; found by the randomized DAG suite when `archive` joined the
+        # service mix)
+        hist = [(i, md) for i, md in self.t.timeline.archived()
+                if i.action in tl.WRITE_ACTIONS]
+        hist += [(i, self.t.timeline.metadata(i))
+                 for i in self.t.timeline.completed_write_instants()]
+        in_range = [(i, md) for i, md in hist
                     if i.time > begin and (end is None or i.time <= end)]
         # file groups replaced at-or-before `end` (insert_overwrite /
         # delete_partition / clustering replacecommits): their rows are not
@@ -260,11 +269,10 @@ class Reader:
         # randomized DAG suite; reference behavior per IncrementalRelation's
         # replace-aware file listing.
         replaced: set = set()
-        for ins in self.t.timeline.completed_write_instants():
+        for ins, md in hist:
             if end is not None and ins.time > end:
                 continue
-            md = self.t.timeline.metadata(ins) or {}
-            for p, fids in (md.get("replaced_file_groups") or {}).items():
+            for p, fids in ((md or {}).get("replaced_file_groups") or {}).items():
                 replaced.update((p, f) for f in fids)
         # Per file group, only the NEWEST in-range base file is scanned
         # (IncrementalRelation's fileIdToFullPath map, where later commits
@@ -275,9 +283,8 @@ class Reader:
         # files all participate (their rows resolve by version).
         base_latest: dict = {}    # (partition, file_id) -> (instant, path)
         delta_paths, missing = [], False
-        for ins in instants:
-            md = self.t.timeline.metadata(ins)
-            for partition, sts in (md.get("partition_to_write_stats") or {}).items():
+        for ins, md in in_range:
+            for partition, sts in ((md or {}).get("partition_to_write_stats") or {}).items():
                 for st in sts:
                     if (partition, st.get("file_id")) in replaced:
                         continue
@@ -362,13 +369,20 @@ class Reader:
                         f"incremental_cdc: state as-of begin={begin} is no "
                         f"longer reconstructable — cleaning retained only "
                         f"instants >= {er}; choose begin within retention")
-        instants = [i for i in self.t.timeline.completed_write_instants()
+        # archived write instants count too: a begin older than the archive
+        # boundary must still see the archived commits' touched partitions
+        hist = [(i, md) for i, md in self.t.timeline.archived()
+                if i.action in tl.WRITE_ACTIONS]
+        hist += [(i, self.t.timeline.metadata(i))
+                 for i in self.t.timeline.completed_write_instants()]
+        instants = [i for i, _md in hist
                     if i.time > begin and (end is None or i.time <= end)]
         touched: set[str] = set()
-        for ins in instants:
-            md = self.t.timeline.metadata(ins)
-            touched |= set((md.get("partition_to_write_stats") or {}).keys())
-            touched |= set((md.get("replaced_file_groups") or {}).keys())
+        for ins, md in hist:
+            if ins.time <= begin or (end is not None and ins.time > end):
+                continue
+            touched |= set(((md or {}).get("partition_to_write_stats") or {}).keys())
+            touched |= set(((md or {}).get("replaced_file_groups") or {}).keys())
         def _scope(df):
             """Restrict to touched partitions; beyond a few hundred the
             literal In-list bloats the plan, so switch to a broadcast

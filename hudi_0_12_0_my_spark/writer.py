@@ -656,9 +656,55 @@ class Writer:
         if not paths:
             return None
         df = self._meta_scan(view, paths)
-        return (df.select(F.col(meta.RECORD_KEY),
-                          F.col(meta.PARTITION_PATH).alias("__loc_pp"),
-                          meta.file_id_from_name().alias("__loc_fid")))
+        df = (df.select(F.col(meta.RECORD_KEY),
+                        F.col(meta.PARTITION_PATH).alias("__loc_pp"),
+                        meta.file_id_from_name().alias("__loc_fid")))
+        dead = self._shadow_deleted_keys(view, partitions)
+        if dead is not None:
+            df = df.join(dead, on=[meta.RECORD_KEY, "__loc_pp"],
+                         how="left_anti")
+        return df
+
+    def _shadow_deleted_keys(self, view: FileSystemView,
+                             partitions: list[str]) -> DataFrame | None:
+        """Keys whose base-file copy is shadowed by a live delta tombstone
+        (MOR, pre-compaction). The plain base meta scan would tag such a key
+        to its OLD file group, so with a global index a re-insert of a
+        deleted key would be revived in the old partition — and the row's
+        physical placement would then depend on compaction timing. Resolving
+        the dirty groups' (key, partition) winners (same ordering as
+        payloads.resolve) and subtracting tombstone winners makes placement
+        deterministic: a deleted key always re-inserts into its keygen
+        partition, exactly like COW (where the delete rewrote the base).
+
+        Only dirty groups (those with deltas) can shadow, so this subplan
+        reads nothing after compaction; columns are meta + precombine only.
+        """
+        from pyspark.sql import Window
+        if self.cfg.table_type != cfgmod.MOR or not self.cfg.global_index:
+            return None
+        dirty = [(g, s) for g, s in view.live_slices() if s.deltas]
+        if not dirty:
+            return None
+        spec = payloads.get(self.cfg.payload)
+        fields = payloads._ordering_fields(spec, self.cfg)
+        bases = [view.abs(s.base_file.path) for g, s in dirty if s.base_file]
+        deltas = [view.abs(d.path) for g, s in dirty for d in s.deltas]
+        b = read_files(self.spark, bases, base_read_schema(self.cfg), self.cfg)
+        d = read_files(self.spark, deltas, delta_read_schema(self.cfg), self.cfg)
+        u = b.unionByName(d, allowMissingColumns=True)
+        narrow = [meta.RECORD_KEY, meta.PARTITION_PATH, meta.COMMIT_TIME,
+                  meta.COMMIT_SEQNO, meta.OPERATION, meta.DELETE_MARKER]
+        if self.cfg.precombine_field:
+            narrow.append(self.cfg.precombine_field)
+        u = u.select(*[c for c in dict.fromkeys(narrow) if c in u.columns])
+        w = (Window.partitionBy(meta.RECORD_KEY, meta.PARTITION_PATH)
+             .orderBy(*payloads._desc([f for f in fields if f in u.columns])))
+        winner = (u.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1))
+        return (winner.filter(payloads.is_tombstone(winner))
+                      .select(F.col(meta.RECORD_KEY),
+                              F.col(meta.PARTITION_PATH).alias("__loc_pp")))
 
     @staticmethod
     def emptied_groups(affected: set, stats_by_partition: dict) -> dict:

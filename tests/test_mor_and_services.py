@@ -390,3 +390,60 @@ def test_compaction_excludes_post_schedule_deltas(spark, tmp_path):
     # time travel as-of the compaction instant: late delta invisible
     tt = {r.id: r.val for r in t.time_travel(instant).collect()}
     assert tt[1] == 100.0 and tt[2] == 2.0
+
+
+def test_mor_global_reinsert_of_deleted_key_lands_in_keygen_partition(
+        spark, tmp_table_dir):
+    """A key deleted via a delta tombstone still has a base-file copy until
+    compaction; the plain base meta scan would tag a re-insert to the OLD
+    group, reviving the row in its old partition — placement would then
+    depend on compaction timing. The tag subtracts shadow-deleted keys
+    (writer._shadow_deleted_keys), so the re-insert lands in the keygen
+    partition, exactly like COW. Found by the randomized DAG suite."""
+    t = Engine(spark).create_table(
+        tmp_table_dir, record_key_fields=["id"], precombine_field="ts",
+        partition_field="dt", table_type="mor", global_index=True)
+    t.bulk_insert(make_rows(spark, [(1, "a", 10.0, 100, "2021-01-01")]))
+    t.delete(t.snapshot().filter("id = 1"))
+    assert t.snapshot().count() == 0
+    # NO compaction between delete and re-insert: the stale base copy exists
+    t.upsert(make_rows(spark, [(1, "re", 11.0, 300, "2021-01-02")]))
+    rows = t.reader.snapshot(keep_meta=True) \
+        .select("_hoodie_partition_path", "id", "name").collect()
+    assert [(r._hoodie_partition_path, r.id, r.name) for r in rows] == \
+        [("2021-01-02", 1, "re")]
+    # and the old partition is truly empty: dropping it must not remove the row
+    t.delete_partition(["2021-01-01"])
+    assert {r.id for r in t.snapshot().collect()} == {1}
+    # a LIVE key still updates in place in its stored partition
+    t.upsert(make_rows(spark, [(1, "re2", 12.0, 400, "2021-01-03")]))
+    rows = t.reload().reader.snapshot(keep_meta=True) \
+        .select("_hoodie_partition_path", "name").collect()
+    assert [(r._hoodie_partition_path, r.name) for r in rows] == \
+        [("2021-01-02", "re2")]
+
+
+def test_incremental_enumerates_archived_commits(spark, tmp_table_dir):
+    """incremental(begin earlier than the archive boundary) must fold the
+    archived commits' file stats — rows written by archived commits and
+    untouched since would otherwise vanish from the file-list plan. Same for
+    the CDC diff's touched-partition scoping."""
+    t = Engine(spark).create_table(
+        tmp_table_dir, record_key_fields=["id"], precombine_field="ts",
+        partition_field="dt")
+    t.bulk_insert(make_rows(spark, BATCH1))
+    first = t.timeline.completed_write_instants()[-1].time
+    for v in range(6):
+        t.upsert(make_rows(spark, [(2, f"v{v}", 20.0 + v, 200 + v,
+                                    "2021-01-01")]))
+    res = t.archive(retain_active=3)
+    assert res["archived"] > 0
+    inc = {r.id: r.name for r in t.incremental(begin="0").collect()}
+    assert inc[1] == "a" and inc[3] == "c" and inc[2] == "v5"
+    # CDC diff over the full history sees the archived first commit's rows
+    ops = {(r.op, r._hoodie_record_key)
+           for r in t.incremental_cdc(begin="0").collect()}
+    assert ("i", "1") in ops and ("i", "3") in ops
+    # window starting at the archived first commit still yields the updates
+    inc2 = {r.id: r.name for r in t.incremental(begin=first).collect()}
+    assert inc2 == {2: "v5"}

@@ -128,13 +128,31 @@ def run_dag(spark, base_path, table_type, index_type, global_index,
             g = rng.choice(GRPS)
             t.delete_partition([g])
             model = {k: r for k, r in model.items() if r[0] != g}
+        elif kind == "merge":
+            ids = rng.sample(range(200), rng.randrange(5, 25))
+            rows = _rows(rng, ids, seq)
+            src = spark.createDataFrame(rows, SCHEMA)
+            on = "t.id = s.id" if global_index \
+                else "t.id = s.id AND t.grp = s.grp"
+            t.merge(src, on=on,
+                    when_matched_update={"val": "s.val", "seq": "s.seq"},
+                    when_not_matched_insert="*")
+            for (i, g, v, s) in rows:
+                k = _key(i, g)
+                if k in model:
+                    # matched: val/seq update only — row stays in its
+                    # partition and keeps its stored grp column
+                    pp, gg, _v, _s = model[k]
+                    model[k] = (pp, gg, v, s)
+                else:
+                    model[k] = (g, g, v, s)
         commits.append((t.timeline.completed_write_instants()[-1].time,
                         dict(model)))
         return True
 
     ops = ["upsert", "upsert", "insert", "delete", "insert_overwrite",
-           "delete_partition"]
-    services = ["compact", "cluster", "clean", "none", "none"]
+           "delete_partition", "merge"]
+    services = ["compact", "cluster", "clean", "archive", "none", "none"]
 
     write_op("upsert")            # seed data
     _check("seed")
@@ -155,6 +173,8 @@ def run_dag(spark, base_path, table_type, index_type, global_index,
                 t.cluster(sort_cols=["id"])
         elif svc == "clean":
             t.clean(policy="KEEP_LATEST_COMMITS", retain=8)
+        elif svc == "archive":
+            t.archive(retain_active=8)
         if svc != "none":
             _check(f"{step}-{svc}")
 
