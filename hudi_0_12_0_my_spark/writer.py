@@ -659,14 +659,14 @@ class Writer:
         df = (df.select(F.col(meta.RECORD_KEY),
                         F.col(meta.PARTITION_PATH).alias("__loc_pp"),
                         meta.file_id_from_name().alias("__loc_fid")))
-        dead = self._shadow_deleted_keys(view, partitions)
+        dead = self._shadow_deleted_keys(view, set(paths))
         if dead is not None:
             df = df.join(dead, on=[meta.RECORD_KEY, "__loc_pp"],
                          how="left_anti")
         return df
 
     def _shadow_deleted_keys(self, view: FileSystemView,
-                             partitions: list[str]) -> DataFrame | None:
+                             candidate_paths: set) -> DataFrame | None:
         """Keys whose base-file copy is shadowed by a live delta tombstone
         (MOR, pre-compaction). The plain base meta scan would tag such a key
         to its OLD file group, so with a global index a re-insert of a
@@ -677,13 +677,17 @@ class Writer:
         deterministic: a deleted key always re-inserts into its keygen
         partition, exactly like COW (where the delete rewrote the base).
 
-        Only dirty groups (those with deltas) can shadow, so this subplan
-        reads nothing after compaction; columns are meta + precombine only.
+        Only dirty groups (those with deltas) can shadow, and only the ones
+        whose base file survived the key-range candidate prune can mistag —
+        so this subplan reads nothing after compaction, nothing outside the
+        incoming key bands, and only meta + precombine columns.
         """
         from pyspark.sql import Window
         if self.cfg.table_type != cfgmod.MOR or not self.cfg.global_index:
             return None
-        dirty = [(g, s) for g, s in view.live_slices() if s.deltas]
+        dirty = [(g, s) for g, s in view.live_slices()
+                 if s.deltas and s.base_file is not None
+                 and view.abs(s.base_file.path) in candidate_paths]
         if not dirty:
             return None
         spec = payloads.get(self.cfg.payload)
