@@ -48,6 +48,25 @@ def _completed_write_instants(base_path: str) -> list[str]:
     return sorted(out)
 
 
+def _archived_write_entries(base_path: str) -> list[tuple[str, dict]]:
+    """(instant, metadata) of archived write commits — a change pull whose
+    range predates the archive boundary must still enumerate their files
+    (same fix as Table.incremental; HoodieArchivedTimeline parity)."""
+    adir = os.path.join(base_path, ".hoodie", "archived")
+    if not os.path.isdir(adir):
+        return []
+    out = []
+    for f in os.listdir(adir):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(adir, f)) as fh:
+            for e in json.load(fh):
+                if e.get("action") in WRITE_ACTIONS:
+                    out.append((e["time"], e.get("metadata") or {}))
+    out.sort(key=lambda x: x[0])
+    return out
+
+
 def _instant_metadata(base_path: str, instant: str) -> dict:
     d = _timeline_dir(base_path)
     for action in WRITE_ACTIONS:
@@ -140,9 +159,12 @@ def _change_batches(schema: StructType, partition: _FilesPartition):
 def _range_partitions(base_path: str, lo: str, hi: str,
                       files_per_partition: int) -> list:
     paths = []
-    for ins in _completed_write_instants(base_path):
+    entries = _archived_write_entries(base_path) + \
+        [(ins, None) for ins in _completed_write_instants(base_path)]
+    for ins, md in entries:
         if lo < ins <= hi:
-            md = _instant_metadata(base_path, ins)
+            if md is None:
+                md = _instant_metadata(base_path, ins)
             for stats in (md.get("partition_to_write_stats") or {}).values():
                 for st in stats:
                     paths.append(os.path.join(base_path, st["path"]))

@@ -226,6 +226,17 @@ def test_hudi_batch_changes_reader(spark, tmp_path):
              .option("begininstant", "99999999999999999").load())
     assert empty.count() == 0
 
+    # archived commits still feed the change pull: after archival moves old
+    # instants off the active timeline, a full-range read must enumerate
+    # their files from the archive batches (same as Table.incremental)
+    for v in range(6):
+        t.upsert(spark.createDataFrame([(2, "b", 10.0 + v, 3 + v)],
+                                       "id long, grp string, val double, seq long"))
+    assert t.archive(retain_active=3)["archived"] > 0
+    full2 = spark.read.format("hudi_stream").option("path", path).load()
+    got = {(r.id, r.val) for r in full2.collect()}
+    assert {(1, 1.0), (2, 2.0), (1, 99.0), (3, 3.0), (2, 15.0)} <= got
+
 
 def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     """Duplicate content arriving later in the stream is suppressed; the
