@@ -661,7 +661,7 @@ class Writer:
                         meta.file_id_from_name().alias("__loc_fid")))
         dead = self._shadow_deleted_keys(view, set(paths))
         if dead is not None:
-            df = df.join(dead, on=[meta.RECORD_KEY, "__loc_pp"],
+            df = df.join(dead, on=[meta.RECORD_KEY, "__loc_pp", "__loc_fid"],
                          how="left_anti")
         return df
 
@@ -697,18 +697,26 @@ class Writer:
         b = read_files(self.spark, bases, base_read_schema(self.cfg), self.cfg)
         d = read_files(self.spark, deltas, delta_read_schema(self.cfg), self.cfg)
         u = b.unionByName(d, allowMissingColumns=True)
-        narrow = [meta.RECORD_KEY, meta.PARTITION_PATH, meta.COMMIT_TIME,
-                  meta.COMMIT_SEQNO, meta.OPERATION, meta.DELETE_MARKER]
+        narrow = [meta.RECORD_KEY, meta.PARTITION_PATH, meta.FILE_NAME,
+                  meta.COMMIT_TIME, meta.COMMIT_SEQNO, meta.OPERATION,
+                  meta.DELETE_MARKER]
         if self.cfg.precombine_field:
             narrow.append(self.cfg.precombine_field)
         u = u.select(*[c for c in dict.fromkeys(narrow) if c in u.columns])
-        w = (Window.partitionBy(meta.RECORD_KEY, meta.PARTITION_PATH)
+        # resolve per FILE GROUP, not per partition: a re-inserted copy of a
+        # deleted key may live in a fresh group of the SAME partition, and
+        # its live location must not be wiped by the old group's tombstone
+        # (found by the randomized DAG sweep, seed 203)
+        u = u.withColumn("__loc_fid", meta.file_id_from_name())
+        w = (Window.partitionBy(meta.RECORD_KEY, meta.PARTITION_PATH,
+                                "__loc_fid")
              .orderBy(*payloads._desc([f for f in fields if f in u.columns])))
         winner = (u.withColumn("__rn", F.row_number().over(w))
                    .filter(F.col("__rn") == 1))
         return (winner.filter(payloads.is_tombstone(winner))
                       .select(F.col(meta.RECORD_KEY),
-                              F.col(meta.PARTITION_PATH).alias("__loc_pp")))
+                              F.col(meta.PARTITION_PATH).alias("__loc_pp"),
+                              F.col("__loc_fid")))
 
     @staticmethod
     def emptied_groups(affected: set, stats_by_partition: dict) -> dict:

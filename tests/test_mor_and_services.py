@@ -447,3 +447,19 @@ def test_incremental_enumerates_archived_commits(spark, tmp_table_dir):
     # window starting at the archived first commit still yields the updates
     inc2 = {r.id: r.name for r in t.incremental(begin=first).collect()}
     assert inc2 == {2: "v5"}
+
+
+def test_mor_global_reinsert_same_partition_then_delete(spark, tmp_table_dir):
+    """Re-insert of a tombstone-deleted key into the SAME partition creates a
+    fresh file group next to the old (still dirty) one; the shadow-key
+    subtraction must be file-group-scoped or the live copy's tag is wiped
+    too and a later delete silently no-ops (DAG sweep, seed 203)."""
+    t = Engine(spark).create_table(
+        tmp_table_dir, record_key_fields=["id"], precombine_field="ts",
+        partition_field="dt", table_type="mor", global_index=True)
+    t.bulk_insert(make_rows(spark, [(1, "a", 10.0, 100, "2021-01-01")]))
+    t.delete(t.snapshot().filter("id = 1"))
+    t.upsert(make_rows(spark, [(1, "re", 11.0, 300, "2021-01-01")]))
+    assert {(r.id, r.name) for r in t.snapshot().collect()} == {(1, "re")}
+    t.delete(t.snapshot().filter("id = 1"))          # must actually delete
+    assert t.snapshot().count() == 0
