@@ -1167,12 +1167,16 @@ def q_docs_fingerprint(spark, sf_dir):
 
 
 def q_emb_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH ANN (rows-only: banded recall is probabilistic, not
-    SQL-reproducible; pytest checks recall vs brute force)."""
+    """Hyperplane-LSH ANN through the full banding + re-rank plumbing. The
+    gate runs the degenerate exact config (num_bits=0 -> every vector lands
+    in the single band bucket, candidates = all, re-rank = brute force) so a
+    brute-force SQL oracle verifies the join/re-rank/top-k machinery —
+    the same trick emb_near_dup uses with num_cells=1. Banded recall at
+    real configs is probabilistic and pytest-checked against brute force."""
     from hudi_0_12_0_my_spark.operators import lsh_cosine_topk
     emb = _read(spark, sf_dir, "embeddings")
     res = lsh_cosine_topk(emb, emb.filter("vec_id < 5"), dim=64, k=10,
-                          num_bits=16, bands=8)
+                          num_bits=0, bands=1)
     return res.select("query_id", "neighbor_id",
                       F.col("rank").cast("int").alias("rank"))
 
@@ -2640,6 +2644,17 @@ reach(u, v) AS (SELECT u, v FROM e
 cmp AS (SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u)
 SELECT vec_id, CAST(label AS INT) AS label FROM embeddings
 WHERE vec_id NOT IN (SELECT id FROM cmp WHERE id <> comp)""",
+        # degenerate-exact LSH config (num_bits=0: one bucket, full candidate
+        # set) -> the banding/re-rank plumbing must reproduce brute force
+        "emb_lsh_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (SELECT qid, vec_id AS nid,
+             list_cosine_similarity(qe, embedding) AS c
+      FROM embeddings, q WHERE vec_id <> qid),
+r AS (SELECT qid AS query_id, nid AS neighbor_id,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""",
         "emb_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
 s AS (SELECT qid, vec_id AS nid,
