@@ -84,7 +84,8 @@ class Reader:
         return self.t.cfg
 
     # ------------------------------------------------------------- helpers
-    def _merge_plan(self, view, slices, filters=None) -> DataFrame:
+    def _merge_plan(self, view, slices, filters=None,
+                    bs: str | None = None) -> DataFrame:
         """MOR merge: groups without deltas stream straight from their base
         file; groups with deltas split base rows by delta-key membership so
         the payload window runs ONLY over contested keys.
@@ -116,9 +117,17 @@ class Reader:
                       if s.deltas_as_of(view.as_of) and s.base_file is not None]
         dirty_delta = [view.abs(d.path) for g, s in slices
                        for d in s.deltas_as_of(view.as_of)]
-        out = read_files(self.spark, clean, base_read_schema(cfg), cfg)
+        # bootstrap meta reconstruction must wrap EACH base relation here,
+        # BEFORE any union/join: input_file_name() refuses multi-source
+        # plans, and the delta-key membership joins below key on meta
+        # columns that are null in meta-less bootstrap files
+        def _fill(df):
+            return fill_bootstrap_meta(self.spark, df, cfg, view, bs) \
+                if bs else df
+        out = _fill(read_files(self.spark, clean, base_read_schema(cfg), cfg))
         if dirty_delta:
-            base = read_files(self.spark, dirty_base, base_read_schema(cfg), cfg)
+            base = _fill(read_files(self.spark, dirty_base,
+                                    base_read_schema(cfg), cfg))
             delta = read_files(self.spark, dirty_delta, delta_read_schema(cfg), cfg)
             on = [meta.PARTITION_PATH, meta.RECORD_KEY]
             dkeys = delta.select(*on).distinct()
@@ -195,6 +204,7 @@ class Reader:
         cfg = self.cfg
         view = self.t.view(as_of=as_of)
         slices = view.live_slices()
+        bs = bootstrap_instant(self.t.timeline)
         if cfg.table_type == cfgmod.COW:
             preds = statsmod.parse_predicates(filters)
             paths = statsmod.prune_files(view, slices, preds)
@@ -206,11 +216,12 @@ class Reader:
                     view, None, key_probe, ignore_partition=True))
                 paths = [p for p in paths if p in cand]
             df = read_files(self.spark, paths, base_read_schema(cfg), cfg)
+            if bs:
+                df = fill_bootstrap_meta(self.spark, df, cfg, view, bs)
         else:
-            df = self._merge_plan(view, slices, filters)
-        bs = bootstrap_instant(self.t.timeline)
-        if bs:
-            df = fill_bootstrap_meta(self.spark, df, cfg, view, bs)
+            # MOR fills bootstrap meta per base relation INSIDE the plan —
+            # input_file_name() cannot sit above the base∪delta union
+            df = self._merge_plan(view, slices, filters, bs=bs)
         df = self._apply_filters(df, filters)
         return df if keep_meta else meta.strip_meta(df)
 
@@ -325,6 +336,13 @@ class Reader:
             df = self._apply_filters(snap.filter(cond), filters)
             return df if keep_meta else meta.strip_meta(df)
         df = read_files(self.spark, sorted(set(base_paths)), base_read_schema(cfg), cfg)
+        bs = bootstrap_instant(self.t.timeline)
+        if bs:
+            # bootstrap files carry no meta columns; without reconstruction
+            # their rows would fail the commit-time window below and vanish.
+            # Fill BEFORE the delta union (input_file_name is single-source).
+            df = fill_bootstrap_meta(self.spark, df, cfg,
+                                     self.t.view(as_of=end), bs)
         if delta_paths:
             df = df.unionByName(
                 read_files(self.spark, sorted(set(delta_paths)), delta_read_schema(cfg), cfg),

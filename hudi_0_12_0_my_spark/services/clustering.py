@@ -71,6 +71,12 @@ def run_clustering(table, sort_cols: list | None = None, layout: str = "linear",
         total_bytes = sum(s.base_file.bytes for g, s in selected)
         nfiles = max(1, math.ceil(total_bytes / target))
         df = read_files(table.spark, paths, base_read_schema(cfg), cfg)
+        from ..reader import bootstrap_instant, fill_bootstrap_meta
+        bs = bootstrap_instant(table.timeline)
+        if bs:
+            # adopted bootstrap bases are meta-less; the rewrite must stamp
+            # real keys/partitions or every later tag scan sees null keys
+            df = fill_bootstrap_meta(table.spark, df, cfg, view, bs)
 
         if layout == "zorder" and sort_cols:
             from .layout import zorder_key

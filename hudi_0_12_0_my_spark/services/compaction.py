@@ -163,6 +163,13 @@ def run_compaction(table, strategy: str = "log_file_size",
             delta_paths.extend(view.abs(d.path) for d in s.deltas
                                if d.instant <= instant)
         base = read_files(table.spark, base_paths, base_read_schema(cfg), cfg)
+        from ..reader import bootstrap_instant, fill_bootstrap_meta
+        bs = bootstrap_instant(table.timeline)
+        if bs:
+            # adopted bootstrap bases carry no meta columns; without
+            # reconstruction the key-window resolve and the fileId stamp
+            # below would silently DROP their rows from the compacted base
+            base = fill_bootstrap_meta(table.spark, base, cfg, view, bs)
         delta = read_files(table.spark, delta_paths, delta_read_schema(cfg), cfg)
         merged = payloads.resolve(base.unionByName(delta, allowMissingColumns=True),
                                   cfg, spec, drop_deletes=True)

@@ -43,8 +43,9 @@ def _rows(rng, ids, seq, grp=None):
 
 
 def run_dag(spark, base_path, table_type, index_type, global_index,
-            seed, n_steps=12):
+            seed, n_steps=12, bootstrap=False):
     """One full randomized DAG run; importable for offline seed sweeps."""
+    import os
     rng = random.Random(seed)
     eng = Engine(spark)
     kw = {"record_key_fields": ["id"], "precombine_field": "seq",
@@ -52,12 +53,29 @@ def run_dag(spark, base_path, table_type, index_type, global_index,
           "global_index": global_index}
     if index_type == "bucket":
         kw.update(index_type="bucket", num_buckets=4)
-    t = eng.create_table(base_path, **kw)
+    rows0 = []
+    if bootstrap:
+        # start from a METADATA_ONLY bootstrap of pre-existing parquet dirs
+        # (one subdir per partition): every later service/read must cope
+        # with file slices whose bytes live outside the table dir
+        rows0 = _rows(rng, rng.sample(range(200), 12), 0)
+        df0 = spark.createDataFrame(rows0, SCHEMA)
+        for g in sorted({r[1] for r in rows0}):
+            df0.filter(F.col("grp") == g).coalesce(1) \
+               .write.parquet(os.path.join(base_path + "_src", g))
+        t = eng.bootstrap(base_path, base_path + "_src", **kw)
+    else:
+        t = eng.create_table(base_path, **kw)
 
     # model: key -> (pp, grp, val, seq); key = id (global) or (id, grp)
     model: dict = {}
     commits: list = []            # (instant, model copy) after each write op
     seq = 0
+    for (i, g, v, s) in rows0:
+        model[i if global_index else (i, g)] = (g, g, v, s)
+    if bootstrap:
+        commits.append((t.timeline.completed_write_instants()[-1].time,
+                        dict(model)))
 
     def _key(i, g):
         return i if global_index else (i, g)
@@ -241,3 +259,13 @@ def test_random_dag(spark, tmp_path, table_type, index_type, global_index):
     seed = zlib.crc32(f"{table_type}-{index_type}-{global_index}".encode())
     run_dag(spark, str(tmp_path / "dag"), table_type, index_type,
             global_index, seed)
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_random_dag_bootstrap_start(spark, tmp_path, table_type):
+    """Same DAG body, but the table begins life as a METADATA_ONLY bootstrap
+    over external parquet dirs — services and reads run over adopted
+    file slices from step one."""
+    seed = zlib.crc32(f"boot-{table_type}".encode())
+    run_dag(spark, str(tmp_path / "dag"), table_type, "simple", False,
+            seed, bootstrap=True)
