@@ -12,6 +12,7 @@ from __future__ import annotations
 from .config import TableConfig
 from .engine import Engine
 from .table import LakeTable
+from .compat import read_hudi, write_hudi
 
-__all__ = ["Engine", "LakeTable", "TableConfig"]
+__all__ = ["Engine", "LakeTable", "TableConfig", "read_hudi", "write_hudi"]
 __version__ = "0.1.0"
