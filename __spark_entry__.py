@@ -1166,6 +1166,27 @@ def q_docs_fingerprint(spark, sf_dir):
                     .alias("n_distinct"), _n())
 
 
+def q_docs_lm_unigram(spark, sf_dir):
+    """Corpus-trained unigram LM average log-prob per doc (operators/lm.py);
+    pseudo-perplexity quality signal. Exact oracle: same tokenization +
+    MLE counts in SQL, both sides rounded to 6."""
+    from hudi_0_12_0_my_spark.operators import lm_log_prob
+    docs = _read(spark, sf_dir, "documents")
+    scored = lm_log_prob(docs, order=1)
+    return (scored.orderBy(F.asc("lm_logprob"), F.asc("doc_id")).limit(20)
+            .select("doc_id", "lm_logprob"))
+
+
+def q_docs_lm_bigram(spark, sf_dir):
+    """Bigram conditional LM score (context totals derived from pair
+    counts, single corpus pass)."""
+    from hudi_0_12_0_my_spark.operators import lm_log_prob
+    docs = _read(spark, sf_dir, "documents")
+    scored = lm_log_prob(docs, order=2)
+    return (scored.orderBy(F.asc("lm_logprob"), F.asc("doc_id")).limit(20)
+            .select("doc_id", "lm_logprob"))
+
+
 def q_emb_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH ANN through the full banding + re-rank plumbing. The
     gate runs the degenerate exact config (num_bits=0 -> every vector lands
@@ -1634,6 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_quality_percentile": q_docs_quality_percentile,
+        "docs_lm_unigram": q_docs_lm_unigram,
+        "docs_lm_bigram": q_docs_lm_bigram,
         "docs_mixture_sample": q_docs_mixture_sample,
         "events_sessionize": q_events_sessionize,
         "emb_topk": q_emb_topk,
@@ -2597,6 +2620,34 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, lang, n_chars FROM r
 WHERE rn <= ceil(CAST(0.3 AS DOUBLE) * cnt)""",
+        "docs_lm_unigram": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+cnt AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c) AS s FROM cnt)
+SELECT doc_id, round(avg(ln(c / s)), 6) AS lm_logprob
+FROM tok JOIN cnt USING (w) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY lm_logprob ASC, doc_id ASC LIMIT 20""",
+        "docs_lm_bigram": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w,
+         generate_subscripts(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), 1) AS i
+  FROM documents WHERE length(trim(text)) > 0),
+pairs AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+pc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c FROM pairs GROUP BY 1, 2),
+cc AS (SELECT w1, sum(c) AS s FROM pc GROUP BY 1)
+SELECT doc_id, round(avg(ln(c / s)), 6) AS lm_logprob
+FROM pairs JOIN pc USING (w1, w2) JOIN cc USING (w1)
+GROUP BY doc_id
+ORDER BY lm_logprob ASC, doc_id ASC LIMIT 20""",
         "docs_mixture_sample": """
 WITH c AS (SELECT lang, count(*) AS cnt FROM documents
            WHERE lang IN ('en','de','es','fr') GROUP BY 1),

@@ -1,0 +1,83 @@
+"""Corpus-trained n-gram language-model scoring.
+
+The classic pretraining-corpus quality signal (CCNet / Gopher-style): score
+each document by its average log-probability under an n-gram model trained on
+the corpus itself; low scores flag gibberish / boilerplate outliers,
+`exp(-score)` is the per-token pseudo-perplexity.  Unlike KenLM-backed
+pipelines there is no external model artifact — the model IS a DataFrame of
+gram counts, so the whole thing stays inside Spark and is exactly replayable
+in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _tokens(text_col: str):
+    c = F.lower(F.trim(F.col(text_col)))
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(c, r"\s+"))
+
+
+def lm_log_prob(df: DataFrame, order: int = 1, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, lm_logprob): average log-probability of the document's tokens
+    under the corpus MLE n-gram model, rounded to 6 decimals.
+
+    order=1: P(w) = c(w) / T.
+    order=2: P(w2|w1) = c(w1,w2) / c(w1,·), with the context totals derived
+    from the pair counts — no second corpus pass.  Documents with fewer than
+    `order` tokens have no scorable grams and are omitted.
+
+    Shape for 100 TB: gram explode -> ONE count shuffle building the model
+    (map-side partial aggregation folds the stop-word mass before the
+    exchange), then the scoring join grams⋈counts shuffles on the gram key —
+    AQE's skew-join splits the stop-gram hot keys — and the per-document avg
+    is the final shuffle on id.  A small vocabulary broadcasts automatically
+    under AQE's threshold; nothing is ever collected to the driver.
+    """
+    if order not in (1, 2):
+        raise ValueError("lm_log_prob: order must be 1 or 2")
+    toks = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("_t"))
+    if order == 1:
+        grams = toks.select("id", F.explode("_t").alias("w"))
+        counts = grams.groupBy("w").agg(
+            F.count(F.lit(1)).cast("double").alias("_c"))
+        total = counts.agg(F.sum("_c").alias("_tot"))
+        scored = (grams.join(counts, "w")
+                  .crossJoin(F.broadcast(total))
+                  .groupBy("id")
+                  .agg(F.round(F.avg(F.log(F.col("_c") / F.col("_tot"))), 6)
+                       .alias("lm_logprob")))
+    else:
+        pairs = (toks.withColumn("_m", F.size("_t") - 1)
+                 .filter(F.col("_m") >= 1)
+                 .select("id", F.explode(F.transform(
+                     F.sequence(F.lit(0), F.col("_m") - 1),
+                     lambda i: F.struct(F.element_at("_t", i + 1).alias("w1"),
+                                        F.element_at("_t", i + 2).alias("w2"))))
+                     .alias("p"))
+                 .select("id", "p.w1", "p.w2"))
+        pc = pairs.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("double").alias("_c"))
+        cc = pc.groupBy("w1").agg(F.sum("_c").alias("_s"))
+        scored = (pairs.join(pc, ["w1", "w2"]).join(cc, "w1")
+                  .groupBy("id")
+                  .agg(F.round(F.avg(F.log(F.col("_c") / F.col("_s"))), 6)
+                       .alias("lm_logprob")))
+    return scored.select(F.col("id").alias(id_col), "lm_logprob")
+
+
+def lm_outliers(df: DataFrame, order: int = 1, keep_fraction: float = 0.99,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Documents BELOW the keep_fraction quantile of lm_logprob — the
+    gibberish tail a quality pipeline would drop.  One extra 1-row aggregate
+    (approx quantile) broadcast back over the scored set."""
+    scored = lm_log_prob(df, order=order, id_col=id_col, text_col=text_col)
+    cut = scored.agg(F.expr(
+        f"percentile_approx(lm_logprob, {1.0 - keep_fraction})")
+        .alias("_cut"))
+    return (scored.crossJoin(F.broadcast(cut))
+            .filter(F.col("lm_logprob") < F.col("_cut"))
+            .select(id_col, "lm_logprob"))

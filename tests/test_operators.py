@@ -502,3 +502,45 @@ def test_audio_chunk_plan(docs):
     assert all(r["count"] == 3 for r in per_doc)     # 0-30s, 30-60s, 60-65s
     ends = {r.chunk_end_ms for r in chunks.filter("chunk_start_ms = 60000").collect()}
     assert ends == {65_000}                          # tail chunk clamped
+
+
+def test_lm_log_prob_unigram_matches_hand_computation(docs):
+    """MLE unigram scores on the 7-doc corpus equal the hand-computed
+    average log(c(w)/T); the empty doc has no tokens and is omitted."""
+    import math
+    from collections import Counter
+    rows = {r.doc_id: r.lm_logprob for r in
+            ops.lm_log_prob(docs, order=1).collect()}
+    texts = {1: "the quick brown fox jumps over the lazy dog",
+             2: "the quick brown fox jumps over the lazy dog",
+             3: "the  quick brown fox jumps over the lazy dog",
+             4: "pack my box with five dozen liquor jugs",
+             5: "der schnelle braune fuchs springt nicht",
+             7: "the quick brown fox jumps over the lazy cat"}
+    toks = {i: t.split() for i, t in texts.items()}
+    cnt = Counter(w for ws in toks.values() for w in ws)
+    total = sum(cnt.values())
+    assert 6 not in rows
+    for i, ws in toks.items():
+        exp = sum(math.log(cnt[w] / total) for w in ws) / len(ws)
+        assert abs(rows[i] - round(exp, 6)) < 1e-9, (i, rows[i], exp)
+
+
+def test_lm_log_prob_bigram_conditionals(docs):
+    """Bigram conditionals: docs 1/2/3 are identical token streams so they
+    tie; doc 7's final bigram 'lazy cat' is rarer than 'lazy dog' (1 of 4
+    'lazy ·' contexts) so doc 7 scores strictly lower."""
+    rows = {r.doc_id: r.lm_logprob for r in
+            ops.lm_log_prob(docs, order=2).collect()}
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[7] < rows[1]
+    assert 6 not in rows
+
+
+def test_lm_outliers_returns_low_tail(docs):
+    """With keep_fraction tight enough, the German doc (all singleton
+    unigrams) is the outlier tail."""
+    out = {r.doc_id for r in
+           ops.lm_outliers(docs, keep_fraction=0.5).collect()}
+    assert 5 in out
+    assert 1 not in out and 2 not in out
