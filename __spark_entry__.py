@@ -1166,6 +1166,16 @@ def q_docs_fingerprint(spark, sf_dir):
                     .alias("n_distinct"), _n())
 
 
+def q_docs_segment_dedup(spark, sf_dir):
+    """C4-style sub-document exact dedup at 20-token window granularity
+    (operators/dedup.py segment_dedup): distinct segments keep their first
+    corpus-wide occurrence, documents reassemble from survivors."""
+    from hudi_0_12_0_my_spark.operators import segment_dedup
+    docs = _read(spark, sf_dir, "documents")
+    return segment_dedup(docs, window=20).select(
+        "doc_id", "text_dedup", "n_segments", "n_kept")
+
+
 def q_docs_lm_unigram(spark, sf_dir):
     """Corpus-trained unigram LM average log-prob per doc (operators/lm.py);
     pseudo-perplexity quality signal. Exact oracle: same tokenization +
@@ -1655,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_quality_percentile": q_docs_quality_percentile,
+        "docs_segment_dedup": q_docs_segment_dedup,
         "docs_lm_unigram": q_docs_lm_unigram,
         "docs_lm_bigram": q_docs_lm_bigram,
         "docs_mixture_sample": q_docs_mixture_sample,
@@ -2620,6 +2631,31 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, lang, n_chars FROM r
 WHERE rn <= ceil(CAST(0.3 AS DOUBLE) * cnt)""",
+        "docs_segment_dedup": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(
+           regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w,
+         generate_subscripts(string_split(
+           regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), 1) AS i
+  FROM documents WHERE length(trim(text)) > 0),
+seg AS (
+  SELECT doc_id, CAST(floor((i - 1) / 20) AS BIGINT) AS seg_idx,
+         string_agg(w, ' ' ORDER BY i) AS seg
+  FROM tok GROUP BY doc_id, seg_idx),
+rn AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg
+                            ORDER BY doc_id, seg_idx) AS r
+  FROM seg),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+        FROM seg GROUP BY doc_id),
+kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+         FROM rn WHERE r = 1 GROUP BY doc_id)
+SELECT t.doc_id, coalesce(k.text_dedup, '') AS text_dedup,
+       t.n_segments, coalesce(k.n_kept, 0) AS n_kept
+FROM tot t LEFT JOIN kept k USING (doc_id)""",
         "docs_lm_unigram": """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(

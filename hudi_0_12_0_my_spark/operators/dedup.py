@@ -66,6 +66,59 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
               .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def segment_dedup(df: DataFrame, window: int = 50, sep: str | None = None,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sub-document exact dedup (C4/RefinedWeb-style paragraph dedup): split
+    each document into segments, keep each distinct segment's FIRST
+    occurrence corpus-wide (min (id, position) — deterministic), and
+    reassemble the surviving segments in order.
+
+    `sep` (e.g. ``r"\\n\\n+"``) splits on a separator — real paragraph dedup;
+    with sep=None segments are fixed non-overlapping `window`-token spans,
+    which covers corpora without paragraph structure. Returns
+    (id, text_dedup, n_segments, n_kept) — documents whose every segment was
+    seen earlier come back with empty text_dedup, n_kept = 0; empty docs are
+    omitted (no segments).
+
+    Shape for 100 TB: segment explode (map-only) -> ONE shuffle on the
+    segment hash picking the winner (min-struct agg, map-side combine; the
+    128-bit md5 key is uniform — no skew) -> broadcast-or-shuffle join back
+    on the hash -> ONE shuffle on id to reassemble. Identical plan class to
+    exact_dedup, just at segment granularity; nothing is ever pairwise.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    if sep is not None:
+        segs = F.filter(F.split(F.col(text_col), sep),
+                        lambda s: F.length(F.trim(s)) > 0)
+    else:
+        nseg = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+        segs = F.transform(F.sequence(F.lit(0), nseg - 1),
+                           lambda i: F.concat_ws(" ", F.slice(
+                               toks, i * window + 1, window)))
+    ex = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+          .select(F.col(id_col).alias("id"),
+                  F.posexplode(segs).alias("seg_idx", "seg"))
+          .withColumn("_h", F.md5(F.col("seg").cast("binary"))))
+    winners = ex.groupBy("_h").agg(
+        F.min(F.struct("id", "seg_idx")).alias("_w"))
+    kept = (ex.join(winners, "_h")
+            .filter((F.col("id") == F.col("_w.id"))
+                    & (F.col("seg_idx") == F.col("_w.seg_idx"))))
+    joiner = " " if sep is None else "\n\n"
+    return (ex.select("id").groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_segments"))
+            .join(kept.groupBy("id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                F.concat_ws(joiner, F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s.seg)).alias("text_dedup")), "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    "n_segments",
+                    F.coalesce("n_kept", F.lit(0).cast("bigint"))
+                    .alias("n_kept")))
+
+
 def _bucket_pairs(band_entries: DataFrame, id_col: str,
                   payload_col: str, max_bucket_size: int | None = None) -> DataFrame:
     """(id_a, id_b, <payload>_a, <payload>_b) for all pairs sharing a

@@ -544,3 +544,34 @@ def test_lm_outliers_returns_low_tail(docs):
            ops.lm_outliers(docs, keep_fraction=0.5).collect()}
     assert 5 in out
     assert 1 not in out and 2 not in out
+
+
+def test_segment_dedup_window_mode(spark):
+    """Token-window segments: doc 2 repeats doc 1's first window, so it
+    loses that segment and keeps its distinct tail; a within-doc repeat
+    also dedupes (first occurrence wins)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"),
+         (2, "a b c x y z"),          # first window duplicates doc 1's
+         (3, "p q r p q r"),          # within-doc repeat
+         (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ops.segment_dedup(df, window=3).collect()}
+    assert out[1].text_dedup == "a b c d e f" and out[1].n_kept == 2
+    assert out[2].text_dedup == "x y z" and out[2].n_segments == 2
+    assert out[3].text_dedup == "p q r" and out[3].n_kept == 1
+    assert 4 not in out                # empty doc has no segments
+
+
+def test_segment_dedup_separator_mode(spark):
+    """Paragraph separator mode: shared paragraph kept only in the earliest
+    doc, survivors rejoin with the separator."""
+    df = spark.createDataFrame(
+        [(1, "intro text\n\nshared boilerplate"),
+         (2, "shared boilerplate\n\nunique ending")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text_dedup for r in
+           ops.segment_dedup(df, sep=r"\n\n+").collect()}
+    assert out[1] == "intro text\n\nshared boilerplate"
+    assert out[2] == "unique ending"
