@@ -1176,6 +1176,16 @@ def q_docs_segment_dedup(spark, sf_dir):
         "doc_id", "text_dedup", "n_segments", "n_kept")
 
 
+def q_docs_tfidf(spark, sf_dir):
+    """Per-document top-5 tf-idf keywords (operators/lm.py tfidf_keywords),
+    deterministic rank with term tie-break; restricted to 30 docs so the
+    gate result stays small while the full corpus trains the idf."""
+    from hudi_0_12_0_my_spark.operators import tfidf_keywords
+    docs = _read(spark, sf_dir, "documents")
+    return (tfidf_keywords(docs, k=5).filter("doc_id < 30")
+            .select("doc_id", "rank", "term", "tfidf"))
+
+
 def q_docs_lm_unigram(spark, sf_dir):
     """Corpus-trained unigram LM average log-prob per doc (operators/lm.py);
     pseudo-perplexity quality signal. Exact oracle: same tokenization +
@@ -1666,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_quality_percentile": q_docs_quality_percentile,
         "docs_segment_dedup": q_docs_segment_dedup,
+        "docs_tfidf": q_docs_tfidf,
         "docs_lm_unigram": q_docs_lm_unigram,
         "docs_lm_bigram": q_docs_lm_bigram,
         "docs_mixture_sample": q_docs_mixture_sample,
@@ -2631,6 +2642,24 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, lang, n_chars FROM r
 WHERE rn <= ceil(CAST(0.3 AS DOUBLE) * cnt)""",
+        "docs_tfidf": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+tc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfq FROM tc GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dl),
+s AS (SELECT tc.doc_id, tc.term,
+             round(tf / dl * ln(n / dfq), 6) AS tfidf
+      FROM tc JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM s)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+FROM r WHERE rank <= 5 AND doc_id < 30""",
         "docs_segment_dedup": """
 WITH tok AS (
   SELECT doc_id,

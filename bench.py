@@ -176,6 +176,14 @@ def main() -> None:
         ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
         session_stats(ev, gap_seconds=86400, value_col="value").count()
 
+    with step("lm_score"):                  # one count shuffle + gram join
+        from hudi_0_12_0_my_spark.operators import lm_log_prob
+        lm_log_prob(docs, order=2).count()
+
+    with step("segment_dedup"):             # segment-hash winner + reassembly
+        from hudi_0_12_0_my_spark.operators import segment_dedup
+        segment_dedup(docs, window=20).count()
+
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     with step("emb_topk"):
         cosine_topk(emb, emb.filter("vec_id < 10"), k=10).count()

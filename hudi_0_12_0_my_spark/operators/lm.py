@@ -69,6 +69,42 @@ def lm_log_prob(df: DataFrame, order: int = 1, id_col: str = "doc_id",
     return scored.select(F.col("id").alias(id_col), "lm_logprob")
 
 
+def tfidf_keywords(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, rank, term, tfidf): each document's top-k terms by
+    tf-idf = (tf / doc_len) * ln(N / df), rounded to 6 decimals, ties broken
+    by term — deterministic keyword extraction for corpus labeling.
+
+    Shape for 100 TB: explode -> ONE (doc, term) count shuffle (map-side
+    combine collapses within-doc repeats before the exchange), term document
+    frequencies derived from that same counted set (groupBy term — second
+    small shuffle over distinct (doc, term) pairs, not raw tokens), N as a
+    broadcast 1-row agg, then the per-doc top-k window shuffles on id once.
+    """
+    toks = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("_t"))
+    terms = (toks.filter(F.size("_t") > 0)
+             .select("id", F.size("_t").alias("_dl"),
+                     F.explode("_t").alias("term")))
+    tc = terms.groupBy("id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf"),
+        F.first("_dl").alias("_dl"))
+    dfreq = tc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df"))
+    n = toks.filter(F.size("_t") > 0).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (tc.join(dfreq, "term").crossJoin(F.broadcast(n))
+            .withColumn("tfidf", F.round(
+                (F.col("_tf") / F.col("_dl"))
+                * F.log(F.col("_n") / F.col("_df")), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("id").alias(id_col),
+                    F.col("rank").cast("int").alias("rank"),
+                    "term", "tfidf"))
+
+
 def lm_outliers(df: DataFrame, order: int = 1, keep_fraction: float = 0.99,
                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Documents BELOW the keep_fraction quantile of lm_logprob — the

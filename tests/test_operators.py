@@ -575,3 +575,15 @@ def test_segment_dedup_separator_mode(spark):
            ops.segment_dedup(df, sep=r"\n\n+").collect()}
     assert out[1] == "intro text\n\nshared boilerplate"
     assert out[2] == "unique ending"
+
+
+def test_tfidf_keywords_ranks_discriminative_terms(docs):
+    """'fox' appears in 4 of 6 non-empty docs, 'dozen' only in doc 4: for
+    doc 4 the singleton German-free terms share idf=ln(6/1) and rank
+    alphabetically; ubiquitous 'the' never makes doc 4's list."""
+    import math
+    rows = [(r.rank, r.term, r.tfidf) for r in
+            ops.tfidf_keywords(docs, k=3).filter("doc_id = 4").collect()]
+    assert [t for _, t, _ in rows] == ["box", "dozen", "five"]
+    exp = round(1 / 8 * math.log(6 / 1), 6)
+    assert all(abs(v - exp) < 1e-9 for _, _, v in rows)

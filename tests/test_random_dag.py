@@ -51,8 +51,8 @@ def run_dag(spark, base_path, table_type, index_type, global_index,
     kw = {"record_key_fields": ["id"], "precombine_field": "seq",
           "partition_field": "grp", "table_type": table_type,
           "global_index": global_index}
-    if index_type == "bucket":
-        kw.update(index_type="bucket", num_buckets=4)
+    if index_type in ("bucket", "bucket_consistent"):
+        kw.update(index_type=index_type, num_buckets=4)
     rows0 = []
     if bootstrap:
         # start from a METADATA_ONLY bootstrap of pre-existing parquet dirs
