@@ -1176,6 +1176,16 @@ def q_docs_segment_dedup(spark, sf_dir):
         "doc_id", "text_dedup", "n_segments", "n_kept")
 
 
+def q_events_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix (operators/sessions.py
+    cohort_retention): users bucketed by first-activity week, distinct
+    active users per (cohort, week offset)."""
+    from hudi_0_12_0_my_spark.operators import cohort_retention
+    ev = _read(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week").select(
+        "cohort", "period_offset", "n_users", "retention")
+
+
 def q_docs_tfidf(spark, sf_dir):
     """Per-document top-5 tf-idf keywords (operators/lm.py tfidf_keywords),
     deterministic rank with term tie-break; restricted to 30 docs so the
@@ -1681,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_bigram": q_docs_lm_bigram,
         "docs_mixture_sample": q_docs_mixture_sample,
         "events_sessionize": q_events_sessionize,
+        "events_cohorts": q_events_cohorts,
         "emb_topk": q_emb_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
@@ -2642,6 +2653,22 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, lang, n_chars FROM r
 WHERE rn <= ceil(CAST(0.3 AS DOUBLE) * cnt)""",
+        "events_cohorts": """
+WITH ev AS (SELECT user_id AS u, date_trunc('week', ts) AS p FROM events),
+f AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u),
+j AS (SELECT ev.u, CAST(f.cohort AS DATE) AS cohort,
+             CAST(floor(date_diff('day', CAST(f.cohort AS DATE),
+                                  CAST(ev.p AS DATE)) / 7.0) AS INT)
+               AS period_offset
+      FROM ev JOIN f USING (u)),
+c AS (SELECT cohort, period_offset,
+             CAST(count(DISTINCT u) AS BIGINT) AS n_users
+      FROM j GROUP BY cohort, period_offset),
+s AS (SELECT cohort, n_users AS sz FROM c WHERE period_offset = 0)
+SELECT c.cohort, c.period_offset, c.n_users,
+       round(CAST(c.n_users AS DOUBLE) / CAST(s.sz AS DOUBLE), 6)
+         AS retention
+FROM c JOIN s USING (cohort)""",
         "docs_tfidf": """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(

@@ -21,7 +21,8 @@ from .pipeline import (chunk_documents, contaminated_ids, curate,
                        deterministic_sample, stratified_sample,
                        percentile_filter, mixture_sample,
                        pack_sequences)
-from .sessions import sessionize, session_stats, funnel_stats
+from .sessions import (sessionize, session_stats, funnel_stats,
+                       cohort_retention)
 from .similarity import (cosine_topk, ivf_cosine_topk,
                          embedding_near_dup_pairs, hyperplane_signatures,
                          lsh_cosine_topk, semantic_dedup)
@@ -47,5 +48,5 @@ __all__ = [
     "pack_sequences", "scrub_pii", "normalize_text",
     "deterministic_sample", "stratified_sample",
     "percentile_filter", "mixture_sample",
-    "sessionize", "session_stats", "funnel_stats",
+    "sessionize", "session_stats", "funnel_stats", "cohort_retention",
 ]

@@ -105,3 +105,45 @@ def funnel_stats(df: DataFrame, steps: list[str],
             .withColumn("event_type",
                         F.element_at(step_arr, F.col("step")))
             .select("step", "event_type", "users"))
+
+
+def cohort_retention(df: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", period: str = "week") -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity period, then
+    distinct active users per (cohort_period, period_offset).
+
+    (cohort, offset, n_users, retention) with retention = n_users /
+    cohort size rounded to 6 — offset 0 is the cohort size itself.
+
+    Shape for 100 TB: first-activity via ONE min-shuffle on user (map-side
+    partial min), broadcast-or-shuffle join back on user, then distinct
+    (cohort, offset, user) folds into the count-distinct's own aggregation —
+    two shuffles total, none keyed on anything skewed (user ids are uniform;
+    the matrix itself is tiny).
+    """
+    if period == "week":
+        trunc = lambda c: F.date_trunc("week", c)
+        diff = lambda a, b: (F.datediff(F.to_date(a), F.to_date(b)) / 7)
+    elif period == "day":
+        trunc = lambda c: F.date_trunc("day", c)
+        diff = lambda a, b: F.datediff(F.to_date(a), F.to_date(b))
+    elif period == "month":
+        trunc = lambda c: F.date_trunc("month", c)
+        diff = lambda a, b: F.months_between(F.to_date(a), F.to_date(b))
+    else:
+        raise ValueError("cohort_retention: period must be day|week|month")
+    ev = df.select(F.col(user_col).alias("u"),
+                   trunc(F.col(ts_col)).alias("_p"))
+    first = ev.groupBy("u").agg(F.min("_p").alias("_cohort"))
+    joined = (ev.join(first, "u")
+              .select("u", F.to_date("_cohort").alias("cohort"),
+                      F.floor(diff(F.col("_p"), F.col("_cohort")))
+                      .cast("int").alias("period_offset")))
+    counts = joined.groupBy("cohort", "period_offset").agg(
+        F.count_distinct("u").cast("bigint").alias("n_users"))
+    sizes = (counts.filter(F.col("period_offset") == 0)
+             .select("cohort", F.col("n_users").alias("_size")))
+    return (counts.join(sizes, "cohort")
+            .select("cohort", "period_offset", "n_users",
+                    F.round(F.col("n_users") / F.col("_size"), 6)
+                    .alias("retention")))

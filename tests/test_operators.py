@@ -587,3 +587,18 @@ def test_tfidf_keywords_ranks_discriminative_terms(docs):
     assert [t for _, t, _ in rows] == ["box", "dozen", "five"]
     exp = round(1 / 8 * math.log(6 / 1), 6)
     assert all(abs(v - exp) < 1e-9 for _, _, v in rows)
+
+
+def test_cohort_retention_weekly(spark):
+    """Two weekly cohorts: u1/u2 start week0 (u2 churns after week0,
+    u1 active week0+week1); u3 starts week1. Offsets and ratios follow."""
+    import datetime as dt
+    rows = [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2)),
+            (1, dt.datetime(2024, 1, 8)), (3, dt.datetime(2024, 1, 9))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(str(r.cohort), r.period_offset): (r.n_users, r.retention)
+           for r in ops.cohort_retention(df, period="week").collect()}
+    assert out[("2024-01-01", 0)] == (2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1.0)
+    assert len(out) == 3
