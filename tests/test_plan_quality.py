@@ -355,3 +355,47 @@ def test_minhash_single_signature_pass(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     # signature stage scans the source exactly once
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_lm_and_tfidf_stay_jvm_side(spark):
+    """LM scoring and tf-idf must never drop to Python row UDFs, and the
+    1-row corpus stats (total count / N) must come back as broadcasts,
+    not an extra hash exchange."""
+    from hudi_0_12_0_my_spark.operators import lm_log_prob, tfidf_keywords
+    docs = spark.createDataFrame(
+        [(i, f"word{i % 7} text number {i % 3}") for i in range(300)],
+        "doc_id long, text string")
+    for needs_bcast, df in ((True, lm_log_prob(docs, order=1)),
+                            (False, lm_log_prob(docs, order=2)),
+                            (True, tfidf_keywords(docs, k=3))):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        if needs_bcast:   # bigram has no 1-row stats side — all equi-joins
+            assert ("BroadcastExchange" in plan
+                    or "BroadcastNestedLoopJoin" in plan)
+
+
+def test_segment_dedup_no_pairwise_join(spark):
+    """Segment dedup is hash-group + equi-join — any nested-loop join would
+    mean an accidental pairwise plan."""
+    from hudi_0_12_0_my_spark.operators import segment_dedup
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta gamma " * 10).strip()) for i in range(100)],
+        "doc_id long, text string")
+    plan = _plan(segment_dedup(docs, window=5))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_retention_two_data_shuffles(spark):
+    """Cohort retention: the event-sized exchanges are only the user min
+    and the (cohort, offset) distinct-count; the matrix-sized join back to
+    cohort sizes may broadcast but must never cartesian."""
+    import datetime as dt
+    from hudi_0_12_0_my_spark.operators import cohort_retention
+    rows = [(i % 40, dt.datetime(2024, 1, 1 + (i % 21))) for i in range(500)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    plan = _plan(cohort_retention(ev, period="week"))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
