@@ -205,7 +205,9 @@ def write_hudi(df: DataFrame, path: str, options: dict | None = None,
     if op == "upsert":
         t.upsert(df)
     elif op == "insert":
-        t.insert(df, validate_duplicates=_bool(options.get(DROP_DUPS, False)))
+        # INSERT_DROP_DUPS drops incoming rows whose key already exists
+        # (HoodieWriteHelper tag+filter), it does NOT raise
+        t.insert(df, drop_duplicates=_bool(options.get(DROP_DUPS, False)))
     elif op == "bulk_insert":
         t.bulk_insert(df, sort_mode=str(options.get(BULK_SORT_MODE,
                                                     "GLOBAL_SORT")).upper())

@@ -72,8 +72,10 @@ class LakeTable:
     def upsert(self, df: DataFrame) -> str:
         return self.writer.upsert(df)
 
-    def insert(self, df: DataFrame, validate_duplicates: bool = False) -> str:
-        return self.writer.insert(df, validate_duplicates=validate_duplicates)
+    def insert(self, df: DataFrame, validate_duplicates: bool = False,
+               drop_duplicates: bool = False) -> str:
+        return self.writer.insert(df, validate_duplicates=validate_duplicates,
+                                  drop_duplicates=drop_duplicates)
 
     def bulk_insert(self, df: DataFrame, sort_mode: str = "GLOBAL_SORT") -> str:
         return self.writer.bulk_insert(df, sort_mode=sort_mode)

@@ -954,10 +954,14 @@ class Writer:
         self._remove_marker(instant)
         return instant
 
-    def insert(self, df: DataFrame, validate_duplicates: bool = False) -> str:
+    def insert(self, df: DataFrame, validate_duplicates: bool = False,
+               drop_duplicates: bool = False) -> str:
         """WriteOperationType.INSERT (SparkRDDWriteClient.java:175): no index
         lookup; small-file packing only. Duplicate keys are allowed unless
-        validate_duplicates (ValidateDuplicateKeyPayload semantics)."""
+        validate_duplicates (ValidateDuplicateKeyPayload semantics) or
+        drop_duplicates (INSERT_DROP_DUPS: incoming records whose key already
+        exists in the table are silently dropped — HoodieWriteHelper tag +
+        filter-located, TestCOWDataSource testDropInsertDup)."""
         cfg = self.cfg
         if cfg.index_type in ("bucket", "bucket_consistent"):
             # bucket tables route EVERY write through bucket assignment —
@@ -984,6 +988,29 @@ class Writer:
                     if dup.limit(1).count() > 0:
                         raise ValueError("duplicate record keys on INSERT "
                                          "(ValidateDuplicateKeyPayload)")
+                if drop_duplicates:
+                    # same key-range-pruned, tombstone-aware candidate scan
+                    # the upsert tag path uses; located keys are filtered out
+                    band_rows = (incoming.groupBy(meta.PARTITION_PATH)
+                                 .agg(F.min(meta.RECORD_KEY).alias("kmin"),
+                                      F.max(meta.RECORD_KEY).alias("kmax"))
+                                 .collect())
+                    partitions = [r[0] for r in band_rows]
+                    bands = {r[0]: (r[1], r[2]) for r in band_rows}
+                    loc = self._location_df(view, partitions, incoming,
+                                            bands=bands)
+                    if loc is not None:
+                        if cfg.global_index:
+                            on = [meta.RECORD_KEY]
+                        else:
+                            on = [meta.RECORD_KEY, meta.PARTITION_PATH]
+                            loc = loc.withColumnRenamed("__loc_pp",
+                                                        meta.PARTITION_PATH)
+                        incoming_kept = incoming.join(
+                            loc.select(*on), on=on, how="left_anti")
+                        incoming.unpersist()
+                        incoming = incoming_kept
+                        incoming.persist()
                 assigned, packed = self.assign_buckets(incoming, view,
                                                        pack_small_files=cow)
                 if cow and packed:

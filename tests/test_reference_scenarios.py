@@ -1,0 +1,122 @@
+"""Reference functional-test scenarios replayed through the option compat
+layer (TestCOWDataSource.scala / TestMORDataSource.scala shapes — same option
+strings, same expected states)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_0_12_0_my_spark.compat import read_hudi, write_hudi
+
+OPTS = {
+    "hoodie.table.name": "ref_scen",
+    "hoodie.datasource.write.recordkey.field": "id",
+    "hoodie.datasource.write.precombine.field": "ts",
+    "hoodie.datasource.write.partitionpath.field": "part",
+}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id string, part string, ts long, v int")
+
+
+def test_drop_insert_dup(spark, tmp_table_dir):
+    """TestCOWDataSource.testDropInsertDup: second INSERT with
+    hoodie.datasource.write.insert.drop.duplicates=true keeps only the
+    new-key rows; the incremental pull from commit 1 sees exactly those."""
+    ins1 = _df(spark, [(f"k{i}", "p1", 1, i) for i in range(10)])
+    t = write_hudi(ins1, tmp_table_dir, {
+        **OPTS, "hoodie.datasource.write.operation": "insert"})
+    t0 = t.latest_instant()
+    dups = [(f"k{i}", "p1", 2, 100 + i) for i in range(9)]
+    new = [("n1", "p1", 2, 201), ("n2", "p1", 2, 202)]
+    write_hudi(_df(spark, dups + new), tmp_table_dir, {
+        **OPTS, "hoodie.datasource.write.operation": "insert",
+        "hoodie.datasource.write.insert.drop.duplicates": "true"})
+    snap = read_hudi(spark, tmp_table_dir)
+    assert snap.count() == 12                       # 10 + 2 new unique keys
+    # dup rows were dropped, not upserted: k0's value is the original
+    assert snap.filter("id = 'k0'").head().v == 0
+    inc = read_hudi(spark, tmp_table_dir, {
+        "hoodie.datasource.query.type": "incremental",
+        "hoodie.datasource.read.begin.instanttime": t0})
+    assert {r.id for r in inc.collect()} == {"n1", "n2"}
+
+
+def test_no_precombine_upsert(spark, tmp_table_dir):
+    """TestCOWDataSource.testNoPrecombine: without a precombine field the
+    write still succeeds and the later batch wins (commit-order latest)."""
+    opts = {k: v for k, v in OPTS.items()
+            if k != "hoodie.datasource.write.precombine.field"}
+    write_hudi(_df(spark, [("a", "p1", 1, 1)]), tmp_table_dir, {
+        **opts, "hoodie.datasource.write.operation": "bulk_insert"})
+    write_hudi(_df(spark, [("a", "p1", 1, 2)]), tmp_table_dir, {
+        **opts, "hoodie.datasource.write.operation": "upsert"})
+    got = read_hudi(spark, tmp_table_dir).collect()
+    assert len(got) == 1 and got[0].v == 2
+
+
+def test_hoodie_is_deleted_column(spark, tmp_table_dir):
+    """testHoodieIsDeletedCOW: rows upserted with _hoodie_is_deleted=true
+    disappear from the snapshot."""
+    write_hudi(_df(spark, [("a", "p1", 1, 1), ("b", "p1", 1, 2)]),
+               tmp_table_dir,
+               {**OPTS, "hoodie.datasource.write.operation": "bulk_insert"})
+    tomb = (_df(spark, [("a", "p1", 2, 0)])
+            .withColumn("_hoodie_is_deleted", F.lit(True)))
+    write_hudi(tomb, tmp_table_dir,
+               {**OPTS, "hoodie.datasource.write.operation": "upsert"})
+    assert [r.id for r in read_hudi(spark, tmp_table_dir).collect()] == ["b"]
+
+
+def test_insert_overwrite_disjoint_partitions(spark, tmp_table_dir):
+    """testOverWriteModeUseReplaceActionOnDisJointPartitions: overwriting
+    with rows for p2 only replaces p2; p1 rows survive untouched."""
+    write_hudi(_df(spark, [("a", "p1", 1, 1), ("b", "p2", 1, 2)]),
+               tmp_table_dir,
+               {**OPTS, "hoodie.datasource.write.operation": "bulk_insert"})
+    write_hudi(_df(spark, [("c", "p2", 2, 3)]), tmp_table_dir,
+               {**OPTS,
+                "hoodie.datasource.write.operation": "insert_overwrite"})
+    got = {(r.id, r.part) for r in read_hudi(spark, tmp_table_dir).collect()}
+    assert got == {("a", "p1"), ("c", "p2")}
+
+
+def test_mor_drop_insert_dup_base_located_semantics(spark, tmp_table_dir):
+    """Reference parity on MOR + simple (non-global) index: the index tags
+    against latest BASE files only (HoodieSimpleIndex.fetchRecordLocations),
+    so a key tombstoned in a delta file still counts as existing — its
+    drop.duplicates re-insert is dropped and the key stays deleted."""
+    opts = {**OPTS,
+            "hoodie.datasource.write.table.type": "MERGE_ON_READ"}
+    write_hudi(_df(spark, [("a", "p1", 1, 1), ("b", "p1", 1, 2)]),
+               tmp_table_dir,
+               {**opts, "hoodie.datasource.write.operation": "bulk_insert"})
+    write_hudi(_df(spark, [("a", "p1", 2, 0)]), tmp_table_dir,
+               {**opts, "hoodie.datasource.write.operation": "delete"})
+    write_hudi(_df(spark, [("a", "p1", 3, 9), ("b", "p1", 3, 99)]),
+               tmp_table_dir,
+               {**opts, "hoodie.datasource.write.operation": "insert",
+                "hoodie.datasource.write.insert.drop.duplicates": "true"})
+    got = {(r.id, r.v) for r in read_hudi(spark, tmp_table_dir).collect()}
+    assert got == {("b", 2)}
+
+
+def test_mor_global_drop_insert_dup_tombstone_aware(spark, tmp_table_dir):
+    """With the GLOBAL index the engine's location scan subtracts delta
+    tombstone winners (writer._shadow_deleted_keys), so the deleted key's
+    re-insert survives drop.duplicates while b's duplicate is dropped."""
+    opts = {**OPTS,
+            "hoodie.datasource.write.table.type": "MERGE_ON_READ",
+            "hoodie.index.type": "GLOBAL_SIMPLE"}
+    write_hudi(_df(spark, [("a", "p1", 1, 1), ("b", "p1", 1, 2)]),
+               tmp_table_dir,
+               {**opts, "hoodie.datasource.write.operation": "bulk_insert"})
+    write_hudi(_df(spark, [("a", "p1", 2, 0)]), tmp_table_dir,
+               {**opts, "hoodie.datasource.write.operation": "delete"})
+    write_hudi(_df(spark, [("a", "p1", 3, 9), ("b", "p1", 3, 99)]),
+               tmp_table_dir,
+               {**opts, "hoodie.datasource.write.operation": "insert",
+                "hoodie.datasource.write.insert.drop.duplicates": "true"})
+    got = {(r.id, r.v) for r in read_hudi(spark, tmp_table_dir).collect()}
+    assert got == {("a", 9), ("b", 2)}
