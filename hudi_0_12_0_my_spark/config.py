@@ -75,8 +75,62 @@ def config_path(base_path: str) -> str:
     return os.path.join(base_path, ".hoodie", "table_config.json")
 
 
+_PAYLOAD_TO_CLASS = {
+    "overwrite_latest": "org.apache.hudi.common.model.OverwriteWithLatestAvroPayload",
+    "default": "org.apache.hudi.common.model.DefaultHoodieRecordPayload",
+    "event_time": "org.apache.hudi.common.model.DefaultHoodieRecordPayload",
+    "partial_update": "org.apache.hudi.common.model.OverwriteNonDefaultsWithLatestAvroPayload",
+    "overwrite_non_defaults": "org.apache.hudi.common.model.OverwriteNonDefaultsWithLatestAvroPayload",
+    "validate_dup": "org.apache.hudi.common.model.ValidateDuplicateKeyPayload",
+}
+
+_KEYGEN_TO_CLASS = {
+    "simple": "org.apache.hudi.keygen.SimpleKeyGenerator",
+    "complex": "org.apache.hudi.keygen.ComplexKeyGenerator",
+    "nonpartitioned": "org.apache.hudi.keygen.NonpartitionedKeyGenerator",
+    "timestamp": "org.apache.hudi.keygen.TimestampBasedKeyGenerator",
+    "custom": "org.apache.hudi.keygen.CustomKeyGenerator",
+    "uuid": "org.apache.hudi.keygen.UuidKeyGenerator",
+    "global_delete": "org.apache.hudi.keygen.GlobalDeleteKeyGenerator",
+}
+
+
+def hoodie_properties(cfg: TableConfig) -> str:
+    """The table config rendered as a reference-format `hoodie.properties`
+    (HoodieTableConfig.java:88-190 keys) — written alongside the engine's
+    canonical JSON so external Hudi-aware tooling can identify the table."""
+    props = {
+        "hoodie.table.name": cfg.name,
+        "hoodie.table.type": ("MERGE_ON_READ" if cfg.table_type == MOR
+                              else "COPY_ON_WRITE"),
+        "hoodie.table.version": "5",
+        "hoodie.table.recordkey.fields": ",".join(cfg.record_key_fields),
+        "hoodie.table.base.file.format": "PARQUET",
+        "hoodie.table.log.file.format": "PARQUET",
+        "hoodie.table.keygenerator.class":
+            _KEYGEN_TO_CLASS.get(cfg.keygen,
+                                 _KEYGEN_TO_CLASS["simple"]),
+        "hoodie.compaction.payload.class":
+            _PAYLOAD_TO_CLASS.get(cfg.payload,
+                                  _PAYLOAD_TO_CLASS["overwrite_latest"]),
+        "hoodie.datasource.write.hive_style_partitioning":
+            str(cfg.hive_style_partitioning).lower(),
+        "hoodie.timeline.layout.version": "1",
+    }
+    if cfg.precombine_field:
+        props["hoodie.table.precombine.field"] = cfg.precombine_field
+    if cfg.partition_field:
+        props["hoodie.table.partition.fields"] = cfg.partition_field
+    lines = ["#Updated at write time", "#hudi_0_12_0_my_spark"]
+    lines += [f"{k}={v}" for k, v in sorted(props.items())]
+    return "\n".join(lines) + "\n"
+
+
 def save_config(base_path: str, cfg: TableConfig) -> None:
     atomic_write_json(config_path(base_path), cfg.to_dict())
+    storage = get_storage(base_path)
+    storage.atomic_put(os.path.join(base_path, ".hoodie", "hoodie.properties"),
+                       hoodie_properties(cfg).encode())
 
 
 def load_config(base_path: str) -> TableConfig:

@@ -158,3 +158,21 @@ def test_cdc_incremental_format(spark, tmp_table_dir):
         "hoodie.datasource.read.begin.instanttime": t0})
     ops = {r["op"] for r in cdc.collect()}
     assert ops == {"u"}
+
+
+def test_hoodie_properties_mirror(spark, tmp_table_dir):
+    """Table creation writes a reference-format .hoodie/hoodie.properties
+    alongside the canonical JSON config (HoodieTableConfig key names)."""
+    import os
+    write_hudi(_rows(spark, [("a", "p1", 1, 10)]), tmp_table_dir, {
+        **WRITE_OPTS,
+        "hoodie.datasource.write.table.type": "MERGE_ON_READ",
+        "hoodie.datasource.write.operation": "bulk_insert"})
+    p = os.path.join(tmp_table_dir, ".hoodie", "hoodie.properties")
+    props = dict(l.strip().split("=", 1) for l in open(p)
+                 if "=" in l and not l.startswith("#"))
+    assert props["hoodie.table.name"] == "compat_tbl"
+    assert props["hoodie.table.type"] == "MERGE_ON_READ"
+    assert props["hoodie.table.recordkey.fields"] == "id"
+    assert props["hoodie.table.precombine.field"] == "ts"
+    assert props["hoodie.table.partition.fields"] == "part"
