@@ -105,8 +105,13 @@ def segment_dedup(df: DataFrame, window: int = 50, sep: str | None = None,
             .filter((F.col("id") == F.col("_w.id"))
                     & (F.col("seg_idx") == F.col("_w.seg_idx"))))
     joiner = " " if sep is None else "\n\n"
-    return (ex.select("id").groupBy("id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_segments"))
+    # per-doc totals are a map-only projection of the source (array size) —
+    # no need to re-shuffle the exploded segments just to count them
+    totals = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+              .select(F.col(id_col).alias("id"),
+                      F.size(segs).cast("bigint").alias("n_segments"))
+              .filter(F.col("n_segments") > 0))
+    return (totals
             .join(kept.groupBy("id").agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_kept"),
                 F.concat_ws(joiner, F.transform(
