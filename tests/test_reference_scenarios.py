@@ -120,3 +120,42 @@ def test_mor_global_drop_insert_dup_tombstone_aware(spark, tmp_table_dir):
                 "hoodie.datasource.write.insert.drop.duplicates": "true"})
     got = {(r.id, r.v) for r in read_hudi(spark, tmp_table_dir).collect()}
     assert got == {("a", 9), ("b", 2)}
+
+
+def test_mor_precombine_ordering_with_ordered_deletes(spark, tmp_table_dir):
+    """TestMORDataSource.testPreCombineFiledForReadMOR, nonpartitioned +
+    DefaultHoodieRecordPayload: stale versions never overwrite, and a
+    DELETE whose ordering value is older than the stored row is obsolete."""
+    opts = {
+        "hoodie.table.name": "ordered",
+        "hoodie.datasource.write.table.type": "MERGE_ON_READ",
+        "hoodie.datasource.write.recordkey.field": "id",
+        "hoodie.datasource.write.precombine.field": "version",
+        "hoodie.datasource.write.partitionpath.field": "",
+        "hoodie.datasource.write.keygenerator.class":
+            "org.apache.hudi.keygen.NonpartitionedKeyGenerator",
+        "hoodie.datasource.write.payload.class":
+            "org.apache.hudi.common.model.DefaultHoodieRecordPayload",
+        "hoodie.datasource.write.operation": "upsert",
+    }
+
+    def write(id_, name, value, version, deleted):
+        df = (spark.createDataFrame(
+                [(id_, name, value, version)],
+                "id int, name string, value int, version int")
+              .withColumn("_hoodie_is_deleted", F.lit(deleted)))
+        write_hudi(df, tmp_table_dir, opts)
+
+    def check(value, version):
+        rows = read_hudi(spark, tmp_table_dir) \
+            .select("value", "version").collect()
+        assert [(r.value, r.version) for r in rows] == [(value, version)]
+
+    write(1, "a0", 10, 100, False); check(10, 100)
+    write(1, "a0", 12, 99, False);  check(10, 100)   # stale version ignored
+    write(1, "a0", 12, 101, False); check(12, 101)   # newer wins
+    write(1, "a0", 14, 98, False);  check(12, 101)   # stale again
+    write(1, "a0", 16, 97, True);   check(12, 101)   # obsolete DELETE ignored
+    write(1, "a0", 18, 96, False);  check(12, 101)   # still pinned
+    write(1, "a0", 20, 102, True)                    # current DELETE wins
+    assert read_hudi(spark, tmp_table_dir).count() == 0
