@@ -1186,6 +1186,20 @@ def q_events_cohorts(spark, sf_dir):
         "cohort", "period_offset", "n_users", "retention")
 
 
+_CLS_WEIGHTS = {"spark": 1.0, "vector": 0.8, "query": 0.5,
+                "slow": -1.2, "big": -0.4, "the": -0.1}
+
+
+def q_docs_quality_classifier(spark, sf_dir):
+    """fastText-style linear quality scoring with a fixed literal model
+    (operators/lm.py linear_text_score): sigmoid of the token-weight mean,
+    replayed exactly in SQL."""
+    from hudi_0_12_0_my_spark.operators import linear_text_score
+    docs = _read(spark, sf_dir, "documents")
+    return (linear_text_score(docs, _CLS_WEIGHTS, bias=0.1)
+            .select("doc_id", "score"))
+
+
 def q_docs_tfidf(spark, sf_dir):
     """Per-document top-5 tf-idf keywords (operators/lm.py tfidf_keywords),
     deterministic rank with term tie-break; restricted to 30 docs so the
@@ -1687,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_percentile": q_docs_quality_percentile,
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_tfidf": q_docs_tfidf,
+        "docs_quality_classifier": q_docs_quality_classifier,
         "docs_lm_unigram": q_docs_lm_unigram,
         "docs_lm_bigram": q_docs_lm_bigram,
         "docs_mixture_sample": q_docs_mixture_sample,
@@ -2669,6 +2684,20 @@ SELECT c.cohort, c.period_offset, c.n_users,
        round(CAST(c.n_users AS DOUBLE) / CAST(s.sz AS DOUBLE), 6)
          AS retention
 FROM c JOIN s USING (cohort)""",
+        "docs_quality_classifier": """
+WITH w(tok, wt) AS (VALUES ('spark', 1.0), ('vector', 0.8), ('query', 0.5),
+                           ('slow', -1.2), ('big', -0.4), ('the', -0.1)),
+tok AS (
+  SELECT doc_id, unnest(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents WHERE length(trim(text)) > 0),
+agg AS (
+  SELECT t.doc_id, sum(coalesce(w.wt, 0.0)) AS s,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM tok t LEFT JOIN w USING (tok) GROUP BY t.doc_id)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(0.1 + s / n))), 6) AS score
+FROM agg""",
         "docs_tfidf": """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(

@@ -105,6 +105,43 @@ def tfidf_keywords(df: DataFrame, k: int = 5, id_col: str = "doc_id",
                     "term", "tfidf"))
 
 
+def linear_text_score(df: DataFrame, weights, bias: float = 0.0,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      normalize: bool = True) -> DataFrame:
+    """fastText-style linear text classifier scoring: (id, score) with
+    score = sigmoid(bias + sum_t w[t] (/ n_tokens if normalize)) rounded to
+    6 decimals — the learned-quality-filter shape (CCNet / LLaMA-style
+    "wikipedia-like" filters), with the model as data instead of an external
+    binary.
+
+    `weights` is a token->float dict OR a (token, weight) DataFrame. Dict
+    weights become a broadcast join side; a DataFrame side joins however its
+    size dictates (broadcast under the AQE threshold, shuffle otherwise —
+    at 100 TB a 10M-token model still broadcasts at ~100 MB, so scoring
+    stays a map-only pass over the corpus). Tokens without a weight
+    contribute 0; empty documents score sigmoid(bias).
+    """
+    spark = df.sparkSession
+    if isinstance(weights, dict):
+        wdf = spark.createDataFrame(list(weights.items()),
+                                    "tok string, w double")
+    else:
+        wdf = weights.toDF("tok", "w")
+    toks = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("_t"))
+    ex = toks.select("id", F.size("_t").alias("_n"),
+                     F.explode_outer("_t").alias("tok"))
+    summed = (ex.join(F.broadcast(wdf), "tok", "left")
+              .groupBy("id")
+              .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("_s"),
+                   F.first("_n").alias("_n")))
+    raw = F.col("_s") / F.when(F.lit(normalize) & (F.col("_n") > 0),
+                               F.col("_n")).otherwise(F.lit(1.0))
+    logit = F.lit(float(bias)) + raw
+    return summed.select(
+        F.col("id").alias(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"))
+
+
 def lm_outliers(df: DataFrame, order: int = 1, keep_fraction: float = 0.99,
                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Documents BELOW the keep_fraction quantile of lm_logprob — the

@@ -602,3 +602,25 @@ def test_cohort_retention_weekly(spark):
     assert out[("2024-01-01", 1)] == (1, 0.5)
     assert out[("2024-01-08", 0)] == (1, 1.0)
     assert len(out) == 3
+
+
+def test_linear_text_score_matches_hand_sigmoid(docs):
+    """Hand-computed sigmoid of the normalized token-weight sum; empty doc
+    scores sigmoid(bias); unknown tokens contribute zero."""
+    import math
+    w = {"fox": 1.0, "lazy": -0.5, "der": 2.0}
+    rows = {r.doc_id: r.score for r in
+            ops.linear_text_score(docs, w, bias=0.2).collect()}
+    def sig(x): return 1 / (1 + math.exp(-x))
+    # doc 1: 9 tokens, fox + lazy -> (1.0 - 0.5)/9
+    assert abs(rows[1] - round(sig(0.2 + 0.5 / 9), 6)) < 1e-9
+    # doc 5: der twice? no - once; 6 tokens
+    assert abs(rows[5] - round(sig(0.2 + 2.0 / 6), 6)) < 1e-9
+    # empty doc 6: sigmoid(bias)
+    assert abs(rows[6] - round(sig(0.2), 6)) < 1e-9
+    # weights as a DataFrame side behave identically
+    wdf = docs.sparkSession.createDataFrame(list(w.items()),
+                                            "tok string, w double")
+    rows2 = {r.doc_id: r.score for r in
+             ops.linear_text_score(docs, wdf, bias=0.2).collect()}
+    assert rows == rows2
