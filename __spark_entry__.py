@@ -1181,7 +1181,7 @@ def q_events_cohorts(spark, sf_dir):
     cohort_retention): users bucketed by first-activity week, distinct
     active users per (cohort, week offset)."""
     from hudi_0_12_0_my_spark.operators import cohort_retention
-    ev = _read(spark, sf_dir, "events")
+    ev = _read_events(spark, sf_dir)
     return cohort_retention(ev, period="week").select(
         "cohort", "period_offset", "n_users", "retention")
 
@@ -1196,6 +1196,9 @@ def q_docs_quality_classifier(spark, sf_dir):
     replayed exactly in SQL."""
     from hudi_0_12_0_my_spark.operators import linear_text_score
     docs = _read(spark, sf_dir, "documents")
+    # the operator keeps empty docs (score = sigmoid(bias)); the SQL oracle's
+    # token CTE can't see them, so the gate query scopes to non-empty text
+    docs = docs.filter(F.length(F.trim(F.col("text"))) > 0)
     return (linear_text_score(docs, _CLS_WEIGHTS, bias=0.1)
             .select("doc_id", "score"))
 

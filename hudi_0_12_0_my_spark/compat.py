@@ -188,19 +188,27 @@ def write_hudi(df: DataFrame, path: str, options: dict | None = None,
     op = str(options.get(OPERATION, "upsert")).lower()
     spark = df.sparkSession
     exists = cfgmod.table_exists(path)
-    if mode.lower() == "overwrite" and exists:
-        # reference: mode=Overwrite re-creates the table (HoodieSparkSqlWriter
-        # deletes basePath); map to insert_overwrite_table on same config
+    mode_l = mode.lower()
+    if mode_l == "overwrite" and exists:
         t = LakeTable(spark, path)
-        t.insert_overwrite_table(df)
+        if op == "insert_overwrite":
+            # explicit partition-scoped overwrite stays partition-scoped
+            # (reference only re-creates the table for the other operations)
+            t.insert_overwrite(df)
+        else:
+            # reference: mode=Overwrite re-creates the table
+            # (HoodieSparkSqlWriter deletes basePath); same-config equivalent
+            t.insert_overwrite_table(df)
         return t
     if not exists:
         kw = options_to_config(options)
         name = kw.pop("name", None)
         t = LakeTable.create(spark, path, name=name, **kw)
     else:
-        if mode.lower() == "error":
-            raise FileExistsError(f"table exists at {path} (mode=error)")
+        if mode_l in ("error", "errorifexists"):
+            raise FileExistsError(f"table exists at {path} (mode={mode})")
+        if mode_l == "ignore":
+            return LakeTable(spark, path)   # SaveMode.Ignore: no-op
         t = LakeTable(spark, path)
     if op == "upsert":
         t.upsert(df)
@@ -219,8 +227,17 @@ def write_hudi(df: DataFrame, path: str, options: dict | None = None,
         from .keygen import _partition_specs
         cols = list(t.cfg.record_key_fields)
         if not t.cfg.global_index:
-            cols += [f for f, _ in _partition_specs(t.cfg)
-                     if f in df.columns and f not in cols]
+            pfields = [f for f, _ in _partition_specs(t.cfg)]
+            missing = [f for f in pfields if f not in df.columns]
+            if missing:
+                # non-global delete is partition-scoped (HoodieKey needs the
+                # partition path); deleting on key alone would over-delete
+                # across partitions — reference keygen would fail the same way
+                raise ValueError(
+                    f"delete on a non-global-index table requires the "
+                    f"partition source column(s) {missing}; only a global "
+                    f"index deletes by key alone")
+            cols += [f for f in pfields if f not in cols]
         t.delete(keys_df=df.select(*cols))
     elif op == "delete_partition":
         parts = options.get(PARTITIONS_TO_DELETE)
@@ -248,6 +265,8 @@ def read_hudi(spark: SparkSession, path: str,
     t = LakeTable(spark, path)
     qt = str(options.get(QUERY_TYPE, options.get(QUERY_TYPE_ALT,
                                                  "snapshot"))).lower()
+    if qt == "realtime":        # legacy view.type value -> snapshot
+        qt = "snapshot"
     if qt == "snapshot" and AS_OF_INSTANT in options:
         return t.time_travel(str(options[AS_OF_INSTANT]))
     if qt == "snapshot":

@@ -67,7 +67,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def segment_dedup(df: DataFrame, window: int = 50, sep: str | None = None,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  joiner: str | None = None) -> DataFrame:
     """Sub-document exact dedup (C4/RefinedWeb-style paragraph dedup): split
     each document into segments, keep each distinct segment's FIRST
     occurrence corpus-wide (min (id, position) — deterministic), and
@@ -75,7 +76,10 @@ def segment_dedup(df: DataFrame, window: int = 50, sep: str | None = None,
 
     `sep` (e.g. ``r"\\n\\n+"``) splits on a separator — real paragraph dedup;
     with sep=None segments are fixed non-overlapping `window`-token spans,
-    which covers corpora without paragraph structure. Returns
+    which covers corpora without paragraph structure. Survivors rejoin with
+    `joiner` (default: single space in window mode, a paragraph break in
+    separator mode — pass it explicitly when sep isn't a blank-line
+    pattern). Returns
     (id, text_dedup, n_segments, n_kept) — documents whose every segment was
     seen earlier come back with empty text_dedup, n_kept = 0; empty docs are
     omitted (no segments).
@@ -104,7 +108,10 @@ def segment_dedup(df: DataFrame, window: int = 50, sep: str | None = None,
     kept = (ex.join(winners, "_h")
             .filter((F.col("id") == F.col("_w.id"))
                     & (F.col("seg_idx") == F.col("_w.seg_idx"))))
-    joiner = " " if sep is None else "\n\n"
+    if joiner is None:
+        # sep is a regex and can't be inverted — reassembly defaults to a
+        # paragraph break; callers splitting on anything else pass `joiner`
+        joiner = " " if sep is None else "\n\n"
     # per-doc totals are a map-only projection of the source (array size) —
     # no need to re-shuffle the exploded segments just to count them
     totals = (df.filter(F.length(F.trim(F.col(text_col))) > 0)

@@ -15,9 +15,10 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _tokens(text_col: str):
-    c = F.lower(F.trim(F.col(text_col)))
-    return F.when(F.length(c) == 0, F.array().cast("array<string>")) \
-            .otherwise(F.split(c, r"\s+"))
+    # same tokenizer as every other text operator (textstats._ws_tokens),
+    # lowercased — one definition so the shared SQL oracles stay in lockstep
+    from .textstats import _ws_tokens
+    return _ws_tokens(F.lower(F.col(text_col)))
 
 
 def lm_log_prob(df: DataFrame, order: int = 1, id_col: str = "doc_id",
@@ -123,14 +124,16 @@ def linear_text_score(df: DataFrame, weights, bias: float = 0.0,
     """
     spark = df.sparkSession
     if isinstance(weights, dict):
-        wdf = spark.createDataFrame(list(weights.items()),
-                                    "tok string, w double")
+        # literal model: always tiny, force the broadcast
+        wdf = F.broadcast(spark.createDataFrame(
+            list(weights.items()), "tok string, w double"))
     else:
+        # DataFrame model: let AQE pick broadcast vs shuffle by actual size
         wdf = weights.toDF("tok", "w")
     toks = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("_t"))
     ex = toks.select("id", F.size("_t").alias("_n"),
                      F.explode_outer("_t").alias("tok"))
-    summed = (ex.join(F.broadcast(wdf), "tok", "left")
+    summed = (ex.join(wdf, "tok", "left")
               .groupBy("id")
               .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("_s"),
                    F.first("_n").alias("_n")))

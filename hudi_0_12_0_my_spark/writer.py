@@ -629,6 +629,33 @@ class Writer:
                 self.cfg, view, bs)
         return self.spark.read.parquet(*paths)
 
+    def _drop_existing_keys(self, df: DataFrame) -> DataFrame:
+        """INSERT_DROP_DUPS for the bucket-index path: anti-join the raw
+        incoming batch against located keys BEFORE the write routes through
+        bucket assignment (the non-bucket path does this inline in insert()).
+        Keys/partitions are derived with the keygen expressions; the location
+        scan is the usual key-range-pruned meta scan."""
+        from .keygen import partition_path_expr, record_key_expr
+        keyed = (df.withColumn(meta.RECORD_KEY, record_key_expr(self.cfg))
+                 .withColumn(meta.PARTITION_PATH,
+                             partition_path_expr(self.cfg, df)))
+        band_rows = (keyed.groupBy(meta.PARTITION_PATH)
+                     .agg(F.min(meta.RECORD_KEY).alias("kmin"),
+                          F.max(meta.RECORD_KEY).alias("kmax"))
+                     .collect())
+        partitions = [r[0] for r in band_rows]
+        bands = {r[0]: (r[1], r[2]) for r in band_rows}
+        loc = self._location_df(self.t.view(), partitions, keyed, bands=bands)
+        if loc is None:
+            return df
+        if self.cfg.global_index:
+            on = [meta.RECORD_KEY]
+        else:
+            on = [meta.RECORD_KEY, meta.PARTITION_PATH]
+            loc = loc.withColumnRenamed("__loc_pp", meta.PARTITION_PATH)
+        return (keyed.join(loc.select(*on), on=on, how="left_anti")
+                .drop(meta.RECORD_KEY, meta.PARTITION_PATH))
+
     def _location_df(self, view: FileSystemView, partitions: list[str],
                      incoming: DataFrame | None = None,
                      bands: dict | None = None) -> DataFrame | None:
@@ -966,6 +993,8 @@ class Writer:
         if cfg.index_type in ("bucket", "bucket_consistent"):
             # bucket tables route EVERY write through bucket assignment —
             # a size-based file id would shadow the bucket's existing slice
+            if drop_duplicates:
+                df = self._drop_existing_keys(df)
             return self.upsert(df, operation="insert")
         cow = cfg.table_type == cfgmod.COW
         action = tl.COMMIT if cow else tl.DELTACOMMIT

@@ -176,3 +176,58 @@ def test_hoodie_properties_mirror(spark, tmp_table_dir):
     assert props["hoodie.table.recordkey.fields"] == "id"
     assert props["hoodie.table.precombine.field"] == "ts"
     assert props["hoodie.table.partition.fields"] == "part"
+
+
+def test_mode_ignore_and_errorifexists(spark, tmp_table_dir):
+    """SaveMode.Ignore is a no-op on an existing table; errorifexists
+    raises like 'error'."""
+    write_hudi(_rows(spark, [("a", "p1", 1, 10)]), tmp_table_dir, {
+        **WRITE_OPTS, "hoodie.datasource.write.operation": "bulk_insert"})
+    write_hudi(_rows(spark, [("b", "p1", 1, 20)]), tmp_table_dir,
+               WRITE_OPTS, mode="ignore")
+    assert read_hudi(spark, tmp_table_dir).count() == 1    # untouched
+    with pytest.raises(FileExistsError):
+        write_hudi(_rows(spark, [("c", "p1", 1, 30)]), tmp_table_dir,
+                   WRITE_OPTS, mode="errorifexists")
+
+
+def test_mode_overwrite_honors_partition_scoped_operation(spark,
+                                                          tmp_table_dir):
+    """operation=insert_overwrite + mode=overwrite must stay partition-
+    scoped: p1 survives an overwrite that only carries p2 rows."""
+    write_hudi(_rows(spark, [("a", "p1", 1, 10), ("b", "p2", 1, 20)]),
+               tmp_table_dir,
+               {**WRITE_OPTS, "hoodie.datasource.write.operation": "bulk_insert"})
+    write_hudi(_rows(spark, [("c", "p2", 2, 30)]), tmp_table_dir,
+               {**WRITE_OPTS,
+                "hoodie.datasource.write.operation": "insert_overwrite"},
+               mode="overwrite")
+    got = {(r.id, r.part) for r in read_hudi(spark, tmp_table_dir).collect()}
+    assert got == {("a", "p1"), ("c", "p2")}
+
+
+def test_nonglobal_delete_requires_partition_column(spark, tmp_table_dir):
+    """Key-only delete frames are rejected on non-global tables instead of
+    silently tombstoning the key in every partition."""
+    write_hudi(_rows(spark, [("a", "p1", 1, 10), ("a", "p2", 1, 20)]),
+               tmp_table_dir,
+               {**WRITE_OPTS, "hoodie.datasource.write.operation": "bulk_insert"})
+    keys_only = spark.createDataFrame([("a",)], "id string")
+    with pytest.raises(ValueError, match="partition source column"):
+        write_hudi(keys_only, tmp_table_dir, {
+            **WRITE_OPTS, "hoodie.datasource.write.operation": "delete"})
+
+
+def test_bucket_index_drop_insert_dup(spark, tmp_table_dir):
+    """INSERT_DROP_DUPS on a bucket-index table: the duplicate is dropped
+    (not upserted) and the new key lands in its bucket."""
+    opts = {**WRITE_OPTS, "hoodie.index.type": "BUCKET",
+            "hoodie.bucket.index.num.buckets": "4"}
+    write_hudi(_rows(spark, [("a", "p1", 1, 10)]), tmp_table_dir, {
+        **opts, "hoodie.datasource.write.operation": "insert"})
+    write_hudi(_rows(spark, [("a", "p1", 2, 99), ("b", "p1", 2, 20)]),
+               tmp_table_dir,
+               {**opts, "hoodie.datasource.write.operation": "insert",
+                "hoodie.datasource.write.insert.drop.duplicates": "true"})
+    got = {(r.id, r.v) for r in read_hudi(spark, tmp_table_dir).collect()}
+    assert got == {("a", 10), ("b", 20)}
