@@ -1176,6 +1176,32 @@ def q_docs_segment_dedup(spark, sf_dir):
         "doc_id", "text_dedup", "n_segments", "n_kept")
 
 
+def q_rollup_incremental(spark, sf_dir):
+    """Incremental materialized-view maintenance (derived.py sync_rollup):
+    a returnflag/linestatus rollup of the COW lineitem table kept current by
+    folding the CDC diff after each commit (full snapshot on first sync,
+    +after/-before deltas afterwards, zero-count groups tombstoned). The
+    result must equal a from-scratch aggregate of the final state."""
+    from hudi_0_12_0_my_spark.derived import sync_rollup
+    t, commits = _build_cow(spark, sf_dir)
+    key = (sf_dir, "rollup")
+    if key not in _BUILT:
+        dst = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "rollup")),
+            record_key_fields=["l_returnflag", "l_linestatus"],
+            keygen="nonpartitioned")
+        for end in commits:          # one sync per source commit
+            sync_rollup(t, dst, ["l_returnflag", "l_linestatus"],
+                        {"sum_qty": "l_quantity",
+                         "sum_price": "l_extendedprice"}, end=end)
+        _BUILT[key] = (dst, commits)
+    dst, _ = _BUILT[key]
+    return dst.snapshot().select(
+        "l_returnflag", "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"), "n_rows")
+
+
 def q_events_cohorts(spark, sf_dir):
     """Weekly cohort retention matrix (operators/sessions.py
     cohort_retention): users bucketed by first-activity week, distinct
@@ -1710,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_sample": q_docs_mixture_sample,
         "events_sessionize": q_events_sessionize,
         "events_cohorts": q_events_cohorts,
+        "rollup_incremental": q_rollup_incremental,
         "emb_topk": q_emb_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
@@ -2671,6 +2698,13 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, lang, n_chars FROM r
 WHERE rn <= ceil(CAST(0.3 AS DOUBLE) * cnt)""",
+        "rollup_incremental": f"""
+WITH {LI_CTES}
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DOUBLE)), 2) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM final GROUP BY l_returnflag, l_linestatus""",
         "events_cohorts": """
 WITH ev AS (SELECT user_id AS u, date_trunc('week', ts) AS p FROM events),
 f AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u),

@@ -1,0 +1,100 @@
+"""Incremental materialized-view maintenance off the CDC feed.
+
+A derived rollup table (distributive aggregates: SUM / COUNT per group) is
+kept in sync with its source lake table by folding the read-side CDC diff
+(reader.incremental_cdc) instead of recomputing the aggregate:
+
+    inserts contribute +after, deletes -before, updates -before +after —
+    so a row that moves between groups debits its old group and credits the
+    new one. Groups whose maintained count reaches zero are tombstoned.
+
+This is the lakehouse "derived pipeline" pattern: the same machinery a
+100 TB deployment uses to keep hourly/board-level aggregates fresh without
+re-scanning the fact table.  Scale shape per sync: ONE cdc read (touched
+file groups only) -> delta aggregate (shuffle on the group key, map-side
+combine) -> key-join against the CURRENT rollup rows of affected groups ->
+one upsert of |affected groups| rows.  Nothing source-sized is rewritten.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from . import meta
+from .storage import get_storage
+
+_CKPT = "rollup_checkpoint"
+
+
+def _ckpt_path(dst) -> str:
+    return os.path.join(dst.base_path, ".hoodie", _CKPT)
+
+
+def rollup_checkpoint(dst) -> str | None:
+    st = get_storage(dst.base_path)
+    p = _ckpt_path(dst)
+    if not st.exists(p):
+        return None
+    return st.read_bytes(p).decode().strip() or None
+
+
+def sync_rollup(src, dst, group_cols: list[str], sum_cols: dict[str, str],
+                end: str | None = None) -> str | None:
+    """Advance `dst` (record-keyed by group_cols, columns = group_cols +
+    sum_cols keys + `n_rows`) to cover src commits up to `end` (default: the
+    source's latest completed write). Returns the new checkpoint instant, or
+    None when already current.
+
+    First sync folds the full source snapshot (as of `end`); later syncs
+    fold only the CDC diff (begin = stored checkpoint). Group columns must
+    be non-null (they form the record key).
+    """
+    last = src.timeline.latest_completed_write()
+    if last is None:
+        return None
+    end = end or last.time
+    begin = rollup_checkpoint(dst)
+    if begin is not None and begin >= end:
+        return None
+
+    gcols = list(group_cols)
+    if begin is None:
+        snap = src.time_travel(end) if end != last.time else src.snapshot()
+        # no tombstone column on the FIRST write: it would register as a
+        # business column in the fresh table's schema (writer.prepare infers
+        # the marker's role from the registered schema), and a full-snapshot
+        # aggregate can't produce empty groups anyway
+        merged = snap.groupBy(*gcols).agg(
+            *[F.sum(F.col(s).cast("double")).alias(o)
+              for o, s in sum_cols.items()],
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    else:
+        cdc = src.incremental_cdc(begin, end)
+        minus = (cdc.filter(F.col("op").isin("u", "d"))
+                 .select(F.lit(-1).alias("_sign"), F.col("before").alias("_r")))
+        plus = (cdc.filter(F.col("op").isin("i", "u"))
+                .select(F.lit(1).alias("_sign"), F.col("after").alias("_r")))
+        contrib = minus.unionByName(plus).select(
+            "_sign", *[F.col(f"_r.{g}").alias(g) for g in gcols],
+            *[F.col(f"_r.{s}").alias(s) for s in dict.fromkeys(sum_cols.values())])
+        deltas = contrib.groupBy(*gcols).agg(
+            *[F.sum(F.col("_sign") * F.col(s).cast("double")).alias(o)
+              for o, s in sum_cols.items()],
+            F.sum("_sign").cast("bigint").alias("n_rows"))
+        cur = dst.snapshot().join(deltas.select(*gcols).distinct(),
+                                  on=gcols, how="left_semi")
+        cur = cur.select(*gcols,
+                         *[F.col(o).alias(f"__old_{o}") for o in sum_cols],
+                         F.col("n_rows").alias("__old_n"))
+        merged = (deltas.join(cur, on=gcols, how="left")
+                  .select(*gcols,
+                          *[(F.coalesce(F.col(f"__old_{o}"), F.lit(0.0))
+                             + F.col(o)).alias(o) for o in sum_cols],
+                          (F.coalesce(F.col("__old_n"), F.lit(0))
+                           + F.col("n_rows")).cast("bigint").alias("n_rows"))
+                  .withColumn(meta.DELETE_MARKER, F.col("n_rows") <= 0))
+    dst.upsert(merged)
+    get_storage(dst.base_path).atomic_put(_ckpt_path(dst), end.encode())
+    return end
