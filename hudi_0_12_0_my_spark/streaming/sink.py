@@ -22,7 +22,7 @@ def stream_write(table, stream_df: DataFrame, checkpoint_dir: str,
                  retry_count: int = 3, retry_interval_sec: float = 1.0,
                  ignore_failed_batch: bool = False,
                  inline_compact: bool = True, inline_clean: bool = False,
-                 transform=None):
+                 transform=None, post_commit=None):
     """Build a ``DataStreamWriter`` writing every micro-batch into ``table``.
 
     Caller starts it:  ``stream_write(...).trigger(availableNow=True).start()``
@@ -34,6 +34,9 @@ def stream_write(table, stream_df: DataFrame, checkpoint_dir: str,
       (SqlQueryBasedTransformer equivalent hook)
     - ``inline_compact``: MOR only — run the NUM_COMMITS compaction trigger
       after each batch (CompactFunction.java equivalent, synchronous)
+    - ``post_commit``: optional fn(table) run after each committed batch —
+      e.g. ``derived.sync_rollup`` to keep a downstream materialized view
+      current with the stream
     """
 
     def last_committed_batch() -> int:
@@ -80,6 +83,8 @@ def stream_write(table, stream_df: DataFrame, checkpoint_dir: str,
             maybe_inline_compact(table)
         if inline_clean:
             table.clean()
+        if post_commit is not None:
+            post_commit(table)
 
     return (stream_df.writeStream
             .foreachBatch(handle_batch)

@@ -387,3 +387,44 @@ def test_stream_sink_replayed_batch_skipped(spark, tmp_path):
     q.awaitTermination(120)
     assert t.snapshot().count() == 2                 # no duplicated rows
     assert len(t.timeline.completed_write_instants()) == 1  # no extra commit
+
+
+def test_stream_sink_maintains_rollup(spark, tmp_path):
+    """post_commit hook keeps a derived rollup current with the stream:
+    after each micro-batch the materialized per-group sums equal a full
+    recompute of the sink table."""
+    import os
+    from hudi_0_12_0_my_spark.derived import sync_rollup
+
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "tbl"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    dst = eng.create_table(str(tmp_path / "rollup"),
+                           record_key_fields=["grp"],
+                           keygen="nonpartitioned")
+    src_dir = str(tmp_path / "in")
+
+    def keep_fresh(table):
+        sync_rollup(table, dst, ["grp"], {"sum_val": "val"})
+
+    _write_jsonl(src_dir, "b1.json",
+                 [{"id": 1, "grp": "a", "val": 1.0, "seq": 1},
+                  {"id": 2, "grp": "b", "val": 2.0, "seq": 1}])
+    raw = (spark.readStream.format("text").load(src_dir)
+           .select(F.from_json(
+               "value", "id long, grp string, val double, seq long").alias("r"))
+           .select("r.*"))
+    q = stream_write(t, raw, str(tmp_path / "ckpt"), post_commit=keep_fresh) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {(r.grp, r.sum_val, r.n_rows) for r in dst.snapshot().collect()}
+    assert got == {("a", 1.0, 1), ("b", 2.0, 1)}
+
+    _write_jsonl(src_dir, "b2.json",
+                 [{"id": 1, "grp": "a", "val": 10.0, "seq": 2},
+                  {"id": 3, "grp": "b", "val": 3.0, "seq": 1}])
+    q = stream_write(t, raw, str(tmp_path / "ckpt"), post_commit=keep_fresh) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {(r.grp, r.sum_val, r.n_rows) for r in dst.snapshot().collect()}
+    assert got == {("a", 10.0, 1), ("b", 5.0, 2)}
