@@ -98,6 +98,19 @@ def main() -> None:
     with step("incremental_cdc"):           # touched-partition diff, i/u/d
         t.incremental_cdc(begin=commits[0]).count()
 
+    # derived pipeline: first sync folds the snapshot, second folds only the
+    # merge commit's CDC diff — the second number is the steady-state cost
+    from hudi_0_12_0_my_spark.derived import sync_rollup
+    roll = eng.create_table(
+        os.path.join(BENCH_ROOT, "lineitem_rollup"),
+        record_key_fields=["l_returnflag", "l_linestatus"],
+        keygen="nonpartitioned")
+    sync_rollup(t, roll, ["l_returnflag", "l_linestatus"],
+                {"sum_qty": "l_quantity"}, end=commits[-1])
+    with step("rollup_sync"):
+        sync_rollup(t, roll, ["l_returnflag", "l_linestatus"],
+                    {"sum_qty": "l_quantity"})
+
     m = eng.create_table(
         os.path.join(BENCH_ROOT, "lineitem_mor"),
         record_key_fields=["l_orderkey", "l_linenumber"],
