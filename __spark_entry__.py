@@ -1176,6 +1176,16 @@ def q_docs_segment_dedup(spark, sf_dir):
         "doc_id", "text_dedup", "n_segments", "n_kept")
 
 
+def q_orders_profile(spark, sf_dir):
+    """Column profiling (operators/profile.py): exact per-column counts /
+    nulls / distincts / extremes of the orders table in ONE wide aggregate
+    pass."""
+    from hudi_0_12_0_my_spark.operators import profile
+    orders = _read(spark, sf_dir, "orders")
+    return profile(orders, ["o_orderkey", "o_custkey", "o_totalprice",
+                            "o_orderpriority"])
+
+
 def q_rollup_incremental(spark, sf_dir):
     """Incremental materialized-view maintenance (derived.py sync_rollup):
     a returnflag/linestatus rollup of the COW lineitem table kept current by
@@ -1737,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_cohorts": q_events_cohorts,
         "rollup_incremental": q_rollup_incremental,
+        "orders_profile": q_orders_profile,
         "emb_topk": q_emb_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
@@ -2698,6 +2709,37 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, lang, n_chars FROM r
 WHERE rn <= ceil(CAST(0.3 AS DOUBLE) * cnt)""",
+        "orders_profile": """
+WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+SELECT 'o_orderkey' AS column, s.n AS n_rows,
+       (SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS n_null,
+       (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS n_distinct,
+       (SELECT round(CAST(min(o_orderkey) AS DOUBLE), 6) FROM orders) AS min_num,
+       (SELECT round(CAST(max(o_orderkey) AS DOUBLE), 6) FROM orders) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM s
+UNION ALL
+SELECT 'o_custkey', s.n,
+       (SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders),
+       (SELECT round(CAST(min(o_custkey) AS DOUBLE), 6) FROM orders),
+       (SELECT round(CAST(max(o_custkey) AS DOUBLE), 6) FROM orders),
+       NULL, NULL FROM s
+UNION ALL
+SELECT 'o_totalprice', s.n,
+       (SELECT CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders),
+       (SELECT round(CAST(min(o_totalprice) AS DOUBLE), 6) FROM orders),
+       (SELECT round(CAST(max(o_totalprice) AS DOUBLE), 6) FROM orders),
+       NULL, NULL FROM s
+UNION ALL
+SELECT 'o_orderpriority', s.n,
+       (SELECT CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       (SELECT min(o_orderpriority) FROM orders),
+       (SELECT max(o_orderpriority) FROM orders)
+FROM s""",
         "rollup_incremental": f"""
 WITH {LI_CTES}
 SELECT l_returnflag, l_linestatus,

@@ -83,18 +83,29 @@ def sync_rollup(src, dst, group_cols: list[str], sum_cols: dict[str, str],
             *[F.sum(F.col("_sign") * F.col(s).cast("double")).alias(o)
               for o, s in sum_cols.items()],
             F.sum("_sign").cast("bigint").alias("n_rows"))
-        cur = dst.snapshot().join(deltas.select(*gcols).distinct(),
-                                  on=gcols, how="left_semi")
-        cur = cur.select(*gcols,
-                         *[F.col(o).alias(f"__old_{o}") for o in sum_cols],
-                         F.col("n_rows").alias("__old_n"))
-        merged = (deltas.join(cur, on=gcols, how="left")
-                  .select(*gcols,
-                          *[(F.coalesce(F.col(f"__old_{o}"), F.lit(0.0))
-                             + F.col(o)).alias(o) for o in sum_cols],
-                          (F.coalesce(F.col("__old_n"), F.lit(0))
-                           + F.col("n_rows")).cast("bigint").alias("n_rows"))
-                  .withColumn(meta.DELETE_MARKER, F.col("n_rows") <= 0))
+        # the delta set is |affected groups| rows but its lineage is the
+        # whole CDC diff; without a persist the diff would be recomputed for
+        # the semi-join probe, the merge join, AND the upsert's evaluation
+        deltas = deltas.persist()
+        try:
+            cur = dst.snapshot().join(deltas.select(*gcols).distinct(),
+                                      on=gcols, how="left_semi")
+            cur = cur.select(*gcols,
+                             *[F.col(o).alias(f"__old_{o}") for o in sum_cols],
+                             F.col("n_rows").alias("__old_n"))
+            merged = (deltas.join(cur, on=gcols, how="left")
+                      .select(*gcols,
+                              *[(F.coalesce(F.col(f"__old_{o}"), F.lit(0.0))
+                                 + F.col(o)).alias(o) for o in sum_cols],
+                              (F.coalesce(F.col("__old_n"), F.lit(0))
+                               + F.col("n_rows")).cast("bigint")
+                              .alias("n_rows"))
+                      .withColumn(meta.DELETE_MARKER, F.col("n_rows") <= 0))
+            dst.upsert(merged)
+        finally:
+            deltas.unpersist()
+        get_storage(dst.base_path).atomic_put(_ckpt_path(dst), end.encode())
+        return end
     dst.upsert(merged)
     get_storage(dst.base_path).atomic_put(_ckpt_path(dst), end.encode())
     return end

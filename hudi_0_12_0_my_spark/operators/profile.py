@@ -1,0 +1,70 @@
+"""Column profiling: per-column counts / nulls / distincts / extremes.
+
+The data-quality pass a pipeline runs before training on a new source. ONE
+wide aggregate produces every column's stats in a single corpus pass (the
+multi-count-distinct compiles to Spark's Expand + partial aggregation — one
+shuffle total, no per-column jobs), then the 1-row result is exploded into
+long format driver-side (bounded by #columns, not data)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct, min_num, max_num, min_str,
+    max_str): exact stats per profiled column — numeric extremes as doubles
+    rounded to 6, string extremes verbatim, NULL for the non-applicable
+    pair. Non-primitive columns (arrays/structs/maps/binary) profile counts
+    and distincts only.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(columns) if columns is not None else list(fields)
+    missing = [c for c in cols if c not in fields]
+    if missing:
+        raise ValueError(f"profile: unknown columns {missing}")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i, c in enumerate(cols):
+        dt = fields[c]
+        col = F.col(c)
+        if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            distinct_src = F.to_json(col)      # hashable proxy for distinct
+        else:
+            distinct_src = col
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("bigint")
+             .alias(f"__null_{i}"),
+            F.count_distinct(distinct_src).cast("bigint")
+             .alias(f"__dist_{i}"),
+        ]
+        if isinstance(dt, _NUMERIC):
+            aggs += [F.round(F.min(col).cast("double"), 6).alias(f"__min_{i}"),
+                     F.round(F.max(col).cast("double"), 6).alias(f"__max_{i}")]
+        elif isinstance(dt, T.StringType):
+            aggs += [F.min(col).alias(f"__smin_{i}"),
+                     F.max(col).alias(f"__smax_{i}")]
+    row = df.agg(*aggs)
+    entries = []
+    for i, c in enumerate(cols):
+        dt = fields[c]
+        num = isinstance(dt, _NUMERIC)
+        s = isinstance(dt, T.StringType)
+        entries.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null_{i}").alias("n_null"),
+            F.col(f"__dist_{i}").alias("n_distinct"),
+            (F.col(f"__min_{i}") if num else F.lit(None).cast("double"))
+            .alias("min_num"),
+            (F.col(f"__max_{i}") if num else F.lit(None).cast("double"))
+            .alias("max_num"),
+            (F.col(f"__smin_{i}") if s else F.lit(None).cast("string"))
+            .alias("min_str"),
+            (F.col(f"__smax_{i}") if s else F.lit(None).cast("string"))
+            .alias("max_str")))
+    return (row.select(F.explode(F.array(*entries)).alias("p"))
+            .select("p.*"))

@@ -624,3 +624,21 @@ def test_linear_text_score_matches_hand_sigmoid(docs):
     rows2 = {r.doc_id: r.score for r in
              ops.linear_text_score(docs, wdf, bias=0.2).collect()}
     assert rows == rows2
+
+
+def test_profile_counts_nulls_distincts_extremes(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, "y", None), (2, None, 7.25), (3, "x", 2.5)],
+        "k long, s string, v double")
+    rows = {r.column: r for r in ops.profile(df).collect()}
+    assert rows["k"].n_rows == 4 and rows["k"].n_null == 0
+    assert rows["k"].n_distinct == 3
+    assert (rows["k"].min_num, rows["k"].max_num) == (1.0, 3.0)
+    assert rows["k"].min_str is None
+    assert rows["s"].n_null == 1 and rows["s"].n_distinct == 2
+    assert (rows["s"].min_str, rows["s"].max_str) == ("x", "y")
+    assert rows["v"].n_null == 1 and rows["v"].n_distinct == 2
+    assert (rows["v"].min_num, rows["v"].max_num) == (2.5, 7.25)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown columns"):
+        ops.profile(df, ["nope"])
