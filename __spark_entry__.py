@@ -1176,6 +1176,28 @@ def q_docs_segment_dedup(spark, sf_dir):
         "doc_id", "text_dedup", "n_segments", "n_kept")
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD2 history from the change feed (derived.scd2_history): every key
+    version with its validity interval. Instants are projected to their
+    commit ordinal (1..3) so the oracle can state intervals without knowing
+    wall-clock instants: v1 closes at the upsert for mutated keys, the
+    mutated version closes at the delete for %100 keys."""
+    from hudi_0_12_0_my_spark.derived import scd2_history
+    t, commits = _build_cow(spark, sf_dir)
+    h = scd2_history(t, ["l_orderkey", "l_linenumber"], ["l_quantity"])
+
+    def idx(col):
+        e = F.lit(None).cast("int")
+        for i, c in reversed(list(enumerate(commits, start=1))):
+            e = F.when(F.col(col) == c, i).otherwise(e)
+        return e
+
+    return h.select("l_orderkey", "l_linenumber",
+                    F.col("l_quantity").cast("double").alias("qty"),
+                    idx("valid_from").alias("from_idx"),
+                    idx("valid_to").alias("to_idx"))
+
+
 def q_orders_profile(spark, sf_dir):
     """Column profiling (operators/profile.py): exact per-column counts /
     nulls / distincts / extremes of the orders table in ONE wide aggregate
@@ -1748,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohorts": q_events_cohorts,
         "rollup_incremental": q_rollup_incremental,
         "orders_profile": q_orders_profile,
+        "scd2_history": q_scd2_history,
         "emb_topk": q_emb_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
@@ -2709,6 +2732,16 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, lang, n_chars FROM r
 WHERE rn <= ceil(CAST(0.3 AS DOUBLE) * cnt)""",
+        "scd2_history": f"""
+WITH {LI_CTES}
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty,
+       1 AS from_idx,
+       CASE WHEN l_orderkey % 10 = 0 THEN 2 ELSE NULL END AS to_idx
+FROM base
+UNION ALL
+SELECT l_orderkey, l_linenumber, CAST(l_quantity + 1000.0 AS DOUBLE),
+       2, CASE WHEN l_orderkey % 100 = 0 THEN 3 ELSE NULL END
+FROM base WHERE l_orderkey % 10 = 0""",
         "orders_profile": """
 WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
 SELECT 'o_orderkey' AS column, s.n AS n_rows,

@@ -28,6 +28,52 @@ from .storage import get_storage
 _CKPT = "rollup_checkpoint"
 
 
+def scd2_history(src, key_cols: list[str], value_cols: list[str]):
+    """Slowly-changing-dimension (type 2) history of a lake table: one row
+    per key VERSION with its validity interval in commit time —
+    (key..., value..., valid_from, valid_to), valid_to NULL for the live
+    version.  Built from the engine's own change feed: the first commit's
+    snapshot opens the initial intervals, each subsequent commit's CDC diff
+    opens a new version on insert/update and closes the previous one
+    (a delete closes without opening — the tombstone acts purely as the
+    interval boundary).
+
+    Scale shape: one time-travel scan of the FIRST commit plus one
+    touched-group-scoped CDC diff per later commit (commit count is a
+    table-maintenance quantity, not a data quantity), then a single window
+    over key versions — the lead() that assigns each version its successor's
+    commit time. Nothing is ever joined pairwise.
+    """
+    from pyspark.sql import Window
+
+    commits = [i.time for i in src.timeline.completed_write_instants()]
+    if not commits:
+        raise ValueError("scd2_history: table has no completed writes")
+    cols = list(key_cols) + list(value_cols)
+    parts = [src.time_travel(commits[0]) if len(commits) > 1 else src.snapshot()]
+    parts[0] = (parts[0].select(*cols)
+                .withColumn("_vf", F.lit(commits[0]))
+                .withColumn("_opens", F.lit(True)))
+    for a, b in zip(commits, commits[1:]):
+        cdc = src.incremental_cdc(a, b)
+        opens = (cdc.filter(F.col("op").isin("i", "u"))
+                 .select(*[F.col(f"after.{c}").alias(c) for c in cols])
+                 .withColumn("_vf", F.lit(b))
+                 .withColumn("_opens", F.lit(True)))
+        closes = (cdc.filter(F.col("op") == "d")
+                  .select(*[F.col(f"before.{c}").alias(c) for c in cols])
+                  .withColumn("_vf", F.lit(b))
+                  .withColumn("_opens", F.lit(False)))
+        parts.append(opens.unionByName(closes))
+    evs = parts[0]
+    for p in parts[1:]:
+        evs = evs.unionByName(p)
+    w = Window.partitionBy(*key_cols).orderBy("_vf")
+    return (evs.withColumn("valid_to", F.lead("_vf").over(w))
+            .filter(F.col("_opens"))
+            .select(*cols, F.col("_vf").alias("valid_from"), "valid_to"))
+
+
 def _ckpt_path(dst) -> str:
     return os.path.join(dst.base_path, ".hoodie", _CKPT)
 

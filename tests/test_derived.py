@@ -76,3 +76,25 @@ def test_sync_rollup_steps_equal_one_shot(spark, tmp_path):
         sync_rollup(src, stepped, ["grp"], {"sum_v": "v"})
     sync_rollup(src, oneshot, ["grp"], {"sum_v": "v"})
     assert _got(stepped) == _got(oneshot) == _expected(src)
+
+
+def test_scd2_history_intervals(spark, tmp_path):
+    """Versions open on insert/update, close at the successor's commit;
+    a delete closes without opening; a re-insert opens a fresh interval."""
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "scd"), record_key_fields=["id"],
+                         partition_field="grp")
+    from hudi_0_12_0_my_spark.derived import scd2_history
+    t.bulk_insert(spark.createDataFrame(
+        [("a", "g1", 1), ("b", "g1", 2)], SCHEMA))
+    t.upsert(spark.createDataFrame([("a", "g1", 10)], SCHEMA))
+    t.delete(where=F.col("id") == "b")
+    t.upsert(spark.createDataFrame([("b", "g1", 20)], SCHEMA))
+    c = [i.time for i in t.timeline.completed_write_instants()]
+    h = {(r.id, r.v): (r.valid_from, r.valid_to) for r in
+         scd2_history(t, ["id"], ["v"]).collect()}
+    assert h[("a", 1)] == (c[0], c[1])
+    assert h[("a", 10)] == (c[1], None)
+    assert h[("b", 2)] == (c[0], c[2])        # closed by the delete
+    assert h[("b", 20)] == (c[3], None)       # re-insert opens fresh
+    assert len(h) == 4
