@@ -1176,6 +1176,22 @@ def q_docs_segment_dedup(spark, sf_dir):
         "doc_id", "text_dedup", "n_segments", "n_kept")
 
 
+def q_events_asof_join(spark, sf_dir):
+    """Point-in-time join (operators/temporal.py asof_join): every event
+    picks up the latest status row (every-20th event) at or before its
+    timestamp. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from hudi_0_12_0_my_spark.operators import asof_join
+    ev = _read_events(spark, sf_dir)
+    right = (ev.filter("event_id % 20 = 0")
+             .select("user_id", "ts", F.col("value").alias("status")))
+    left = ev.filter("event_id % 20 != 0") \
+             .select("event_id", "user_id", "ts")
+    j = asof_join(left, right, "user_id")
+    return j.select("event_id",
+                    F.round("r_status", 6).alias("status"),
+                    F.col("r_ts").alias("status_ts"))
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD2 history from the change feed (derived.scd2_history): every key
     version with its validity interval. Instants are projected to their
@@ -1771,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "orders_profile": q_orders_profile,
         "scd2_history": q_scd2_history,
+        "events_asof_join": q_events_asof_join,
         "emb_topk": q_emb_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
@@ -2732,6 +2749,13 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, lang, n_chars FROM r
 WHERE rn <= ceil(CAST(0.3 AS DOUBLE) * cnt)""",
+        "events_asof_join": """
+WITH r AS (SELECT user_id, ts, value AS status FROM events
+           WHERE event_id % 20 = 0),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 20 <> 0)
+SELECT l.event_id, round(r.status, 6) AS status, r.ts AS status_ts
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "scd2_history": f"""
 WITH {LI_CTES}
 SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty,

@@ -28,6 +28,7 @@ from .similarity import (cosine_topk, ivf_cosine_topk,
                          lsh_cosine_topk, semantic_dedup)
 from .lm import lm_log_prob, lm_outliers, linear_text_score, tfidf_keywords
 from .profile import profile
+from .temporal import asof_join
 from .textstats import (with_token_stats, with_quality_score,
                         with_language_id, with_fingerprint,
                         with_repetition_stats, top_ngrams, bm25_topk)
@@ -43,7 +44,7 @@ __all__ = [
     "with_token_stats", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_repetition_stats", "top_ngrams", "bm25_topk",
     "lm_log_prob", "lm_outliers", "linear_text_score", "tfidf_keywords",
-    "profile",
+    "profile", "asof_join",
     "with_media_columns", "extract_features", "frame_sample_plan",
     "resize_plan", "audio_chunk_plan",
     "chunk_documents", "contaminated_ids", "curate", "decontaminate",

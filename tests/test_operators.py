@@ -642,3 +642,25 @@ def test_profile_counts_nulls_distincts_extremes(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown columns"):
         ops.profile(df, ["nope"])
+
+
+def test_asof_join_backward_and_forward(spark):
+    """Backward: latest right row at-or-before; forward: earliest
+    at-or-after. Equal timestamps match inclusively; keys without any
+    eligible right row stay NULL."""
+    import datetime as dt
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10), "e1"), (1, T(2024, 1, 1, 12), "e2"),
+         (2, T(2024, 1, 1, 9), "e3")],
+        "k long, ts timestamp, ev string")
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10), "s10"), (1, T(2024, 1, 1, 11), "s11"),
+         (2, T(2024, 1, 1, 11), "s2")],
+        "k long, ts timestamp, status string")
+    back = {r.ev: r.r_status for r in
+            ops.asof_join(left, right, "k").collect()}
+    assert back == {"e1": "s10", "e2": "s11", "e3": None}
+    fwd = {r.ev: r.r_status for r in
+           ops.asof_join(left, right, "k", direction="forward").collect()}
+    assert fwd == {"e1": "s10", "e2": None, "e3": "s2"}
