@@ -399,3 +399,21 @@ def test_cohort_retention_two_data_shuffles(spark):
     plan = _plan(cohort_retention(ev, period="week"))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_key_shuffle(spark):
+    """As-of join must be union+window — one hash partitioning on the key,
+    never a range/cartesian/broadcast-nested-loop pairwise plan."""
+    import datetime as dt
+    from hudi_0_12_0_my_spark.operators import asof_join
+    left = spark.createDataFrame(
+        [(i % 50, dt.datetime(2024, 1, 1 + i % 20), f"e{i}")
+         for i in range(400)], "k long, ts timestamp, ev string")
+    right = spark.createDataFrame(
+        [(i % 50, dt.datetime(2024, 1, 1 + i % 10), float(i))
+         for i in range(100)], "k long, ts timestamp, status double")
+    plan = _plan(asof_join(left, right, "k"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan      # not a join at all: window fill
+    assert plan.count("Exchange hashpartitioning") == 1
