@@ -187,6 +187,13 @@ def run_dag(spark, base_path, table_type, index_type, global_index,
                 # (it would re-home rows into non-bucket group ids)
                 with pytest.raises(ValueError, match="bucket"):
                     t.cluster(sort_cols=["id"])
+            elif index_type == "bucket_consistent":
+                # consistent hashing's clustering analogue is a resize
+                # (SparkConsistentBucketClusteringPlanStrategy); plain
+                # sort-clustering must refuse here too
+                with pytest.raises(ValueError, match="bucket"):
+                    t.cluster(sort_cols=["id"])
+                t.resize_buckets(split_above=1)   # force splits, then verify
             else:
                 t.cluster(sort_cols=["id"])
         elif svc == "clean":
@@ -252,7 +259,8 @@ def run_dag(spark, base_path, table_type, index_type, global_index,
 @pytest.mark.parametrize("table_type,index_type,global_index", [
     ("cow", "simple", False), ("cow", "simple", True),
     ("cow", "bucket", False), ("mor", "simple", True),
-    ("mor", "simple", False), ("mor", "bucket", False)])
+    ("mor", "simple", False), ("mor", "bucket", False),
+    ("cow", "bucket_consistent", False), ("mor", "bucket_consistent", False)])
 def test_random_dag(spark, tmp_path, table_type, index_type, global_index):
     # crc32, not hash(): Python string hashing is process-salted and would
     # make the DAG nondeterministic across runs
