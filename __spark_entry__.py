@@ -1042,6 +1042,153 @@ def q_q22_sales_opportunity(spark, sf_dir):
             .agg(_n("numcust"), _dec_sum("c_acctbal", "totacctbal")))
 
 
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (no partsupp table: lineitem offers stand in for
+    partsupp rows, min l_extendedprice for min ps_supplycost): for each
+    STANDARD mid-size part, the EUROPE supplier(s) offering it cheapest.
+    The correlated min subquery becomes a per-part aggregate joined back on
+    exact decimal equality; top-100 by balance with key tie-breaks."""
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _read(spark, sf_dir, "nation")
+    supp = _read(spark, sf_dir, "supplier")
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    eur = (supp.join(F.broadcast(nation.join(region, F.col("n_regionkey")
+                                             == F.col("r_regionkey"))),
+                     F.col("s_nationkey") == F.col("n_nationkey")))
+    parts = part.filter(F.col("p_size").between(10, 20)
+                        & (F.col("p_type") == "STANDARD"))
+    offers = (li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(eur.select("s_suppkey", "s_name", "s_acctbal")),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
+              .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)"))
+                   .alias("cost_dec")))
+    mins = offers.groupBy(F.col("p_partkey").alias("mk")) \
+        .agg(F.min("cost_dec").alias("min_cost"))
+    return (offers.join(mins, (F.col("p_partkey") == F.col("mk"))
+                        & (F.col("cost_dec") == F.col("min_cost")))
+            .select("s_acctbal", "s_name", "p_partkey", "p_brand", "s_suppkey",
+                    F.col("cost_dec").cast("double").alias("min_cost"))
+            .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
+            .limit(100))
+
+
+def q_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (no partsupp: supply cost modeled as 60% of retail
+    price per unit): profit by supplier nation and order year. Both cost
+    and revenue are true <=4-decimal values, so the double->decimal casts
+    are tie-free in both engines; the 0.6 product keeps one left-assoc
+    double expression on both sides."""
+    nation = _read(spark, sf_dir, "nation")
+    supp = _read(spark, sf_dir, "supplier")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    cost = (F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")) \
+        .cast("decimal(18,4)")
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.sum(rev - cost).cast("double").alias("sum_profit"), _n()))
+
+
+def q_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (no partsupp: per-part shipped value from one
+    nation's suppliers stands in for stock value): parts whose value exceeds
+    0.1% of the nation's total, division cleared (value*1000 > total) on
+    exact decimals; scalar subquery = broadcast cross join."""
+    nation = _read(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = _read(spark, sf_dir, "supplier")
+    li = _read(spark, sf_dir, "lineitem")
+    nsupp = supp.join(F.broadcast(nation),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+    vals = (li.join(F.broadcast(nsupp.select("s_suppkey")),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("l_partkey")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .alias("val_dec")))
+    tot = vals.agg(F.sum("val_dec").alias("tot_dec"))
+    return (vals.crossJoin(F.broadcast(tot))
+            .filter(F.col("val_dec") * 1000 > F.col("tot_dec"))
+            .select("l_partkey", F.col("val_dec").cast("double").alias("value")))
+
+
+def q_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (no partsupp: lineitem supplies; the complaints
+    NOT-IN subquery becomes negative-balance suppliers): distinct supplier
+    count per surviving (brand, type, size) combination."""
+    supp = _read(spark, sf_dir, "supplier")
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    excl = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = part.filter((F.col("p_brand") != "Brand#45")
+                        & ~F.col("p_type").startswith("MEDIUM")
+                        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    return (li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"),
+                  "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q_q20_excess_shipments(spark, sf_dir):
+    """TPC-H Q20 shape (no partsupp availqty: a supplier has "excess" stock
+    of a red part when over half of all its shipments of that part happened
+    in 1996): the correlated half-of-sum threshold folds into ONE
+    conditional aggregate per (supplier, part) — no second scan — then a
+    distinct-supplier semi-join chain into one nation's suppliers."""
+    nation = _read(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    supp = _read(spark, sf_dir, "supplier")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = _read(spark, sf_dir, "lineitem")
+    in96 = (F.col("l_shipdate") >= "1996-01-01") \
+        & (F.col("l_shipdate") < "1997-01-01")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    pairs = (li.join(F.broadcast(part.select("p_partkey")),
+                     F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(F.sum(qty).alias("q_all"),
+                  F.sum(F.when(in96, qty).otherwise(
+                      F.lit(0).cast("decimal(18,2)"))).alias("q_96")))
+    ex = pairs.filter(F.col("q_96") * 2 > F.col("q_all")) \
+        .select("l_suppkey").distinct()
+    return (supp.join(F.broadcast(nation),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(ex, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .select("s_name", "s_acctbal"))
+
+
+def q_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (no commit/receipt dates: "late" = shipped more than
+    90 days after the order date): suppliers who were the SOLE late shipper
+    in a multi-supplier finalized order. The EXISTS / NOT-EXISTS pair folds
+    into one per-order aggregate (distinct suppliers, distinct late
+    suppliers, min late supplier) — one shuffle on orderkey instead of the
+    reference's three self-joins of lineitem."""
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderstatus") == "F")
+    li = _read(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                 .groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("ns"),
+                      F.countDistinct(F.when(late, F.col("l_suppkey")))
+                      .alias("nl"),
+                      F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp")))
+    return (per_order.filter((F.col("ns") > 1) & (F.col("nl") == 1))
+            .groupBy("late_supp").agg(_n("numwait"))
+            .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+            .select("s_name", "numwait")
+            .orderBy(F.desc("numwait"), F.asc("s_name")).limit(100))
+
+
 def _read_events(spark, sf_dir):
     """events.parquet stores TIMESTAMP(NANOS). Newer Spark (4.1+) reads it
     natively as timestamp_ntz (floor-truncated to micros — the same
@@ -1757,6 +1904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_sales_opportunity": q_q22_sales_opportunity,
         "q12_shipmode": q_q12_shipmode,
         "q14_promo": q_q14_promo,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q9_product_profit": q_q9_product_profit,
+        "q11_important_stock": q_q11_important_stock,
+        "q16_supplier_cnt": q_q16_supplier_cnt,
+        "q20_excess_shipments": q_q20_excess_shipments,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "events_hourly": q_events_hourly,
         "events_latest_per_user": q_events_latest_per_user,
         # LLM-pipeline operators (§2.11)
@@ -2270,6 +2423,84 @@ WHERE c_acctbal * cnt > tot
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT')
 GROUP BY 1""",
+        "q2_min_cost_supplier": """
+WITH eur AS (SELECT s_suppkey, s_name, s_acctbal
+             FROM supplier
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+offers AS (SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal,
+                  MIN(CAST(l_extendedprice AS DECIMAL(18,2))) cost_dec
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+                AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+           JOIN eur ON l_suppkey = s_suppkey
+           GROUP BY 1, 2, 3, 4, 5),
+mins AS (SELECT p_partkey mk, MIN(cost_dec) min_cost FROM offers GROUP BY 1)
+SELECT s_acctbal, s_name, p_partkey, p_brand, s_suppkey,
+       CAST(cost_dec AS DOUBLE) AS min_cost
+FROM offers JOIN mins ON p_partkey = mk AND cost_dec = mins.min_cost
+ORDER BY s_acctbal DESC, p_partkey ASC, s_suppkey ASC LIMIT 100""",
+        "q9_product_profit": """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                - CAST(0.6 * p_retailprice * l_quantity AS DECIMAL(18,4)))
+            AS DOUBLE) AS sum_profit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2""",
+        "q11_important_stock": """
+WITH vals AS (SELECT l_partkey,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,2))) val_dec
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+                   AND n_name = 'NATION_3'
+              GROUP BY 1)
+SELECT l_partkey, CAST(val_dec AS DOUBLE) AS value
+FROM vals WHERE val_dec * 1000 > (SELECT SUM(val_dec) FROM vals)""",
+        "q16_supplier_cnt": """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
+        "q20_excess_shipments": """
+WITH pairs AS (SELECT l_suppkey, l_partkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) q_all,
+                 SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                          THEN CAST(l_quantity AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) q_96
+               FROM lineitem
+               JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+               GROUP BY 1, 2)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+WHERE s_suppkey IN (SELECT l_suppkey FROM pairs WHERE q_96 * 2 > q_all)""",
+        "q21_waiting_suppliers": """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) ns,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                             THEN l_suppkey END) nl,
+         MIN(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN l_suppkey END) late_supp
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+  GROUP BY 1)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE ns > 1 AND nl = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 100""",
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n,
