@@ -1339,6 +1339,40 @@ def q_events_asof_join(spark, sf_dir):
                     F.col("r_ts").alias("status_ts"))
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Bucketed point-in-interval join (operators/joins.py interval_join):
+    events fall into 60 OVERLAPPING value bands [i*8, i*8+12) — each point
+    can match 0-2 bands, so this is a real range join, not a bucketing
+    groupBy. Spark would plan the raw predicate as BroadcastNestedLoopJoin;
+    the operator turns it into one equi-shuffle on the bucket id. Oracle:
+    DuckDB's native inequality join."""
+    from hudi_0_12_0_my_spark.operators import interval_join
+    ev = _read_events(spark, sf_dir).select("event_id", "value")
+    bands = spark.range(60).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 8.0).alias("lo"),
+        (F.col("id") * 8.0 + 12.0).alias("hi"))
+    j = interval_join(ev, bands, left_point="value", right_start="lo",
+                      right_end="hi", bucket_width=8.0)
+    return (j.groupBy("band_id")
+            .agg(_n(), _dec_sum("value", "sum_value", "18,4")))
+
+
+def q_events_salted_join(spark, sf_dir):
+    """Skew-salted equi-join (operators/joins.py salted_join): events join a
+    5-row event_type dimension — the worst-case hot-key layout (2k rows per
+    key at sf0.01, 20M at 100 TB). Salting spreads each key over 8 sub-keys;
+    the result set is identical to the plain join, which is exactly what the
+    oracle checks."""
+    from hudi_0_12_0_my_spark.operators import salted_join
+    ev = _read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    dim = (ev.select("event_type").distinct()
+           .withColumn("type_len", F.length("event_type").cast("int")))
+    j = salted_join(ev, dim, "event_type", salts=8)
+    return (j.groupBy("event_type", "type_len")
+            .agg(_n(), _dec_sum("value", "sum_value", "18,4")))
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD2 history from the change feed (derived.scd2_history): every key
     version with its validity interval. Instants are projected to their
@@ -1941,6 +1975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_profile": q_orders_profile,
         "scd2_history": q_scd2_history,
         "events_asof_join": q_events_asof_join,
+        "events_interval_join": q_events_interval_join,
+        "events_salted_join": q_events_salted_join,
         "emb_topk": q_emb_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
@@ -2987,6 +3023,21 @@ l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 20 <> 0)
 SELECT l.event_id, round(r.status, 6) AS status, r.ts AS status_ts
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "events_interval_join": """
+WITH bands AS (SELECT i AS band_id, i * 8.0 AS lo, i * 8.0 + 12.0 AS hi
+               FROM range(60) t(i))
+SELECT band_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events JOIN bands ON lo <= value AND value < hi
+GROUP BY 1""",
+        "events_salted_join": """
+WITH dim AS (SELECT DISTINCT event_type,
+                    CAST(length(event_type) AS INTEGER) AS type_len
+             FROM events)
+SELECT e.event_type, type_len, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e JOIN dim ON e.event_type = dim.event_type
+GROUP BY 1, 2""",
         "scd2_history": f"""
 WITH {LI_CTES}
 SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty,

@@ -664,3 +664,73 @@ def test_asof_join_backward_and_forward(spark):
     fwd = {r.ev: r.r_status for r in
            ops.asof_join(left, right, "k", direction="forward").collect()}
     assert fwd == {"e1": "s10", "e2": None, "e3": "s2"}
+
+
+def test_interval_join_semantics(spark):
+    """Half-open vs closed bounds, overlap multiplicity, intervals spanning
+    many buckets, and empty matches — exact results regardless of
+    bucket_width (correctness must not depend on the tuning knob)."""
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 10.0), (4, 99.5), (5, 1000.0)],
+        "pid long, p double")
+    iv = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 5.0, 6.0), (12, 90.0, 100.0),
+         (13, -50.0, 200.0)],
+        "iid long, lo double, hi double")
+    for w in (1.0, 7.0, 300.0):
+        got = sorted((r.pid, r.iid) for r in ops.interval_join(
+            pts, iv, left_point="p", right_start="lo", right_end="hi",
+            bucket_width=w).collect())
+        # p=10.0 excluded from [0,10) but inside [-50,200); 1000 matches none
+        assert got == [(1, 10), (1, 13), (2, 10), (2, 11), (2, 13),
+                       (3, 13), (4, 12), (4, 13)], f"width={w}"
+    closed = sorted((r.pid, r.iid) for r in ops.interval_join(
+        pts, iv, left_point="p", right_start="lo", right_end="hi",
+        bucket_width=7.0, closed="both").collect())
+    assert (3, 10) in closed                      # hi inclusive now
+    with pytest.raises(ValueError, match="closed"):
+        ops.interval_join(pts, iv, left_point="p", right_start="lo",
+                          right_end="hi", bucket_width=1.0, closed="right")
+    with pytest.raises(ValueError, match="collision"):
+        ops.interval_join(pts, iv.withColumnRenamed("iid", "pid"),
+                          left_point="p", right_start="lo", right_end="hi",
+                          bucket_width=1.0)
+
+
+def test_interval_join_timestamps_and_keys(spark):
+    """Timestamp points against timestamp intervals with an extra equality
+    key: only same-key containment matches."""
+    import datetime as dt
+    T = dt.datetime
+    ev = spark.createDataFrame(
+        [("a", 1, T(2024, 1, 1, 10, 30)), ("a", 2, T(2024, 1, 1, 13, 0)),
+         ("b", 3, T(2024, 1, 1, 10, 30))],
+        "k string, eid long, ts timestamp")
+    win = spark.createDataFrame(
+        [("a", 7, T(2024, 1, 1, 10), T(2024, 1, 1, 11)),
+         ("b", 8, T(2024, 1, 1, 12), T(2024, 1, 1, 14))],
+        "k string, wid long, s timestamp, e timestamp")
+    got = sorted((r.eid, r.w_wid) for r in ops.interval_join(
+        ev, win, left_point="ts", right_start="s", right_end="e",
+        bucket_width=3600.0, on="k", right_prefix="w_").collect())
+    assert got == [(1, 7)]                        # eid=2/3 wrong key or time
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted inner and left joins return exactly the plain join's rows."""
+    big = spark.createDataFrame(
+        [(i, "k%d" % (i % 3), float(i)) for i in range(500)]
+        + [(999, "orphan", 0.0)],
+        "id long, k string, v double")
+    dim = spark.createDataFrame(
+        [("k0", 10), ("k1", 11), ("k2", 12), ("unused", 13)],
+        "k string, attr int")
+    for how in ("inner", "left"):
+        want = sorted((r.id, r.attr) for r in
+                      big.join(dim, "k", how).collect())
+        got = sorted((r.id, r.attr) for r in
+                     ops.salted_join(big, dim, "k", salts=7,
+                                     how=how).collect())
+        assert got == want, how
+    with pytest.raises(ValueError, match="how"):
+        ops.salted_join(big, dim, "k", how="outer")

@@ -417,3 +417,38 @@ def test_asof_join_single_key_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan      # not a join at all: window fill
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_no_nested_loop(spark):
+    """The range predicate must never reach the join operator: the plan is
+    an equi-join on the bucket id (plus keys), with the exact containment
+    check as a post-join Filter — no BroadcastNestedLoopJoin, no cartesian,
+    and exactly one Generate (the interval->buckets explode)."""
+    from hudi_0_12_0_my_spark.operators import interval_join
+    pts = spark.range(2000).select(
+        F.col("id").alias("pid"), (F.col("id") % 500.0).alias("p"))
+    iv = spark.range(100).select(
+        F.col("id").alias("iid"), (F.col("id") * 5.0).alias("lo"),
+        (F.col("id") * 5.0 + 8.0).alias("hi"))
+    plan = _plan(interval_join(pts, iv, left_point="p", right_start="lo",
+                               right_end="hi", bucket_width=5.0))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_salted_join_shape(spark):
+    """Salted join stays a pure equi-join on (key, salt): the small side
+    grows via one Generate, the big side never replicates, and no Python
+    or nested-loop operator appears."""
+    from hudi_0_12_0_my_spark.operators import salted_join
+    big = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("k"))
+    dim = spark.createDataFrame(
+        [("0", 1), ("1", 2), ("2", 3)], "k string, attr int")
+    plan = _plan(salted_join(big, dim, "k", salts=8))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") == 1
+    assert "BatchEvalPython" not in plan
