@@ -1339,6 +1339,53 @@ def q_events_asof_join(spark, sf_dir):
                     F.col("r_ts").alias("status_ts"))
 
 
+def q_orders_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP over orders (§2.10: Catalyst-delegated relational
+    surface): subtotal rows carry NULL group keys identically in Spark and
+    DuckDB."""
+    o = _read(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
+def q_orders_pivot(spark, sf_dir):
+    """Pivot (conditional aggregation): order counts per priority pivoted
+    across the three status values. Spark's pivot() compiles to the same
+    first(CASE WHEN) plan DuckDB's conditional aggregate oracle states."""
+    o = _read(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["P", "O", "F"])
+            .agg(F.count(F.lit(1)))
+            .select("o_orderpriority",
+                    *[F.coalesce(F.col(s), F.lit(0)).cast("bigint")
+                      .alias(f"n_{s.lower()}") for s in ("P", "O", "F")]))
+
+
+def q_events_window_funcs(spark, sf_dir):
+    """Analytic window functions per user timeline: lag, running decimal
+    sum, and dense ordinal — deterministic (ts, event_id) ordering."""
+    from pyspark.sql import Window
+    ev = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.lag("value").over(w), 6).alias("prev_value"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double").alias("run_sum"),
+        F.row_number().over(w).cast("bigint").alias("seq_no"))
+
+
+def q_orders_setops(spark, sf_dir):
+    """Set operators: customers with both finalized AND open orders, minus
+    those with any pending order (INTERSECT + EXCEPT, distinct semantics)."""
+    o = _read(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.intersect(op).exceptAll(p.distinct())
+
+
 def q_events_interval_join(spark, sf_dir):
     """Bucketed point-in-interval join (operators/joins.py interval_join):
     events fall into 60 OVERLAPPING value bands [i*8, i*8+12) — each point
@@ -1977,6 +2024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
         "events_salted_join": q_events_salted_join,
+        "orders_rollup": q_orders_rollup,
+        "orders_pivot": q_orders_pivot,
+        "events_window_funcs": q_events_window_funcs,
+        "orders_setops": q_orders_setops,
         "emb_topk": q_emb_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
@@ -3038,6 +3089,32 @@ SELECT e.event_type, type_len, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events e JOIN dim ON e.event_type = dim.event_type
 GROUP BY 1, 2""",
+        "orders_rollup": """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "orders_pivot": """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f
+FROM orders GROUP BY 1""",
+        "events_window_funcs": """
+SELECT event_id, user_id,
+       round(lag(value) OVER w, 6) AS prev_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+            (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS run_sum,
+       CAST(row_number() OVER w AS BIGINT) AS seq_no
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
+        "orders_setops": """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
         "scd2_history": f"""
 WITH {LI_CTES}
 SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty,
