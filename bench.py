@@ -189,6 +189,22 @@ def main() -> None:
         ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
         session_stats(ev, gap_seconds=86400, value_col="value").count()
 
+    with step("interval_join"):             # bucketed range join, no NLJ
+        from hudi_0_12_0_my_spark.operators import interval_join
+        bands = spark.range(60).select(
+            F.col("id").alias("band_id"), (F.col("id") * 8.0).alias("lo"),
+            (F.col("id") * 8.0 + 12.0).alias("hi"))
+        interval_join(ev.select("event_id", "value"), bands,
+                      left_point="value", right_start="lo", right_end="hi",
+                      bucket_width=8.0).count()
+
+    with step("asof_join"):                 # union+window point-in-time fill
+        from hudi_0_12_0_my_spark.operators import asof_join
+        asof_join(ev.filter("event_id % 20 != 0").select("event_id", "user_id", "ts"),
+                  ev.filter("event_id % 20 = 0").select(
+                      "user_id", "ts", F.col("value").alias("status")),
+                  "user_id").count()
+
     with step("lm_score"):                  # one count shuffle + gram join
         from hudi_0_12_0_my_spark.operators import lm_log_prob
         lm_log_prob(docs, order=2).count()
