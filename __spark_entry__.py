@@ -1594,6 +1594,44 @@ def q_docs_table_dedup(spark, sf_dir):
                     F.sum("dup_count").cast("bigint").alias("n_total"))
 
 
+def q_docs_incremental_dedup(spark, sf_dir):
+    """Incremental LSH index maintenance + batch dedup (derived.py
+    sync_minhash_index / operators.dedup.dedup_against_index): the corpus
+    (doc_id %5 != 0) is ingested, then corrected (%7 == 1 texts get ' v2')
+    and pruned (%11 == 1 deleted) — the index follows via TWO syncs (snapshot
+    fold, then CDC fold that re-signatures only changed docs). A new batch
+    (%5 == 0) dedups against the index without touching corpus text. Oracle:
+    DuckDB recomputes signatures over the FINAL corpus state and replays the
+    banded join — byte-equal via the portable md5 hash family."""
+    from hudi_0_12_0_my_spark.derived import sync_minhash_index
+    from hudi_0_12_0_my_spark.operators import dedup_against_index
+    key = (sf_dir, "docs_lsh_idx")
+    if key not in _BUILT:
+        docs = _read(spark, sf_dir, "documents")
+        eng = _eng(spark)
+        t = eng.create_table(
+            _fresh(_root(sf_dir, "docs_lsh_idx")) + "/src",
+            record_key_fields=["doc_id"], precombine_field="n_chars",
+            keygen="nonpartitioned")
+        idx = eng.create_table(
+            os.path.join(_root(sf_dir, "docs_lsh_idx"), "idx"),
+            record_key_fields=["doc_id"], keygen="nonpartitioned")
+        t.bulk_insert(docs.filter(F.col("doc_id") % 5 != 0))
+        sync_minhash_index(t, idx, hash_fn="portable_md5")
+        t.upsert(docs.filter((F.col("doc_id") % 5 != 0)
+                             & (F.col("doc_id") % 7 == 1))
+                 .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+                 .withColumn("n_chars", F.col("n_chars") + 3))
+        t.delete(where="doc_id % 11 = 1")
+        sync_minhash_index(t, idx, hash_fn="portable_md5")
+        _BUILT[key] = idx
+    idx = _BUILT[key]
+    batch = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return dedup_against_index(batch, idx.snapshot(),
+                               jaccard_threshold=0.4,
+                               hash_fn="portable_md5")
+
+
 def q_docs_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs sharing any word 4-gram with the
     simulated eval set (doc_id % 97 == 0) are flagged. The benchmark gram
@@ -2006,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_language_id": q_docs_language_id,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_table_dedup": q_docs_table_dedup,
+        "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_sample_stratified": q_docs_sample_stratified,
@@ -2851,6 +2890,40 @@ SELECT CAST(count(*) AS BIGINT) AS n_kept,
 FROM k""",
         # portable-md5 MinHash: DuckDB replays signatures, banding, candidate
         # join, and the jaccard estimate bit-for-bit (hash_fn="portable_md5")
+        "docs_incremental_dedup": """
+WITH corpus AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 1 THEN text || ' v2' ELSE text END AS text
+                FROM documents
+                WHERE doc_id % 5 <> 0 AND doc_id % 11 <> 1),
+batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+both_sides AS (SELECT 'c' AS side, doc_id, text FROM corpus
+               UNION ALL SELECT 'b', doc_id, text FROM batch),
+d0 AS (SELECT side, doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       FROM both_sides),
+sh AS (SELECT side, doc_id, list_distinct(list_transform(
+         range(1, greatest(length(t) - 4, 1) + 1), i -> substr(t, i, 5))) AS shingles
+       FROM d0),
+sig AS (SELECT side, doc_id,
+          [list_min(list_transform(shingles,
+             s -> ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 15))::BIGINT))
+           for k in range(0, 32)] AS sig
+        FROM sh),
+b AS (SELECT side, doc_id, sig, unnest(range(0, 8)) AS band FROM sig),
+bk AS (SELECT side, doc_id, sig, band,
+         ('0x' || substr(md5(
+             CAST(sig[4*band+1] AS VARCHAR) || '|' || CAST(sig[4*band+2] AS VARCHAR)
+             || '|' || CAST(sig[4*band+3] AS VARCHAR) || '|' || CAST(sig[4*band+4] AS VARCHAR)
+           ), 1, 15))::BIGINT AS bucket
+       FROM b),
+cand AS (SELECT DISTINCT bb.doc_id AS doc_id, cc.doc_id AS match_id,
+                bb.sig AS sb, cc.sig AS sc
+         FROM bk bb JOIN bk cc ON bb.band = cc.band AND bb.bucket = cc.bucket
+         WHERE bb.side = 'b' AND cc.side = 'c')
+SELECT doc_id, match_id,
+       len(list_filter(range(1, 33), i -> sb[i] = sc[i])) / 32.0 AS est_jaccard
+FROM cand
+WHERE len(list_filter(range(1, 33), i -> sb[i] = sc[i])) / 32.0 >= 0.4""",
         "docs_minhash_lsh": """
 WITH d0 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
             FROM documents),

@@ -155,3 +155,52 @@ def sync_rollup(src, dst, group_cols: list[str], sum_cols: dict[str, str],
     dst.upsert(merged)
     get_storage(dst.base_path).atomic_put(_ckpt_path(dst), end.encode())
     return end
+
+
+def sync_minhash_index(src, dst, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 32,
+                       bands: int = 8, shingle_k: int = 5,
+                       hash_fn: str = "xxhash64",
+                       end: str | None = None) -> str | None:
+    """Advance `dst` (record-keyed by id_col; columns id, sig, buckets —
+    operators.dedup.minhash_index_rows) to cover src commits up to `end`.
+    Returns the new checkpoint instant, or None when already current.
+
+    First sync signatures the full snapshot; later syncs re-signature ONLY
+    the CDC diff's changed documents (inserts/updates re-hash their after
+    image, deletes tombstone the index row). This keeps a 100 TB corpus's
+    LSH state warm at the cost of each increment, so
+    operators.dedup.dedup_against_index never re-reads corpus text.
+    The checkpoint file is the same derived-table checkpoint sync_rollup
+    uses (one deriver per derived table).
+    """
+    from .operators.dedup import minhash_index_rows
+
+    last = src.timeline.latest_completed_write()
+    if last is None:
+        return None
+    end = end or last.time
+    begin = rollup_checkpoint(dst)
+    if begin is not None and begin >= end:
+        return None
+
+    kw = dict(text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+              bands=bands, shingle_k=shingle_k, hash_fn=hash_fn)
+    if begin is None:
+        snap = src.time_travel(end) if end != last.time else src.snapshot()
+        dst.upsert(minhash_index_rows(snap, **kw))
+    else:
+        cdc = src.incremental_cdc(begin, end)
+        changed = (cdc.filter(F.col("op").isin("i", "u"))
+                   .select(F.col(f"after.{id_col}").alias(id_col),
+                           F.col(f"after.{text_col}").alias(text_col)))
+        upserts = minhash_index_rows(changed, **kw) \
+            .withColumn(meta.DELETE_MARKER, F.lit(False))
+        dels = (cdc.filter(F.col("op") == "d")
+                .select(F.col(f"before.{id_col}").alias(id_col),
+                        F.lit(None).cast("array<bigint>").alias("sig"),
+                        F.lit(None).cast("array<bigint>").alias("buckets"),
+                        F.lit(True).alias(meta.DELETE_MARKER)))
+        dst.upsert(upserts.unionByName(dels))
+    get_storage(dst.base_path).atomic_put(_ckpt_path(dst), end.encode())
+    return end

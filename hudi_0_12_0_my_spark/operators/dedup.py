@@ -383,3 +383,59 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return (common.withColumn("jaccard", jac)
                   .filter(F.col("jaccard") >= threshold)
                   .select("id_a", "id_b", "jaccard"))
+
+
+# ------------------------------------------------- incremental LSH indexing
+def minhash_index_rows(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 32,
+                       bands: int = 8, shingle_k: int = 5,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """One index row per document: (id, sig, buckets[bands]) — the persisted
+    form of the LSH state. Map-only (signatures never shuffle); this is what
+    a 100 TB deployment stores in a derived table so later batches dedup
+    against the corpus WITHOUT re-reading or re-hashing it
+    (derived.sync_minhash_index maintains it from the CDC feed)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
+                              hash_fn)
+    buckets = F.array(*[
+        _combine_hash(hash_fn, [F.col("sig")[b * r + j] for j in range(r)])
+        for b in range(bands)])
+    return sigs.select(id_col, "sig", buckets.alias("buckets"))
+
+
+def dedup_against_index(batch: DataFrame, index: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_hashes: int = 32, bands: int = 8,
+                        shingle_k: int = 5, jaccard_threshold: float = 0.5,
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-dup matches of a NEW batch against a persisted signature index
+    (minhash_index_rows / derived.sync_minhash_index): signature the batch
+    (map-only), band-explode both sides, equi-join on (band, bucket), and
+    verify candidates by signature agreement. Output: one row per matched
+    (batch doc, corpus doc) pair — (id, match_id, est_jaccard), same-id
+    self-matches excluded so re-ingesting an already-indexed doc reports
+    only its OTHER near-dups.
+
+    Scale shape: the corpus index is |corpus| rows of ~(8+num_hashes)*8
+    bytes, never the corpus text; the join shuffles (batch + index) band
+    entries on (band, bucket) — the same banded equi-join as
+    minhash_lsh_pairs, with the corpus side precomputed."""
+    assert num_hashes % bands == 0
+    b_rows = minhash_index_rows(batch, text_col, id_col, num_hashes, bands,
+                                shingle_k, hash_fn)
+    be = b_rows.select(F.col(id_col).alias("_bid"), F.col("sig").alias("_bsig"),
+                       F.posexplode("buckets").alias("band", "bucket"))
+    ie = index.select(F.col(id_col).alias("match_id"),
+                      F.col("sig").alias("_isig"),
+                      F.posexplode("buckets").alias("band", "bucket"))
+    cand = (be.join(ie, ["band", "bucket"])
+            .filter(F.col("_bid") != F.col("match_id"))
+            .dropDuplicates(["_bid", "match_id"]))
+    est = (F.size(F.filter(F.zip_with("_bsig", "_isig",
+                                      lambda x, y: x == y), lambda v: v))
+           / F.lit(float(num_hashes)))
+    return (cand.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= jaccard_threshold)
+            .select(F.col("_bid").alias(id_col), "match_id", "est_jaccard"))

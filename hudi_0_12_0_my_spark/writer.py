@@ -61,6 +61,26 @@ def business_schema(cfg) -> T.StructType:
     return T.StructType.fromJson(__import__("json").loads(cfg.schema_json))
 
 
+def nullable_type(dt: T.DataType) -> T.DataType:
+    """Registered types are fully nullable (fields, array elements, map
+    values) — the DataFrame-level analogue of Hudi's Avro nullable-union
+    schemas. Without this, a first write whose expression outputs a
+    non-nullable container (e.g. array of xxhash64) registers
+    containsNull=false, and any later write carrying NULLs in that column
+    (tombstone union, outer-join fill) dies in the cast to the registered
+    type."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([T.StructField(f.name, nullable_type(f.dataType),
+                                           True, f.metadata)
+                             for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(nullable_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(nullable_type(dt.keyType),
+                         nullable_type(dt.valueType), True)
+    return dt
+
+
 def rename_chains(cfg) -> dict:
     """final_name -> [older physical names, newest first].
 
@@ -307,7 +327,7 @@ class Writer:
         marker_is_business = False
         if cfg.schema_json is None:
             fields = [f for f in df.schema.fields]
-            cfg.schema_json = T.StructType(fields).json()
+            cfg.schema_json = nullable_type(T.StructType(fields)).json()
             cfgmod.save_config(self.base, cfg)
             marker_is_business = meta.DELETE_MARKER in df.columns
         else:
@@ -319,7 +339,10 @@ class Writer:
             new_fields = [f for f in df.schema.fields
                           if f.name not in known and f.name != meta.DELETE_MARKER]
             if new_fields:
-                schema = T.StructType(list(schema.fields) + new_fields)
+                schema = T.StructType(list(schema.fields)
+                                      + [T.StructField(
+                                          f.name, nullable_type(f.dataType),
+                                          True) for f in new_fields])
                 cfg.schema_json = schema.json()
                 cfgmod.save_config(self.base, cfg)
             # type promotion / narrowing guard (reference: Avro schema

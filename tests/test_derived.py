@@ -98,3 +98,57 @@ def test_scd2_history_intervals(spark, tmp_path):
     assert h[("b", 2)] == (c[0], c[2])        # closed by the delete
     assert h[("b", 20)] == (c[3], None)       # re-insert opens fresh
     assert len(h) == 4
+
+
+def test_sync_minhash_index_incremental_matches_recompute(spark, tmp_path):
+    """Index maintained via CDC folds must equal a from-scratch signature
+    pass over the final corpus state, and dedup_against_index must find the
+    planted near-dups (and only the planted near-dups)."""
+    from hudi_0_12_0_my_spark.derived import sync_minhash_index
+    from hudi_0_12_0_my_spark.operators import (dedup_against_index,
+                                                minhash_index_rows)
+    eng = Engine(spark)
+    src = eng.create_table(str(tmp_path / "docs"),
+                           record_key_fields=["doc_id"],
+                           precombine_field="ver", keygen="nonpartitioned")
+    idx = eng.create_table(str(tmp_path / "idx"),
+                           record_key_fields=["doc_id"],
+                           keygen="nonpartitioned")
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    rows = [(i, base * 3 + f"tail {i}", 1) for i in range(8)]
+    rows += [(100 + i, f"completely different text number {i} " * 5, 1)
+             for i in range(4)]
+    src.bulk_insert(spark.createDataFrame(
+        rows, "doc_id long, text string, ver int"))
+    ck1 = sync_minhash_index(src, idx)
+    assert ck1 is not None
+    # second call: already current
+    assert sync_minhash_index(src, idx) is None
+
+    # update doc 0's text, delete doc 101, insert doc 200
+    src.upsert(spark.createDataFrame(
+        [(0, "totally rewritten text with nothing in common anymore " * 4, 2),
+         (200, base * 3 + "tail 200", 1)],
+        "doc_id long, text string, ver int"))
+    src.delete(where="doc_id = 101")
+    ck2 = sync_minhash_index(src, idx)
+    assert ck2 is not None and ck2 > ck1
+
+    got = {(r.doc_id, tuple(r.sig), tuple(r.buckets))
+           for r in idx.snapshot().collect()}
+    want = {(r.doc_id, tuple(r.sig), tuple(r.buckets))
+            for r in minhash_index_rows(src.snapshot()).collect()}
+    assert got == want and len(want) == 12   # 8 - 1del + 4 - 1 + 1ins + 1upd
+
+    # a batch with one near-dup of the "base" family, one unique doc, and a
+    # re-ingest of indexed doc 3 (self-match must be excluded; its family
+    # still matches)
+    batch = spark.createDataFrame(
+        [(900, base * 3 + "tail 900"), (901, "zebra " * 40),
+         (3, base * 3 + "tail 3")], "doc_id long, text string")
+    m = dedup_against_index(batch, idx.snapshot(), jaccard_threshold=0.5)
+    hits = {(r.doc_id, r.match_id) for r in m.collect()}
+    assert all(mid != did for did, mid in hits)
+    assert any(did == 900 for did, _ in hits)      # planted near-dup found
+    assert all(did != 901 for did, _ in hits)      # unique doc clean
+    assert any(did == 3 and mid != 3 for did, mid in hits)

@@ -452,3 +452,26 @@ def test_salted_join_shape(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Generate explode") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_dedup_against_index_banded_join(spark):
+    """Batch-vs-index dedup must stay a banded equi-join: the corpus index
+    is never re-hashed (no shingle transform on that side), and the join is
+    hash-based — no nested-loop, no Python."""
+    from hudi_0_12_0_my_spark.operators import (dedup_against_index,
+                                                minhash_index_rows)
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i} with shared words") for i in range(50)],
+        "doc_id long, text string")
+    idx = minhash_index_rows(docs).persist()
+    idx.count()
+    batch = spark.createDataFrame(
+        [(100 + i, f"text body number {i} with shared words")
+         for i in range(5)], "doc_id long, text string")
+    plan = _plan(dedup_against_index(batch, idx))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the index side is served from the materialized cache, not re-derived
+    assert "InMemoryTableScan" in plan
+    idx.unpersist()
