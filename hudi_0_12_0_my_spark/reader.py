@@ -31,9 +31,19 @@ from .storage import get_storage
 
 
 def bootstrap_instant(timeline) -> str | None:
-    """Instant of the METADATA_ONLY bootstrap commit, if any (bootstrap.py)."""
+    """Instant of the METADATA_ONLY bootstrap commit, if any (bootstrap.py).
+
+    Consults the ARCHIVED timeline too: the bootstrap commit is the oldest
+    instant, so archival moves it out of the active timeline early in the
+    table's life — and a read that then fails to detect bootstrap skips meta
+    reconstruction, leaving NULL record keys that break MOR delta-key joins
+    (tombstoned bootstrap rows resurrected under time travel; found by the
+    randomized DAG sweep, mor/simple/bootstrap seed 203)."""
     for ins in timeline.completed(actions=(tl.COMMIT,)):
         if timeline.metadata(ins).get("operation") == "bootstrap":
+            return ins.time
+    for ins, md in timeline.archived():
+        if md.get("operation") == "bootstrap":
             return ins.time
     return None
 

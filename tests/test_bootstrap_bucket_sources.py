@@ -237,3 +237,40 @@ def test_hive_incr_pull_source(spark, tmp_path):
     # caught up after the last one
     df3, ck3 = hive_incr_pull_source(spark, root, last_checkpoint="20240103000000")
     assert df3 is None and ck3 == "20240103000000"
+
+
+def test_bootstrap_detected_after_archival(spark, tmp_path):
+    """Archival moves the bootstrap commit off the active timeline early in
+    the table's life; bootstrap meta reconstruction must keep working (NULL
+    record keys would break MOR delta-key joins and resurrect tombstoned
+    bootstrap rows under time travel — DAG sweep, mor/simple/boot s203)."""
+    import os
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i), i)
+         for i in range(40)], "id long, grp string, val double, seq long")
+    src = str(tmp_path / "legacy")
+    for g in ("a", "b"):
+        df.filter(F.col("grp") == g).coalesce(1) \
+          .write.parquet(os.path.join(src, g))
+    eng = Engine(spark)
+    t = eng.bootstrap(str(tmp_path / "boot"), src, mode="METADATA_ONLY",
+                      record_key_fields=["id"], precombine_field="seq",
+                      partition_field="grp", table_type="mor")
+    # build up a timeline, then archive the bootstrap commit away
+    for k in range(4):
+        t.upsert(spark.createDataFrame(
+            [(100 + 10 * k + j, "a", 1.0 * k, 50 + k) for j in range(3)],
+            "id long, grp string, val double, seq long"))
+    t.delete(where="id in (0, 2)")          # tombstones bootstrap-file rows
+    tt_instant = t.timeline.completed_write_instants()[-1].time
+    t.upsert(spark.createDataFrame([(500, "b", 9.9, 99)],
+                                   "id long, grp string, val double, seq long"))
+    t.archive(retain_active=2)
+    from hudi_0_12_0_my_spark.reader import bootstrap_instant
+    assert bootstrap_instant(t.timeline) is not None   # served from archive
+    km = t.snapshot(keep_meta=True)
+    assert km.filter(F.col("_hoodie_record_key").isNull()).count() == 0
+    ids = {r.id for r in t.snapshot().select("id").collect()}
+    assert 0 not in ids and 2 not in ids and 4 in ids
+    tt_ids = {r.id for r in t.time_travel(tt_instant).select("id").collect()}
+    assert 0 not in tt_ids and 2 not in tt_ids and 500 not in tt_ids

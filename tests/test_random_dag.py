@@ -219,8 +219,13 @@ def run_dag(spark, base_path, table_type, index_type, global_index,
     # time travel to recent write instants reproduces the recorded model
     # (recent = inside the cleaning retention window)
     for instant, m in commits[-3:]:
-        assert _fold(t.time_travel(instant)) == _proj(m), \
-            f"time_travel({instant}) diverged"
+        got, want = _fold(t.time_travel(instant)), _proj(m)
+        assert got == want, (
+            f"time_travel({instant}) diverged (commit "
+            f"{[c for c, _ in commits].index(instant) + 1}/{len(commits)})\n"
+            f"  missing: {sorted(set(want) - set(got))[:5]}\n"
+            f"  extra:   {sorted(set(got) - set(want))[:5]}\n"
+            f"  changed: {[k for k in set(got) & set(want) if got[k] != want[k]][:5]}")
 
     # incremental windows between recorded commits equal the model diff:
     # every seq bump changes the row value, so "changed since i, alive at
