@@ -475,3 +475,33 @@ def test_dedup_against_index_banded_join(spark):
     # the index side is served from the materialized cache, not re-derived
     assert "InMemoryTableScan" in plan
     idx.unpersist()
+
+
+TPCH_QUERIES = ["q1_pricing", "q2_min_cost_supplier", "q3_top10",
+                "q4_order_priority", "q5_nation_volume", "q6_revenue",
+                "q7_volume", "q8_market_share", "q9_product_profit",
+                "q10_returned", "q11_important_stock", "q12_shipmode",
+                "q13_custdist", "q14_promo", "q15_top_supplier",
+                "q16_supplier_cnt", "q17_small_qty", "q18_large_orders",
+                "q19_discounted", "q20_excess_shipments",
+                "q21_waiting_suppliers", "q22_sales_opportunity"]
+
+
+@pytest.mark.parametrize("qname", TPCH_QUERIES)
+def test_tpch_plan_shapes(spark, qname):
+    """All 22 TPC-H-shaped queries: never a cartesian product, never a
+    Python eval in the hot path, and any BroadcastNestedLoopJoin must be
+    the 1-row scalar-aggregate cross join (q11/q22 style), not a data-sized
+    pairwise join."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_plans", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.queries()[qname](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, qname
+    assert "BatchEvalPython" not in plan, qname
+    if "BroadcastNestedLoopJoin" in plan:
+        # legal only for broadcasting a single-row aggregate (scalar subquery)
+        assert qname in ("q11_important_stock", "q22_sales_opportunity"), qname
