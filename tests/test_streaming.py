@@ -428,3 +428,44 @@ def test_stream_sink_maintains_rollup(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.grp, r.sum_val, r.n_rows) for r in dst.snapshot().collect()}
     assert got == {("a", 10.0, 1), ("b", 5.0, 2)}
+
+
+def test_stream_sink_maintains_minhash_index(spark, tmp_path):
+    """post_commit composition with the LSH index maintainer: each
+    micro-batch re-signatures only its own documents, and the index equals
+    a from-scratch signature pass after every batch."""
+    from hudi_0_12_0_my_spark.derived import sync_minhash_index
+    from hudi_0_12_0_my_spark.operators import minhash_index_rows
+
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "docs"), record_key_fields=["doc_id"],
+                         precombine_field="seq", keygen="nonpartitioned")
+    idx = eng.create_table(str(tmp_path / "idx"), record_key_fields=["doc_id"],
+                           keygen="nonpartitioned")
+    src_dir = str(tmp_path / "in")
+
+    def keep_fresh(table):
+        sync_minhash_index(table, idx)
+
+    _write_jsonl(src_dir, "b1.json",
+                 [{"doc_id": 1, "text": "alpha beta gamma delta " * 5, "seq": 1},
+                  {"doc_id": 2, "text": "epsilon zeta eta theta " * 5, "seq": 1}])
+    raw = (spark.readStream.format("text").load(src_dir)
+           .select(F.from_json(
+               "value", "doc_id long, text string, seq long").alias("r"))
+           .select("r.*"))
+    q = stream_write(t, raw, str(tmp_path / "ckpt"), post_commit=keep_fresh) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    _write_jsonl(src_dir, "b2.json",
+                 [{"doc_id": 1, "text": "totally new text for doc one " * 5,
+                   "seq": 2},
+                  {"doc_id": 3, "text": "alpha beta gamma delta " * 5 + "x",
+                   "seq": 1}])
+    q = stream_write(t, raw, str(tmp_path / "ckpt"), post_commit=keep_fresh) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {(r.doc_id, tuple(r.sig)) for r in idx.snapshot().collect()}
+    want = {(r.doc_id, tuple(r.sig))
+            for r in minhash_index_rows(t.snapshot()).collect()}
+    assert got == want and len(want) == 3
