@@ -1339,6 +1339,22 @@ def q_events_asof_join(spark, sf_dir):
                     F.col("r_ts").alias("status_ts"))
 
 
+def q_events_resample(spark, sf_dir):
+    """Time-series regularization (operators/temporal.py resample): per-user
+    hourly grid from first to last observation, forward-filling the latest
+    value at or before each grid point (gap-fill + LOCF). The (user_id, ts)
+    pre-aggregation makes the fill deterministic on both engines. Oracle:
+    per-key generate_series spine + DuckDB native ASOF LEFT JOIN."""
+    from hudi_0_12_0_my_spark.operators import resample
+    ev = _read_events(spark, sf_dir).filter("user_id % 25 = 0")
+    series = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    r = resample(series, "user_id", ts="ts", step="1 hour", trunc="hour",
+                 values=["value"])
+    return r.select("user_id", F.col("ts").alias("grid_ts"),
+                    F.round("r_value", 6).alias("last_value"),
+                    F.col("r_ts").alias("obs_ts"))
+
+
 def q_orders_rollup(spark, sf_dir):
     """GROUP BY ROLLUP over orders (§2.10: Catalyst-delegated relational
     surface): subtotal rows carry NULL group keys identically in Spark and
@@ -2061,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_profile": q_orders_profile,
         "scd2_history": q_scd2_history,
         "events_asof_join": q_events_asof_join,
+        "events_resample": q_events_resample,
         "events_interval_join": q_events_interval_join,
         "events_salted_join": q_events_salted_join,
         "orders_rollup": q_orders_rollup,
@@ -3147,6 +3164,19 @@ l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 20 <> 0)
 SELECT l.event_id, round(r.status, 6) AS status, r.ts AS status_ts
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "events_resample": """
+WITH series AS (SELECT user_id, ts, max(value) AS value FROM events
+                WHERE user_id % 25 = 0 GROUP BY user_id, ts),
+b AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM series GROUP BY user_id),
+spine AS (SELECT user_id,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts
+          FROM b)
+SELECT s.user_id, s.grid_ts, round(d.value, 6) AS last_value,
+       d.ts AS obs_ts
+FROM spine s ASOF LEFT JOIN series d
+  ON s.user_id = d.user_id AND s.grid_ts >= d.ts""",
         "events_interval_join": """
 WITH bands AS (SELECT i AS band_id, i * 8.0 AS lo, i * 8.0 + 12.0 AS hi
                FROM range(60) t(i))

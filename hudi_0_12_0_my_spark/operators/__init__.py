@@ -30,7 +30,7 @@ from .similarity import (cosine_topk, ivf_cosine_topk,
 from .joins import interval_join, salted_join
 from .lm import lm_log_prob, lm_outliers, linear_text_score, tfidf_keywords
 from .profile import profile
-from .temporal import asof_join
+from .temporal import asof_join, resample
 from .textstats import (with_token_stats, with_quality_score,
                         with_language_id, with_fingerprint,
                         with_repetition_stats, top_ngrams, bm25_topk)
@@ -47,7 +47,7 @@ __all__ = [
     "with_token_stats", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_repetition_stats", "top_ngrams", "bm25_topk",
     "lm_log_prob", "lm_outliers", "linear_text_score", "tfidf_keywords",
-    "profile", "asof_join", "interval_join", "salted_join",
+    "profile", "asof_join", "resample", "interval_join", "salted_join",
     "with_media_columns", "extract_features", "frame_sample_plan",
     "resize_plan", "audio_chunk_plan",
     "chunk_documents", "contaminated_ids", "curate", "decontaminate",

@@ -65,3 +65,37 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     for c in rcols:
         out = out.withColumnRenamed(f"__f_{c}", c)
     return out
+
+
+def resample(df: DataFrame, on: list[str] | str, ts: str = "ts",
+             step: str = "1 hour", trunc: str = "hour",
+             values: list[str] | None = None,
+             right_prefix: str = "r_") -> DataFrame:
+    """Regularize an irregular time series: per key, build a uniform time
+    grid from date_trunc(trunc, min(ts)) to date_trunc(trunc, max(ts)) at
+    `step` spacing, and forward-fill the latest observation at or before
+    each grid point (gap-fill + last-observation-carried-forward).
+
+    Shape for 100 TB: one partial-agg shuffle for per-key bounds (result is
+    O(keys), tiny), a map-only sequence()+explode to mint the grid — the
+    spine never materializes driver-side — then the asof_join union+window
+    fill: ONE hash shuffle on the key. No range join, no per-point lookup.
+
+    Rows with duplicate (key, ts) should be pre-aggregated by the caller if
+    deterministic fill values are required (same contract as DuckDB's ASOF
+    JOIN, whose pick among equal timestamps is unspecified).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    vals = values if values is not None else \
+        [c for c in df.columns if c not in keys and c != ts]
+    t = F.col(ts).cast("timestamp")
+    bounds = df.groupBy(*keys).agg(
+        F.date_trunc(trunc, F.min(t)).alias("__lo"),
+        F.date_trunc(trunc, F.max(t)).alias("__hi"))
+    spine = bounds.select(
+        *keys,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"),
+                             F.expr(f"interval {step}"))).alias(ts))
+    right = df.select(*keys, ts, *vals)
+    return asof_join(spine, right, keys, left_ts=ts, right_ts=ts,
+                     right_prefix=right_prefix)

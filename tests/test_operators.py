@@ -666,6 +666,30 @@ def test_asof_join_backward_and_forward(spark):
     assert fwd == {"e1": "s10", "e2": None, "e3": "s2"}
 
 
+def test_resample_gap_fill_locf(spark):
+    """Hourly grid spans date_trunc(min)..date_trunc(max) per key; each grid
+    point carries the latest observation at-or-before it (LOCF); grid points
+    before the first observation in the opening truncated hour stay the
+    truncated-hour fill of that hour's later rows only when one exists at or
+    before the point — i.e. the 10:00 point sits BEFORE a 10:30 first
+    observation and stays NULL."""
+    import datetime as dt
+    T = dt.datetime
+    df = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 30), 5.0),   # first obs mid-hour
+         (1, T(2024, 1, 1, 13, 0), 7.0),    # gap: 11,12 forward-fill 5.0
+         (2, T(2024, 1, 1, 9, 0), 1.0)],    # single-point series
+        "k long, ts timestamp, v double")
+    out = {(r.k, r.ts.hour): (r.r_v, r.r_ts) for r in
+           ops.resample(df, "k", ts="ts", step="1 hour").collect()}
+    assert out[(1, 10)] == (None, None)            # grid 10:00 < obs 10:30
+    assert out[(1, 11)] == (5.0, T(2024, 1, 1, 10, 30))
+    assert out[(1, 12)] == (5.0, T(2024, 1, 1, 10, 30))
+    assert out[(1, 13)] == (7.0, T(2024, 1, 1, 13, 0))
+    assert out[(2, 9)] == (1.0, T(2024, 1, 1, 9, 0))
+    assert len(out) == 5                           # 10..13 for k=1, 9 for k=2
+
+
 def test_interval_join_semantics(spark):
     """Half-open vs closed bounds, overlap multiplicity, intervals spanning
     many buckets, and empty matches — exact results regardless of
