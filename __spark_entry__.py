@@ -1971,6 +1971,20 @@ def q_multimodal_features(spark, sf_dir):
                         F.size("features").alias("feat_dim"), *fcols)
 
 
+def q_multimodal_phash_dedup(spark, sf_dir):
+    """pHash-style banded near-dup over the binary media column
+    (operators/multimodal.py phash_near_dup): 64-bit hash -> 4 bands ->
+    equi-join blocking -> exact Hamming filter. The stand-in hash is
+    md5(payload)[:16] (decode stub), which DuckDB replays exactly, so the
+    oracle enumerates the same candidate pairs and distances."""
+    from hudi_0_12_0_my_spark.operators import phash_near_dup
+    docs = _read(spark, sf_dir, "documents") \
+        .withColumn("media",
+                    F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+    return phash_near_dup(docs, id_col="doc_id", media_col="media",
+                          bands=4, max_hamming=8)
+
+
 # ------------------------------------------------------------------ contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -2096,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_phash_dedup": q_multimodal_phash_dedup,
     }
 
 

@@ -16,7 +16,8 @@ from .graph import (connected_components, dup_clusters,
                     dedup_by_components, select_cluster_representatives,
                     cluster_representatives)
 from .multimodal import (with_media_columns, extract_features,
-                         frame_sample_plan, resize_plan, audio_chunk_plan)
+                         frame_sample_plan, resize_plan, audio_chunk_plan,
+                         phash_near_dup)
 from .pipeline import (chunk_documents, contaminated_ids, curate,
                        decontaminate, scrub_pii, normalize_text,
                        deterministic_sample, stratified_sample,
@@ -49,6 +50,7 @@ __all__ = [
     "lm_log_prob", "lm_outliers", "linear_text_score", "tfidf_keywords",
     "profile", "asof_join", "resample", "interval_join", "salted_join",
     "with_media_columns", "extract_features", "frame_sample_plan",
+    "phash_near_dup",
     "resize_plan", "audio_chunk_plan",
     "chunk_documents", "contaminated_ids", "curate", "decontaminate",
     "pack_sequences", "scrub_pii", "normalize_text",

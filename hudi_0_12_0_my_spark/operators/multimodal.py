@@ -95,6 +95,51 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True,
     return cols.mapInPandas(run, schema=out_schema)
 
 
+def phash_near_dup(df: DataFrame, id_col: str = "doc_id",
+                   media_col: str = "media", bands: int = 4,
+                   max_hamming: int = 8) -> DataFrame:
+    """Perceptual-hash near-duplicate candidates over a binary media column.
+
+    Classic image-dedup shape: a 64-bit perceptual hash per item, split into
+    `bands` fixed-width bands; any pair sharing at least one identical band
+    is a candidate (pigeonhole: guaranteed recall for Hamming distance <
+    `bands`), then the exact Hamming distance filters candidates to
+    `<= max_hamming`. The real pHash (DCT over decoded pixels) needs image
+    libs not in this container, so the hash is the deterministic stand-in
+    md5(media)[:16 hex] — the *blocking plan* is the production shape.
+
+    Shape for 100 TB: hash + band split are map-only projections; ONE
+    shuffle on (band, band_value) for the equi-join — never an all-pairs
+    or Hamming-radius scan; the Hamming filter is a JVM bit_count over the
+    carried band arrays, no second shuffle beyond the pair distinct.
+    """
+    if not 64 % bands == 0:
+        raise ValueError("phash_near_dup: bands must divide 64")
+    width = 16 // bands                    # hex chars per band
+    hx = F.substring(F.md5(F.col(media_col)), 1, 16)
+    h = df.select(F.col(id_col), hx.alias("__hx"))
+    h = h.withColumn("__bands", F.array(*[
+        F.conv(F.substring("__hx", 1 + width * i, width), 16, 10)
+         .cast("long") for i in range(bands)]))
+    e = h.select(id_col, "__bands",
+                 F.posexplode("__bands").alias("__band", "__bv"))
+    a, b = e.alias("a"), e.alias("b")
+    cand = (a.join(b, [F.col("a.__band") == F.col("b.__band"),
+                       F.col("a.__bv") == F.col("b.__bv"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.__bands").alias("__ba"),
+                    F.col("b.__bands").alias("__bb"))
+            .distinct())
+    ham = sum(F.bit_count(F.col("__ba").getItem(i)
+                          .bitwiseXOR(F.col("__bb").getItem(i)))
+              for i in range(bands))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .drop("__ba", "__bb"))
+
+
 def resize_plan(df: DataFrame, max_side: int = 256,
                 id_col: str = "doc_id", fake: bool = True) -> DataFrame:
     """Image resize via mapInPandas: emit (id, out_width, out_height, media).
