@@ -68,7 +68,9 @@ _PAYLOAD_CLASSES = {
     "org.apache.hudi.common.model.DefaultHoodieRecordPayload": "default",
     "org.apache.hudi.common.model.OverwriteNonDefaultsWithLatestAvroPayload": "overwrite_non_defaults",
     "org.apache.hudi.common.model.PartialUpdateAvroPayload": "partial_update",
-    "org.apache.hudi.common.model.EmptyHoodieRecordPayload": "overwrite_latest",
+    # EmptyHoodieRecordPayload.java: combineAndGetUpdateValue/getInsertValue
+    # both return Option.empty — every record is a delete, not an upsert
+    "org.apache.hudi.common.model.EmptyHoodieRecordPayload": "empty",
     "org.apache.hudi.common.model.HoodieAvroPayload": "overwrite_latest",
     "org.apache.hudi.common.model.ValidateDuplicateKeyPayload": "validate_dup",
 }
@@ -186,6 +188,12 @@ def write_hudi(df: DataFrame, path: str, options: dict | None = None,
     HoodieSparkSqlWriter.scala write() dispatch)."""
     options = dict(options or {})
     op = str(options.get(OPERATION, "upsert")).lower()
+    # EmptyHoodieRecordPayload as a per-write option: every record resolves
+    # to empty (delete) — route the write through the delete path instead of
+    # letting the table's stored payload turn it into a normal upsert
+    if (_PAYLOAD_CLASSES.get(str(options.get(PAYLOAD_CLASS))) == "empty"
+            and op in ("upsert", "insert", "bulk_insert", "delete")):
+        op = "delete"
     spark = df.sparkSession
     exists = cfgmod.table_exists(path)
     mode_l = mode.lower()

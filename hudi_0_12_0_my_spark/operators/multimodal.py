@@ -113,8 +113,11 @@ def phash_near_dup(df: DataFrame, id_col: str = "doc_id",
     or Hamming-radius scan; the Hamming filter is a JVM bit_count over the
     carried band arrays, no second shuffle beyond the pair distinct.
     """
-    if not 64 % bands == 0:
-        raise ValueError("phash_near_dup: bands must divide 64")
+    # band width is measured in hex chars of the 16-char hash: bands must
+    # divide 16 (bands=32/64 would yield width 0 — every band substring
+    # empty, one giant bucket, an all-pairs cross join)
+    if bands not in (1, 2, 4, 8, 16):
+        raise ValueError("phash_near_dup: bands must be one of 1,2,4,8,16")
     width = 16 // bands                    # hex chars per band
     hx = F.substring(F.md5(F.col(media_col)), 1, 16)
     h = df.select(F.col(id_col), hx.alias("__hx"))

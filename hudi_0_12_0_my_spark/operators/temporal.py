@@ -35,12 +35,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     payload = [c for c in right.columns if c not in keys and c != right_ts]
     l = left.withColumn("__ts", F.col(left_ts).cast("timestamp")) \
             .withColumn("__src", F.lit(1))
+    # ONE struct of all right payload columns, built only on right rows: the
+    # fill picks whole rows, so a matched row's genuinely-NULL payload value
+    # propagates as NULL (pandas merge_asof / DuckDB ASOF semantics) instead
+    # of an older row's value leaking in, and every filled column comes from
+    # the SAME matched right row
     r = right.select(
         *keys,
         F.col(right_ts).cast("timestamp").alias("__ts"),
         F.lit(0).alias("__src"),
-        *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
-        F.col(right_ts).cast("timestamp").alias(f"{right_prefix}{right_ts}"))
+        F.struct(
+            *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
+            F.col(right_ts).cast("timestamp")
+             .alias(f"{right_prefix}{right_ts}")).alias("__rpay"))
     rcols = [f"{right_prefix}{c}" for c in payload] + \
             [f"{right_prefix}{right_ts}"]
     for c in left.columns:
@@ -57,14 +64,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         w = (Window.partitionBy(*keys).orderBy(F.col("__ts").desc(),
                                                F.col("__src").asc())
              .rowsBetween(Window.unboundedPreceding, 0))
-    filled = u.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}")
-               for c in rcols])
-    out = (filled.filter(F.col("__src") == 1)
-           .drop(*rcols, "__ts", "__src"))
-    for c in rcols:
-        out = out.withColumnRenamed(f"__f_{c}", c)
-    return out
+    filled = u.withColumn("__f", F.last("__rpay", ignorenulls=True).over(w))
+    return (filled.filter(F.col("__src") == 1)
+            .select(*left.columns,
+                    *[F.col(f"__f.{c}").alias(c) for c in rcols]))
 
 
 def resample(df: DataFrame, on: list[str] | str, ts: str = "ts",

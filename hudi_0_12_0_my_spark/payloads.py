@@ -40,6 +40,7 @@ class PayloadSpec:
     name: str
     event_time_ordered: bool = False   # stored kept when its ordering >= incoming
     column_merge: bool = False         # per-column latest-non-null merge
+    always_delete: bool = False        # every incoming record is a tombstone
 
 
 SPECS = {
@@ -49,6 +50,9 @@ SPECS = {
     "partial_update": PayloadSpec("partial_update", column_merge=True),
     "overwrite_non_defaults": PayloadSpec("overwrite_non_defaults", column_merge=True),
     "validate_dup": PayloadSpec("validate_dup"),
+    # EmptyHoodieRecordPayload.java: every record resolves to empty, i.e. a
+    # tombstone — upserting keys deletes them, inserting absent keys no-ops
+    "empty": PayloadSpec("empty", always_delete=True),
 }
 
 

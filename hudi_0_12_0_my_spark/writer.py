@@ -363,8 +363,14 @@ class Writer:
                 cfgmod.save_config(self.base, cfg)
 
         schema = business_schema(cfg)
-        tombstone = (F.coalesce(F.col(meta.DELETE_MARKER).cast("boolean"), F.lit(False))
-                     if meta.DELETE_MARKER in df.columns else F.lit(False))
+        if payloads.get(cfg.payload).always_delete:
+            # EmptyHoodieRecordPayload: every record is a tombstone
+            tombstone = F.lit(True)
+        elif meta.DELETE_MARKER in df.columns:
+            tombstone = F.coalesce(F.col(meta.DELETE_MARKER).cast("boolean"),
+                                   F.lit(False))
+        else:
+            tombstone = F.lit(False)
         cols = []
         for f in schema.fields:
             if f.name in df.columns:

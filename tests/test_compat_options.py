@@ -231,3 +231,24 @@ def test_bucket_index_drop_insert_dup(spark, tmp_table_dir):
                 "hoodie.datasource.write.insert.drop.duplicates": "true"})
     got = {(r.id, r.v) for r in read_hudi(spark, tmp_table_dir).collect()}
     assert got == {("a", 10), ("b", 20)}
+
+
+def test_empty_payload_class_deletes_keys(spark, tmp_table_dir):
+    """EmptyHoodieRecordPayload resolves every record to empty (reference
+    EmptyHoodieRecordPayload.java: combineAndGetUpdateValue/getInsertValue
+    return Option.empty), so an upsert with that payload class DELETES the
+    matched keys — it must not degrade to a normal overwrite upsert."""
+    write_hudi(_rows(spark, [("a", "p1", 1, 10), ("b", "p1", 1, 20),
+                             ("c", "p2", 1, 30)]),
+               tmp_table_dir,
+               {**WRITE_OPTS, "hoodie.datasource.write.operation": "insert"})
+    # upsert two existing keys + one absent key with the empty payload:
+    # existing keys vanish, the absent key must NOT be inserted
+    write_hudi(_rows(spark, [("a", "p1", 2, 99), ("c", "p2", 2, 99),
+                             ("zz", "p1", 2, 99)]),
+               tmp_table_dir,
+               {**WRITE_OPTS,
+                "hoodie.datasource.write.payload.class":
+                    "org.apache.hudi.common.model.EmptyHoodieRecordPayload"})
+    got = {(r.id, r.v) for r in read_hudi(spark, tmp_table_dir).collect()}
+    assert got == {("b", 20)}

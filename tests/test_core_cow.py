@@ -267,3 +267,20 @@ def test_unpartitioned_table(spark, tmp_table_dir):
     t.upsert(make_rows(spark, [(2, "b2", 21.0, 200, "2021-01-09")]))
     got = {r.id: r.name for r in t.snapshot().collect()}
     assert got == {1: "a", 2: "b2", 3: "c", 4: "d"}
+
+
+def test_empty_payload_native(spark, tmp_table_dir):
+    """payload='empty' (EmptyHoodieRecordPayload.java): inserts are no-ops,
+    upserts tombstone the matched keys."""
+    from hudi_0_12_0_my_spark import Engine
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, name="h0_empty",
+                         record_key_fields=["id"], precombine_field="ts",
+                         partition_field="dt", table_type="cow")
+    t.bulk_insert(make_rows(spark, BATCH1))
+    # switch payload to empty for the follow-up write
+    t.cfg.payload = "empty"
+    t.upsert(make_rows(spark, [(1, "x", 0.0, 200, "2021-01-01"),
+                               (9, "new", 0.0, 200, "2021-01-02")]))
+    got = {r.id for r in t.snapshot().collect()}
+    assert got == {2, 3, 4}      # 1 deleted; 9 never inserted

@@ -758,3 +758,33 @@ def test_salted_join_equals_plain_join(spark):
         assert got == want, how
     with pytest.raises(ValueError, match="how"):
         ops.salted_join(big, dim, "k", how="outer")
+
+
+def test_asof_join_null_payload_single_row_fill(spark):
+    """A matched right row whose payload value is genuinely NULL propagates
+    that NULL (merge_asof semantics) — an older row's value must not leak
+    forward — and ALL filled right columns come from the same matched row."""
+    import datetime as dt
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 12), "e1")], "k long, ts timestamp, ev string")
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10), "s10", 100),
+         (1, T(2024, 1, 1, 11), None, None)],   # latest match: NULL payload
+        "k long, ts timestamp, status string, score int")
+    row = ops.asof_join(left, right, "k").collect()[0]
+    assert row.r_status is None and row.r_score is None
+    assert row.r_ts == T(2024, 1, 1, 11)
+
+
+def test_phash_bands_validation(spark):
+    """bands=32 would make every hex band substring empty (one global
+    bucket => all-pairs join); only widths that divide the 16 hex chars of
+    the hash are legal."""
+    from hudi_0_12_0_my_spark.operators import phash_near_dup
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, media binary")
+    import pytest as _pytest
+    for bad in (3, 32, 64):
+        with _pytest.raises(ValueError, match="bands"):
+            phash_near_dup(df, bands=bad)
+    assert phash_near_dup(df, bands=8).count() == 0
