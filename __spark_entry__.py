@@ -1976,11 +1976,20 @@ def q_multimodal_phash_dedup(spark, sf_dir):
     (operators/multimodal.py phash_near_dup): 64-bit hash -> 4 bands ->
     equi-join blocking -> exact Hamming filter. The stand-in hash is
     md5(payload)[:16] (decode stub), which DuckDB replays exactly, so the
-    oracle enumerates the same candidate pairs and distances."""
+    oracle enumerates the same candidate pairs and distances. The payload
+    mixes deterministic duplicate groups (doc_id%3==0 rows collapse to a
+    lang:length-bucket token => identical hashes, hamming 0) with distinct
+    texts (band-value birthday collisions => candidates the hamming<=8
+    filter rejects), so BOTH the blocking join and the distance filter are
+    non-vacuously checked (146 candidates -> 139 kept at sf0.01)."""
     from hudi_0_12_0_my_spark.operators import phash_near_dup
     docs = _read(spark, sf_dir, "documents") \
         .withColumn("media",
-                    F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+                    F.when(F.col("doc_id") % 3 == 0,
+                           F.concat(F.col("lang"), F.lit(":"),
+                                    (F.col("n_chars") % 25).cast("string")))
+                     .otherwise(F.coalesce(F.col("text"), F.lit("")))
+                     .cast("binary"))
     return phash_near_dup(docs, id_col="doc_id", media_col="media",
                           bands=4, max_hamming=8)
 
@@ -2996,6 +3005,40 @@ SELECT doc_id, 'image' AS media_type, CAST(8 AS INTEGER) AS feat_dim,
        CAST(('0x' || substr(hx, 13, 2))::INT / 255.0 AS REAL) AS f6,
        CAST(('0x' || substr(hx, 15, 2))::INT / 255.0 AS REAL) AS f7
 FROM h""",
+        # exact replay of phash_near_dup's md5-stand-in blocking + Hamming
+        # filter: same payload derivation, same 4x16-bit band split, same
+        # any-band equi-join candidates, same bit_count(xor) distance
+        "multimodal_phash_dedup": """
+WITH h AS (
+  SELECT doc_id,
+         substr(md5(CASE WHEN doc_id % 3 = 0
+                         THEN lang || ':' || CAST(n_chars % 25 AS VARCHAR)
+                         ELSE coalesce(text, '') END), 1, 16) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         [CAST(('0x' || substr(hx,  1, 4)) AS BIGINT),
+          CAST(('0x' || substr(hx,  5, 4)) AS BIGINT),
+          CAST(('0x' || substr(hx,  9, 4)) AS BIGINT),
+          CAST(('0x' || substr(hx, 13, 4)) AS BIGINT)] AS bands
+  FROM h
+), e AS (
+  SELECT doc_id, bands, generate_subscripts(bands, 1) AS band,
+         unnest(bands) AS bv
+  FROM b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                  a.bands AS ba, b2.bands AS bb
+  FROM e a JOIN e b2 ON a.band = b2.band AND a.bv = b2.bv
+                    AND a.doc_id < b2.doc_id
+), d AS (
+  SELECT id_a, id_b,
+         CAST(bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
+            + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4]))
+           AS INT) AS hamming
+  FROM cand
+)
+SELECT id_a, id_b, hamming FROM d WHERE hamming <= 8""",
         "docs_cluster_best": """
 WITH RECURSIVE d0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
             FROM documents WHERE length(trim(text)) > 0),
