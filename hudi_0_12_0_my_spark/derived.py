@@ -79,6 +79,17 @@ def _ckpt_path(dst) -> str:
 
 
 def rollup_checkpoint(dst) -> str | None:
+    """Source checkpoint of a derived table. Stored in the dst commit's
+    extra_metadata (the DeltaStreamer checkpoint pattern,
+    HoodieDeltaStreamer CHECKPOINT_KEY) so checkpoint and data advance in
+    ONE atomic commit — a crash can never leave a committed fold with a
+    stale checkpoint (which would re-fold the same CDC window and
+    double-apply deltas). Falls back to the legacy side-file for tables
+    written before this scheme."""
+    for ins in reversed(dst.timeline.completed_write_instants()):
+        ck = (dst.timeline.metadata(ins).get("extra_metadata") or {}).get(_CKPT)
+        if ck:
+            return ck
     st = get_storage(dst.base_path)
     p = _ckpt_path(dst)
     if not st.exists(p):
@@ -147,13 +158,13 @@ def sync_rollup(src, dst, group_cols: list[str], sum_cols: dict[str, str],
                                + F.col("n_rows")).cast("bigint")
                               .alias("n_rows"))
                       .withColumn(meta.DELETE_MARKER, F.col("n_rows") <= 0))
+            dst.writer.set_extra_metadata({_CKPT: end})
             dst.upsert(merged)
         finally:
             deltas.unpersist()
-        get_storage(dst.base_path).atomic_put(_ckpt_path(dst), end.encode())
         return end
+    dst.writer.set_extra_metadata({_CKPT: end})
     dst.upsert(merged)
-    get_storage(dst.base_path).atomic_put(_ckpt_path(dst), end.encode())
     return end
 
 
@@ -188,6 +199,7 @@ def sync_minhash_index(src, dst, text_col: str = "text",
               bands=bands, shingle_k=shingle_k, hash_fn=hash_fn)
     if begin is None:
         snap = src.time_travel(end) if end != last.time else src.snapshot()
+        dst.writer.set_extra_metadata({_CKPT: end})
         dst.upsert(minhash_index_rows(snap, **kw))
     else:
         cdc = src.incremental_cdc(begin, end)
@@ -201,6 +213,6 @@ def sync_minhash_index(src, dst, text_col: str = "text",
                         F.lit(None).cast("array<bigint>").alias("sig"),
                         F.lit(None).cast("array<bigint>").alias("buckets"),
                         F.lit(True).alias(meta.DELETE_MARKER)))
+        dst.writer.set_extra_metadata({_CKPT: end})
         dst.upsert(upserts.unionByName(dels))
-    get_storage(dst.base_path).atomic_put(_ckpt_path(dst), end.encode())
     return end

@@ -152,3 +152,38 @@ def test_sync_minhash_index_incremental_matches_recompute(spark, tmp_path):
     assert any(did == 900 for did, _ in hits)      # planted near-dup found
     assert all(did != 901 for did, _ in hits)      # unique doc clean
     assert any(did == 3 and mid != 3 for did, mid in hits)
+
+
+def test_rollup_checkpoint_atomic_with_commit(spark, tmp_path):
+    """The checkpoint rides in the dst commit's extra_metadata, so data and
+    checkpoint advance in ONE atomic commit: no side-file is written, and
+    rolling back the dst commit also rolls back the checkpoint (a re-sync
+    re-folds exactly the rolled-back window — no double-apply)."""
+    import os
+    from hudi_0_12_0_my_spark.derived import _CKPT
+    eng = Engine(spark)
+    src = eng.create_table(str(tmp_path / "src"), record_key_fields=["id"],
+                           partition_field="grp")
+    dst = eng.create_table(str(tmp_path / "dst"), record_key_fields=["grp"],
+                           keygen="nonpartitioned")
+    src.bulk_insert(spark.createDataFrame(
+        [("a", "g1", 10), ("b", "g2", 20)], SCHEMA))
+    ck1 = sync_rollup(src, dst, ["grp"], {"sum_v": "v"})
+    # no legacy side-file; checkpoint comes from commit metadata
+    assert not os.path.exists(os.path.join(str(tmp_path / "dst"),
+                                           ".hoodie", _CKPT))
+    last = dst.timeline.latest_completed_write()
+    assert dst.timeline.metadata(last)["extra_metadata"][_CKPT] == ck1
+
+    # incremental fold commits data+checkpoint together
+    src.upsert(spark.createDataFrame([("a", "g1", 15)], SCHEMA))
+    ck2 = sync_rollup(src, dst, ["grp"], {"sum_v": "v"})
+    assert ck2 > ck1 and rollup_checkpoint(dst) == ck2
+    assert _got(dst) == _expected(src)
+
+    # simulate the crash-recovery path: roll back the dst fold commit ->
+    # the checkpoint reverts WITH the data, and a re-sync converges
+    dst.rollback(dst.timeline.latest_completed_write().time)
+    assert rollup_checkpoint(dst) == ck1
+    assert sync_rollup(src, dst, ["grp"], {"sum_v": "v"}) == ck2
+    assert _got(dst) == _expected(src) == {("g1", 15.0, 1), ("g2", 20.0, 1)}
