@@ -303,7 +303,7 @@ class Reader:
         # from the stale slice (found by the randomized DAG suite). Delta
         # files all participate (their rows resolve by version).
         base_latest: dict = {}    # (partition, file_id) -> (instant, path)
-        delta_paths, missing = [], False
+        delta_candidates = []
         for ins, md in in_range:
             for partition, sts in ((md or {}).get("partition_to_write_stats") or {}).items():
                 for st in sts:
@@ -316,16 +316,16 @@ class Reader:
                         if prev is None or ins.time > prev[0]:
                             base_latest[key] = (ins.time, p)
                     else:
-                        if not get_storage(p).exists(p):
-                            missing = True        # cleaned since this commit
-                            continue
-                        delta_paths.append(p)
-        base_paths = []
-        for _t, p in base_latest.values():
-            if get_storage(p).exists(p):
-                base_paths.append(p)
-            else:
-                missing = True                    # cleaned since this commit
+                        delta_candidates.append(p)
+        # ONE batched existence probe (listdir per touched partition dir,
+        # not an exists() round-trip per file) detects files the cleaner
+        # removed since their commit
+        wanted = set(delta_candidates) | {p for _t, p in base_latest.values()}
+        present = get_storage(self.t.base_path).exists_many(wanted) \
+            if wanted else set()
+        missing = len(present) < len(wanted)
+        delta_paths = [p for p in delta_candidates if p in present]
+        base_paths = [p for _t, p in base_latest.values() if p in present]
         if missing:
             # Fallback-to-full-scan (IncrementalRelation.scala:199-254): an
             # in-range file was cleaned, so a row whose latest in-range version

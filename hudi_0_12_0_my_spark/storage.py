@@ -66,6 +66,21 @@ class Storage:
         raise NotImplementedError
 
     # --- convenience (shared)
+    def exists_many(self, paths) -> set:
+        """Existing subset of `paths`, probed with ONE listdir per parent
+        directory instead of one exists() round-trip per file. On object
+        stores a LIST costs one request per directory while per-file HEAD
+        costs one each — incremental planning over N files in P partitions
+        goes from N requests to P."""
+        out, by_dir = set(), {}
+        for p in paths:
+            d, _, name = p.rpartition("/")
+            by_dir.setdefault(d, []).append((name, p))
+        for d, entries in by_dir.items():
+            names = set(self.listdir(d))
+            out.update(p for name, p in entries if name in names)
+        return out
+
     def read_json(self, path: str):
         return json.loads(self.read_bytes(path))
 

@@ -161,3 +161,18 @@ def test_fsspec_backend_gated():
     with pytest.raises(RuntimeError, match="fsspec"):
         stg.get_storage("s3://bucket/table")
     stg._CACHE.pop("s3", None)
+
+
+def test_exists_many_batches_per_directory(tmp_path):
+    """exists_many probes with one listdir per parent dir and returns the
+    existing subset (missing files AND missing directories handled)."""
+    from hudi_0_12_0_my_spark.storage import LocalStorage
+    d = tmp_path / "p1"
+    d.mkdir()
+    (d / "a.parquet").write_text("")
+    (tmp_path / "b.log").write_text("")
+    st = LocalStorage()
+    got = st.exists_many([str(d / "a.parquet"), str(d / "gone.parquet"),
+                          str(tmp_path / "b.log"),
+                          str(tmp_path / "no_dir" / "x.parquet")])
+    assert got == {str(d / "a.parquet"), str(tmp_path / "b.log")}
