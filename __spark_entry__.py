@@ -633,6 +633,36 @@ def q_schema_evolution(spark, sf_dir):
                  F.count("note").cast("bigint").alias("n_notes")))
 
 
+def q_schema_evolution_widen(spark, sf_dir):
+    """ALTER TABLE CHANGE COLUMN type widen with mixed-era files
+    (AlterHoodieTableChangeColumnCommand.scala:37-94): era-1 files store
+    p_size as int32, the DDL widens the registered type to bigint WITHOUT
+    rewriting data, era-2 rows land with values beyond the int32 range.
+    One snapshot aggregates both eras; the oracle replays the mutation
+    relationally on the wide type."""
+    key = (sf_dir, "part_widen")
+    if key not in _BUILT:
+        part = _read(spark, sf_dir, "part")
+        eng = _eng(spark)
+        t = eng.create_table(
+            _fresh(_root(sf_dir, "part_widen")), name="part_widen",
+            record_key_fields=["p_partkey"], precombine_field="p_retailprice")
+        t.bulk_insert(part.select("p_partkey", "p_brand",
+                                  F.col("p_size").cast("int").alias("p_size"),
+                                  "p_retailprice"))
+        eng.sql("ALTER TABLE part_widen CHANGE COLUMN p_size p_size BIGINT")
+        mut = (part.filter(F.col("p_partkey") % 7 == 0)
+               .select("p_partkey", "p_brand",
+                       (F.col("p_size").cast("bigint")
+                        + F.lit(5_000_000_000)).alias("p_size"),
+                       "p_retailprice"))
+        t.upsert(mut)
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("p_brand")
+            .agg(_n(), F.sum("p_size").cast("bigint").alias("sum_size")))
+
+
 def q_truncate_insert(spark, sf_dir):
     """TRUNCATE TABLE (TruncateHoodieTableCommand -> whole-table
     replacecommit) then re-insert: only the post-truncate rows survive."""
@@ -2030,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_hilbert": q_clustering_hilbert,
         "insert_packing": q_insert_packing,
         "schema_evolution": q_schema_evolution,
+        "schema_evolution_widen": q_schema_evolution_widen,
         "truncate_insert": q_truncate_insert,
         "archived_timeline_read": q_archived_timeline_read,
         "streaming_cdc_ingest": q_streaming_cdc_ingest,
@@ -2312,6 +2343,16 @@ WITH cur AS (
 SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        CAST(COUNT(note) AS BIGINT) AS n_notes
+FROM cur GROUP BY 1""",
+        "schema_evolution_widen": """
+WITH cur AS (
+  SELECT p_partkey, p_brand,
+         CASE WHEN p_partkey % 7 = 0
+              THEN CAST(p_size AS BIGINT) + 5000000000
+              ELSE CAST(p_size AS BIGINT) END AS p_size
+  FROM part)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(p_size) AS BIGINT) AS sum_size
 FROM cur GROUP BY 1""",
         "truncate_insert": """
 SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

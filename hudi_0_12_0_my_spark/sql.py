@@ -327,6 +327,27 @@ def dispatch(engine, text: str):
         engine.table(_ident(m.group(1))).rename_column(m.group(2), m.group(3))
         return engine.spark.createDataFrame([(True,)], "ok boolean")
 
+    # ALTER TABLE t CHANGE [COLUMN] c c TYPE  (Spark-2 style the reference
+    # parses into AlterHoodieTableChangeColumnCommand; the name must not
+    # change — columnEqual in the command enforces the same)
+    m = re.match(r"^ALTER\s+TABLE\s+([\w.`\"]+)\s+CHANGE\s+(?:COLUMN\s+)?"
+                 r"(\w+)\s+(\w+)\s+([\w(),\s]+?)\s*$", sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        if m.group(2).lower() != m.group(3).lower():
+            raise ValueError(
+                "ALTER TABLE CHANGE COLUMN cannot rename; use ALTER TABLE "
+                "... RENAME COLUMN (reference "
+                "AlterHoodieTableChangeColumnCommand rejects name changes)")
+        engine.table(_ident(m.group(1))).change_column(m.group(2), m.group(4))
+        return engine.spark.createDataFrame([(True,)], "ok boolean")
+
+    # ALTER TABLE t ALTER [COLUMN] c TYPE bigint  (Spark-3 native syntax)
+    m = re.match(r"^ALTER\s+TABLE\s+([\w.`\"]+)\s+ALTER\s+(?:COLUMN\s+)?"
+                 r"(\w+)\s+TYPE\s+([\w(),\s]+?)\s*$", sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        engine.table(_ident(m.group(1))).change_column(m.group(2), m.group(3))
+        return engine.spark.createDataFrame([(True,)], "ok boolean")
+
     m = re.match(r"^ALTER\s+TABLE\s+([\w.`\"]+)\s+DROP\s+PARTITION\s*"
                  r"\(\s*(.+?)\s*\)\s*$", sql, re.IGNORECASE)
     if m and engine.has_table(_ident(m.group(1))):

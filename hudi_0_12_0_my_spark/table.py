@@ -218,6 +218,52 @@ class LakeTable:
         cfgmod.save_config(self.base_path, self.cfg)
         self.reload()
 
+    def change_column(self, name: str, new_type: str) -> None:
+        """ALTER TABLE CHANGE COLUMN — widen a column's registered type
+        without rewriting data (AlterHoodieTableChangeColumnCommand.scala:
+        37-94 swaps the field in the table schema, validates Avro
+        compatibility, and commits the schema; no files change). Old files
+        up-cast at read; later writes land in the wide type. Narrowing or
+        cross-family changes are refused, mirroring the reference's
+        validateSchema/Avro-promotion rules (int->long/float/double,
+        long->float/double, float->double, decimal widening)."""
+        from pyspark.sql import types as T
+
+        from .writer import (_FRACTIONAL_RANK, _INTEGRAL_RANK,
+                             business_schema, nullable_type)
+        schema = business_schema(self.cfg)
+        if name not in schema.fieldNames():
+            raise ValueError(f"no column {name!r}")
+        if self.cfg.record_key_fields and name in self.cfg.record_key_fields:
+            raise ValueError("cannot change a record key field's type")
+        target = nullable_type(T._parse_datatype_string(new_type))
+        reg = next(f.dataType for f in schema.fields if f.name == name)
+        rs, ts = reg.simpleString(), target.simpleString()
+        widens = (
+            rs == ts
+            or (rs in _INTEGRAL_RANK and ts in _INTEGRAL_RANK
+                and _INTEGRAL_RANK[ts] > _INTEGRAL_RANK[rs])
+            or (rs in _INTEGRAL_RANK and ts in _FRACTIONAL_RANK)
+            or (rs in _FRACTIONAL_RANK and ts in _FRACTIONAL_RANK
+                and _FRACTIONAL_RANK[ts] > _FRACTIONAL_RANK[rs])
+            or (isinstance(reg, T.DecimalType)
+                and isinstance(target, T.DecimalType)
+                and target.precision - target.scale >= reg.precision - reg.scale
+                and target.scale >= reg.scale))
+        if not widens:
+            raise ValueError(
+                f"ALTER TABLE CHANGE COLUMN: type {ts!r} does not widen "
+                f"registered type {rs!r} for column {name!r} (only lossless "
+                f"promotions are supported, per the reference's Avro schema "
+                f"compatibility check)")
+        if rs == ts:
+            return
+        fields = [T.StructField(name, target, True) if f.name == name else f
+                  for f in schema.fields]
+        self.cfg.schema_json = T.StructType(fields).json()
+        cfgmod.save_config(self.base_path, self.cfg)
+        self.reload()
+
     # ------------------------------------------------------------- metadata
     def commits(self) -> list[dict]:
         out = []
