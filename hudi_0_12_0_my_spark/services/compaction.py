@@ -14,6 +14,8 @@ partitioner falls out of the repartition by (partition, fileId).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import functions as F
 
 from .. import meta, payloads
@@ -123,7 +125,8 @@ def run_compaction(table, strategy: str = "log_file_size",
                    plan: dict | None = None,
                    target_io_bytes: int | None = None,
                    target_partitions: int = 10,
-                   reference_date: str | None = None) -> str | None:
+                   reference_date: str | None = None,
+                   on_merge_start=None) -> str | None:
     cfg = table.cfg
     spec = payloads.get(cfg.payload)
     if plan is None:
@@ -143,7 +146,15 @@ def run_compaction(table, strategy: str = "log_file_size",
         return None
     instant = plan["instant"]
     selected = {(g["partition"], g["file_id"]) for g in plan["groups"]}
-    with FileLock(os.path.join(table.base_path, ".hoodie", "lock")):
+    lock = FileLock(os.path.join(table.base_path, ".hoodie", "lock"))
+    # Async-safe three-phase execution (the reference's async compaction
+    # model, HoodieStreamingSink.scala:41-139 + AsyncCompactService): the
+    # timeline transition and file listing take the table lock BRIEFLY, the
+    # heavy merge job runs WITHOUT it (micro-batches keep committing), and
+    # completion revalidates under the lock.
+    from ..util import clear_heartbeat, touch_heartbeat
+    with lock:
+        touch_heartbeat(table.base_path, instant)
         table.timeline.save_inflight(instant, tl.COMMIT, plan)
         view = table.view()
         base_paths, delta_paths = [], []
@@ -162,6 +173,17 @@ def run_compaction(table, strategy: str = "log_file_size",
             # (HoodieCompactor merges logs <= compactionInstantTime).
             delta_paths.extend(view.abs(d.path) for d in s.deltas
                                if d.instant <= instant)
+    # heartbeat refresher covers the whole unlocked phase so the lazy
+    # failed-write healer of a concurrent writer sees this instant as LIVE
+    hb_stop = threading.Event()
+
+    def _beat():
+        while not hb_stop.wait(15.0):
+            touch_heartbeat(table.base_path, instant)
+
+    hb = threading.Thread(target=_beat, daemon=True)
+    hb.start()
+    try:
         base = read_files(table.spark, base_paths, base_read_schema(cfg), cfg)
         from ..reader import bootstrap_instant, fill_bootstrap_meta
         bs = bootstrap_instant(table.timeline)
@@ -171,31 +193,57 @@ def run_compaction(table, strategy: str = "log_file_size",
             # below would silently DROP their rows from the compacted base
             base = fill_bootstrap_meta(table.spark, base, cfg, view, bs)
         delta = read_files(table.spark, delta_paths, delta_read_schema(cfg), cfg)
-        merged = payloads.resolve(base.unionByName(delta, allowMissingColumns=True),
-                                  cfg, spec, drop_deletes=True)
+        merged = payloads.resolve(
+            base.unionByName(delta, allowMissingColumns=True),
+            cfg, spec, drop_deletes=True)
         # stable fileId: every row's _hoodie_file_name prefix IS its group id
-        merged = merged.withColumn(meta.TARGET_FILE_ID, meta.file_id_from_name())
+        merged = merged.withColumn(meta.TARGET_FILE_ID,
+                                   meta.file_id_from_name())
+        if on_merge_start is not None:
+            on_merge_start()      # observability/test seam: unlocked phase
         stats = table.writer.stage_write(merged, instant, "base")
-        replaced = table.writer.emptied_groups(selected, stats)
-        md = table.writer._commit_md("compact", stats, replaced)
-        md["compacted_groups"] = sorted(f"{p}/{fid}" for p, fid in selected)
-        table.timeline.save_completed(instant, tl.COMMIT, md)
-        table.writer._maybe_index_blooms(instant, md)
-        table.writer._remove_marker(instant)
+        with lock:
+            # revalidate: a replacecommit (clustering / insert_overwrite /
+            # delete_partition) that landed during the unlocked merge
+            # supersedes the plan's groups — completing would resurrect
+            # replaced slices
+            # (SimpleConcurrentFileWritesConflictResolutionStrategy outcome)
+            live_now = {(g.partition, g.file_id)
+                        for g, _s in table.view().live_slices()}
+            if not selected <= live_now:
+                table.writer._abort_staged(instant)
+                return None
+            replaced = table.writer.emptied_groups(selected, stats)
+            md = table.writer._commit_md("compact", stats, replaced,
+                                         consume_extra=False)
+            md["compacted_groups"] = sorted(f"{p}/{fid}"
+                                            for p, fid in selected)
+            table.timeline.save_completed(instant, tl.COMMIT, md)
+            table.writer._maybe_index_blooms(instant, md)
+            table.writer._remove_marker(instant)
+    finally:
+        hb_stop.set()
+        hb.join()
+        clear_heartbeat(table.base_path, instant)
     return instant
 
 
-def maybe_inline_compact(table) -> str | None:
+def compaction_due(table) -> bool:
     """NUM_COMMITS trigger (fork: compaction.trigger.strategy NUM_OR_TIME,
-    HoodieMuiltiTableFlinkStreamer.java initHudiConfig): compact when the
+    HoodieMuiltiTableFlinkStreamer.java initHudiConfig): true when the
     number of deltacommits since the last compaction reaches the config."""
-    writes = table.timeline.completed_write_instants()
     n = 0
-    for ins in reversed(writes):
+    for ins in reversed(table.timeline.completed_write_instants()):
         if ins.action == tl.DELTACOMMIT:
             n += 1
         else:
             break
-    if n >= table.cfg.compaction_max_delta_commits:
+    return n >= table.cfg.compaction_max_delta_commits
+
+
+def maybe_inline_compact(table) -> str | None:
+    """Synchronous NUM_COMMITS-triggered compaction (CompactFunction.java
+    equivalent)."""
+    if compaction_due(table):
         return run_compaction(table)
     return None

@@ -22,7 +22,7 @@ def stream_write(table, stream_df: DataFrame, checkpoint_dir: str,
                  retry_count: int = 3, retry_interval_sec: float = 1.0,
                  ignore_failed_batch: bool = False,
                  inline_compact: bool = True, inline_clean: bool = False,
-                 transform=None, post_commit=None):
+                 transform=None, post_commit=None, async_services=None):
     """Build a ``DataStreamWriter`` writing every micro-batch into ``table``.
 
     Caller starts it:  ``stream_write(...).trigger(availableNow=True).start()``
@@ -34,6 +34,10 @@ def stream_write(table, stream_df: DataFrame, checkpoint_dir: str,
       (SqlQueryBasedTransformer equivalent hook)
     - ``inline_compact``: MOR only — run the NUM_COMMITS compaction trigger
       after each batch (CompactFunction.java equivalent, synchronous)
+    - ``async_services``: an ``AsyncTableServices`` runner — compaction is
+      scheduled inline but EXECUTES on its background worker while later
+      micro-batches commit (HoodieStreamingSink.scala:41-139 async
+      compaction trigger); pass ``inline_compact=False`` with it
     - ``post_commit``: optional fn(table) run after each committed batch —
       e.g. ``derived.sync_rollup`` to keep a downstream materialized view
       current with the stream
@@ -78,7 +82,9 @@ def stream_write(table, stream_df: DataFrame, checkpoint_dir: str,
                     raise
                 time.sleep(delay)
                 delay *= 2
-        if inline_compact and table.cfg.table_type == MOR:
+        if async_services is not None and table.cfg.table_type == MOR:
+            async_services.maybe_trigger()
+        elif inline_compact and table.cfg.table_type == MOR:
             from ..services.compaction import maybe_inline_compact
             maybe_inline_compact(table)
         if inline_clean:

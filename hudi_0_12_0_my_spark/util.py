@@ -69,3 +69,41 @@ class FileLock:
     def __exit__(self, *exc):
         self.storage.unlink(self.path)
         return False
+
+
+# --- instant heartbeats -----------------------------------------------------
+# Re-expression of HoodieHeartbeatClient (hudi-client/hudi-client-common/
+# .../heartbeat/HoodieHeartbeatClient.java): a long-running service execution
+# (async compaction) periodically touches .hoodie/.heartbeat/<instant>; the
+# lazy failed-write healer skips pending instants whose heartbeat is fresh —
+# only instants whose owner stopped beating (a real crash) are rolled back.
+
+HEARTBEAT_TOLERANCE_SEC = 120.0
+
+
+def _heartbeat_path(base_path: str, instant: str) -> str:
+    return os.path.join(base_path, ".hoodie", ".heartbeat", instant)
+
+
+def touch_heartbeat(base_path: str, instant: str) -> None:
+    get_storage(base_path).atomic_put(
+        _heartbeat_path(base_path, instant), str(time.time()).encode())
+
+
+def clear_heartbeat(base_path: str, instant: str) -> None:
+    st = get_storage(base_path)
+    p = _heartbeat_path(base_path, instant)
+    if st.exists(p):
+        st.unlink(p)
+
+
+def heartbeat_fresh(base_path: str, instant: str,
+                    tolerance_sec: float = HEARTBEAT_TOLERANCE_SEC) -> bool:
+    st = get_storage(base_path)
+    p = _heartbeat_path(base_path, instant)
+    if not st.exists(p):
+        return False
+    try:
+        return time.time() - float(st.read_bytes(p)) < tolerance_sec
+    except (ValueError, OSError):
+        return False

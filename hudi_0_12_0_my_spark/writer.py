@@ -225,11 +225,16 @@ class Writer:
         REQUESTED compaction plan is legitimate pending state (the
         schedule/run split) and is kept; an INFLIGHT one (crash mid-run) is
         fully aborted and must be rescheduled."""
+        from .util import heartbeat_fresh
         for ins in self.t.timeline.pending():
             if ins.action not in (tl.COMMIT, tl.DELTACOMMIT, tl.REPLACECOMMIT):
                 continue
             md = self.t.timeline.metadata(ins) or {}
             if md.get("operation") == "compact" and ins.state == tl.REQUESTED:
+                continue
+            if heartbeat_fresh(self.base, ins.time):
+                # a LIVE async service execution (HoodieHeartbeatClient
+                # semantics): not a crashed write, leave it running
                 continue
             self._abort_staged(ins.time)
 
@@ -796,7 +801,8 @@ class Writer:
         self._extra_md = extra
 
     def _commit_md(self, operation: str, stats_by_partition: dict,
-                   replaced: dict | None = None) -> dict:
+                   replaced: dict | None = None,
+                   consume_extra: bool = True) -> dict:
         total_records = sum(s.get("records", 0) for sts in stats_by_partition.values()
                             for s in sts)
         total_bytes = sum(s.get("bytes", 0) for sts in stats_by_partition.values()
@@ -805,7 +811,10 @@ class Writer:
               "partition_to_write_stats": stats_by_partition,
               "replaced_file_groups": replaced or {},
               "total_records": total_records, "total_bytes": total_bytes}
-        extra = getattr(self, "_extra_md", None)
+        # consume_extra=False for service commits that may run on a
+        # background thread (async compaction): they must not steal the
+        # caller-attached metadata destined for the next WRITE commit
+        extra = getattr(self, "_extra_md", None) if consume_extra else None
         if extra:
             md["extra_metadata"] = extra
             self._extra_md = None

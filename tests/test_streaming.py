@@ -469,3 +469,93 @@ def test_stream_sink_maintains_minhash_index(spark, tmp_path):
     want = {(r.doc_id, tuple(r.sig))
             for r in minhash_index_rows(t.snapshot()).collect()}
     assert got == want and len(want) == 3
+
+
+def test_async_compaction_overlaps_micro_batches(spark, tmp_path):
+    """Async table services (HoodieStreamingSink.scala:41-139): a compaction
+    of an EARLIER instant executes on the background worker while a later
+    micro-batch commit lands — the stream cadence never waits for the merge.
+    Proven with events: the compaction thread signals the start of its
+    unlocked merge phase and then blocks until the foreground upsert has
+    committed; if the merge held the table lock (old inline behavior) this
+    would deadlock instead of passing."""
+    import threading
+
+    from hudi_0_12_0_my_spark.services.compaction import (run_compaction,
+                                                          schedule_compaction)
+    from hudi_0_12_0_my_spark.streaming import AsyncTableServices
+    from hudi_0_12_0_my_spark import timeline as tl
+
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "async_mor"),
+                         record_key_fields=["id"], precombine_field="seq",
+                         table_type="mor", compaction_max_delta_commits=2)
+    rows = lambda vals: spark.createDataFrame(vals, "id long, v long, seq long")
+    t.bulk_insert(rows([(1, 10, 1), (2, 20, 1)]))
+    t.upsert(rows([(1, 11, 2)]))
+    t.upsert(rows([(2, 21, 3)]))           # 2 deltacommits -> compaction due
+
+    plan = schedule_compaction(t)
+    assert plan and plan["groups"]
+    merge_started = threading.Event()
+    batch_committed = threading.Event()
+
+    def hook():
+        merge_started.set()
+        assert batch_committed.wait(timeout=60), \
+            "foreground commit never landed while compaction merge ran"
+
+    out = {}
+    worker = threading.Thread(
+        target=lambda: out.update(ins=run_compaction(
+            t, plan=plan, on_merge_start=hook)))
+    worker.start()
+    assert merge_started.wait(timeout=60)
+    # compaction of the EARLIER instant is mid-merge: commit a new batch NOW
+    t.upsert(rows([(3, 30, 4)]))
+    batch_committed.set()
+    worker.join(timeout=120)
+    assert not worker.is_alive() and out["ins"] == plan["instant"]
+    # both instants completed; commit-time order: compaction < late upsert
+    times = [(i.time, i.action) for i in t.timeline.completed_write_instants()]
+    assert (plan["instant"], tl.COMMIT) in times
+    assert times[-1][1] == tl.DELTACOMMIT and times[-1][0] > plan["instant"]
+    # snapshot is the union of compacted state + late delta
+    got = {(r.id, r.v) for r in t.snapshot().collect()}
+    assert got == {(1, 11), (2, 21), (3, 30)}
+
+
+def test_async_services_with_sink(spark, tmp_path):
+    """End-to-end: stream_write with an AsyncTableServices runner compacts
+    in the background across micro-batches and converges to the same state
+    as the inline path."""
+    from hudi_0_12_0_my_spark.streaming import AsyncTableServices
+    from hudi_0_12_0_my_spark import timeline as tl
+
+    eng = Engine(spark)
+    # event_time payload: the largest seq wins regardless of micro-batch
+    # arrival order (the file stream source orders same-mtime files
+    # arbitrarily)
+    t = eng.create_table(str(tmp_path / "sink_async"),
+                         record_key_fields=["id"], precombine_field="seq",
+                         payload="event_time",
+                         table_type="mor", compaction_max_delta_commits=2)
+    src_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    for i in range(4):
+        _write_jsonl(src_dir, f"b{i}.json",
+                     [{"id": k, "v": i * 100 + k, "seq": i}
+                      for k in range(5)])
+    schema = "id long, v long, seq long"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").json(src_dir))
+    svc = AsyncTableServices(t)
+    q = stream_write(t, stream, ckpt, inline_compact=False,
+                     async_services=svc).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    svc.wait()
+    svc.close()
+    assert not svc.errors
+    actions = {i.action for i in t.timeline.completed_write_instants()}
+    assert tl.COMMIT in actions          # at least one async compaction ran
+    got = {(r.id, r.v) for r in t.snapshot().collect()}
+    assert got == {(k, 300 + k) for k in range(5)}
