@@ -86,6 +86,11 @@ class TableStreamConfig:
     # when set it wins over the inline `fields` list
     # (utilities/schema/SchemaProvider.java family)
     schema_provider: dict | None = None
+    # optional catalog sync block ({sync_db, sync_table, metastore_uris...},
+    # the fork's per-table hive_sync_config,
+    # HoodieMuiltiTableFlinkStreamer.java:186-205): after each committed
+    # batch the Spark session catalog is refreshed (sync.SparkCatalogSync)
+    hive_sync_config: dict | None = None
 
     @staticmethod
     def from_file(path: str) -> "TableStreamConfig":
@@ -164,6 +169,11 @@ def start_table_stream(engine, cfg: TableStreamConfig, checkpoint_root: str,
                 .select(F.from_json("value", schema).alias("r"))
                 .select("r.*"))
 
+    if cfg.hive_sync_config is not None and "post_commit" not in sink_kwargs:
+        from ..sync import make_post_commit_sync
+        sink_kwargs = dict(sink_kwargs,
+                           post_commit=make_post_commit_sync(
+                               table, cfg.hive_sync_config))
     writer = stream_write(
         table, raw, os.path.join(checkpoint_root, cfg.name),
         cdc_op_col=cfg.op_col, transform=parse, **sink_kwargs)
