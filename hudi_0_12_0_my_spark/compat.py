@@ -54,6 +54,7 @@ TIMESTAMP_INPUT = "hoodie.deltastreamer.keygen.timebased.input.dateformat"
 TIMESTAMP_OUTPUT = "hoodie.deltastreamer.keygen.timebased.output.dateformat"
 CLEANER_COMMITS = "hoodie.cleaner.commits.retained"
 CLEANER_POLICY = "hoodie.cleaner.policy"
+LOCK_PROVIDER = "hoodie.write.lock.provider"
 
 QUERY_TYPE = "hoodie.datasource.query.type"
 QUERY_TYPE_ALT = "hoodie.datasource.view.type"
@@ -178,6 +179,21 @@ def options_to_config(options: dict) -> dict:
         kw["cleaner_retain_commits"] = int(options[CLEANER_COMMITS])
     if CLEANER_POLICY in options:
         kw["cleaner_policy"] = str(options[CLEANER_POLICY])
+    if LOCK_PROVIDER in options:
+        # transaction/lock/ java classes -> locks.py registry keys; an
+        # unrecognized value passes through as a dotted Python path
+        java = {"FileSystemBasedLockProvider": "filesystem",
+                "InProcessLockProvider": "inprocess",
+                "DynamoDBBasedLockProvider": "conditional_put",
+                "ZookeeperBasedLockProvider": None}
+        short = str(options[LOCK_PROVIDER]).rsplit(".", 1)[-1]
+        mapped = java.get(short, str(options[LOCK_PROVIDER]))
+        if mapped is None:
+            raise ValueError(f"{LOCK_PROVIDER}={options[LOCK_PROVIDER]!r} "
+                             "needs an external ZooKeeper ensemble (out of "
+                             "scope); use filesystem/inprocess or a "
+                             "conditional_put subclass")
+        kw["lock_provider"] = mapped
     return kw
 
 

@@ -43,6 +43,9 @@ class TableConfig:
     bloom_bits_per_key: int = 10             # ~0.9% fpp with 5 hashes
     bloom_num_hashes: int = 5
     concurrency_mode: str = "single_writer"  # single_writer | occ (WriteConcurrencyMode.java:30-32)
+    # transaction/lock/ provider family (hoodie.write.lock.provider):
+    # filesystem | inprocess | conditional_put | "pkg.mod:Class" dotted path
+    lock_provider: str = "filesystem"
     # sizing (HoodieStorageConfig.java:43, HoodieCompactionConfig.java:81)
     target_file_bytes: int = 120 * 1024 * 1024
     small_file_limit_bytes: int = 100 * 1024 * 1024

@@ -20,7 +20,6 @@ import os
 from .. import buckets as bk
 from .. import meta, payloads
 from .. import timeline as tl
-from ..util import FileLock
 from ..writer import base_read_schema, delta_read_schema, read_files
 
 
@@ -56,7 +55,7 @@ def resize_buckets(table, split_above: int | None = None,
     if not rewritten:
         return None
 
-    with FileLock(os.path.join(table.base_path, ".hoodie", "lock")):
+    with table.writer._lock():
         instant = table.timeline.new_instant()
         selected = {(p, fid) for p, fids in rewritten.items() for fid in fids}
         table.timeline.save_requested(instant, tl.REPLACECOMMIT, {

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from .. import meta
 from .. import timeline as tl
-from ..util import FileLock, new_file_id
+from ..util import new_file_id
 from ..writer import base_read_schema, read_files
 
 
@@ -60,7 +60,7 @@ def run_clustering(table, sort_cols: list | None = None, layout: str = "linear",
     if not selected or (small_files_only and len(selected) < 2):
         return None
 
-    with FileLock(os.path.join(table.base_path, ".hoodie", "lock")):
+    with table.writer._lock():
         instant = table.timeline.new_instant()
         plan = {"operation": "cluster", "layout": layout,
                 "sort_cols": sort_cols or [],

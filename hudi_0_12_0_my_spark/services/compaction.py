@@ -20,9 +20,7 @@ from pyspark.sql import functions as F
 
 from .. import meta, payloads
 from .. import timeline as tl
-from ..util import FileLock
 from ..writer import base_read_schema, delta_read_schema, read_files
-import os
 
 
 def schedule_compaction(table, strategy: str = "log_file_size",
@@ -146,7 +144,7 @@ def run_compaction(table, strategy: str = "log_file_size",
         return None
     instant = plan["instant"]
     selected = {(g["partition"], g["file_id"]) for g in plan["groups"]}
-    lock = FileLock(os.path.join(table.base_path, ".hoodie", "lock"))
+    lock = table.writer._lock()
     # Async-safe three-phase execution (the reference's async compaction
     # model, HoodieStreamingSink.scala:41-139 + AsyncCompactService): the
     # timeline transition and file listing take the table lock BRIEFLY, the

@@ -210,21 +210,27 @@ class FsspecStorage(Storage):
             pass
 
     def create_exclusive(self, path, data):
-        # best effort: "xb" where the backend supports it, else exists-check.
-        # Hudi requires an external lock provider for OCC on S3 for the same
-        # reason (FileSystemBasedLockProvider is only safe on HDFS/posix).
+        # STRICT: only genuinely-exclusive "xb" counts as a lock. A backend
+        # that cannot do atomic create-if-absent refuses loudly instead of
+        # the old exists+write fallback (a TOCTOU race two drivers WILL hit)
+        # — Hudi requires an external lock provider for OCC on S3 for the
+        # same reason (FileSystemBasedLockProvider is HDFS/posix-only).
+        # Plug a conditional-put provider via cfg.lock_provider there
+        # (locks.ConditionalPutLockProvider).
         try:
             with self.fs.open(path, "xb") as f:
                 f.write(data)
             return True
-        except (FileExistsError, ValueError):
+        except FileExistsError:
             return False
-        except OSError:
+        except (ValueError, NotImplementedError, OSError) as e:
             if self.fs.exists(path):
                 return False
-            with self.fs.open(path, "wb") as f:
-                f.write(data)
-            return True
+            raise NotImplementedError(
+                f"storage backend {self.scheme!r} has no atomic exclusive "
+                f"create; filesystem locking would race. Configure an "
+                f"object-store-safe provider via cfg.lock_provider "
+                f"(locks.ConditionalPutLockProvider subclass)") from e
 
 
 _LOCAL = LocalStorage()

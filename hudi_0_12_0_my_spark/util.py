@@ -41,34 +41,17 @@ def rm_rf(path: str) -> None:
     get_storage(path).rm_rf(path)
 
 
-class FileLock:
-    """Single-writer exclusion via create-if-absent lock file.
+def FileLock(path: str, timeout_sec: float = 60.0, poll_sec: float = 0.05):
+    """Create-if-absent lock file (FileSystemBasedLockProvider.java).
 
-    v1 of Hudi's WriteConcurrencyMode.SINGLE_WRITER + FileSystemBasedLockProvider
-    (reference: hudi-client/hudi-client-common/.../transaction/lock/FileSystemBasedLockProvider.java).
-    On object stores create-if-absent is best effort (see
-    Storage.create_exclusive) — production OCC there wants an external lock
-    provider, exactly as the reference requires on S3.
+    Kept as the default/legacy entry point; the pluggable provider family
+    lives in locks.py (``cfg.lock_provider`` selects filesystem /
+    inprocess / conditional_put / custom dotted path). Backends without
+    atomic exclusive create now refuse instead of racing — see
+    Storage.create_exclusive.
     """
-
-    def __init__(self, path: str, timeout_sec: float = 60.0, poll_sec: float = 0.05):
-        self.path = path
-        self.timeout = timeout_sec
-        self.poll = poll_sec
-        self.storage = get_storage(path)
-
-    def __enter__(self):
-        deadline = time.time() + self.timeout
-        while True:
-            if self.storage.create_exclusive(self.path, str(os.getpid()).encode()):
-                return self
-            if time.time() > deadline:
-                raise TimeoutError(f"could not acquire table lock {self.path}")
-            time.sleep(self.poll)
-
-    def __exit__(self, *exc):
-        self.storage.unlink(self.path)
-        return False
+    from .locks import FileSystemLockProvider
+    return FileSystemLockProvider(path, timeout_sec, poll_sec)
 
 
 # --- instant heartbeats -----------------------------------------------------

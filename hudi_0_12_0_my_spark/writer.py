@@ -198,7 +198,9 @@ class Writer:
         return get_storage(self.t.base_path)
 
     def _lock(self):
-        return FileLock(os.path.join(self.base, ".hoodie", "lock"))
+        from .locks import make_lock
+        return make_lock(os.path.join(self.base, ".hoodie", "lock"),
+                         getattr(self.cfg, "lock_provider", "filesystem"))
 
     def _guard(self):
         """Write-wide mutual exclusion in single-writer mode (plus lazy
