@@ -28,7 +28,8 @@ from ..writer import base_read_schema, read_files
 def run_clustering(table, sort_cols: list | None = None, layout: str = "linear",
                    partitions: list | None = None,
                    target_file_bytes: int | None = None,
-                   small_files_only: bool | None = None) -> str | None:
+                   small_files_only: bool | None = None,
+                   boundary_mode: str = "minmax") -> str | None:
     cfg = table.cfg
     if cfg.index_type in ("bucket", "bucket_consistent"):
         # Bucket addressing IS the file-group id prefix: a sort-clustering
@@ -63,6 +64,7 @@ def run_clustering(table, sort_cols: list | None = None, layout: str = "linear",
     with table.writer._lock():
         instant = table.timeline.new_instant()
         plan = {"operation": "cluster", "layout": layout,
+                "boundary_mode": boundary_mode,
                 "sort_cols": sort_cols or [],
                 "groups": [{"partition": g.partition, "file_id": g.file_id}
                            for g, s in selected]}
@@ -78,13 +80,13 @@ def run_clustering(table, sort_cols: list | None = None, layout: str = "linear",
             # real keys/partitions or every later tag scan sees null keys
             df = fill_bootstrap_meta(table.spark, df, cfg, view, bs)
 
-        if layout == "zorder" and sort_cols:
-            from .layout import zorder_key
-            df = df.withColumn("__curve_key", zorder_key(df, sort_cols))
-            range_cols, file_sort = ["__curve_key"], ["__curve_key"]
-        elif layout == "hilbert" and sort_cols:
-            from .layout import hilbert_key
-            df = hilbert_key(df, sort_cols)
+        if layout in ("zorder", "hilbert") and sort_cols:
+            # boundary_mode sample = range-boundary sampling for skewed
+            # columns (orderDataFrameBySamplingValues); minmax = direct
+            # value mapping (orderDataFrameByMappingValues)
+            from .layout import with_curve_key
+            df = with_curve_key(df, sort_cols, strategy=layout,
+                                boundary_mode=boundary_mode)
             range_cols, file_sort = ["__curve_key"], ["__curve_key"]
         elif sort_cols:
             range_cols, file_sort = list(sort_cols), list(sort_cols)

@@ -60,12 +60,9 @@ def _scaled(df: DataFrame, col: str, bits: int, bounds: dict) -> Column:
                    F.lit((1 << bits) - 1))
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = BITS) -> Column:
-    """Interleave the bits of the scaled columns (direct bit-interleave build
-    method of HoodieClusteringConfig layout optimization)."""
-    bounds = _bounds(df, cols)
-    scaled = [_scaled(df, c, bits, bounds) for c in cols]
-    n = len(cols)
+def _interleave(scaled: list[Column], bits: int) -> Column:
+    """Bit-interleave already-scaled [0, 2^bits) columns into one key."""
+    n = len(scaled)
     out = F.lit(0).cast("long")
     for bit in range(bits):
         for ci, sc in enumerate(scaled):
@@ -75,14 +72,108 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = BITS) -> Column:
     return out
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = BITS) -> Column:
+    """Interleave the bits of the min/max-scaled columns (direct
+    bit-interleave build method of HoodieClusteringConfig layout
+    optimization)."""
+    bounds = _bounds(df, cols)
+    return _interleave([_scaled(df, c, bits, bounds) for c in cols], bits)
+
+
+SAMPLE_BITS = 8   # 256 quantile buckets per column in sample mode
+
+
+def _sample_scaled(df: DataFrame, cols: list[str], bits: int):
+    """Sample/boundary-based scaling (orderDataFrameBySamplingValues /
+    RangeSampleSort$ in SpaceCurveSortingHelper.java: rank against sampled
+    range boundaries instead of min-max): each numeric column maps to its
+    QUANTILE-bucket index, so heavily skewed columns still spread across
+    the full curve range — min/max scaling collapses a long-tailed column
+    into a few low buckets and the curve degenerates to a sort on the
+    other columns.
+
+    Returns (df_with_temp_cols, scaled_columns, temp_col_names). One
+    approxQuantile pass over all numeric columns (driver gets B-1 floats
+    per column); bucket assignment is pyspark.ml Bucketizer — JVM-side
+    binary search per row, no Python and no 256-branch when-chain."""
+    from pyspark.ml.feature import Bucketizer
+
+    B = 1 << min(bits, SAMPLE_BITS)
+    num = {c: f"__q_{i}" for i, c in enumerate(cols)
+           if _numeric_expr(df, c) is not None}
+    df2 = df
+    for c, tcol in num.items():
+        df2 = df2.withColumn(tcol, _numeric_expr(df, c).cast("double"))
+    probs = [i / B for i in range(1, B)]
+    qs = df2.approxQuantile(list(num.values()), probs, 1.0 / (4 * B)) \
+        if num else []
+    scaled, temps = [], list(num.values())
+    boundaries = dict(zip(num.values(), qs))
+    for c in cols:
+        if c not in num:                      # string/binary: hash bits
+            scaled.append(F.pmod(F.xxhash64(F.col(c)),
+                                 F.lit(1 << bits)).cast("long"))
+            continue
+        tcol = num[c]
+        splits = sorted(set(boundaries[tcol]))
+        if not splits:                        # constant/empty column
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        splits = [float("-inf")] + splits + [float("inf")]
+        nb = len(splits) - 1
+        bcol = tcol + "_b"
+        df2 = Bucketizer(splits=splits, inputCol=tcol, outputCol=bcol,
+                         handleInvalid="keep").transform(df2)
+        temps.append(bcol)
+        bucket = F.least(F.col(bcol).cast("long"), F.lit(nb - 1))
+        if nb <= 1:
+            scaled.append(F.lit(0).cast("long"))
+        else:
+            frac = bucket.cast("double") / F.lit(float(nb - 1))
+            scaled.append(F.least(
+                F.floor(frac * ((1 << bits) - 1)).cast("long"),
+                F.lit((1 << bits) - 1)))
+    return df2, scaled, temps
+
+
+def with_curve_key(df: DataFrame, cols: list[str], strategy: str = "zorder",
+                   bits: int = BITS,
+                   boundary_mode: str = "minmax") -> DataFrame:
+    """Append ``__curve_key`` using either curve build method of
+    SpaceCurveSortingHelper.java: ``minmax`` = direct mapping (value
+    scaling), ``sample`` = range-boundary sampling for skewed columns."""
+    if boundary_mode not in ("minmax", "sample"):
+        raise ValueError("boundary_mode must be minmax|sample")
+    if strategy not in ("zorder", "hilbert"):
+        raise ValueError("strategy must be zorder|hilbert")
+    if boundary_mode == "minmax":
+        if strategy == "zorder":
+            return df.withColumn("__curve_key", zorder_key(df, cols, bits))
+        return hilbert_key(df, cols, bits)
+    df2, scaled, temps = _sample_scaled(df, cols, bits)
+    if strategy == "zorder":
+        out = df2.withColumn("__curve_key", _interleave(scaled, bits))
+    else:
+        out = _hilbert_from_scaled(df2, scaled, len(cols), bits)
+    return out.drop(*temps)
+
+
 def hilbert_key(df: DataFrame, cols: list[str], bits: int = BITS) -> DataFrame:
-    """Append a __curve_key column with the Hilbert index of the scaled
-    columns (HilbertCurveUtils.java:29). Skilling's transform, vectorized with
-    numpy inside a pandas_udf."""
+    """Append a __curve_key column with the Hilbert index of the min/max-
+    scaled columns (HilbertCurveUtils.java:29)."""
+    bounds = _bounds(df, cols)
+    scaled = [_scaled(df, c, bits, bounds) for c in cols]
+    return _hilbert_from_scaled(df, scaled, len(cols), bits)
+
+
+def _hilbert_from_scaled(df: DataFrame, scaled: list[Column], n: int,
+                         bits: int) -> DataFrame:
+    """Hilbert index of already-scaled [0, 2^bits) columns. Skilling's
+    transform, vectorized with numpy inside a pandas_udf (Arrow-batched;
+    the 10-100x-over-row-UDF path)."""
     import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
 
-    n = len(cols)
     b = bits
 
     @pandas_udf(T.LongType())
@@ -119,9 +210,8 @@ def hilbert_key(df: DataFrame, cols: list[str], bits: int = BITS) -> DataFrame:
                 out = (out << np.uint64(1)) | ((X[i] >> np.uint64(bit)) & np.uint64(1))
         return pd.Series(out.astype("int64"))
 
-    bounds = _bounds(df, cols)
-    scaled = [_scaled(df, c, bits, bounds).alias(f"__sc_{i}")
-              for i, c in enumerate(cols)]
-    df2 = df.select("*", *scaled)
-    df2 = df2.withColumn("__curve_key", _hilbert(*[F.col(f"__sc_{i}") for i in range(n)]))
+    df2 = df.select("*", *[sc.alias(f"__sc_{i}")
+                           for i, sc in enumerate(scaled)])
+    df2 = df2.withColumn("__curve_key",
+                         _hilbert(*[F.col(f"__sc_{i}") for i in range(n)]))
     return df2.drop(*[f"__sc_{i}" for i in range(n)])

@@ -140,11 +140,14 @@ class LakeTable:
         return run_compaction(self, strategy=strategy, max_groups=max_groups, **kw)
 
     def cluster(self, sort_cols: list | None = None, layout: str = "linear",
-                partitions: list | None = None, target_file_bytes: int | None = None) -> str | None:
+                partitions: list | None = None,
+                target_file_bytes: int | None = None,
+                boundary_mode: str = "minmax") -> str | None:
         from .services.clustering import run_clustering
         return run_clustering(self, sort_cols=sort_cols, layout=layout,
                               partitions=partitions,
-                              target_file_bytes=target_file_bytes)
+                              target_file_bytes=target_file_bytes,
+                              boundary_mode=boundary_mode)
 
     def resize_buckets(self, split_above: int | None = None,
                        merge_below: int | None = None,
