@@ -55,6 +55,7 @@ TIMESTAMP_OUTPUT = "hoodie.deltastreamer.keygen.timebased.output.dateformat"
 CLEANER_COMMITS = "hoodie.cleaner.commits.retained"
 CLEANER_POLICY = "hoodie.cleaner.policy"
 LOCK_PROVIDER = "hoodie.write.lock.provider"
+BASE_FILE_FORMAT = "hoodie.table.base.file.format"
 
 QUERY_TYPE = "hoodie.datasource.query.type"
 QUERY_TYPE_ALT = "hoodie.datasource.view.type"
@@ -179,6 +180,14 @@ def options_to_config(options: dict) -> dict:
         kw["cleaner_retain_commits"] = int(options[CLEANER_COMMITS])
     if CLEANER_POLICY in options:
         kw["cleaner_policy"] = str(options[CLEANER_POLICY])
+    if BASE_FILE_FORMAT in options:
+        # HoodieTableConfig BASE_FILE_FORMAT (HoodieFileFormat.java)
+        fmt = str(options[BASE_FILE_FORMAT]).lower()
+        if fmt not in ("parquet", "orc"):
+            raise ValueError(f"unsupported {BASE_FILE_FORMAT}={fmt!r} "
+                             "(HFILE is the HBase metadata format, out of "
+                             "scope)")
+        kw["base_format"] = fmt
     if LOCK_PROVIDER in options:
         # transaction/lock/ java classes -> locks.py registry keys; an
         # unrecognized value passes through as a dotted Python path

@@ -46,6 +46,11 @@ class TableConfig:
     # transaction/lock/ provider family (hoodie.write.lock.provider):
     # filesystem | inprocess | conditional_put | "pkg.mod:Class" dotted path
     lock_provider: str = "filesystem"
+    # base-file format, parquet | orc (HoodieFileFormat.java; HFile is the
+    # reference's HBase-backed metadata format, out of scope). MOR delta
+    # files stay parquet regardless — the reference's log is its own
+    # HoodieLogFormat independent of the base format too
+    base_format: str = "parquet"
     # sizing (HoodieStorageConfig.java:43, HoodieCompactionConfig.java:81)
     target_file_bytes: int = 120 * 1024 * 1024
     small_file_limit_bytes: int = 100 * 1024 * 1024

@@ -124,7 +124,20 @@ def read_files(spark, paths: list[str], schema: T.StructType,
     if not paths:
         df = spark.createDataFrame([], schema)
     else:
-        df = spark.read.schema(schema).parquet(*paths)
+        # dispatch by extension (HoodieFileFormat): ORC base files and
+        # parquet delta/bootstrap files can share one logical scan
+        orc = [p for p in paths if p.endswith(".orc")]
+        pqt = [p for p in paths if not p.endswith(".orc")]
+        parts = []
+        if pqt:
+            parts.append(spark.read.schema(schema).parquet(*pqt))
+        if orc:
+            # NB: DataFrameReader.orc(path, mergeSchema=...) — unlike
+            # parquet(*paths) it is NOT varargs; pass the list
+            parts.append(spark.read.schema(schema).orc(orc))
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
     if cfg is not None and cfg.column_renames:
         names = set(df.columns)
         for final, olds in rename_chains(cfg).items():
@@ -298,7 +311,8 @@ class Writer:
         if not paths:
             return
         from . import bloom
-        keys = (self.spark.read.parquet(*paths)
+        keys = (read_files(self.spark, paths, base_read_schema(self.cfg),
+                           self.cfg)
                 .select(F.col(meta.PARTITION_PATH).alias("partition"),
                         F.col(meta.FILE_NAME).alias("file_name"),
                         F.col(meta.RECORD_KEY).alias("key")))
@@ -422,7 +436,11 @@ class Writer:
             for r in df.select(meta.PARTITION_PATH, meta.RECORD_KEY,
                                meta.TARGET_FILE_ID).collect():
                 idx[(r[0], r[1])] = r[2]
-        ext = ".parquet" if kind == "base" else ".delta.parquet"
+        fmt = self.cfg.base_format if kind == "base" else "parquet"
+        if fmt not in ("parquet", "orc"):
+            raise ValueError(f"unsupported base_format {fmt!r} "
+                             "(HoodieFileFormat: parquet | orc)")
+        ext = f".{fmt}" if kind == "base" else ".delta.parquet"
         staging = os.path.join(self.base, ".hoodie", ".temp", f"{instant}_{kind}")
         rm_rf(staging)
         if kind == "base" and meta.OPERATION in df.columns:
@@ -441,7 +459,8 @@ class Writer:
             # project AFTER the sort: ordering flows through the projection, so
             # transient sort keys (e.g. space-curve values) never hit parquet
             df = df.drop(*drop_after_sort)
-        df.write.mode("overwrite").partitionBy("__pp", "__fid").parquet(staging)
+        df.write.mode("overwrite").partitionBy("__pp", "__fid") \
+            .format(fmt).save(staging)
 
         moves = []   # (src, dest_rel, partition, fid)
         for ppdir in self.storage.listdir(staging):
@@ -454,7 +473,8 @@ class Writer:
                     continue
                 fid = urllib.parse.unquote(fiddir[len("__fid="):])
                 d = os.path.join(staging, ppdir, fiddir)
-                parts = [f for f in self.storage.listdir(d) if f.endswith(".parquet")]
+                parts = [f for f in self.storage.listdir(d)
+                         if f.endswith((".parquet", ".orc"))]
                 assert len(parts) == 1, f"file group split across tasks: {d} -> {parts}"
                 dest_rel = os.path.join(partition, f"{fid}_{instant}{ext}") if partition \
                     else f"{fid}_{instant}{ext}"
@@ -471,7 +491,9 @@ class Writer:
             src, dest_rel, partition, fid = m
             dest = os.path.join(self.base, dest_rel)
             self.storage.move(src, dest)
-            st = _parquet_footer_stats(dest, stats_cols)
+            st = (_orc_file_stats(dest, stats_cols)
+                  if dest.endswith(".orc")
+                  else _parquet_footer_stats(dest, stats_cols))
             st.update({"file_id": fid, "file_name": os.path.basename(dest_rel),
                        "path": dest_rel, "kind": kind})
             return partition, st
@@ -663,7 +685,8 @@ class Writer:
                 self.spark,
                 read_files(self.spark, paths, base_read_schema(self.cfg), self.cfg),
                 self.cfg, view, bs)
-        return self.spark.read.parquet(*paths)
+        return read_files(self.spark, paths, base_read_schema(self.cfg),
+                          self.cfg)
 
     def _drop_existing_keys(self, df: DataFrame) -> DataFrame:
         """INSERT_DROP_DUPS for the bucket-index path: anti-join the raw
@@ -1230,6 +1253,40 @@ def _json_safe(v):
     if isinstance(v, decimal.Decimal):
         return str(v)
     return v
+
+
+def _orc_file_stats(path: str, stats_cols: list[str] | None) -> dict:
+    """Per-file min/max/null-count stats for an ORC base file. pyarrow's ORC
+    reader exposes no stripe-statistics API, so the needed columns (record
+    key + configured stats columns only) are read and reduced — a real read,
+    unlike the parquet footer path, which is why ORC is the opt-in format:
+    the write-side stats cost is O(stats columns), not O(file)."""
+    import pyarrow.compute as pc
+    import pyarrow.orc as po
+
+    from .storage import get_storage
+    st_backend = get_storage(path)
+    f = po.ORCFile(path if st_backend.scheme == "file"
+                   else st_backend.fs.open(path, "rb"))
+    names = [n for n in f.schema.names
+             if n == meta.RECORD_KEY
+             or (not n.startswith(("_hoodie_", "__"))
+                 and (stats_cols is None or n in stats_cols))]
+    tbl = f.read(columns=names)
+    out = {"records": tbl.num_rows, "bytes": st_backend.size(path),
+           "col_stats": {}}
+    for n in names:
+        arr = tbl[n]
+        a = {"min": None, "max": None, "nulls": arr.null_count}
+        try:
+            if tbl.num_rows > arr.null_count:
+                mm = pc.min_max(arr)
+                a["min"] = _json_safe(mm["min"].as_py())
+                a["max"] = _json_safe(mm["max"].as_py())
+        except Exception:  # noqa: BLE001 — non-orderable types: no bounds
+            a["min"] = a["max"] = None
+        out["col_stats"][n] = a
+    return out
 
 
 def _parquet_footer_stats(path: str, stats_cols: list[str] | None) -> dict:
