@@ -46,6 +46,9 @@ class TableConfig:
     # transaction/lock/ provider family (hoodie.write.lock.provider):
     # filesystem | inprocess | conditional_put | "pkg.mod:Class" dotted path
     lock_provider: str = "filesystem"
+    # async clustering trigger: write commits since the last clustering
+    # (hoodie.clustering.async.max.commits, HoodieClusteringConfig)
+    clustering_async_max_commits: int = 4
     # base-file format, parquet | orc (HoodieFileFormat.java; HFile is the
     # reference's HBase-backed metadata format, out of scope). MOR delta
     # files stay parquet regardless — the reference's log is its own

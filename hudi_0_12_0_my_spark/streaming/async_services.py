@@ -16,6 +16,8 @@ from __future__ import annotations
 import threading
 from concurrent.futures import Future, ThreadPoolExecutor
 
+from ..services.clustering import (clustering_due, run_clustering,
+                                   schedule_clustering)
 from ..services.compaction import (compaction_due, run_compaction,
                                    schedule_compaction)
 
@@ -37,10 +39,16 @@ class AsyncTableServices:
     time); triggers arriving while one runs are picked up by a later batch.
     """
 
-    def __init__(self, table, compact: bool = True, clean: bool = False):
+    def __init__(self, table, compact: bool = True, clean: bool = False,
+                 cluster: bool = False, cluster_kwargs: dict | None = None):
         self.table = table
         self.compact = compact
         self.clean = clean
+        # async clustering (HoodieStreamingSink STREAMING_ASYNC_CLUSTERING):
+        # triggered by clustering_due (commits since last clustering);
+        # cluster_kwargs flow to schedule_clustering (sort_cols, layout, ...)
+        self.cluster = cluster
+        self.cluster_kwargs = dict(cluster_kwargs or {})
         self._pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="async-table-service")
         self._inflight: Future | None = None
@@ -48,10 +56,14 @@ class AsyncTableServices:
         self.completed: list[str] = []     # finished service instants
         self.errors: list[Exception] = []
 
-    def _execute(self, plan: dict | None) -> None:
+    def _execute(self, plan: dict | None, cluster_plan: dict | None) -> None:
         try:
             if plan is not None:
                 ins = run_compaction(self.table, plan=plan)
+                if ins:
+                    self.completed.append(ins)
+            if cluster_plan is not None:
+                ins = run_clustering(self.table, plan=cluster_plan)
                 if ins:
                     self.completed.append(ins)
             if self.clean:
@@ -65,12 +77,16 @@ class AsyncTableServices:
         with self._lock:
             if self._inflight is not None and not self._inflight.done():
                 return False
-            plan = None
+            plan, cluster_plan = None, None
             if self.compact and compaction_due(self.table):
                 plan = schedule_compaction(self.table)
-            if plan is None and not self.clean:
+            if self.cluster and clustering_due(self.table):
+                cluster_plan = schedule_clustering(self.table,
+                                                   **self.cluster_kwargs)
+            if plan is None and cluster_plan is None and not self.clean:
                 return False
-            self._inflight = self._pool.submit(self._execute, plan)
+            self._inflight = self._pool.submit(self._execute, plan,
+                                               cluster_plan)
             return True
 
     def wait(self, timeout: float | None = None) -> None:

@@ -82,7 +82,9 @@ def stream_write(table, stream_df: DataFrame, checkpoint_dir: str,
                     raise
                 time.sleep(delay)
                 delay *= 2
-        if async_services is not None and table.cfg.table_type == MOR:
+        if async_services is not None:
+            # compaction triggers only accumulate on MOR deltacommits;
+            # async clustering applies to COW streams too
             async_services.maybe_trigger()
         elif inline_compact and table.cfg.table_type == MOR:
             from ..services.compaction import maybe_inline_compact

@@ -54,6 +54,13 @@ class ConcurrentWriteConflictError(RuntimeError):
     """OCC conflict: two concurrent commits touched the same file groups."""
 
 
+class ClusteringUpdateRejected(RuntimeError):
+    """Update targets a file group under PENDING clustering — the
+    reference's default hoodie.clustering.updates.strategy
+    (SparkRejectUpdateStrategy.java -> HoodieClusteringUpdateException).
+    Retry after the clustering completes; inserts are unaffected."""
+
+
 META_FIELDS = [T.StructField(c, T.StringType(), True) for c in meta.META_COLS]
 
 
@@ -245,7 +252,9 @@ class Writer:
             if ins.action not in (tl.COMMIT, tl.DELTACOMMIT, tl.REPLACECOMMIT):
                 continue
             md = self.t.timeline.metadata(ins) or {}
-            if md.get("operation") == "compact" and ins.state == tl.REQUESTED:
+            if md.get("operation") in ("compact", "cluster") \
+                    and ins.state == tl.REQUESTED:
+                # legitimate schedule/run split plans, not crashed writes
                 continue
             if heartbeat_fresh(self.base, ins.time):
                 # a LIVE async service execution (HoodieHeartbeatClient
@@ -530,7 +539,8 @@ class Writer:
         return self.cfg.record_size_estimate
 
     def assign_buckets(self, inserts: DataFrame, view: FileSystemView | None,
-                       pack_small_files: bool) -> tuple[DataFrame, set]:
+                       pack_small_files: bool,
+                       blocked_groups: set | None = None) -> tuple[DataFrame, set]:
         """Route insert rows to file groups: fill undersized existing groups
         first (small-file bin packing, UpsertPartitioner.java:94-178), spill the
         rest to new groups sized by target_file_bytes.
@@ -554,6 +564,9 @@ class Writer:
                     bf = s.base_file
                     if bf is None or s.deltas:
                         continue
+                    if blocked_groups and (g.partition, g.file_id) in blocked_groups:
+                        continue   # group under pending clustering: open a
+                        # new group instead of racing the rewrite
                     if bf.bytes < cfg.small_file_limit_bytes:
                         cap = (cfg.target_file_bytes - bf.bytes) // avg
                         if cap > 0:
@@ -897,8 +910,24 @@ class Writer:
                 inserts = (tagged.filter(F.col("__loc_fid").isNull())
                            .drop("__loc_fid", "__loc_pp")
                            .filter(F.col(meta.OPERATION) != "D"))  # delete of absent key = no-op
-                inserts_assigned, packed = self.assign_buckets(inserts, view,
-                                                               pack_small_files=cow)
+                # groups under a pending clustering plan: updates rejected
+                # (SparkRejectUpdateStrategy), inserts never pack into them.
+                # The extra distinct-collect below runs ONLY while a
+                # clustering is pending.
+                from .services.clustering import pending_clustering_groups
+                blocked = pending_clustering_groups(self.t.timeline)
+                if blocked:
+                    hit = {(r[0], r[1]) for r in updates
+                           .select(meta.PARTITION_PATH, meta.TARGET_FILE_ID)
+                           .distinct().collect()}
+                    bad = sorted(hit & blocked)
+                    if bad:
+                        raise ClusteringUpdateRejected(
+                            f"updates target file group(s) under pending "
+                            f"clustering: {bad[:5]}")
+                inserts_assigned, packed = self.assign_buckets(
+                    inserts, view, pack_small_files=cow,
+                    blocked_groups=blocked)
                 if cow:
                     affected = {(p, fid) for p, fid in
                                 ((r[0], r[1]) for r in updates
@@ -1103,8 +1132,10 @@ class Writer:
                         incoming.unpersist()
                         incoming = incoming_kept
                         incoming.persist()
-                assigned, packed = self.assign_buckets(incoming, view,
-                                                       pack_small_files=cow)
+                from .services.clustering import pending_clustering_groups
+                assigned, packed = self.assign_buckets(
+                    incoming, view, pack_small_files=cow,
+                    blocked_groups=pending_clustering_groups(self.t.timeline))
                 if cow and packed:
                     old_paths = [view.abs(s.base_file.path)
                                  for g, s in view.live_slices()
