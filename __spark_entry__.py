@@ -1629,6 +1629,48 @@ def q_emb_topk(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Lloyd k-means hard assignment (k=4, 2 iterations, deterministic
+    lowest-id init). DuckDB replays both Lloyd rounds with CTEs — same
+    init, same argmin tie-break (lowest cluster), same empty-cluster
+    carry — so every cluster id is oracle-exact; dist is rounded to
+    absorb float-summation association differences."""
+    from hudi_0_12_0_my_spark.operators import kmeans_assign
+    emb = _read(spark, sf_dir, "embeddings")
+    res = kmeans_assign(emb, k=4, iters=2)
+    return res.select("vec_id", F.col("cluster").cast("int").alias("cluster"),
+                      F.round("dist", 6).alias("dist"))
+
+
+def q_emb_quantized_topk(spark, sf_dir):
+    """Int8 scalar-quantized cosine top-k. Quantization (floor(x*s+0.5),
+    s=127/max|x|) and the integer dot products are exact in both engines,
+    and the final double division/sqrt is IEEE-deterministic, so qcosine
+    matches bit-for-bit — the whole approximate-ANN result is
+    oracle-exact, not just its row count."""
+    from hudi_0_12_0_my_spark.operators import quantized_cosine_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    res = quantized_cosine_topk(emb, emb.filter("vec_id < 5"), k=10)
+    return res.select("query_id", "neighbor_id",
+                      F.round("qcosine", 6).alias("qcos"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_docs_lsh_edit_verify(spark, sf_dir):
+    """Generate-then-verify near-dup: portable-hash MinHash-LSH candidates
+    re-checked with exact levenshtein on 200-char normalized prefixes.
+    DuckDB replays the full candidate pipeline plus the same levenshtein
+    verification, so both the surviving pairs and their edit similarities
+    are exact."""
+    from hudi_0_12_0_my_spark.operators import edit_verified_pairs
+    docs = _read(spark, sf_dir, "documents")
+    res = edit_verified_pairs(docs, num_hashes=32, bands=8,
+                              jaccard_threshold=0.4, hash_fn="portable_md5",
+                              prefix_len=200, edit_sim_threshold=0.5)
+    return res.select("id_a", "id_b", "est_jaccard",
+                      F.round("edit_sim", 6).alias("edit_sim"))
+
+
 def q_docs_language_id(spark, sf_dir):
     from hudi_0_12_0_my_spark.operators import with_language_id
     docs = with_language_id(_read(spark, sf_dir, "documents"))
@@ -2165,6 +2207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_funcs": q_events_window_funcs,
         "orders_setops": q_orders_setops,
         "emb_topk": q_emb_topk,
+        "emb_kmeans": q_emb_kmeans,
+        "emb_quantized_topk": q_emb_quantized_topk,
+        "docs_lsh_edit_verify": q_docs_lsh_edit_verify,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         # rows-only checks
@@ -2185,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # registered query accumulates an official green row across rounds. The
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
+    "emb_kmeans", "emb_quantized_topk", "docs_lsh_edit_verify",
     "schema_evolution_widen", "cow_snapshot_orc", "multimodal_phash_dedup",
     "q13_custdist", "q15_top_supplier", "q17_small_qty", "q18_large_orders",
     "q19_discounted", "q22_sales_opportunity", "q12_shipmode", "q14_promo",
@@ -3094,6 +3140,109 @@ SELECT id_a, id_b,
        len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0 AS est_jaccard
 FROM cand
 WHERE len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0 >= 0.4""",
+        # the minhash candidate pipeline above + exact levenshtein
+        # verification on 200-char normalized prefixes
+        "docs_lsh_edit_verify": """
+WITH d0 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         range(1, greatest(length(t) - 4, 1) + 1), i -> substr(t, i, 5))) AS shingles
+       FROM d0),
+sig AS (SELECT doc_id,
+          [list_min(list_transform(shingles,
+             s -> ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 15))::BIGINT))
+           for k in range(0, 32)] AS sig
+        FROM sh),
+b AS (SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM sig),
+bk AS (SELECT doc_id, sig, band,
+         ('0x' || substr(md5(
+             CAST(sig[4*band+1] AS VARCHAR) || '|' || CAST(sig[4*band+2] AS VARCHAR)
+             || '|' || CAST(sig[4*band+3] AS VARCHAR) || '|' || CAST(sig[4*band+4] AS VARCHAR)
+           ), 1, 15))::BIGINT AS bucket
+       FROM b),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                a.sig AS sa, b2.sig AS sb
+         FROM bk a JOIN bk b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                            AND a.doc_id < b2.doc_id),
+pairs AS (SELECT id_a, id_b,
+                 len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0 AS est_jaccard
+          FROM cand
+          WHERE len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0 >= 0.4),
+t AS (SELECT doc_id, substr(t, 1, 200) AS p FROM d0),
+v AS (SELECT p0.id_a, p0.id_b, p0.est_jaccard,
+             1.0 - CAST(levenshtein(ta.p, tb.p) AS DOUBLE)
+                 / CAST(greatest(length(ta.p), length(tb.p), 1) AS DOUBLE) AS es
+      FROM pairs p0
+      JOIN t ta ON ta.doc_id = p0.id_a
+      JOIN t tb ON tb.doc_id = p0.id_b)
+SELECT id_a, id_b, est_jaccard, round(es, 6) AS edit_sim
+FROM v WHERE es >= 0.5""",
+        # both Lloyd rounds replayed: deterministic lowest-id init, argmin
+        # with lowest-cluster tie-break, per-position avg recompute,
+        # empty-cluster carry via LEFT JOIN coalesce
+        "emb_kmeans": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+d1 AS (SELECT e.vec_id, e.v, c.cl,
+              list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+       FROM e CROSS JOIN c0 c),
+a1 AS (SELECT vec_id, v, cl FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         FROM d1) WHERE rn = 1),
+m1 AS (SELECT cl, list(m ORDER BY pos) AS v FROM
+        (SELECT cl, pos, avg(x) AS m FROM
+          (SELECT cl, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1)
+         GROUP BY cl, pos) GROUP BY cl),
+c1 AS (SELECT c0.cl, coalesce(m1.v, c0.v) AS v
+       FROM c0 LEFT JOIN m1 ON c0.cl = m1.cl),
+d2_ AS (SELECT e.vec_id, e.v, c.cl,
+               list_sum(list_transform(range(1, 65),
+                 i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+        FROM e CROSS JOIN c1 c),
+a2 AS (SELECT vec_id, v, cl FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         FROM d2_) WHERE rn = 1),
+m2 AS (SELECT cl, list(m ORDER BY pos) AS v FROM
+        (SELECT cl, pos, avg(x) AS m FROM
+          (SELECT cl, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a2)
+         GROUP BY cl, pos) GROUP BY cl),
+c2 AS (SELECT c1.cl, coalesce(m2.v, c1.v) AS v
+       FROM c1 LEFT JOIN m2 ON c1.cl = m2.cl),
+df AS (SELECT e.vec_id, c.cl,
+              list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+       FROM e CROSS JOIN c2 c)
+SELECT vec_id, cl AS cluster, round(sqrt(d2), 6) AS dist FROM
+ (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+  FROM df) WHERE rn = 1""",
+        # int8 quantization is exact in both engines (floor(x*s+0.5) on
+        # IEEE doubles), integer dots exact, final division deterministic
+        "emb_quantized_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q0 AS (SELECT vec_id, v,
+              127.0 / nullif(list_max(list_transform(v, x -> abs(x))), 0.0) AS s
+       FROM e),
+qz AS (SELECT vec_id,
+              CASE WHEN s IS NULL THEN list_transform(v, x -> 0)
+                   ELSE list_transform(v, x -> CAST(floor(x * s + 0.5) AS INT))
+              END AS q
+       FROM q0),
+p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.q AS qa, b.q AS qb
+      FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 5),
+s AS (SELECT query_id, neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i -> qa[i] * qb[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> qa[i] * qa[i])) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> qb[i] * qb[i])) AS DOUBLE)))
+             AS qcosine
+      FROM p)
+SELECT query_id, neighbor_id, round(qcosine, 6) AS qcos, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY qcosine DESC, neighbor_id) AS rn
+      FROM s)
+WHERE rn <= 10""",
         # pair pipeline replayed as above, closed transitively with a
         # recursive CTE — exact duplicate-cluster memberships
         "multimodal_features": """

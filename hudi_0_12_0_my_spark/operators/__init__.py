@@ -11,7 +11,7 @@ Python appears only in the (stubbed) multimodal decode path.
 from .dedup import (exact_dedup, minhash_signatures, minhash_lsh_pairs,
                     minhash_lsh_dedup, simhash, simhash_near_dup_pairs,
                     ngram_jaccard_pairs, segment_dedup, minhash_index_rows,
-                    dedup_against_index)
+                    dedup_against_index, edit_verified_pairs)
 from .graph import (connected_components, dup_clusters,
                     dedup_by_components, select_cluster_representatives,
                     cluster_representatives)
@@ -27,7 +27,8 @@ from .sessions import (sessionize, session_stats, funnel_stats,
                        cohort_retention)
 from .similarity import (cosine_topk, ivf_cosine_topk,
                          embedding_near_dup_pairs, hyperplane_signatures,
-                         lsh_cosine_topk, semantic_dedup)
+                         lsh_cosine_topk, semantic_dedup, kmeans_assign,
+                         quantize_int8, quantized_cosine_topk)
 from .joins import interval_join, salted_join
 from .lm import lm_log_prob, lm_outliers, linear_text_score, tfidf_keywords
 from .profile import profile
@@ -40,11 +41,12 @@ __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "minhash_lsh_dedup", "simhash", "simhash_near_dup_pairs",
     "ngram_jaccard_pairs", "segment_dedup", "minhash_index_rows",
-    "dedup_against_index",
+    "dedup_against_index", "edit_verified_pairs",
     "connected_components", "dup_clusters", "dedup_by_components",
     "select_cluster_representatives", "cluster_representatives",
     "cosine_topk", "ivf_cosine_topk", "embedding_near_dup_pairs",
     "hyperplane_signatures", "lsh_cosine_topk", "semantic_dedup",
+    "kmeans_assign", "quantize_int8", "quantized_cosine_topk",
     "with_token_stats", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_repetition_stats", "top_ngrams", "bm25_topk",
     "lm_log_prob", "lm_outliers", "linear_text_score", "tfidf_keywords",

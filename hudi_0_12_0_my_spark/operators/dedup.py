@@ -268,6 +268,41 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 .select("id_a", "id_b", "est_jaccard"))
 
 
+def edit_verified_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", prefix_len: int = 200,
+                        edit_sim_threshold: float = 0.8,
+                        **lsh_kw) -> DataFrame:
+    """Two-stage near-dup: LSH candidate generation -> EXACT edit-distance
+    verification — the canonical generate-then-verify dedup shape (the
+    sketch stage bounds recall cheaply, the verify stage kills its false
+    positives).
+
+    Verification runs levenshtein on whitespace-normalized PREFIXES
+    (`prefix_len` chars): edit distance is O(len^2) per pair, so bounding
+    the operand keeps per-pair cost constant while candidates stay bucketed
+    by the LSH stage — no stage is all-pairs at any scale. The two text
+    lookups are plain key joins against the corpus (candidate side is the
+    small side by construction).
+
+    Output: (id_a, id_b, est_jaccard, edit_sim) with
+    edit_sim = 1 - lev(pa, pb)/max(len(pa), len(pb), 1), filtered to
+    edit_sim >= edit_sim_threshold.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kw)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    txt = df.select(F.col(id_col), norm.substr(1, prefix_len).alias("_p"))
+    sim = F.lit(1.0) - F.levenshtein("_pa", "_pb").cast("double") / \
+        F.greatest(F.length("_pa"), F.length("_pb"), F.lit(1)).cast("double")
+    return (pairs
+            .join(txt.select(F.col(id_col).alias("id_a"),
+                             F.col("_p").alias("_pa")), on="id_a")
+            .join(txt.select(F.col(id_col).alias("id_b"),
+                             F.col("_p").alias("_pb")), on="id_b")
+            .withColumn("edit_sim", sim)
+            .filter(F.col("edit_sim") >= edit_sim_threshold)
+            .select("id_a", "id_b", "est_jaccard", "edit_sim"))
+
+
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", method: str = "one_hop",
                       **kw) -> DataFrame:

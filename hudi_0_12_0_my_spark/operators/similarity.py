@@ -190,6 +190,116 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
     return dedup_by_components(corpus, pairs, id_col=id_col)
 
 
+def kmeans_assign(corpus: DataFrame, k: int = 4, iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Lloyd k-means over an embedding column with DETERMINISTIC init (the
+    k lowest-id rows are the starting centroids), returning the final
+    hard assignment: (id, cluster, dist).
+
+    Iterative distributed shape: per round, centroids are broadcast as
+    literal arrays (model-sized driver state, k*dim doubles — never the
+    corpus), assignment is a map-only argmin over squared-L2 distances
+    (whole-stage codegen, no UDF), and the centroid recompute is ONE
+    partially-aggregated shuffle keyed on (cluster, dim-position) — the
+    combiner reduces it to k*dim rows per partition, so shuffle volume is
+    independent of corpus size. At 100 TB each Lloyd round costs one scan
+    plus a model-sized agg; rounds are a driver loop, exactly how MLlib
+    schedules it. Empty clusters keep their previous centroid.
+
+    Ties (equal distance to two centroids) break to the LOWEST cluster
+    index via array_position-of-min — deterministic and replayable.
+    """
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    cents = [[float(x) for x in r[1]] for r in rows]
+
+    def _d2(c):
+        lit = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), lit,
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def _assigned():
+        darr = F.array(*[_d2(c) for c in cents])
+        return corpus.select(
+            F.col(id_col), F.col(vec_col),
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+            .alias("cluster"),
+            F.sqrt(F.array_min(darr)).alias("dist"))
+
+    dim = len(cents[0])
+    for _ in range(iters):
+        means = (_assigned()
+                 .select("cluster", F.posexplode(F.col(vec_col)
+                                                 .cast("array<double>"))
+                         .alias("pos", "x"))
+                 .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+                 .collect())
+        by_cl: dict = {}
+        for r in means:
+            by_cl.setdefault(r.cluster, [0.0] * dim)[r.pos] = r.m
+        cents = [by_cl.get(i, cents[i]) for i in range(k)]
+    return _assigned().select(id_col, "cluster", "dist")
+
+
+def quantize_int8(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127/max|x|, element
+    q_i = floor(x_i*scale + 0.5) (explicit half-up — engine-portable,
+    unlike bankers' round). Map-only; the quantized corpus is ~4x smaller
+    than float32 on disk and in shuffle, the standard memory-bound ANN
+    trade. Output: (id, qvec array<int>, qscale double)."""
+    v = F.col(vec_col).cast("array<double>")
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = F.lit(127.0) / F.nullif(mx, F.lit(0.0))
+    q = F.when(scale.isNull(),
+               F.transform(v, lambda x: F.lit(0).cast("int"))) \
+         .otherwise(F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5))
+                                .cast("int")))
+    return df.select(F.col(id_col), q.alias("qvec"),
+                     F.coalesce(scale, F.lit(0.0)).alias("qscale"))
+
+
+def quantized_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k cosine over int8-quantized vectors.
+
+    Cosine is scale-invariant, so the per-vector quantization scale cancels
+    and the score is computed purely on the integer codes: integer dot /
+    (integer norms) — exact integer arithmetic until one final double
+    division, which makes the result bit-reproducible across engines
+    (unlike float dot products, whose sum association varies). Same
+    broadcast-queries + per-partition window shape as cosine_topk; at scale
+    the corpus scan moves 4x fewer bytes.
+
+    Output: (query_id, neighbor_id, qcosine, rank).
+    """
+    cq = quantize_int8(corpus, id_col, vec_col) \
+        .select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"))
+    qq = quantize_int8(queries, id_col, vec_col) \
+        .select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qv"))
+    joined = cq.crossJoin(F.broadcast(qq))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+
+    def _idot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    qcos = (_idot(F.col("qv"), F.col("cv")).cast("double")
+            / (F.sqrt(_idot(F.col("qv"), F.col("qv")).cast("double"))
+               * F.sqrt(_idot(F.col("cv"), F.col("cv")).cast("double"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcosine"),
+                                               F.asc("neighbor_id"))
+    return (joined.withColumn("qcosine", qcos)
+                  .withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "qcosine", "rank"))
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

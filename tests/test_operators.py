@@ -788,3 +788,67 @@ def test_phash_bands_validation(spark):
         with _pytest.raises(ValueError, match="bands"):
             phash_near_dup(df, bands=bad)
     assert phash_near_dup(df, bands=8).count() == 0
+
+
+def test_kmeans_assign_separated_clusters(spark):
+    """Two well-separated blobs with k=2: every member of a blob lands in
+    one cluster, the near-origin blob with the lowest-id seed is cluster 0
+    (deterministic init), and dist shrinks after refinement iterations."""
+    rows = [(i, [float(i % 5) * 0.01, 0.0], 0) for i in range(10)] + \
+           [(100 + i, [10.0 + float(i % 5) * 0.01, 10.0], 1) for i in range(10)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r.cluster for r in ops.kmeans_assign(df, k=2, iters=2).collect()}
+    assert {got[i] for i in range(10)} == {0}
+    assert {got[100 + i] for i in range(10)} == {1}
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k=3 over 2 distinct points: one centroid never wins a point; its
+    slot must carry the previous centroid instead of crashing or NaN-ing."""
+    rows = [(1, [0.0, 0.0], 0), (2, [0.0, 0.0], 0), (3, [5.0, 5.0], 1)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>, label int")
+    out = ops.kmeans_assign(df, k=3, iters=2).collect()
+    assert len(out) == 3
+    assert all(r.dist == r.dist for r in out)      # no NaN
+
+
+def test_quantized_topk_matches_exact_ranking(emb):
+    """int8 quantization preserves the neighbor ranking on well-separated
+    vectors: top-1 for query 0 must be its near-copy vec 100, and the
+    quantized cosine is within 2% of exact."""
+    exact = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+             for r in ops.cosine_topk(emb, emb.filter("vec_id = 0"), k=3).collect()}
+    quant = {(r.query_id, r.rank): (r.neighbor_id, r.qcosine)
+             for r in ops.quantized_cosine_topk(emb, emb.filter("vec_id = 0"), k=3).collect()}
+    assert quant[(0, 1)][0] == 100
+    for key in exact:
+        assert abs(exact[key][1] - quant[key][1]) < 0.02
+
+
+def test_quantize_int8_range_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25], 0), (2, [0.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int")
+    q = {r.vec_id: (r.qvec, r.qscale) for r in ops.quantize_int8(df).collect()}
+    assert q[1][0] == [127, -63, 32]   # floor(x*127+0.5)
+    assert q[2][0] == [0, 0, 0] and q[2][1] == 0.0
+    assert all(-128 <= x <= 127 for x in q[1][0])
+
+
+def test_edit_verified_pairs_kills_lsh_false_positives(spark):
+    """Docs 1/2 are identical (edit_sim 1.0) and survive; docs 3/4 share
+    enough shingles to become LSH candidates at a low threshold but differ
+    in half their text, so the verify stage drops them."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base),
+            (3, base + " tail one XXXXXXXX"),
+            (4, base + " completely different ending YYYYYYYY ZZZZ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.edit_sim
+           for r in ops.edit_verified_pairs(
+               df, num_hashes=32, bands=16, jaccard_threshold=0.2,
+               prefix_len=200, edit_sim_threshold=0.9).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1.0
+    assert all(k[0] in (1, 2) and k[1] in (1, 2) for k in out)

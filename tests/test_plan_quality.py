@@ -505,3 +505,43 @@ def test_tpch_plan_shapes(spark, qname):
     if "BroadcastNestedLoopJoin" in plan:
         # legal only for broadcasting a single-row aggregate (scalar subquery)
         assert qname in ("q11_important_stock", "q22_sales_opportunity"), qname
+
+
+def test_kmeans_assignment_plan_is_map_only_jvm(spark):
+    """The k-means assignment stage: centroid literals folded into a
+    map-only projection — no Python eval, no join, no exchange before the
+    scan output (the only shuffle in a Lloyd round is the (cluster, pos)
+    mean agg, which partial-aggregates map-side)."""
+    from hudi_0_12_0_my_spark.operators import kmeans_assign
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = kmeans_assign(emb, k=4, iters=1)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan                  # literal centroids, no join
+    assert "CartesianProduct" not in plan
+
+
+def test_quantized_topk_broadcasts_queries(spark):
+    """Quantized ANN keeps the cosine_topk shape: query side broadcast
+    (BroadcastNestedLoopJoin over the tiny query set is the expected
+    crossJoin physical form), corpus never exchanged before scoring, all
+    math JVM-side."""
+    from hudi_0_12_0_my_spark.operators import quantized_cosine_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = quantized_cosine_topk(emb, emb.filter("vec_id < 3"), k=5)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_edit_verify_stage_no_python_no_cartesian(spark):
+    """The verify stage adds two key joins + levenshtein on top of the LSH
+    candidate plan — still bucketed (no cartesian), still JVM-only."""
+    from hudi_0_12_0_my_spark.operators import edit_verified_pairs
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = edit_verified_pairs(docs, num_hashes=16, bands=4,
+                             jaccard_threshold=0.3)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

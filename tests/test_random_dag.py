@@ -32,6 +32,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from hudi_0_12_0_my_spark import Engine
+from hudi_0_12_0_my_spark.services.clustering import (run_clustering,
+                                                      schedule_clustering)
+from hudi_0_12_0_my_spark.writer import ClusteringUpdateRejected
 
 SCHEMA = "id long, grp string, val double, seq long"
 GRPS = ["a", "b", "c"]
@@ -194,8 +197,25 @@ def run_dag(spark, base_path, table_type, index_type, global_index,
                 with pytest.raises(ValueError, match="bucket"):
                     t.cluster(sort_cols=["id"])
                 t.resize_buckets(split_above=1)   # force splits, then verify
-            else:
+            elif rng.random() < 0.5:
                 t.cluster(sort_cols=["id"])
+            else:
+                # async schedule/run split: a random write lands BETWEEN
+                # schedule and run. Updates hitting planned groups must be
+                # REJECTED (SparkRejectUpdateStrategy) with the model
+                # untouched; inserts commit into unblocked groups; replace
+                # ops (insert_overwrite / delete_partition) supersede the
+                # plan and the run must ABORT, never rewrite a stale subset
+                plan = schedule_clustering(t, sort_cols=["id"],
+                                           small_files_only=False)
+                if plan is not None:
+                    try:
+                        if write_op(rng.choice(ops)):
+                            _check(f"{step}-between-schedule-run")
+                    except ClusteringUpdateRejected:
+                        pass          # write raised before mutating state
+                    _check(f"{step}-pre-run")
+                    run_clustering(t, plan=plan)   # None if superseded
         elif svc == "clean":
             t.clean(policy="KEEP_LATEST_COMMITS", retain=8)
         elif svc == "archive":
