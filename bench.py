@@ -226,6 +226,14 @@ def main() -> None:
     with step("emb_topk"):
         cosine_topk(emb, emb.filter("vec_id < 10"), k=10).count()
 
+    with step("emb_kmeans"):                # 2 Lloyd rounds, k=8
+        from hudi_0_12_0_my_spark.operators import kmeans_assign
+        kmeans_assign(emb, k=8, iters=2).count()
+
+    with step("quantized_topk"):            # int8 codes, integer dots
+        from hudi_0_12_0_my_spark.operators import quantized_cosine_topk
+        quantized_cosine_topk(emb, emb.filter("vec_id < 10"), k=10).count()
+
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     try:
         sf = float(sf_name.replace("sf", ""))

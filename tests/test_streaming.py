@@ -559,3 +559,45 @@ def test_async_services_with_sink(spark, tmp_path):
     assert tl.COMMIT in actions          # at least one async compaction ran
     got = {(r.id, r.v) for r in t.snapshot().collect()}
     assert got == {(k, 300 + k) for k in range(5)}
+
+
+def test_async_clustering_with_cow_sink(spark, tmp_path):
+    """A COW stream with cluster=True async services: the commits-since-
+    last-clustering trigger fires mid-stream, the replacecommit lands in
+    the background, and the final snapshot equals the event-time fold of
+    all batches (clustering is result-invisible)."""
+    from hudi_0_12_0_my_spark.streaming import AsyncTableServices
+    from hudi_0_12_0_my_spark import timeline as tl
+
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "sink_cl"),
+                         record_key_fields=["id"], precombine_field="seq",
+                         payload="event_time",
+                         clustering_async_max_commits=2)
+    src_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    for i in range(4):
+        _write_jsonl(src_dir, f"b{i}.json",
+                     [{"id": k, "v": i * 100 + k, "seq": i}
+                      for k in range(5)])
+    schema = "id long, v long, seq long"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").json(src_dir))
+    svc = AsyncTableServices(t, compact=False, cluster=True,
+                             cluster_kwargs=dict(sort_cols=["id"],
+                                                 small_files_only=False))
+    # a micro-batch upserting keys in groups under the pending plan is
+    # rejected (SparkRejectUpdateStrategy) and must win via the sink's
+    # retry loop once the background clustering completes — give it room
+    q = stream_write(t, stream, ckpt, inline_compact=False,
+                     retry_count=15, retry_interval_sec=1.0,
+                     async_services=svc).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    svc.wait()
+    svc.close()
+    assert not svc.errors, svc.errors
+    done = [i for i in t.timeline.completed()
+            if i.action == tl.REPLACECOMMIT
+            and (t.timeline.metadata(i) or {}).get("operation") == "cluster"]
+    assert done                          # at least one async clustering ran
+    got = {(r.id, r.v) for r in t.snapshot().collect()}
+    assert got == {(k, 300 + k) for k in range(5)}
