@@ -361,6 +361,41 @@ def q_delete_where(spark, sf_dir):
     return t.snapshot().groupBy("o_orderstatus").agg(_n())
 
 
+def q_precommit_guard(spark, sf_dir):
+    """Pre-commit validators gate every write (SparkPreCommitValidator.java:48,
+    SqlQueryEqualityPreCommitValidator.java:64): an equality validator on the
+    key set admits a legitimate price update but rejects a key-losing delete,
+    whose staged files are aborted before the commit lands. Final state =
+    bulk insert + the surviving update only; DuckDB replays exactly that."""
+    key = (sf_dir, "ord_pcv")
+    if key not in _BUILT:
+        orders = _read(spark, sf_dir, "orders")
+        t = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "ord_pcv")),
+            record_key_fields=["o_orderkey"], precombine_field="o_orderdate",
+            partition_field="o_orderpriority",
+            precommit_validators=[
+                {"kind": "equality",
+                 "queries": "SELECT o_orderkey FROM <TABLE_NAME>"}])
+        t.bulk_insert(orders)
+        t.upsert(orders.filter("o_orderkey % 7 = 0")
+                 .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(11.0))
+                 .withColumn("o_orderdate",
+                             F.col("o_orderdate") + F.expr("INTERVAL 1 DAYS")))
+        from hudi_0_12_0_my_spark.services.validators import (
+            PreCommitValidationError)
+        try:
+            t.delete(where="o_orderkey % 2 = 0")
+            raise AssertionError("equality validator failed to reject the "
+                                 "key-losing delete")
+        except PreCommitValidationError:
+            pass
+        _BUILT[key] = t
+    t = _BUILT[key]
+    return (t.snapshot().groupBy("o_orderpriority")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
 def q_payload_event_time(spark, sf_dir):
     """DefaultHoodieRecordPayload semantics: stored survives when its ordering
     value >= incoming (DefaultHoodieRecordPayload.java:115-126)."""
@@ -2121,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_into": q_merge_into,
         "update_where": q_update_where,
         "delete_where": q_delete_where,
+        "precommit_guard": q_precommit_guard,
         "payload_event_time": q_payload_event_time,
         "payload_partial_update": q_payload_partial_update,
         "cdc_ops": q_cdc_ops,
@@ -2230,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # registered query accumulates an official green row across rounds. The
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
+    "precommit_guard",
     "emb_kmeans", "emb_quantized_topk", "docs_lsh_edit_verify",
     "schema_evolution_widen", "cow_snapshot_orc", "multimodal_phash_dedup",
     "q13_custdist", "q15_top_supplier", "q17_small_qty", "q18_large_orders",
@@ -2397,6 +2434,14 @@ FROM orders GROUP BY 1""",
         "delete_where": """
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
 FROM orders WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 0) GROUP BY 1""",
+        # the rejected delete must be invisible; only the update survives
+        "precommit_guard": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+                          THEN o_totalprice + 11.0
+                          ELSE o_totalprice END
+                AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1""",
         "payload_event_time": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(CASE WHEN o_orderkey % 4 = 1

@@ -55,6 +55,11 @@ TIMESTAMP_OUTPUT = "hoodie.deltastreamer.keygen.timebased.output.dateformat"
 CLEANER_COMMITS = "hoodie.cleaner.commits.retained"
 CLEANER_POLICY = "hoodie.cleaner.policy"
 LOCK_PROVIDER = "hoodie.write.lock.provider"
+# HoodiePreCommitValidatorConfig.java:43-71
+VALIDATOR_CLASSES = "hoodie.precommit.validators"
+VALIDATOR_EQUALITY_SQL = "hoodie.precommit.validators.equality.sql.queries"
+VALIDATOR_SINGLE_VALUE_SQL = "hoodie.precommit.validators.single.value.sql.queries"
+VALIDATOR_INEQUALITY_SQL = "hoodie.precommit.validators.inequality.sql.queries"
 BASE_FILE_FORMAT = "hoodie.table.base.file.format"
 
 QUERY_TYPE = "hoodie.datasource.query.type"
@@ -203,6 +208,26 @@ def options_to_config(options: dict) -> dict:
                              "scope); use filesystem/inprocess or a "
                              "conditional_put subclass")
         kw["lock_provider"] = mapped
+    if VALIDATOR_CLASSES in options:
+        # class list -> {"kind", "queries"} specs; each configured class pulls
+        # its queries from its own key (HoodiePreCommitValidatorConfig)
+        kinds = {"SqlQueryEqualityPreCommitValidator":
+                     ("equality", VALIDATOR_EQUALITY_SQL),
+                 "SqlQueryInequalityPreCommitValidator":
+                     ("inequality", VALIDATOR_INEQUALITY_SQL),
+                 "SqlQuerySingleResultPreCommitValidator":
+                     ("single_value", VALIDATOR_SINGLE_VALUE_SQL)}
+        specs = []
+        for cls in str(options[VALIDATOR_CLASSES]).split(","):
+            cls = cls.strip()
+            if not cls:
+                continue
+            kind_key = kinds.get(_short(cls))
+            if kind_key is None:
+                raise ValueError(f"unknown pre-commit validator class {cls!r}")
+            kind, qkey = kind_key
+            specs.append({"kind": kind, "queries": str(options.get(qkey, ""))})
+        kw["precommit_validators"] = specs
     return kw
 
 

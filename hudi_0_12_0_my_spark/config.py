@@ -67,6 +67,11 @@ class TableConfig:
     # post-commit notification (HoodieWriteCommitCallback):
     # "module:function" | "file:/path" | "http(s)://url" — see callbacks.py
     commit_callback: str | None = None
+    # pre-commit validators (HoodiePreCommitValidatorConfig.java:43-71):
+    # list of {"kind": equality|inequality|single_value, "queries": "sql[;sql]"}
+    # run against before/after states of touched partitions; failure aborts
+    # the staged write — see services/validators.py
+    precommit_validators: list = field(default_factory=list)
     # stats / skipping
     stats_columns: list | None = None        # None => all top-level primitive columns
     schema_json: str | None = None           # canonical table schema (StructType.json())

@@ -211,9 +211,19 @@ class Reader:
         column; COW base files whose key ranges no probe key intersects are
         pruned from the scan (the MERGE fast path — only file groups the
         source can touch are read; see merge.py)."""
-        cfg = self.cfg
         view = self.t.view(as_of=as_of)
-        slices = view.live_slices()
+        return self.snapshot_of_view(view, filters=filters,
+                                     keep_meta=keep_meta, key_probe=key_probe)
+
+    def snapshot_of_view(self, view, filters=None, keep_meta: bool = False,
+                         key_probe: DataFrame | None = None,
+                         partitions=None) -> DataFrame:
+        """Snapshot rows of an explicit FileSystemView (optionally restricted
+        to ``partitions``). Pre-commit validation reads a hypothetical
+        post-write state this way: a view with the inflight commit's metadata
+        folded in, before anything lands on the timeline."""
+        cfg = self.cfg
+        slices = view.live_slices(partitions)
         bs = bootstrap_instant(self.t.timeline)
         if cfg.table_type == cfgmod.COW:
             preds = statsmod.parse_predicates(filters)

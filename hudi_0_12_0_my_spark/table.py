@@ -33,6 +33,15 @@ class LakeTable:
         self.writer = Writer(self)
         self.reader = Reader(self)
         self._commit_listeners: list = []
+        self._precommit_validators: list = []
+
+    def add_precommit_validator(self, fn) -> None:
+        """Register an in-process pre-commit validator — called with
+        (spark, before_df, after_df) before every write commit of THIS
+        table handle becomes visible; raising rejects the commit and the
+        staged files are aborted (services/validators.py; declarative SQL
+        validators live in cfg.precommit_validators)."""
+        self._precommit_validators.append(fn)
 
     def on_commit(self, fn) -> None:
         """Register an in-process post-commit listener — called with the

@@ -267,6 +267,12 @@ class Writer:
         commit completed since this write's view snapshot touches the same
         file groups (SimpleConcurrentFileWritesConflictResolutionStrategy),
         clean up staged files and abort on conflict."""
+        from .services import validators as pv
+        try:
+            pv.run_precommit(self.t, instant, action, md)
+        except pv.PreCommitValidationError:
+            self._abort_staged(instant)
+            raise
         if self.cfg.concurrency_mode != "occ":
             self.t.timeline.save_completed(instant, action, md)
             self._maybe_index_blooms(instant, md)
