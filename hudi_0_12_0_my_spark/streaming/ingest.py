@@ -91,6 +91,15 @@ class TableStreamConfig:
     # HoodieMuiltiTableFlinkStreamer.java:186-205): after each committed
     # batch the Spark session catalog is refreshed (sync.SparkCatalogSync)
     hive_sync_config: dict | None = None
+    # bad-record quarantine. The fork's map function THROWS on malformed
+    # JSON (StringToRowDataMapFunction.java:70 JSON.parseObject), so one
+    # poison Kafka message fails the task forever. With a quarantine path
+    # set, malformed lines and rows with NULL record keys are diverted to
+    # parquet at that path (partitioned by batch id, dynamic overwrite =
+    # idempotent under batch replays) and the good rows commit; unset, the
+    # batch FAILS on the first bad record (strict fork parity) instead of
+    # silently upserting null-keyed rows
+    quarantine_path: str | None = None
 
     @staticmethod
     def from_file(path: str) -> "TableStreamConfig":
@@ -153,7 +162,7 @@ def start_table_stream(engine, cfg: TableStreamConfig, checkpoint_root: str,
     table = _ensure_table(engine, cfg)
     raw = _raw_stream(engine.spark, cfg.source)
 
-    def parse(batch_df: DataFrame) -> DataFrame:
+    def parse(batch_df: DataFrame, batch_id: int) -> DataFrame:
         live = cfg
         if cfg.config_path and get_storage(cfg.config_path).exists(cfg.config_path):
             live = TableStreamConfig.from_file(cfg.config_path)
@@ -165,9 +174,39 @@ def start_table_stream(engine, cfg: TableStreamConfig, checkpoint_root: str,
             schema = schema_from_fields(live.fields)
         if live.op_col:
             schema = schema.add(T.StructField(live.op_col, T.StringType()))
-        return (batch_df
-                .select(F.from_json("value", schema).alias("r"))
-                .select("r.*"))
+        # PERMISSIVE from_json turns a malformed line into an all-null row;
+        # the corrupt-record column is what actually flags it. A valid line
+        # missing its record key is just as unwritable (the fork NPEs there)
+        corrupt = "_corrupt_record"
+        parsed = batch_df.select(
+            "value",
+            F.from_json("value", schema.add(T.StructField(corrupt, T.StringType())),
+                        {"columnNameOfCorruptRecord": corrupt}).alias("r"))
+        key_null = F.lit(False)
+        for k in live.record_key_fields or cfg.record_key_fields:
+            key_null = key_null | F.col(f"r.{k}").isNull()
+        reason = (F.when(F.col("r").isNull() |
+                         F.col(f"r.{corrupt}").isNotNull(),
+                         F.lit("malformed_json"))
+                  .when(key_null, F.lit("null_record_key")))
+        parsed = parsed.withColumn("_reason", reason)
+        bad = parsed.filter(F.col("_reason").isNotNull())
+        if live.quarantine_path or cfg.quarantine_path:
+            qpath = live.quarantine_path or cfg.quarantine_path
+            (bad.select(F.col("value").alias("raw"), "_reason",
+                        F.lit(cfg.name).alias("_table"),
+                        F.lit(batch_id).alias("_batch_id"))
+             .write.mode("overwrite").partitionBy("_batch_id")
+             .option("partitionOverwriteMode", "dynamic").parquet(qpath))
+        else:
+            sample = bad.select("value", "_reason").take(3)
+            if sample:
+                raise ValueError(
+                    f"batch {batch_id} for table {cfg.name!r} has bad "
+                    f"records and no quarantine_path is configured; first: "
+                    f"{[(r['_reason'], r['value'][:80]) for r in sample]}")
+        return (parsed.filter(F.col("_reason").isNull())
+                .select("r.*").drop(corrupt))
 
     if cfg.hive_sync_config is not None and "post_commit" not in sink_kwargs:
         from ..sync import make_post_commit_sync

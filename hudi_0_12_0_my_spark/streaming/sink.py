@@ -17,6 +17,16 @@ from .. import payloads
 from ..config import MOR
 
 
+def _wants_batch_id(fn) -> bool:
+    import inspect
+    try:
+        params = [p for p in inspect.signature(fn).parameters.values()
+                  if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+    except (TypeError, ValueError):
+        return False
+    return len(params) >= 2
+
+
 def stream_write(table, stream_df: DataFrame, checkpoint_dir: str,
                  operation: str = "upsert", cdc_op_col: str | None = None,
                  retry_count: int = 3, retry_interval_sec: float = 1.0,
@@ -31,7 +41,9 @@ def stream_write(table, stream_df: DataFrame, checkpoint_dir: str,
     - ``cdc_op_col``: column holding I/U/D ops; D rows become deletes
       (StringToRowDataMapFunction.java:110 RowKind mapping)
     - ``transform``: optional fn(DataFrame) -> DataFrame applied per batch
-      (SqlQueryBasedTransformer equivalent hook)
+      (SqlQueryBasedTransformer equivalent hook); a two-argument callable
+      receives (DataFrame, batch_id) — quarantine writers key idempotent
+      side outputs on the batch id
     - ``inline_compact``: MOR only — run the NUM_COMMITS compaction trigger
       after each batch (CompactFunction.java equivalent, synchronous)
     - ``async_services``: an ``AsyncTableServices`` runner — compaction is
@@ -63,7 +75,12 @@ def stream_write(table, stream_df: DataFrame, checkpoint_dir: str,
             # checkpoint write): already applied, skipping keeps
             # insert/bulk_insert exactly-once instead of duplicating rows
             return
-        df = transform(batch_df) if transform else batch_df
+        if transform is None:
+            df = batch_df
+        elif _wants_batch_id(transform):
+            df = transform(batch_df, batch_id)
+        else:
+            df = transform(batch_df)
         if cdc_op_col and cdc_op_col in df.columns:
             df = payloads.apply_cdc_ops(df, op_col=cdc_op_col)
         attempt, delay = 0, retry_interval_sec

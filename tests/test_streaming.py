@@ -601,3 +601,62 @@ def test_async_clustering_with_cow_sink(spark, tmp_path):
     assert done                          # at least one async clustering ran
     got = {(r.id, r.v) for r in t.snapshot().collect()}
     assert got == {(k, 300 + k) for k in range(5)}
+
+
+def test_quarantine_diverts_bad_records(spark, tmp_path):
+    """Poison-pill protection: malformed JSON lines and rows with NULL
+    record keys land in the quarantine parquet (partitioned by batch id,
+    idempotent dynamic overwrite) while good rows commit — the fork's map
+    function would throw and wedge the stream on the first such message
+    (StringToRowDataMapFunction.java:70)."""
+    eng = Engine(spark)
+    src_dir, qdir = str(tmp_path / "in"), str(tmp_path / "quarantine")
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, "b1.json"), "w") as fh:
+        fh.write(json.dumps({"id": 1, "grp": "a", "val": 1.0, "seq": 1}) + "\n")
+        fh.write("{this is not json\n")
+        fh.write(json.dumps({"grp": "a", "val": 9.0, "seq": 1}) + "\n")  # no key
+        fh.write(json.dumps({"id": 2, "grp": "b", "val": 2.0, "seq": 1}) + "\n")
+    tc = TableStreamConfig(
+        name="quar1", base_path=str(tmp_path / "quar1"),
+        fields=[{"name": "id", "type": "bigint"},
+                {"name": "grp", "type": "string"},
+                {"name": "val", "type": "double"},
+                {"name": "seq", "type": "bigint"}],
+        record_key_fields=["id"], precombine_field="seq",
+        partition_field="grp", op_col=None,
+        source={"format": "json-files", "path": src_dir},
+        quarantine_path=qdir)
+    q = start_table_stream(eng, tc, str(tmp_path / "ck"),
+                           trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert {r.id for r in eng.table("quar1").snapshot().collect()} == {1, 2}
+    quar = spark.read.parquet(qdir).collect()
+    assert {r["_reason"] for r in quar} == {"malformed_json", "null_record_key"}
+    assert len(quar) == 2
+    assert all(r["_table"] == "quar1" for r in quar)
+
+
+def test_bad_records_fail_batch_without_quarantine(spark, tmp_path):
+    """Strict fork parity when no quarantine is configured: the batch fails
+    instead of silently upserting null-keyed rows."""
+    eng = Engine(spark)
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, "b1.json"), "w") as fh:
+        fh.write(json.dumps({"id": 1, "grp": "a", "val": 1.0, "seq": 1}) + "\n")
+        fh.write("oops\n")
+    tc = TableStreamConfig(
+        name="quar2", base_path=str(tmp_path / "quar2"),
+        fields=[{"name": "id", "type": "bigint"},
+                {"name": "grp", "type": "string"},
+                {"name": "val", "type": "double"},
+                {"name": "seq", "type": "bigint"}],
+        record_key_fields=["id"], precombine_field="seq",
+        partition_field="grp", op_col=None,
+        source={"format": "json-files", "path": src_dir})
+    q = start_table_stream(eng, tc, str(tmp_path / "ck"), retry_count=0,
+                           trigger={"availableNow": True})
+    import pyspark.errors
+    with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException):
+        q.awaitTermination(120)
