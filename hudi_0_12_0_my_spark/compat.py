@@ -55,6 +55,7 @@ TIMESTAMP_OUTPUT = "hoodie.deltastreamer.keygen.timebased.output.dateformat"
 CLEANER_COMMITS = "hoodie.cleaner.commits.retained"
 CLEANER_POLICY = "hoodie.cleaner.policy"
 LOCK_PROVIDER = "hoodie.write.lock.provider"
+LOCK_EXPIRE = "hoodie.write.lock.filesystem.expire"   # minutes, 0 = never
 # HoodiePreCommitValidatorConfig.java:43-71
 VALIDATOR_CLASSES = "hoodie.precommit.validators"
 VALIDATOR_EQUALITY_SQL = "hoodie.precommit.validators.equality.sql.queries"
@@ -208,6 +209,8 @@ def options_to_config(options: dict) -> dict:
                              "scope); use filesystem/inprocess or a "
                              "conditional_put subclass")
         kw["lock_provider"] = mapped
+    if LOCK_EXPIRE in options:
+        kw["lock_expire_sec"] = float(options[LOCK_EXPIRE]) * 60.0
     if VALIDATOR_CLASSES in options:
         # class list -> {"kind", "queries"} specs; each configured class pulls
         # its queries from its own key (HoodiePreCommitValidatorConfig)

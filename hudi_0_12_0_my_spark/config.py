@@ -46,6 +46,10 @@ class TableConfig:
     # transaction/lock/ provider family (hoodie.write.lock.provider):
     # filesystem | inprocess | conditional_put | "pkg.mod:Class" dotted path
     lock_provider: str = "filesystem"
+    # filesystem-lock stale reclaim (hoodie.write.lock.filesystem.expire,
+    # FileSystemBasedLockProvider.checkIfExpired): 0 = never expire by age;
+    # same-host dead-pid locks reclaim regardless (locks.py)
+    lock_expire_sec: float = 0.0
     # async clustering trigger: write commits since the last clustering
     # (hoodie.clustering.async.max.commits, HoodieClusteringConfig)
     clustering_async_max_commits: int = 4

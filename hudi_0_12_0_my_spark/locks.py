@@ -70,14 +70,72 @@ class LockProvider:
         return False
 
 
+def _pid_alive(pid: int) -> bool:
+    import os
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:     # exists, owned by someone else
+        return True
+
+
 class FileSystemLockProvider(LockProvider):
     """FileSystemBasedLockProvider.java: create-if-absent lock file via the
-    storage backend's ATOMIC exclusive create."""
+    storage backend's ATOMIC exclusive create.
+
+    Stale-lock reclaim (a crashed writer otherwise blocks the table until
+    manual cleanup — the reference docs say exactly that):
+    - ``expire_sec`` > 0: a lock older than this is force-deleted before
+      acquiring (FileSystemBasedLockProvider.checkIfExpired, the
+      hoodie.write.lock.filesystem.expire knob). Age comes from a timestamp
+      INSIDE the lock payload, portable across backends without mtime.
+    - same-host extension: a lock whose recorded host is this machine and
+      whose recorded pid no longer exists is dead by construction and
+      reclaimed immediately (never applied cross-host, where pids mean
+      nothing).
+    """
+
+    def __init__(self, path: str, timeout_sec: float = 60.0,
+                 poll_sec: float = 0.05, expire_sec: float = 0.0):
+        super().__init__(path, timeout_sec, poll_sec)
+        self.expire_sec = expire_sec
+
+    def _payload(self) -> bytes:
+        import json
+        import os
+        import socket
+        import time as _t
+        return json.dumps({"pid": os.getpid(),
+                           "host": socket.gethostname(),
+                           "ts": _t.time()}).encode()
+
+    def _stale(self, st) -> bool:
+        import json
+        import socket
+        import time as _t
+        try:
+            meta = json.loads(st.read_bytes(self.path).decode())
+        except (ValueError, OSError):
+            return False     # unreadable/legacy lock: never force-reclaim
+        if self.expire_sec > 0 and \
+                _t.time() - float(meta.get("ts", _t.time())) > self.expire_sec:
+            return True
+        return (meta.get("host") == socket.gethostname()
+                and isinstance(meta.get("pid"), int)
+                and not _pid_alive(meta["pid"]))
 
     def try_lock(self) -> bool:
-        import os
-        return get_storage(self.path).create_exclusive(
-            self.path, str(os.getpid()).encode())
+        st = get_storage(self.path)
+        if st.exists(self.path):
+            if not self._stale(st):
+                return False
+            try:
+                st.unlink(self.path)   # reference: delete expired lock file
+            except OSError:
+                return False           # someone else reclaimed first
+        return st.create_exclusive(self.path, self._payload())
 
     def unlock(self) -> None:
         get_storage(self.path).unlink(self.path)
@@ -129,7 +187,8 @@ _BUILTIN = {
 
 
 def make_lock(path: str, provider: str = "filesystem",
-              timeout_sec: float = 60.0, poll_sec: float = 0.05) -> LockProvider:
+              timeout_sec: float = 60.0, poll_sec: float = 0.05,
+              expire_sec: float = 0.0) -> LockProvider:
     """Build the configured provider (LockManager.getLockProvider)."""
     cls = _BUILTIN.get(provider)
     if cls is None:
@@ -140,4 +199,6 @@ def make_lock(path: str, provider: str = "filesystem",
             raise ValueError(
                 f"unknown lock provider {provider!r}; built-ins: "
                 f"{sorted(_BUILTIN)} or a dotted path") from e
+    if isinstance(cls, type) and issubclass(cls, FileSystemLockProvider):
+        return cls(path, timeout_sec, poll_sec, expire_sec)
     return cls(path, timeout_sec, poll_sec)

@@ -165,7 +165,15 @@ class Timeline:
         return self.instants(states=(COMPLETED,), actions=actions)
 
     def pending(self) -> list[Instant]:
-        return self.instants(states=(REQUESTED, INFLIGHT))
+        """Requested/inflight instants with NO completed state. The completed
+        file supersedes: save_completed writes it before unlinking the
+        transition files, so a crash in between leaves both on disk — such an
+        instant is a DURABLE commit with leftover bookkeeping, and treating
+        it as pending would let the failed-write healer delete committed
+        data files (found by the crash-injection sweep)."""
+        done = {(i.time, i.action) for i in self.instants(states=(COMPLETED,))}
+        return [i for i in self.instants(states=(REQUESTED, INFLIGHT))
+                if (i.time, i.action) not in done]
 
     def metadata(self, instant: Instant) -> dict:
         return read_json(self.path(instant))

@@ -220,7 +220,8 @@ class Writer:
     def _lock(self):
         from .locks import make_lock
         return make_lock(os.path.join(self.base, ".hoodie", "lock"),
-                         getattr(self.cfg, "lock_provider", "filesystem"))
+                         getattr(self.cfg, "lock_provider", "filesystem"),
+                         expire_sec=getattr(self.cfg, "lock_expire_sec", 0.0))
 
     def _guard(self):
         """Write-wide mutual exclusion in single-writer mode (plus lazy
@@ -261,6 +262,27 @@ class Writer:
                 # semantics): not a crashed write, leave it running
                 continue
             self._abort_staged(ins.time)
+        # a crash BETWEEN save_completed and the marker/staging cleanup
+        # leaves a durable commit with leftover bookkeeping: finish the
+        # deferred cleanup (the data files are live — only the marker, the
+        # emptied staging dir, and any superseded requested/inflight
+        # timeline entries are stale; never _abort_staged here)
+        done = {i.time for i in self.t.timeline.completed_write_instants()}
+        done_acts = {(i.time, i.action)
+                     for i in self.t.timeline.completed(actions=None)}
+        for ins in self.t.timeline.instants(states=(tl.REQUESTED, tl.INFLIGHT)):
+            if (ins.time, ins.action) in done_acts:
+                self.storage.unlink(self.t.timeline.path(ins))
+        mdir = os.path.join(self.base, ".hoodie", "markers")
+        if self.storage.isdir(mdir):
+            for f in self.storage.listdir(mdir):
+                if f.endswith(".json") and f[:-len(".json")] in done:
+                    self.storage.unlink(os.path.join(mdir, f))
+        tdir = os.path.join(self.base, ".hoodie", ".temp")
+        if self.storage.isdir(tdir):
+            for d in self.storage.listdir(tdir):
+                if d.rsplit("_", 1)[0] in done:
+                    rm_rf(os.path.join(tdir, d))
 
     def _commit_completed(self, instant: str, action: str, md: dict) -> None:
         """Finalize a commit. Under OCC: take the table lock, validate that no

@@ -1,0 +1,225 @@
+"""Crash-injection sweep: a writer that dies mid-write must never corrupt
+readers, and the lazy healer must converge the table back to a clean state.
+
+Mirrors the reference's failure-semantics tests (TestHoodieClientOnCopyOnWrite
+rollback of failed writes; MarkerBasedRollbackStrategy.java; HoodieTimeline
+requested->inflight->completed transitions): every driver-side storage
+mutation (timeline puts, marker writes, staged-file moves) is a potential
+crash point. The injector counts mutations on the shared LocalStorage
+singleton and, once the countdown hits zero, EVERY further mutation raises —
+the on-disk state is exactly what a dead process leaves behind. Recovery is
+then decided the way a real restart decides it: from the timeline alone.
+
+Invariants checked after every injected crash:
+  1. reader isolation — snapshot/incremental equal the model of COMPLETED
+     commits only (a crash after save_completed means the write IS durable
+     and the model must include it);
+  2. lazy healing — the next write under the single-writer guard aborts the
+     crashed leftovers: no pending write instants, no marker files;
+  3. convergence — subsequent writes succeed and the full-history
+     incremental fold equals the final model.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import zlib
+
+import pytest
+
+from hudi_0_12_0_my_spark import Engine
+from hudi_0_12_0_my_spark import storage as storage_mod
+
+SCHEMA = "id long, grp string, val double, seq long"
+GRPS = ["a", "b", "c"]
+
+# driver-side mutators a dying process stops mid-stream; reads stay intact
+MUTATORS = ["move", "atomic_put", "create_exclusive", "unlink", "rm_rf"]
+
+
+class InjectedCrash(Exception):
+    pass
+
+
+class crash_after:
+    """After ``n`` storage mutations, every further mutation raises — the
+    writer is 'dead' until the context exits (process restart). On exit any
+    lock file the dead writer held is removed: in-process the injector's pid
+    stays alive, so the engine's dead-pid reclaim (locks.py) cannot see the
+    crash — a cross-process death is reclaimed without this (test_locks)."""
+
+    def __init__(self, n: int, base_path: str | None = None):
+        self.n = n
+        self.base_path = base_path
+        self._orig: dict = {}
+
+    def __enter__(self):
+        st = storage_mod._LOCAL
+        counter = {"left": self.n}
+
+        def wrap(name, fn):
+            def inner(*a, **kw):
+                if counter["left"] <= 0:
+                    raise InjectedCrash(f"storage.{name} after countdown")
+                counter["left"] -= 1
+                return fn(*a, **kw)
+            return inner
+
+        for m in MUTATORS:
+            self._orig[m] = getattr(st, m)
+            setattr(st, m, wrap(m, self._orig[m]))
+        return self
+
+    def __exit__(self, *exc):
+        st = storage_mod._LOCAL
+        for m, fn in self._orig.items():
+            setattr(st, m, fn)
+        if self.base_path:
+            for name in ("lock", "instant_lock"):
+                lock = os.path.join(self.base_path, ".hoodie", name)
+                if os.path.exists(lock):
+                    os.unlink(lock)
+        return False
+
+
+def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
+    rng = random.Random(seed)
+    eng = Engine(spark)
+    t = eng.create_table(base_path, record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         table_type=table_type)
+    model: dict = {}       # (id, grp) -> (grp, val, seq)
+    seq = 0
+
+    def rows(ids, s):
+        return [(i, GRPS[rng.randrange(3)], float(rng.randrange(10000)) / 100,
+                 s) for i in ids]
+
+    def apply_model(data, delete=False):
+        nonlocal model
+        if delete:
+            ids = {r[0] for r in data}
+            model = {k: v for k, v in model.items() if k[0] not in ids}
+        else:
+            for (i, g, v, s) in data:
+                model[(i, g)] = (g, v, s)
+
+    def check(where):
+        got = {(r.id, r.grp): (r.grp, r.val, r.seq)
+               for r in t.snapshot().collect()}
+        assert got == model, (
+            f"{where}: diverged; missing {sorted(set(model) - set(got))[:5]} "
+            f"extra {sorted(set(got) - set(model))[:5]}")
+
+    def write(kind, data):
+        if kind == "delete":
+            ids = [r[0] for r in data]
+            from pyspark.sql import functions as F
+            t.delete(t.snapshot().filter(F.col("id").isin(ids)))
+        else:
+            getattr(t, kind)(spark.createDataFrame(data, SCHEMA))
+
+    # seed data (no injection)
+    seq += 1
+    data = rows(rng.sample(range(100), 20), seq)
+    t.upsert(spark.createDataFrame(data, SCHEMA))
+    apply_model(data)
+    check("seed")
+
+    crashes = healed_checks = 0
+    for step in range(n_steps):
+        seq += 1
+        kind = rng.choice(["upsert", "upsert", "insert", "delete"])
+        if kind == "insert":
+            taken = {k[0] for k in model}
+            ids = [i for i in rng.sample(range(100, 200), 8) if i not in taken]
+        elif kind == "delete":
+            live = sorted({k[0] for k in model})
+            if not live:
+                continue
+            ids = rng.sample(live, min(len(live), 5))
+        else:
+            ids = rng.sample(range(100), rng.randrange(5, 15))
+        data = (rows(ids, seq) if kind != "delete"
+                else [(i, "", 0.0, seq) for i in ids])
+
+        n_before = len(t.timeline.completed_write_instants())
+        k = rng.randrange(1, 30)
+        try:
+            with crash_after(k, base_path):
+                write(kind, data)
+            crashed = False
+        except InjectedCrash:
+            crashed = True
+            crashes += 1
+        if not crashed or \
+                len(t.timeline.completed_write_instants()) > n_before:
+            # either clean completion, or the crash landed AFTER the commit
+            # became durable (e.g. during marker removal): both mean the
+            # write is visible and the model must reflect it
+            apply_model(data, delete=(kind == "delete"))
+        check(f"step {step} ({'crashed' if crashed else 'ok'} {kind})")
+
+        if crashed:
+            # recovery write: the single-writer guard heals stale leftovers
+            seq += 1
+            data2 = rows(rng.sample(range(100), 5), seq)
+            write("upsert", data2)
+            apply_model(data2)
+            check(f"step {step} post-heal")
+            pend = [i for i in t.timeline.pending()
+                    if (t.timeline.metadata(i) or {}).get("operation")
+                    not in ("compact", "cluster")]
+            assert not pend, f"stale pending write instants survive: {pend}"
+            mdir = os.path.join(base_path, ".hoodie", "markers")
+            if os.path.isdir(mdir):
+                assert not os.listdir(mdir), "stale marker files survive heal"
+            healed_checks += 1
+
+    assert crashes >= 2, f"seed {seed} injected only {crashes} crashes"
+    # full-history incremental equals the final state
+    inc = {(r.id, r.grp): (r.grp, r.val, r.seq)
+           for r in t.incremental(begin="0").collect()}
+    assert inc == model
+    return crashes, healed_checks
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_crash_dag(spark, tmp_path, table_type):
+    seed = zlib.crc32(f"crash-{table_type}".encode())
+    run_crash_dag(spark, str(tmp_path / "t"), table_type, seed)
+
+
+def test_crash_during_compaction(spark, tmp_path):
+    """A compaction that dies mid-run leaves the table readable at its
+    pre-compaction state; once its heartbeat goes stale the healer aborts
+    the inflight run and a fresh compaction succeeds."""
+    from hudi_0_12_0_my_spark import util
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "t"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         table_type="mor")
+    data1 = [(i, GRPS[i % 3], float(i), 1) for i in range(12)]
+    data2 = [(i, GRPS[i % 3], 100.0 + i, 2) for i in range(6)]
+    t.bulk_insert(spark.createDataFrame(data1, SCHEMA))
+    t.upsert(spark.createDataFrame(data2, SCHEMA))
+    want = {(r[0], r[1]): (r[2], r[3]) for r in data1}
+    want.update({(r[0], r[1]): (r[2], r[3]) for r in data2})
+
+    with pytest.raises(InjectedCrash):
+        with crash_after(2, str(tmp_path / "t")):
+            t.compact()
+    got = {(r.id, r.grp): (r.val, r.seq) for r in t.snapshot().collect()}
+    assert got == want
+    # age out the crashed run's heartbeat, then heal + re-compact
+    hb_dir = os.path.join(str(tmp_path / "t"), ".hoodie", ".heartbeat")
+    if os.path.isdir(hb_dir):
+        for f in os.listdir(hb_dir):
+            with open(os.path.join(hb_dir, f), "w") as fh:
+                fh.write(str(util.HEARTBEAT_TOLERANCE_SEC * -10))
+    t.upsert(spark.createDataFrame([(0, GRPS[0], 999.0, 3)], SCHEMA))
+    want[(0, GRPS[0])] = (999.0, 3)
+    t.compact()
+    got = {(r.id, r.grp): (r.val, r.seq) for r in t.snapshot().collect()}
+    assert got == want

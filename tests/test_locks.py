@@ -113,3 +113,57 @@ def test_multiprocess_lock_contention(tmp_path, backend):
     assert all("HAMMER DONE" in o for o in outs)
     with open(counter) as fh:
         assert int(fh.read()) == 80
+
+
+def test_dead_pid_lock_reclaim(tmp_path):
+    """A lock held by a dead same-host process is reclaimed immediately
+    (local extension to FileSystemBasedLockProvider, whose docs otherwise
+    require manual cleanup after a writer crash)."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    import time
+    from hudi_0_12_0_my_spark.locks import FileSystemLockProvider
+
+    path = str(tmp_path / "lock")
+    # a real process that has exited -> its pid is dead by construction
+    p = subprocess.Popen([sys.executable, "-c", "pass"])
+    p.wait()
+    with open(path, "w") as fh:
+        json.dump({"pid": p.pid, "host": socket.gethostname(),
+                   "ts": time.time()}, fh)
+    lk = FileSystemLockProvider(path, timeout_sec=2)
+    assert lk.try_lock()                 # reclaimed + acquired
+    lk.unlock()
+
+
+def test_live_pid_lock_not_reclaimed(tmp_path):
+    import os
+    from hudi_0_12_0_my_spark.locks import FileSystemLockProvider
+    path = str(tmp_path / "lock")
+    holder = FileSystemLockProvider(path)
+    assert holder.try_lock()             # held by THIS live process
+    other = FileSystemLockProvider(path, timeout_sec=0.2, poll_sec=0.05)
+    assert not other.try_lock()
+    with pytest.raises(TimeoutError):
+        other.__enter__()
+    holder.unlock()
+
+
+def test_expired_lock_reclaim(tmp_path):
+    """Age-based expiry (hoodie.write.lock.filesystem.expire): a lock older
+    than expire_sec is force-deleted before acquiring."""
+    import json
+    import os
+    import socket
+    import time
+    from hudi_0_12_0_my_spark.locks import FileSystemLockProvider
+    path = str(tmp_path / "lock")
+    with open(path, "w") as fh:          # live pid, but ancient timestamp
+        json.dump({"pid": os.getpid(), "host": socket.gethostname(),
+                   "ts": time.time() - 3600}, fh)
+    assert not FileSystemLockProvider(path).try_lock()           # no expiry
+    lk = FileSystemLockProvider(path, expire_sec=60.0)
+    assert lk.try_lock()
+    lk.unlock()
