@@ -82,8 +82,21 @@ class FileSystemView:
             stream = [(i, None) for i in timeline.completed()
                       if i.time > manifest["instant"]]
         else:
+            # dedupe by (time, action): a crash between writing an archived
+            # batch and unlinking the active instants leaves both copies, and
+            # folding an instant twice duplicates its slices
             stream = timeline.archived() + [(i, None) for i in timeline.completed()]
             stream.sort(key=lambda im: (im[0].time, im[0].action))
+            seen: set = set()
+            stream = [(i, md) for i, md in stream
+                      if not ((i.time, i.action) in seen
+                              or seen.add((i.time, i.action)))]
+        # PENDING clean plans fold like completed cleans: plan-then-execute
+        # means a planned file may already be deleted even though the clean
+        # instant hasn't completed — readers must treat the whole plan as
+        # gone (services/cleaner.py; found by the crash-injection sweep)
+        stream += [(i, None) for i in timeline.pending()
+                   if i.action == tl.CLEAN]
         if upto is not None:
             stream = [(i, md) for i, md in stream if i.time <= upto]
         self._fold(timeline, stream)

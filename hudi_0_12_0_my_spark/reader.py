@@ -204,6 +204,19 @@ class Reader:
             return df.filter(filters)
         return df.filter(filters)
 
+    def _write_history(self) -> list:
+        """(instant, metadata) for every write commit, archived + active,
+        deduped by (time, action): a crash mid-archival leaves an instant in
+        both the batch file and the active dir, and enumerating its files
+        twice would duplicate every row it wrote in incremental reads."""
+        hist = [(i, md) for i, md in self.t.timeline.archived()
+                if i.action in tl.WRITE_ACTIONS]
+        seen = {(i.time, i.action) for i, _ in hist}
+        hist += [(i, self.t.timeline.metadata(i))
+                 for i in self.t.timeline.completed_write_instants()
+                 if (i.time, i.action) not in seen]
+        return hist
+
     # ----------------------------------------------------------- query API
     def snapshot(self, as_of: str | None = None, filters=None,
                  keep_meta: bool = False, key_probe: DataFrame | None = None) -> DataFrame:
@@ -286,10 +299,7 @@ class Reader:
         # archived commits' files (HoodieArchivedTimeline serves exactly
         # this; found by the randomized DAG suite when `archive` joined the
         # service mix)
-        hist = [(i, md) for i, md in self.t.timeline.archived()
-                if i.action in tl.WRITE_ACTIONS]
-        hist += [(i, self.t.timeline.metadata(i))
-                 for i in self.t.timeline.completed_write_instants()]
+        hist = self._write_history()
         in_range = [(i, md) for i, md in hist
                     if i.time > begin and (end is None or i.time <= end)]
         # file groups replaced at-or-before `end` (insert_overwrite /
@@ -409,10 +419,7 @@ class Reader:
                         f"instants >= {er}; choose begin within retention")
         # archived write instants count too: a begin older than the archive
         # boundary must still see the archived commits' touched partitions
-        hist = [(i, md) for i, md in self.t.timeline.archived()
-                if i.action in tl.WRITE_ACTIONS]
-        hist += [(i, self.t.timeline.metadata(i))
-                 for i in self.t.timeline.completed_write_instants()]
+        hist = self._write_history()
         instants = [i for i, _md in hist
                     if i.time > begin and (end is None or i.time <= end)]
         touched: set[str] = set()

@@ -71,6 +71,15 @@ def archive_timeline(table, retain_active: int = 20) -> dict:
     """Checkpoint the folded view, then move older completed instants into one
     archived batch file."""
     timeline = table.timeline
+    # heal a crash between writing a batch file and unlinking the archived
+    # instants from the active timeline: the batch is authoritative (it is
+    # written atomically before any unlink), so active copies of archived
+    # instants are leftovers — finish the deferred unlinks first
+    in_archive = {(i.time, i.action) for i, _ in timeline.archived()}
+    if in_archive:
+        for i in timeline.completed():
+            if (i.time, i.action) in in_archive:
+                get_storage(timeline.path(i)).unlink(timeline.path(i))
     completed = [i for i in timeline.completed() if i.action != tl.SAVEPOINT]
     if len(completed) <= retain_active:
         return {"archived": 0}

@@ -18,25 +18,49 @@ from .. import timeline as tl
 from ..storage import get_storage
 
 
+def _execute_plan(table, instant: str, md: dict) -> None:
+    """Delete the planned files, then complete the clean instant. Idempotent
+    (unlink tolerates already-gone files), so a crashed execution replays
+    safely (HoodieCleanActionExecutor.runPendingClean)."""
+    for paths in (md.get("removed_files") or {}).values():
+        for rel in paths:
+            p = table.abs(rel)
+            get_storage(p).unlink(p)
+    table.timeline.save_completed(instant, tl.CLEAN, md)
+
+
+def finish_pending_cleans(table) -> int:
+    """Replay crashed clean plans before anything else — plan-then-execute
+    means a pending clean's file list is authoritative and its deletes may
+    have partially happened."""
+    n = 0
+    for ins in table.timeline.pending():
+        if ins.action == tl.CLEAN:
+            _execute_plan(table, ins.time, table.timeline.metadata(ins))
+            n += 1
+    return n
+
+
 def run_clean(table, policy: str | None = None, retain: int | None = None) -> dict:
     cfg = table.cfg
     policy = policy or cfg.cleaner_policy
+    finish_pending_cleans(table)
     view = table.view()
     writes = table.timeline.completed_write_instants()
     removed: dict = {}
     earliest_retained = None
 
-    def _remove(path_rel):
-        p = table.abs(path_rel)
-        get_storage(p).unlink(p)
-        return path_rel
-
     def _remove_slice(partition, s):
+        # PLAN only — deletes happen in _execute_plan after the requested
+        # clean instant (with the full file list) is durably on the
+        # timeline, mirroring CleanPlanner -> requested plan -> executor.
+        # A crash mid-delete therefore leaves a replayable plan instead of
+        # silently missing files (found by the crash-injection sweep).
         if s.base_file.path in view.savepointed_files:
             return
-        removed.setdefault(partition, []).append(_remove(s.base_file.path))
+        removed.setdefault(partition, []).append(s.base_file.path)
         for d in s.deltas:
-            removed.setdefault(partition, []).append(_remove(d.path))
+            removed.setdefault(partition, []).append(d.path)
 
     def _clean_replaced_group(partition, g, boundary):
         """A group replaced by insert_overwrite / delete_partition /
@@ -101,5 +125,6 @@ def run_clean(table, policy: str | None = None, retain: int | None = None) -> di
         md = {"operation": "clean", "policy": policy, "removed_files": removed}
         if earliest_retained:
             md["earliest_retained_instant"] = earliest_retained
-        table.timeline.save_completed(instant, tl.CLEAN, md)
+        table.timeline.save_requested(instant, tl.CLEAN, md)
+        _execute_plan(table, instant, md)
     return {"removed": nremoved, "files": removed}

@@ -250,6 +250,14 @@ class Writer:
         fully aborted and must be rescheduled."""
         from .util import heartbeat_fresh
         for ins in self.t.timeline.pending():
+            if ins.action == tl.CLEAN:
+                # a crashed clean left a replayable plan: its deletes may
+                # have partially run, so finish them (idempotent) rather
+                # than waiting for the next clean (runPendingClean)
+                from .services.cleaner import _execute_plan
+                _execute_plan(self.t, ins.time,
+                              self.t.timeline.metadata(ins))
+                continue
             if ins.action not in (tl.COMMIT, tl.DELTACOMMIT, tl.REPLACECOMMIT):
                 continue
             md = self.t.timeline.metadata(ins) or {}

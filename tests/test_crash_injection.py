@@ -161,6 +161,23 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
             apply_model(data, delete=(kind == "delete"))
         check(f"step {step} ({'crashed' if crashed else 'ok'} {kind})")
 
+        # service phase, also crash-injected: a dying cleaner must leave a
+        # replayable plan (never silently-missing files), a dying archiver
+        # must never double-fold instants left in both archive and active
+        svc = rng.choice(["none", "none", "clean", "archive", "compact"])
+        if svc != "none" and not (svc == "compact" and table_type == "cow"):
+            try:
+                with crash_after(rng.randrange(1, 12), base_path):
+                    if svc == "clean":
+                        t.clean(policy="KEEP_LATEST_COMMITS", retain=4)
+                    elif svc == "archive":
+                        t.archive(retain_active=6)
+                    else:
+                        t.compact()
+            except InjectedCrash:
+                crashes += 1
+            check(f"step {step} post-{svc}-crash")
+
         if crashed:
             # recovery write: the single-writer guard heals stale leftovers
             seq += 1
@@ -168,13 +185,20 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
             write("upsert", data2)
             apply_model(data2)
             check(f"step {step} post-heal")
+            # legitimately-pending state after a heal: scheduled service
+            # plans and heartbeat-fresh (live-looking) service runs; crashed
+            # WRITES and clean plans must be gone
             pend = [i for i in t.timeline.pending()
                     if (t.timeline.metadata(i) or {}).get("operation")
                     not in ("compact", "cluster")]
             assert not pend, f"stale pending write instants survive: {pend}"
+            # markers may only belong to still-pending instants
+            pend_ok = {i.time for i in t.timeline.pending()}
             mdir = os.path.join(base_path, ".hoodie", "markers")
             if os.path.isdir(mdir):
-                assert not os.listdir(mdir), "stale marker files survive heal"
+                orphans = [f for f in os.listdir(mdir)
+                           if f[:-len(".json")] not in pend_ok]
+                assert not orphans, f"orphan marker files survive heal: {orphans}"
             healed_checks += 1
 
     assert crashes >= 2, f"seed {seed} injected only {crashes} crashes"
