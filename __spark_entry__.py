@@ -1691,6 +1691,34 @@ def q_emb_quantized_topk(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_emb_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss reduction 64 -> 16 dims with a deterministic
+    Rademacher matrix derived from md5 parities (Achlioptas'01), one
+    map-only pass (operators/similarity.py random_projection). DuckDB
+    re-derives the identical matrix from the same md5 parities and replays
+    every projected component; values rounded to 6 both sides."""
+    from hudi_0_12_0_my_spark.operators import random_projection
+    emb = _read(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, in_dim=64, out_dim=16)
+    return (proj.select("vec_id",
+                        F.posexplode("projected").alias("dim_idx", "val"))
+            .select("vec_id", F.col("dim_idx").cast("int").alias("dim_idx"),
+                    F.round("val", 6).alias("val")))
+
+
+def q_emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining: per query the top-k corpus rows with cosine in
+    [0.15, 0.35) — informative negatives below the near-dup band
+    (operators/similarity.py hard_negatives; broadcast query side, band
+    filter before the rank exchange). Integer-only output, oracle-exact."""
+    from hudi_0_12_0_my_spark.operators import hard_negatives
+    emb = _read(spark, sf_dir, "embeddings")
+    res = hard_negatives(emb, emb.filter("vec_id < 5"), k=10,
+                         lo=0.15, hi=0.35)
+    return res.select("query_id", "neighbor_id",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_docs_lsh_edit_verify(spark, sf_dir):
     """Generate-then-verify near-dup: portable-hash MinHash-LSH candidates
     re-checked with exact levenshtein on 200-char normalized prefixes.
@@ -2245,6 +2273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": q_emb_topk,
         "emb_kmeans": q_emb_kmeans,
         "emb_quantized_topk": q_emb_quantized_topk,
+        "emb_random_projection": q_emb_random_projection,
+        "emb_hard_negatives": q_emb_hard_negatives,
         "docs_lsh_edit_verify": q_docs_lsh_edit_verify,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
@@ -2266,7 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # registered query accumulates an official green row across rounds. The
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
-    "precommit_guard",
+    "precommit_guard", "emb_random_projection", "emb_hard_negatives",
     "emb_kmeans", "emb_quantized_topk", "docs_lsh_edit_verify",
     "schema_evolution_widen", "cow_snapshot_orc", "multimodal_phash_dedup",
     "q13_custdist", "q15_top_supplier", "q17_small_qty", "q18_large_orders",
@@ -3288,6 +3318,26 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY qcosine DESC, neighbor_id) AS rn
       FROM s)
 WHERE rn <= 10""",
+        # identical md5-parity Rademacher matrix re-derived in SQL
+        "emb_random_projection": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT CAST(i AS INT) AS dim_idx FROM range(0, 16) t(i)),
+proj AS (SELECT vec_id, dim_idx,
+    list_sum(list_transform(range(1, 65), j -> v[j] *
+      (CASE WHEN ('0x'||substr(md5('rp-'||CAST(dim_idx AS VARCHAR)||'-'||
+                                    CAST(j-1 AS VARCHAR)),1,15))::BIGINT % 2 = 0
+            THEN 1.0 ELSE -1.0 END))) / sqrt(16.0) AS val
+  FROM e, d)
+SELECT vec_id, dim_idx, round(val, 6) AS val FROM proj""",
+        "emb_hard_negatives": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (SELECT qid, vec_id AS nid, list_cosine_similarity(qe, embedding) AS c
+      FROM embeddings, q WHERE vec_id <> qid),
+b AS (SELECT * FROM s WHERE c >= 0.15 AND c < 0.35),
+r AS (SELECT qid AS query_id, nid AS neighbor_id,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rank
+      FROM b)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""",
         # pair pipeline replayed as above, closed transitively with a
         # recursive CTE — exact duplicate-cluster memberships
         "multimodal_features": """

@@ -28,7 +28,8 @@ from .sessions import (sessionize, session_stats, funnel_stats,
 from .similarity import (cosine_topk, ivf_cosine_topk,
                          embedding_near_dup_pairs, hyperplane_signatures,
                          lsh_cosine_topk, semantic_dedup, kmeans_assign,
-                         quantize_int8, quantized_cosine_topk)
+                         quantize_int8, quantized_cosine_topk,
+                         random_projection, hard_negatives)
 from .joins import interval_join, salted_join
 from .lm import lm_log_prob, lm_outliers, linear_text_score, tfidf_keywords
 from .profile import profile

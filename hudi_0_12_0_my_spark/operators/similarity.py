@@ -320,3 +320,69 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     return (pairs.withColumn("cosine", cos)
                  .filter(F.col("cosine") >= threshold)
                  .select("id_a", "id_b", "cosine"))
+
+
+def _md5_sign(tag: str) -> float:
+    """Engine-portable Rademacher component: +1/-1 from the md5 parity of a
+    tag string — Spark, DuckDB and Python derive the identical matrix, so
+    oracles replay the projection exactly (the portable_md5 convention used
+    by the MinHash/SimHash operators)."""
+    import hashlib
+    return 1.0 if int(hashlib.md5(tag.encode()).hexdigest()[:15], 16) % 2 == 0 \
+        else -1.0
+
+
+def random_projection(df: DataFrame, in_dim: int, out_dim: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      scale: bool = True) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a deterministic
+    Rademacher (±1) matrix (Achlioptas'01 database-friendly construction —
+    same distance-preservation guarantee as gaussian, integer-friendly).
+
+    The out_dim x in_dim matrix is derived driver-side from md5 parities and
+    embedded as literal arrays, so the projection is ONE map-only pass per
+    row (out_dim folded dot products inside whole-stage codegen): no
+    shuffle, no UDF, no broadcast — at 100 TB it runs at scan speed and cuts
+    every downstream ANN/cluster scan by in_dim/out_dim.
+
+    Output: (id, projected array<double>); scale=True multiplies by
+    1/sqrt(out_dim) so expected norms are preserved (the JL scaling).
+    """
+    planes = [[_md5_sign(f"rp-{i}-{j}") for j in range(in_dim)]
+              for i in range(out_dim)]
+    s = 1.0 / (out_dim ** 0.5) if scale else 1.0
+    v = F.col(vec_col).cast("array<double>")
+    comps = [(_dot(v, F.array(*[F.lit(x) for x in p])) * F.lit(s))
+             for p in planes]
+    return df.select(F.col(id_col), F.array(*comps).alias("projected"))
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   lo: float = 0.3, hi: float = 0.8,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-k
+    most-similar corpus rows whose cosine falls inside [lo, hi) — close
+    enough to be informative negatives, below the near-duplicate band that
+    would make them false negatives.
+
+    Same plan shape as cosine_topk (broadcast query side, map-only scoring,
+    one per-query k-row reduction); the band filter runs before the window
+    so out-of-band rows never enter the rank exchange.
+
+    Output: (query_id, neighbor_id, rank).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"))
+    cos = _dot(F.col("qvec"), F.col("cvec")) / \
+        (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+    banded = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cosine", cos)
+              .filter((F.col("cosine") >= lo) & (F.col("cosine") < hi)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (banded.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))

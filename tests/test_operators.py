@@ -852,3 +852,34 @@ def test_edit_verified_pairs_kills_lsh_false_positives(spark):
                prefix_len=200, edit_sim_threshold=0.9).collect()}
     assert (1, 2) in out and out[(1, 2)] == 1.0
     assert all(k[0] in (1, 2) and k[1] in (1, 2) for k in out)
+
+
+def test_random_projection_preserves_relative_distances(emb):
+    """JL projection 8 -> 4: deterministic (same matrix every call), linear
+    (proj(a) - proj(b) == proj(a-b)), and the near-duplicate pair (0, 100)
+    stays far closer than a random pair after projection."""
+    import math
+    p1 = {r.vec_id: r.projected
+          for r in ops.random_projection(emb, in_dim=8, out_dim=4).collect()}
+    p2 = {r.vec_id: r.projected
+          for r in ops.random_projection(emb, in_dim=8, out_dim=4).collect()}
+    assert p1 == p2                                    # deterministic matrix
+    assert all(len(v) == 4 for v in p1.values())
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+    assert d(p1[0], p1[100]) < 0.01                    # near-dup stays near
+    assert d(p1[0], p1[20]) > 10 * d(p1[0], p1[100])
+
+
+def test_hard_negatives_band_and_rank(emb):
+    got = ops.hard_negatives(emb, emb.filter("vec_id = 0"), k=5,
+                             lo=0.2, hi=0.9).collect()
+    assert 0 < len(got) <= 5
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    # the near-duplicate (cos ~ 1.0) sits ABOVE the band -> excluded
+    assert all(r.neighbor_id != 100 for r in got)
+    # every returned neighbor really is inside the band
+    cos = {r.neighbor_id: r.cosine
+           for r in ops.cosine_topk(emb, emb.filter("vec_id = 0"), k=50).collect()}
+    assert all(0.2 <= cos[r.neighbor_id] < 0.9 for r in got)

@@ -545,3 +545,26 @@ def test_edit_verify_stage_no_python_no_cartesian(spark):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_random_projection_plan_is_map_only_jvm(spark):
+    """JL projection: the md5-derived Rademacher matrix folds into literal
+    arrays inside ONE map-only projection — no join, no exchange, no
+    Python. At 100 TB this is a pure scan-speed pass."""
+    from hudi_0_12_0_my_spark.operators import random_projection
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(random_projection(emb, in_dim=64, out_dim=8))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_hard_negatives_broadcasts_queries_filters_before_rank(spark):
+    """Hard-negative mining keeps the cosine_topk shape (broadcast query
+    side, corpus never pre-exchanged) and the band filter sits below the
+    rank window so out-of-band rows never enter the exchange."""
+    from hudi_0_12_0_my_spark.operators import hard_negatives
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(hard_negatives(emb, emb.filter("vec_id < 3"), k=5))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
