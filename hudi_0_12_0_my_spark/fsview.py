@@ -91,12 +91,23 @@ class FileSystemView:
             stream = [(i, md) for i, md in stream
                       if not ((i.time, i.action) in seen
                               or seen.add((i.time, i.action)))]
-        # PENDING clean plans fold like completed cleans: plan-then-execute
-        # means a planned file may already be deleted even though the clean
-        # instant hasn't completed — readers must treat the whole plan as
-        # gone (services/cleaner.py; found by the crash-injection sweep)
-        stream += [(i, None) for i in timeline.pending()
-                   if i.action == tl.CLEAN]
+        # PENDING clean plans fold like completed cleans, and commits
+        # targeted by a PENDING rollback plan are hidden: plan-then-execute
+        # means planned files may already be deleted even though the
+        # service instant hasn't completed — readers must treat the whole
+        # plan as applied (services/cleaner.py, services/rollback.py;
+        # found by the crash-injection sweep)
+        pend = timeline.pending()
+        rolled = set()
+        for i in pend:
+            if i.action == tl.ROLLBACK:
+                rolled.add((timeline.metadata(i) or {})
+                           .get("rolled_back_instant"))
+        if rolled:
+            stream = [(i, md) for i, md in stream
+                      if not (i.action in tl.WRITE_ACTIONS
+                              and i.time in rolled)]
+        stream += [(i, None) for i in pend if i.action == tl.CLEAN]
         if upto is not None:
             stream = [(i, md) for i, md in stream if i.time <= upto]
         self._fold(timeline, stream)

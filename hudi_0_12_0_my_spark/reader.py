@@ -215,6 +215,13 @@ class Reader:
         hist += [(i, self.t.timeline.metadata(i))
                  for i in self.t.timeline.completed_write_instants()
                  if (i.time, i.action) not in seen]
+        # commits targeted by a PENDING rollback plan are already dead
+        # (plan-then-execute: their files may be half-deleted)
+        rolled = {(self.t.timeline.metadata(i) or {}).get("rolled_back_instant")
+                  for i in self.t.timeline.pending()
+                  if i.action == tl.ROLLBACK}
+        if rolled:
+            hist = [(i, md) for i, md in hist if i.time not in rolled]
         return hist
 
     # ----------------------------------------------------------- query API

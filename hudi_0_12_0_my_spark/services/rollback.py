@@ -37,11 +37,54 @@ def _restore_rings(table, md: dict, instant_time: str) -> None:
         bk.save_ring(table.base_path, p, nodes, f"rollback-{instant_time}")
 
 
-def rollback_instant(table, instant_time: str, _allow_non_latest: bool = False) -> dict:
+def _execute_rollback(table, rb_instant: str, plan: dict) -> dict:
+    """Execute a planned rollback. Every step is idempotent, so a crashed
+    execution replays safely from its requested plan (the rollback analogue
+    of HoodieCleanActionExecutor.runPendingClean)."""
     timeline = table.timeline
+    target = plan["rolled_back_instant"]
+    _delete_files(table, plan.get("deleted_files") or [])
+    _restore_rings(table, plan, target)
+    timeline.remove(target)
+    if plan.get("was_completed"):
+        # a manifest checkpoint folded at/after this instant bakes its files
+        # into the view state — drop it so the view re-folds without them
+        from .archival import invalidate_manifests_from
+        invalidate_manifests_from(table.base_path, target)
+    marker = table.writer._marker_path(target)
+    if get_storage(marker).exists(marker):
+        get_storage(marker).unlink(marker)
+    temp_root = os.path.join(table.base_path, ".hoodie", ".temp")
+    st = get_storage(temp_root)
+    if st.isdir(temp_root):
+        for d in st.listdir(temp_root):
+            if d.startswith(target):
+                rm_rf(os.path.join(temp_root, d))
+    timeline.save_completed(rb_instant, tl.ROLLBACK, plan)
+    return plan
+
+
+def finish_pending_rollbacks(table) -> int:
+    """Replay crashed rollback plans (their deletes may have partially run;
+    the plan's file list is authoritative)."""
+    n = 0
+    for ins in table.timeline.pending():
+        if ins.action == tl.ROLLBACK:
+            _execute_rollback(table, ins.time, table.timeline.metadata(ins))
+            n += 1
+    return n
+
+
+def rollback_instant(table, instant_time: str, _allow_non_latest: bool = False) -> dict:
+    """Plan-then-execute: the requested rollback instant carries the full
+    file list and ring-restore state BEFORE any delete, so a crash mid-way
+    leaves a replayable plan and the file-system view hides the target
+    commit the moment the plan lands (never a committed instant pointing at
+    half-deleted files — found by the crash-injection sweep)."""
+    timeline = table.timeline
+    finish_pending_rollbacks(table)
     completed = [i for i in timeline.completed_write_instants() if i.time == instant_time]
     pending = [i for i in timeline.pending() if i.time == instant_time]
-    deleted: list[str] = []
     if completed:
         ins = completed[0]
         latest = timeline.latest_completed_write()
@@ -52,45 +95,38 @@ def rollback_instant(table, instant_time: str, _allow_non_latest: bool = False) 
         md = timeline.metadata(ins)
         rels = [st["path"] for sts in (md.get("partition_to_write_stats") or {}).values()
                 for st in sts]
-        deleted = _delete_files(table, rels)
-        _restore_rings(table, md, instant_time)
-        timeline.remove(instant_time, ins.action)
-        # a manifest checkpoint folded at/after this instant bakes its files
-        # into the view state — drop it so the view re-folds without them
-        from .archival import invalidate_manifests_from
-        invalidate_manifests_from(table.base_path, instant_time)
+        plan = {"operation": "rollback", "rolled_back_instant": instant_time,
+                "deleted_files": rels, "was_completed": True,
+                "prev_rings": md.get("prev_rings")}
     elif pending:
         marker = table.writer._marker_path(instant_time)
-        if get_storage(marker).exists(marker):
-            deleted = _delete_files(table, read_json(marker)["files"])
-            get_storage(marker).unlink(marker)
+        rels = read_json(marker)["files"] \
+            if get_storage(marker).exists(marker) else []
+        prev_rings = None
         for ins in pending:
             try:
-                _restore_rings(table, timeline.metadata(ins), instant_time)
+                prev_rings = (timeline.metadata(ins) or {}).get("prev_rings") \
+                    or prev_rings
             except (OSError, ValueError):
                 pass
-            timeline.remove(instant_time, ins.action)
-        # drop any staging leftovers of the crashed write
-        temp_root = os.path.join(table.base_path, ".hoodie", ".temp")
-        st = get_storage(temp_root)
-        if st.isdir(temp_root):
-            for d in st.listdir(temp_root):
-                if d.startswith(instant_time):
-                    rm_rf(os.path.join(temp_root, d))
+        plan = {"operation": "rollback", "rolled_back_instant": instant_time,
+                "deleted_files": rels, "was_completed": False,
+                "prev_rings": prev_rings}
     else:
         raise ValueError(f"no instant {instant_time} on the timeline")
     rb = timeline.new_instant()
-    md = {"operation": "rollback", "rolled_back_instant": instant_time,
-          "deleted_files": deleted}
-    timeline.save_completed(rb, tl.ROLLBACK, md)
-    return md
+    timeline.save_requested(rb, tl.ROLLBACK, plan)
+    return _execute_rollback(table, rb, plan)
 
 
 def rollback_pending(table) -> dict:
     """Roll back every crashed/incomplete instant (HoodieWriteClient's
     rollbackFailedWrites on startup)."""
     out = {"rolled_back": []}
+    finish_pending_rollbacks(table)
     for ins in table.timeline.pending():
+        if ins.action not in tl.WRITE_ACTIONS:
+            continue
         rollback_instant(table, ins.time)
         out["rolled_back"].append(ins.time)
     return out

@@ -258,6 +258,12 @@ class Writer:
                 _execute_plan(self.t, ins.time,
                               self.t.timeline.metadata(ins))
                 continue
+            if ins.action == tl.ROLLBACK:
+                # same for crashed rollback plans (services/rollback.py)
+                from .services.rollback import _execute_rollback
+                _execute_rollback(self.t, ins.time,
+                                  self.t.timeline.metadata(ins))
+                continue
             if ins.action not in (tl.COMMIT, tl.DELTACOMMIT, tl.REPLACECOMMIT):
                 continue
             md = self.t.timeline.metadata(ins) or {}

@@ -30,6 +30,7 @@ import pytest
 
 from hudi_0_12_0_my_spark import Engine
 from hudi_0_12_0_my_spark import storage as storage_mod
+from hudi_0_12_0_my_spark import timeline as tl
 
 SCHEMA = "id long, grp string, val double, seq long"
 GRPS = ["a", "b", "c"]
@@ -153,13 +154,35 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
         except InjectedCrash:
             crashed = True
             crashes += 1
-        if not crashed or \
-                len(t.timeline.completed_write_instants()) > n_before:
+        pre_write_model = dict(model)
+        applied = not crashed or \
+            len(t.timeline.completed_write_instants()) > n_before
+        if applied:
             # either clean completion, or the crash landed AFTER the commit
             # became durable (e.g. during marker removal): both mean the
             # write is visible and the model must reflect it
             apply_model(data, delete=(kind == "delete"))
         check(f"step {step} ({'crashed' if crashed else 'ok'} {kind})")
+
+        # rollback phase, crash-injected: a dying rollback must leave a
+        # replayable plan that hides the target commit immediately (never a
+        # committed instant pointing at half-deleted files)
+        if applied and not crashed and rng.random() < 0.3:
+            wi = t.timeline.completed_write_instants()[-1].time
+            try:
+                with crash_after(rng.randrange(1, 8), base_path):
+                    t.rollback(wi)
+            except InjectedCrash:
+                crashed = True       # reuse the heal/recovery phase below
+                crashes += 1
+            still = any(i.time == wi
+                        for i in t.timeline.completed_write_instants())
+            targeted = wi in {
+                (t.timeline.metadata(i) or {}).get("rolled_back_instant")
+                for i in t.timeline.pending() if i.action == tl.ROLLBACK}
+            if targeted or not still:
+                model = pre_write_model      # rollback took effect
+            check(f"step {step} post-rollback-crash")
 
         # service phase, also crash-injected: a dying cleaner must leave a
         # replayable plan (never silently-missing files), a dying archiver
