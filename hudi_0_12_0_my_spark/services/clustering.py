@@ -113,6 +113,13 @@ def schedule_clustering(table, sort_cols: list | None = None,
         return None
     with table.writer._lock():
         instant = table.timeline.new_instant()
+        # Stamp a heartbeat at schedule time: a requested cluster plan
+        # REJECTS concurrent updates to its groups, so a plan whose owner
+        # died before running it would block writers forever. The healer
+        # aborts requested cluster plans once the heartbeat goes stale
+        # (hoodie.clustering.rollback.pending.replacecommit semantics);
+        # the async runner keeps beating while it executes.
+        touch_heartbeat(table.base_path, instant)
         plan = {"operation": "cluster", "layout": layout,
                 "boundary_mode": boundary_mode,
                 "sort_cols": sort_cols or [],

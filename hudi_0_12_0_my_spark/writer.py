@@ -249,33 +249,58 @@ class Writer:
         schedule/run split) and is kept; an INFLIGHT one (crash mid-run) is
         fully aborted and must be rescheduled."""
         from .util import heartbeat_fresh
+        aborted: set = set()
         for ins in self.t.timeline.pending():
+            if ins.time in aborted:
+                # _abort_staged removed EVERY state file of that instant;
+                # the snapshot taken above may still carry its other
+                # (requested/inflight) entry
+                continue
+            try:
+                md = self.t.timeline.metadata(ins) or {}
+            except FileNotFoundError:
+                # an earlier iteration completed/aborted this instant's
+                # other state entry and unlinked this file with it
+                continue
             if ins.action == tl.CLEAN:
                 # a crashed clean left a replayable plan: its deletes may
                 # have partially run, so finish them (idempotent) rather
                 # than waiting for the next clean (runPendingClean)
                 from .services.cleaner import _execute_plan
-                _execute_plan(self.t, ins.time,
-                              self.t.timeline.metadata(ins))
+                _execute_plan(self.t, ins.time, md)
+                aborted.add(ins.time)
                 continue
             if ins.action == tl.ROLLBACK:
                 # same for crashed rollback plans (services/rollback.py)
                 from .services.rollback import _execute_rollback
-                _execute_rollback(self.t, ins.time,
-                                  self.t.timeline.metadata(ins))
+                _execute_rollback(self.t, ins.time, md)
+                aborted.add(ins.time)
                 continue
             if ins.action not in (tl.COMMIT, tl.DELTACOMMIT, tl.REPLACECOMMIT):
                 continue
-            md = self.t.timeline.metadata(ins) or {}
-            if md.get("operation") in ("compact", "cluster") \
-                    and ins.state == tl.REQUESTED:
-                # legitimate schedule/run split plans, not crashed writes
+            if md.get("operation") == "compact" and ins.state == tl.REQUESTED:
+                # legitimate schedule/run split plan, not a crashed write;
+                # harmless to keep indefinitely (updates still append logs
+                # above the plan's baseline, nothing is blocked)
+                continue
+            if md.get("operation") == "cluster" and ins.state == tl.REQUESTED:
+                # a requested cluster plan REJECTS updates to its groups
+                # (SparkRejectUpdateStrategy), so one whose owner died would
+                # block writers forever: keep it only while its heartbeat is
+                # fresh (scheduler stamps one; the runner keeps beating),
+                # abort it once stale — the reference's
+                # hoodie.clustering.rollback.pending.replacecommit
+                if heartbeat_fresh(self.base, ins.time):
+                    continue
+                self._abort_staged(ins.time)
+                aborted.add(ins.time)
                 continue
             if heartbeat_fresh(self.base, ins.time):
                 # a LIVE async service execution (HoodieHeartbeatClient
                 # semantics): not a crashed write, leave it running
                 continue
             self._abort_staged(ins.time)
+            aborted.add(ins.time)
         # a crash BETWEEN save_completed and the marker/staging cleanup
         # leaves a durable commit with leftover bookkeeping: finish the
         # deferred cleanup (the data files are live — only the marker, the

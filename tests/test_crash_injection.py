@@ -81,6 +81,14 @@ class crash_after:
                 lock = os.path.join(self.base_path, ".hoodie", name)
                 if os.path.exists(lock):
                     os.unlink(lock)
+            # age out the dead writer's heartbeats: a real restart happens
+            # after HEARTBEAT_TOLERANCE_SEC; in-process the file the crashed
+            # run touched seconds ago still looks live
+            hb_dir = os.path.join(self.base_path, ".hoodie", ".heartbeat")
+            if os.path.isdir(hb_dir):
+                for f in os.listdir(hb_dir):
+                    with open(os.path.join(hb_dir, f), "w") as fh:
+                        fh.write("0")
         return False
 
 
@@ -113,6 +121,31 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
             f"{where}: diverged; missing {sorted(set(model) - set(got))[:5]} "
             f"extra {sorted(set(got) - set(model))[:5]}")
 
+    # model AFTER each applied user write, keyed by its instant time: the
+    # ground truth rollback/restore must land on. Rollback and restore only
+    # ever remove a contiguous newest-first suffix of commits, so the state
+    # after any (possibly crashed) undo is the model at the newest surviving
+    # write — with crashed-but-planned rollbacks HIDDEN exactly like the
+    # reader hides them (fsview folds pending rollback plans).
+    hist: dict = {}
+
+    def record_hist():
+        wis = t.timeline.completed_write_instants()
+        if wis:
+            hist[wis[-1].time] = dict(model)
+
+    def expected_model() -> dict:
+        hidden = {(t.timeline.metadata(i) or {}).get("rolled_back_instant")
+                  for i in t.timeline.pending() if i.action == tl.ROLLBACK}
+        for ins in reversed(t.timeline.completed_write_instants()):
+            if ins.time in hidden:
+                continue
+            if ins.time in hist:
+                return dict(hist[ins.time])
+            # service-minted write instant (cluster/compact replace): data
+            # unchanged, keep scanning down to the newest user write
+        return {}
+
     def write(kind, data):
         if kind == "delete":
             ids = [r[0] for r in data]
@@ -126,7 +159,9 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
     data = rows(rng.sample(range(100), 20), seq)
     t.upsert(spark.createDataFrame(data, SCHEMA))
     apply_model(data)
+    record_hist()
     check("seed")
+    savepoints: list = []
 
     crashes = healed_checks = 0
     for step in range(n_steps):
@@ -154,7 +189,6 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
         except InjectedCrash:
             crashed = True
             crashes += 1
-        pre_write_model = dict(model)
         applied = not crashed or \
             len(t.timeline.completed_write_instants()) > n_before
         if applied:
@@ -162,6 +196,7 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
             # became durable (e.g. during marker removal): both mean the
             # write is visible and the model must reflect it
             apply_model(data, delete=(kind == "delete"))
+            record_hist()
         check(f"step {step} ({'crashed' if crashed else 'ok'} {kind})")
 
         # rollback phase, crash-injected: a dying rollback must leave a
@@ -175,19 +210,14 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
             except InjectedCrash:
                 crashed = True       # reuse the heal/recovery phase below
                 crashes += 1
-            still = any(i.time == wi
-                        for i in t.timeline.completed_write_instants())
-            targeted = wi in {
-                (t.timeline.metadata(i) or {}).get("rolled_back_instant")
-                for i in t.timeline.pending() if i.action == tl.ROLLBACK}
-            if targeted or not still:
-                model = pre_write_model      # rollback took effect
+            model = expected_model()
             check(f"step {step} post-rollback-crash")
 
         # service phase, also crash-injected: a dying cleaner must leave a
         # replayable plan (never silently-missing files), a dying archiver
         # must never double-fold instants left in both archive and active
-        svc = rng.choice(["none", "none", "clean", "archive", "compact"])
+        svc = rng.choice(["none", "none", "clean", "archive", "compact",
+                          "cluster"])
         if svc != "none" and not (svc == "compact" and table_type == "cow"):
             try:
                 with crash_after(rng.randrange(1, 12), base_path):
@@ -195,11 +225,40 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
                         t.clean(policy="KEEP_LATEST_COMMITS", retain=4)
                     elif svc == "archive":
                         t.archive(retain_active=6)
+                    elif svc == "cluster":
+                        t.cluster(sort_cols=["id"])
                     else:
                         t.compact()
             except InjectedCrash:
                 crashes += 1
             check(f"step {step} post-{svc}-crash")
+
+        # savepoint/restore phase, crash-injected: a savepoint is a single
+        # completed-instant put (lands fully or not at all); a restore is a
+        # newest-first chain of plan-then-execute rollbacks, so a crash
+        # mid-restore must leave a consistent prefix (later commits undone
+        # or hidden by their pending plans, earlier ones intact) that the
+        # healer then converges
+        r = rng.random()
+        if r < 0.15:
+            try:
+                with crash_after(rng.randrange(1, 8), base_path):
+                    t.savepoint()
+            except InjectedCrash:
+                crashes += 1
+            check(f"step {step} post-savepoint-crash")   # data unchanged
+        elif r < 0.3 and savepoints:
+            try:
+                with crash_after(rng.randrange(1, 20), base_path):
+                    t.restore(savepoints[-1])
+            except InjectedCrash:
+                crashed = True
+                crashes += 1
+            model = expected_model()
+            check(f"step {step} post-restore-crash")
+        # the timeline is authoritative for which savepoints exist
+        savepoints = [i.time
+                      for i in t.timeline.completed(actions=(tl.SAVEPOINT,))]
 
         if crashed:
             # recovery write: the single-writer guard heals stale leftovers
@@ -207,6 +266,7 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
             data2 = rows(rng.sample(range(100), 5), seq)
             write("upsert", data2)
             apply_model(data2)
+            record_hist()
             check(f"step {step} post-heal")
             # legitimately-pending state after a heal: scheduled service
             # plans and heartbeat-fresh (live-looking) service runs; crashed
