@@ -2079,6 +2079,37 @@ def q_docs_bm25(spark, sf_dir):
     return bm25_topk(docs, "the data model", k=20)
 
 
+def q_docs_quota_cap(spark, sf_dir):
+    """Per-domain quota cap (web-corpus "no domain over N docs" rule): keep
+    the 20 longest docs per source, deterministic (n_chars desc, doc_id)
+    tie-break. Two-phase shape: broadcast pass-through for under-quota
+    sources, window shuffle only for the over-quota slice — the oracle is
+    the plain per-group row_number the composition is equivalent to."""
+    from hudi_0_12_0_my_spark.operators import quota_cap
+    docs = _read(spark, sf_dir, "documents")
+    return (quota_cap(docs, "source", cap=20, score_col="n_chars")
+            .select("doc_id", "source", "n_chars"))
+
+
+def q_docs_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 for "the data model" fused with dense
+    cosine top-20 around vec_id 0 (doc_id == vec_id in the fixtures) via
+    reciprocal-rank fusion (k=60). Only integer ranks enter the fusion, so
+    the DuckDB oracle replays it exactly."""
+    from hudi_0_12_0_my_spark.operators import bm25_topk, cosine_topk, rrf_fuse
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    lex = (bm25_topk(docs, "the data model", k=20)
+           .select("doc_id",
+                   F.row_number().over(
+                       Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+                   .alias("rank")))
+    dense = (cosine_topk(emb, emb.filter("vec_id = 0"), k=20)
+             .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+    return (rrf_fuse([lex, dense], k=60, top=20)
+            .select("doc_id", "rrf", "n_lists", "rank"))
+
+
 def q_docs_simhash(spark, sf_dir):
     """48-bit SimHash near-dup pairs with the portable hash (60 usable hash
     bits cap it below the xxhash64 default of 64) — oracle-exact."""
@@ -2257,6 +2288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_unigram": q_docs_lm_unigram,
         "docs_lm_bigram": q_docs_lm_bigram,
         "docs_mixture_sample": q_docs_mixture_sample,
+        "docs_quota_cap": q_docs_quota_cap,
+        "docs_hybrid_rrf": q_docs_hybrid_rrf,
         "events_sessionize": q_events_sessionize,
         "events_cohorts": q_events_cohorts,
         "rollup_incremental": q_rollup_incremental,
@@ -2296,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # registered query accumulates an official green row across rounds. The
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
+    "docs_quota_cap", "docs_hybrid_rrf",
     "precommit_guard", "emb_random_projection", "emb_hard_negatives",
     "emb_kmeans", "emb_quantized_topk", "docs_lsh_edit_verify",
     "schema_evolution_widen", "cow_snapshot_orc", "multimodal_phash_dedup",
@@ -3467,6 +3501,53 @@ SELECT doc_id, bm25 FROM (
   FROM t, st)
 WHERE bm25 > 0
 ORDER BY bm25 DESC, doc_id LIMIT 20""",
+        "docs_quota_cap": """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 20""",
+        "docs_hybrid_rrf": """
+WITH d AS (SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+  FROM documents),
+t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+    CAST(len(list_filter(toks, x -> x = 'the')) AS BIGINT) AS tf0,
+    CAST(len(list_filter(toks, x -> x = 'data')) AS BIGINT) AS tf1,
+    CAST(len(list_filter(toks, x -> x = 'model')) AS BIGINT) AS tf2
+  FROM d),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM t),
+bm AS (SELECT doc_id, bm25 FROM (
+  SELECT doc_id, round(
+      ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+        / (tf0 + 1.2 * (0.25 + 0.75 * (dl / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+        / (tf1 + 1.2 * (0.25 + 0.75 * (dl / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+        / (tf2 + 1.2 * (0.25 + 0.75 * (dl / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+    , 6) AS bm25
+  FROM t, st)
+  WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 20),
+lex AS (SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM bm),
+dense AS (SELECT doc_id, rk FROM (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY c DESC, vec_id) AS rk FROM (
+    SELECT vec_id, list_cosine_similarity(
+        (SELECT embedding FROM embeddings WHERE vec_id = 0), embedding) AS c
+    FROM embeddings WHERE vec_id <> 0)) WHERE rk <= 20),
+u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+f AS (SELECT doc_id, round(sum(1.0 / (60 + rk)), 6) AS rrf,
+             CAST(count(*) AS INT) AS n_lists
+      FROM u GROUP BY doc_id)
+SELECT doc_id, rrf, n_lists,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+FROM f QUALIFY rank <= 20""",
         "docs_dup_clusters": """
 WITH RECURSIVE d0 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
             FROM documents),

@@ -22,14 +22,14 @@ from .pipeline import (chunk_documents, contaminated_ids, curate,
                        decontaminate, scrub_pii, normalize_text,
                        deterministic_sample, stratified_sample,
                        percentile_filter, mixture_sample,
-                       pack_sequences)
+                       pack_sequences, quota_cap)
 from .sessions import (sessionize, session_stats, funnel_stats,
                        cohort_retention)
 from .similarity import (cosine_topk, ivf_cosine_topk,
                          embedding_near_dup_pairs, hyperplane_signatures,
                          lsh_cosine_topk, semantic_dedup, kmeans_assign,
                          quantize_int8, quantized_cosine_topk,
-                         random_projection, hard_negatives)
+                         random_projection, hard_negatives, rrf_fuse)
 from .joins import interval_join, salted_join
 from .lm import lm_log_prob, lm_outliers, linear_text_score, tfidf_keywords
 from .profile import profile
@@ -48,6 +48,7 @@ __all__ = [
     "cosine_topk", "ivf_cosine_topk", "embedding_near_dup_pairs",
     "hyperplane_signatures", "lsh_cosine_topk", "semantic_dedup",
     "kmeans_assign", "quantize_int8", "quantized_cosine_topk",
+    "random_projection", "hard_negatives",
     "with_token_stats", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_repetition_stats", "top_ngrams", "bm25_topk",
     "lm_log_prob", "lm_outliers", "linear_text_score", "tfidf_keywords",
@@ -58,6 +59,6 @@ __all__ = [
     "chunk_documents", "contaminated_ids", "curate", "decontaminate",
     "pack_sequences", "scrub_pii", "normalize_text",
     "deterministic_sample", "stratified_sample",
-    "percentile_filter", "mixture_sample",
+    "percentile_filter", "mixture_sample", "quota_cap", "rrf_fuse",
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
 ]

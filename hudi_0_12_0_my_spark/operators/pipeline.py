@@ -340,6 +340,37 @@ def mixture_sample(df: DataFrame, group_col: str,
                              seed=seed, buckets=buckets)
 
 
+def quota_cap(df: DataFrame, group_col: str, cap: int,
+              score_col: str | None = None,
+              id_col: str = "doc_id") -> DataFrame:
+    """Cap the rows kept per group at ``cap`` (per-domain quotas — the
+    web-corpus rule "no single domain may contribute more than N docs").
+    Keeps the top-``cap`` rows per group by (score desc, id asc), or the
+    lowest ids when ``score_col`` is None — deterministic, replayable.
+
+    Shape for 100 TB: a tiny per-group count agg finds the OVER-quota groups
+    first. Rows of under-quota groups — the overwhelming majority of a
+    web corpus, since quota violations live in the skewed head — pass
+    through a broadcast anti-join (map-only, never shuffled); only the
+    over-quota slice pays the row_number window shuffle. A naive global
+    window would shuffle the whole corpus by domain AND sort every document
+    of the biggest domain in one partition.
+    """
+    if cap < 1:
+        raise ValueError(f"quota_cap: cap must be >= 1, got {cap}")
+    order = ([F.col(score_col).desc()] if score_col else []) \
+        + [F.col(id_col).asc()]
+    over = (df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+              .filter(F.col("_gn") > cap).select(group_col))
+    under_rows = df.join(F.broadcast(over), group_col, "left_anti")
+    from pyspark.sql import Window as W
+    w = W.partitionBy(group_col).orderBy(*order)
+    capped = (df.join(F.broadcast(over), group_col, "left_semi")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= cap).drop("_rn"))
+    return under_rows.unionByName(capped)
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict[str, float], id_col: str = "doc_id",
                       seed: int = 42, buckets: int = 1_000_000) -> DataFrame:

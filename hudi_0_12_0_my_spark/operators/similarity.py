@@ -386,3 +386,44 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (banded.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def rrf_fuse(rankings: list, k: int = 60, id_col: str = "doc_id",
+             rank_col: str = "rank", query_col: str | None = None,
+             top: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings:
+    score(d) = sum over lists r of 1 / (k + rank_r(d)).
+
+    The standard hybrid-retrieval combiner (Cormack/Clarke/Buettcher RRF,
+    SIGIR'09; what lexical+dense "hybrid search" engines ship): fuses e.g.
+    a BM25 top-k with a dense-cosine top-k without score calibration —
+    only ranks enter the formula, so differently-scaled scores fuse
+    sanely. Documents missing from a list simply contribute nothing.
+
+    Each input must carry (query_col?, id_col, rank_col). Output:
+    (query_col?, id_col, rrf, n_lists, rank) — rrf rounded to 6 decimals,
+    final rank deterministic by (rrf desc, id asc).
+
+    Shape for 100 TB: the inputs are already top-k rankings (k rows per
+    query, per list) — the union is map-only and the fuse is ONE hash agg
+    over at most lists*k rows per query; the final per-query rank windows
+    over <= lists*k rows. Nothing corpus-sized enters this operator.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    keys = ([query_col] if query_col else []) + [id_col]
+    parts = [r.select(*keys, F.col(rank_col).cast("long").alias("_rk"))
+             for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = (u.groupBy(*keys)
+               .agg(F.round(F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("_rk"))), 6)
+                    .alias("rrf"),
+                    F.count(F.lit(1)).cast("int").alias("n_lists")))
+    w = Window.partitionBy(*([query_col] if query_col else [])) \
+              .orderBy(F.desc("rrf"), F.asc(id_col))
+    out = scored.withColumn("rank", F.row_number().over(w))
+    if top is not None:
+        out = out.filter(F.col("rank") <= top)
+    return out

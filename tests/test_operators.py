@@ -883,3 +883,45 @@ def test_hard_negatives_band_and_rank(emb):
     cos = {r.neighbor_id: r.cosine
            for r in ops.cosine_topk(emb, emb.filter("vec_id = 0"), k=50).collect()}
     assert all(0.2 <= cos[r.neighbor_id] < 0.9 for r in got)
+
+
+def test_quota_cap_keeps_top_by_score_per_group(spark):
+    rows = [(i, "big", float(i)) for i in range(10)] \
+         + [(100 + i, "small", float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = ops.quota_cap(df, "source", cap=4, score_col="score").collect()
+    big = sorted(r.doc_id for r in out if r.source == "big")
+    small = sorted(r.doc_id for r in out if r.source == "small")
+    assert big == [6, 7, 8, 9]          # top-4 by score desc
+    assert small == [100, 101, 102]     # under quota: untouched
+    # no score: lowest ids win
+    out2 = ops.quota_cap(df, "source", cap=2).collect()
+    assert sorted(r.doc_id for r in out2 if r.source == "big") == [0, 1]
+
+
+def test_quota_cap_rejects_bad_cap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        ops.quota_cap(df, "source", cap=0)
+
+
+def test_rrf_fuse_ranks_and_membership(spark):
+    lex = spark.createDataFrame([(10, 1), (11, 2), (12, 3)],
+                                "doc_id long, rank long")
+    dense = spark.createDataFrame([(11, 1), (13, 2), (10, 3)],
+                                  "doc_id long, rank long")
+    out = {r.doc_id: r for r in ops.rrf_fuse([lex, dense], k=60).collect()}
+    # doc 11: 1/62 + 1/61; doc 10: 1/61 + 1/63; both lists
+    assert out[11].n_lists == 2 and out[10].n_lists == 2
+    assert out[12].n_lists == 1 and out[13].n_lists == 1
+    assert out[11].rrf > out[10].rrf > out[12].rrf
+    assert out[11].rank == 1 and out[10].rank == 2
+    assert round(out[11].rrf, 6) == round(1 / 62 + 1 / 61, 6)
+    # per-query variant: ranks restart per query
+    lex2 = lex.withColumn("query_id", F.lit(7))
+    dense2 = dense.withColumn("query_id", F.lit(7))
+    out2 = ops.rrf_fuse([lex2, dense2], k=60, query_col="query_id",
+                        top=2).collect()
+    assert sorted(r.doc_id for r in out2) == [10, 11]
+    with pytest.raises(ValueError):
+        ops.rrf_fuse([])

@@ -568,3 +568,34 @@ def test_hard_negatives_broadcasts_queries_filters_before_rank(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quota_cap_broadcasts_over_quota_set(spark):
+    """quota_cap's two-phase shape: the over-quota group list (tiny agg
+    result) is BROADCAST to both the pass-through anti-join and the capped
+    semi-join — the corpus never sort-merge-joins, and the only wide op on
+    corpus rows is the window over the over-quota slice."""
+    from hudi_0_12_0_my_spark.operators import quota_cap
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(quota_cap(docs, "source", cap=20, score_col="n_chars"))
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window [row_number") == 1   # only the capped branch
+    # Spark inserts WindowGroupLimit: per-partition partial top-k BEFORE the
+    # exchange, so even the over-quota slice ships at most cap rows per
+    # (task, group) into the shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_rrf_fuse_single_agg_no_python(spark):
+    """RRF fusion: union of k-row rankings -> ONE hash aggregate -> one
+    per-query window; nothing corpus-sized, nothing Python-side."""
+    from hudi_0_12_0_my_spark.operators import bm25_topk, rrf_fuse
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lex = bm25_topk(docs, "the data model", k=10) \
+        .select("doc_id", F.lit(1).cast("long").alias("rank"))
+    plan = _plan(rrf_fuse([lex, lex], k=60))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
