@@ -44,6 +44,17 @@ def finish_pending_cleans(table) -> int:
 def run_clean(table, policy: str | None = None, retain: int | None = None) -> dict:
     cfg = table.cfg
     policy = policy or cfg.cleaner_policy
+    if cfg.concurrency_mode == "occ":
+        # LAZY failed-write cleaning (hoodie.cleaner.policy.failed.writes):
+        # multi-writer mode has no single-writer guard to heal crashed
+        # writers, so the CLEANER reaps pending write instants whose
+        # heartbeat expired — the reference's rollbackFailedWrites hook in
+        # CleanActionExecutor. Live writers carry fresh heartbeats (writer.
+        # _mint / stage_write / _commit_completed) and are left alone; a
+        # writer reaped mid-write fails its commit with a conflict error
+        # instead of committing dangling files.
+        with table.writer._lock():
+            table.writer._heal_stale()
     finish_pending_cleans(table)
     view = table.view()
     writes = table.timeline.completed_write_instants()

@@ -345,7 +345,16 @@ class Writer:
         for p, fids in (md.get("replaced_file_groups") or {}).items():
             touched.update((p, f) for f in fids)
         since = getattr(self, "_occ_since", None) or "0"
+        from .util import clear_heartbeat, touch_heartbeat
+        touch_heartbeat(self.base, instant)
         with self._lock():
+            if not any(i.time == instant for i in self.t.timeline.pending()):
+                # the lazy failed-write cleaner decided this writer was dead
+                # (heartbeat expired mid-write) and reclaimed its staged
+                # files — completing now would commit dangling paths
+                raise ConcurrentWriteConflictError(
+                    f"instant {instant} was reclaimed by the failed-write "
+                    "cleaner (heartbeat expired mid-write); retry the write")
             for ins in self.t.timeline.completed_write_instants():
                 if not (since < ins.time and ins.time != instant):
                     continue
@@ -362,6 +371,7 @@ class Writer:
                         f"commit {instant} conflicts with concurrent commit "
                         f"{ins.time} on file groups {sorted(overlap)[:5]}")
             self.t.timeline.save_completed(instant, action, md)
+        clear_heartbeat(self.base, instant)
         self._maybe_index_blooms(instant, md)
         self._fire_callbacks(instant, action, md)
 
@@ -412,6 +422,8 @@ class Writer:
         for ins in self.t.timeline.pending():
             if ins.time == instant:
                 self.t.timeline.remove(instant, ins.action)
+        from .util import clear_heartbeat
+        clear_heartbeat(self.base, instant)
 
     # ------------------------------------------------------- incoming prep
     def prepare(self, df: DataFrame, instant: str) -> DataFrame:
@@ -512,6 +524,11 @@ class Writer:
             for r in df.select(meta.PARTITION_PATH, meta.RECORD_KEY,
                                meta.TARGET_FILE_ID).collect():
                 idx[(r[0], r[1])] = r[2]
+        if self.cfg.concurrency_mode == "occ":
+            # refresh liveness before the (possibly long) write job so the
+            # lazy failed-write cleaner never reaps a live writer
+            from .util import touch_heartbeat
+            touch_heartbeat(self.base, instant)
         fmt = self.cfg.base_format if kind == "base" else "parquet"
         if fmt not in ("parquet", "orc"):
             raise ValueError(f"unsupported base_format {fmt!r} "
@@ -925,6 +942,22 @@ class Writer:
             self._extra_md = None
         return md
 
+    def _mint(self, action: str, md: dict) -> str:
+        """Mint a write instant in requested state. Under OCC the writer also
+        stamps (and keeps refreshing, see stage_write/_commit_completed) a
+        heartbeat: multi-writer mode has no single-writer guard, so LIVENESS —
+        not the lock — is what tells the lazy failed-write cleaner that a
+        pending instant's owner is still alive (HoodieHeartbeatClient.start;
+        hoodie.cleaner.policy.failed.writes=LAZY)."""
+        instant = self.t.timeline.new_instant()
+        if self.cfg.concurrency_mode == "occ":
+            # stamp BEFORE the requested file lands: a cleaner must never
+            # observe a pending instant without its liveness marker
+            from .util import touch_heartbeat
+            touch_heartbeat(self.base, instant)
+        self.t.timeline.save_requested(instant, action, md)
+        return instant
+
     # ========================================================== operations
     def upsert(self, df: DataFrame, operation: str = "upsert") -> str:
         """WriteOperationType.UPSERT (SparkRDDWriteClient.java:150): precombine,
@@ -934,8 +967,7 @@ class Writer:
         cow = cfg.table_type == cfgmod.COW
         action = tl.COMMIT if cow else tl.DELTACOMMIT
         with self._guard():
-            instant = self.t.timeline.new_instant()
-            self.t.timeline.save_requested(instant, action, {"operation": operation})
+            instant = self._mint(action, {"operation": operation})
             incoming = payloads.precombine(self.prepare(df, instant), cfg, spec)
             incoming.persist()
             try:
@@ -1158,8 +1190,7 @@ class Writer:
         cow = cfg.table_type == cfgmod.COW
         action = tl.COMMIT if cow else tl.DELTACOMMIT
         with self._guard():
-            instant = self.t.timeline.new_instant()
-            self.t.timeline.save_requested(instant, action, {"operation": "insert"})
+            instant = self._mint(action, {"operation": "insert"})
             incoming = self.prepare(df, instant).filter(F.col(meta.OPERATION) != "D")
             incoming.persist()
             try:
@@ -1232,9 +1263,7 @@ class Writer:
         action = tl.COMMIT if cow else tl.DELTACOMMIT
         sort_mode = sort_mode.upper()
         with self._guard():
-            instant = self.t.timeline.new_instant()
-            self.t.timeline.save_requested(instant, action,
-                                           {"operation": "bulk_insert"})
+            instant = self._mint(action, {"operation": "bulk_insert"})
             incoming = self.prepare(df, instant).filter(F.col(meta.OPERATION) != "D")
             try:
                 if sort_mode == "GLOBAL_SORT":
@@ -1287,9 +1316,8 @@ class Writer:
         replacecommit marks every prior group in the touched partitions (or the
         whole table) replaced — manifest-only invalidation, no data deletes."""
         with self._guard():
-            instant = self.t.timeline.new_instant()
-            self.t.timeline.save_requested(instant, tl.REPLACECOMMIT,
-                                           {"operation": "insert_overwrite"})
+            instant = self._mint(tl.REPLACECOMMIT,
+                                 {"operation": "insert_overwrite"})
             incoming = self.prepare(df, instant).filter(F.col(meta.OPERATION) != "D")
             incoming.persist()
             try:

@@ -132,3 +132,94 @@ def test_failed_write_healed_on_next_write(spark, tmp_path):
                                     "id long, grp string, val double, seq long"))
     kept = [i for i in t2.timeline.pending()]
     assert any(i.time == plan["instant"] for i in kept)   # plan survived
+
+
+def test_occ_writer_stamps_heartbeat_and_clears_on_commit(spark, tmp_path,
+                                                          occ_table):
+    import os
+    eng, t, df = occ_table
+    seen = []
+    orig = t.writer.stage_write
+
+    def hooked(df_, instant, *a, **kw):
+        hb = os.path.join(t.base_path, ".hoodie", ".heartbeat", instant)
+        seen.append(os.path.exists(hb))
+        return orig(df_, instant, *a, **kw)
+
+    t.writer.stage_write = hooked
+    try:
+        t.upsert(df.filter("id < 3").withColumn("seq", F.lit(2)))
+    finally:
+        t.writer.stage_write = orig
+    assert seen == [True]        # live writer carried its liveness marker
+    hb_dir = os.path.join(t.base_path, ".hoodie", ".heartbeat")
+    assert not os.path.isdir(hb_dir) or not os.listdir(hb_dir)
+
+
+def test_occ_lazy_clean_reaps_dead_writer_not_live_one(spark, tmp_path):
+    """Multi-writer LAZY failed-write cleaning (CleanActionExecutor's
+    rollbackFailedWrites + HoodieHeartbeatClient): the cleaner reaps a
+    crashed writer's pending instant once its heartbeat expires, leaves a
+    fresh-heartbeat one alone, and a reaped writer's late commit fails
+    instead of committing dangling files."""
+    import os
+    from hudi_0_12_0_my_spark import util
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "occ2"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         concurrency_mode="occ")
+    df = spark.createDataFrame(
+        [(i, "a", float(i), 1) for i in range(10)],
+        "id long, grp string, val double, seq long")
+    t.bulk_insert(df)
+
+    # writer A dies mid-write: stop after staging, before commit
+    stop = RuntimeError("writer A dies before commit")
+    orig = t.writer._commit_completed
+    t.writer._commit_completed = \
+        lambda *a, **kw: (_ for _ in ()).throw(stop)
+    try:
+        with pytest.raises(RuntimeError):
+            t.upsert(df.withColumn("seq", F.lit(2)))
+    finally:
+        t.writer._commit_completed = orig
+    dead = [i for i in t.timeline.pending()]
+    assert dead, "crashed writer left no pending instant"
+
+    # heartbeat still fresh -> clean must NOT reap it
+    t2 = eng.load_table(t.base_path)
+    t2.clean(policy="KEEP_LATEST_COMMITS", retain=1)
+    assert [i.time for i in t2.timeline.pending()] == \
+        [i.time for i in dead]
+
+    # heartbeat expires -> clean reaps instant, marker, staged files
+    hb_dir = os.path.join(t.base_path, ".hoodie", ".heartbeat")
+    for f in os.listdir(hb_dir):
+        with open(os.path.join(hb_dir, f), "w") as fh:
+            fh.write("0")
+    t2.clean(policy="KEEP_LATEST_COMMITS", retain=1)
+    assert not t2.timeline.pending()
+    mdir = os.path.join(t.base_path, ".hoodie", "markers")
+    assert not os.path.isdir(mdir) or not os.listdir(mdir)
+    snap = {r.id: r.seq for r in t2.snapshot().collect()}
+    assert snap == {i: 1 for i in range(10)}   # dead write invisible
+
+    # a writer reaped mid-write must fail its commit, not commit dangles
+    orig_stage = t.writer.stage_write
+
+    def stage_then_reap(*a, **kw):
+        out = orig_stage(*a, **kw)
+        for f in os.listdir(hb_dir):
+            with open(os.path.join(hb_dir, f), "w") as fh:
+                fh.write("0")
+        t2.clean(policy="KEEP_LATEST_COMMITS", retain=1)
+        return out
+
+    t.writer.stage_write = stage_then_reap
+    try:
+        with pytest.raises(ConcurrentWriteConflictError):
+            t.upsert(df.withColumn("seq", F.lit(3)))
+    finally:
+        t.writer.stage_write = orig_stage
+    snap = {r.id: r.seq for r in t2.reload().snapshot().collect()}
+    assert snap == {i: 1 for i in range(10)}
