@@ -84,6 +84,17 @@ def archive_timeline(table, retain_active: int = 20) -> dict:
     if len(completed) <= retain_active:
         return {"archived": 0}
     to_archive = completed[:-retain_active]
+    # Never archive at/past the earliest savepoint pin: restore rolls back
+    # every commit NEWER than the pin via its active commit metadata, so
+    # archiving those commits would make a later restore silently skip them
+    # (HoodieTimelineArchiver stops at the first savepointed instant).
+    pins = [(timeline.metadata(i) or {}).get("pinned_instant")
+            for i in timeline.completed(actions=(tl.SAVEPOINT,))]
+    min_pin = min((p for p in pins if p), default=None)
+    if min_pin is not None:
+        to_archive = [i for i in to_archive if i.time < min_pin]
+    if not to_archive:
+        return {"archived": 0}
     boundary = to_archive[-1].time
 
     # Fold EXACTLY up to the boundary (not the full timeline): retained active

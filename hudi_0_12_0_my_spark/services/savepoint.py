@@ -40,6 +40,17 @@ def restore_to_savepoint(table, savepoint_or_instant: str) -> dict:
         if ins.time == savepoint_or_instant:
             target = timeline.metadata(ins)["pinned_instant"]
             break
+    # every commit newer than the target must still be ACTIVE — rollback
+    # needs its commit metadata (file lists); archival refuses to cross a
+    # savepoint pin (services/archival.py), so this only trips on tables
+    # whose savepoint landed after the damage was already done
+    gone = [i.time for i, _ in timeline.archived()
+            if i.action in tl.WRITE_ACTIONS and i.time > target]
+    if gone:
+        raise ValueError(
+            f"cannot restore to {target}: {len(gone)} newer commit(s) are "
+            f"already archived (earliest {gone[0]}) and cannot be rolled "
+            "back")
     rolled = []
     for ins in reversed(timeline.completed_write_instants()):
         if ins.time > target:

@@ -463,3 +463,45 @@ def test_mor_global_reinsert_same_partition_then_delete(spark, tmp_table_dir):
     assert {(r.id, r.name) for r in t.snapshot().collect()} == {(1, "re")}
     t.delete(t.snapshot().filter("id = 1"))          # must actually delete
     assert t.snapshot().count() == 0
+
+
+def test_archival_stops_at_savepoint_pin(spark, tmp_table_dir):
+    """Archival never crosses the earliest savepoint pin: restore rolls
+    back newer commits via their ACTIVE metadata, so archiving them would
+    make restore silently skip them (HoodieTimelineArchiver stops at the
+    first savepointed instant). Found by extending the crash-DAG sweep."""
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt")
+    t.bulk_insert(make_rows(spark, BATCH1))
+    sp = t.savepoint()
+    for k in range(2, 8):
+        t.upsert(make_rows(spark, [(2, f"b{k}", 21.0, 100 * k,
+                                    "2021-01-01")]))
+    out = t.archive(retain_active=3)
+    assert out["archived"] == 0          # everything is at/after the pin
+    t.restore(sp)
+    snap = {r.id: r.name for r in t.snapshot().collect()}
+    assert snap == {1: "a", 2: "b", 3: "c"}
+
+    # with no savepoint in the way archival proceeds, and a restore that
+    # WOULD need archived metadata refuses instead of silently skipping
+    t2 = eng.create_table(tmp_table_dir + "_2", record_key_fields=["id"],
+                          precombine_field="ts", partition_field="dt")
+    t2.bulk_insert(make_rows(spark, BATCH1))
+    sp2 = t2.savepoint()
+    for k in range(8, 14):
+        t2.upsert(make_rows(spark, [(3, f"c{k}", 31.0, 100 * k,
+                                     "2021-01-02")]))
+    # simulate a legacy table archived past the pin: drop the savepoint
+    # instant before archiving, then put it back
+    from hudi_0_12_0_my_spark import timeline as tl
+    path = t2.timeline.path(tl.Instant(sp2, tl.SAVEPOINT, tl.COMPLETED))
+    import json
+    md = t2.timeline.metadata(tl.Instant(sp2, tl.SAVEPOINT, tl.COMPLETED))
+    os.unlink(path)
+    assert t2.archive(retain_active=3)["archived"] > 0
+    with open(path, "w") as f:
+        json.dump(md, f)
+    with pytest.raises(ValueError, match="already archived"):
+        t2.restore(sp2)
