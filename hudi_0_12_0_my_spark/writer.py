@@ -421,6 +421,19 @@ class Writer:
             rm_rf(os.path.join(temp_root, f"{instant}_{kind}"))
         for ins in self.t.timeline.pending():
             if ins.time == instant:
+                try:
+                    md = self.t.timeline.metadata(ins) or {}
+                except FileNotFoundError:
+                    md = {}
+                if md.get("prev_rings"):
+                    # a crashed consistent-bucket resize saved its NEW rings
+                    # before committing; aborting the plan must put the old
+                    # rings back or every later bucket-tagged write/delete
+                    # targets ring nodes whose file groups don't exist —
+                    # duplicate key versions across old/new groups (found by
+                    # the bucket crash-DAG sweep)
+                    from .services.rollback import _restore_rings
+                    _restore_rings(self.t, md, instant)
                 self.t.timeline.remove(instant, ins.action)
         from .util import clear_heartbeat
         clear_heartbeat(self.base, instant)

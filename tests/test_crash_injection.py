@@ -92,12 +92,16 @@ class crash_after:
         return False
 
 
-def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
+def run_crash_dag(spark, base_path, table_type, seed, n_steps=8,
+                  index_type=None):
     rng = random.Random(seed)
     eng = Engine(spark)
+    kw = {}
+    if index_type:
+        kw = {"index_type": index_type, "num_buckets": 4}
     t = eng.create_table(base_path, record_key_fields=["id"],
                          precombine_field="seq", partition_field="grp",
-                         table_type=table_type)
+                         table_type=table_type, **kw)
     model: dict = {}       # (id, grp) -> (grp, val, seq)
     seq = 0
 
@@ -217,7 +221,8 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
         # replayable plan (never silently-missing files), a dying archiver
         # must never double-fold instants left in both archive and active
         svc = rng.choice(["none", "none", "clean", "archive", "compact",
-                          "cluster"])
+                          "resize" if index_type == "bucket_consistent"
+                          else "cluster"])
         if svc != "none" and not (svc == "compact" and table_type == "cow"):
             try:
                 with crash_after(rng.randrange(1, 12), base_path):
@@ -227,6 +232,10 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
                         t.archive(retain_active=6)
                     elif svc == "cluster":
                         t.cluster(sort_cols=["id"])
+                    elif svc == "resize":
+                        # consistent-hash split/merge: a crash must never
+                        # leave ring and file-system view divergent
+                        t.resize_buckets(split_above=3000, merge_below=800)
                     else:
                         t.compact()
             except InjectedCrash:
@@ -296,6 +305,17 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8):
 def test_crash_dag(spark, tmp_path, table_type):
     seed = zlib.crc32(f"crash-{table_type}".encode())
     run_crash_dag(spark, str(tmp_path / "t"), table_type, seed)
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_crash_dag_consistent_bucket(spark, tmp_path, table_type):
+    """Same DAG over a consistent-hashing bucket table, with crash-injected
+    ring resizes in the service mix: bucket addressing IS the file-group
+    id, so a crashed split/merge that left ring and view divergent would
+    surface as resurrected or vanished rows on the very next write."""
+    seed = zlib.crc32(f"crash-bucket-{table_type}".encode())
+    run_crash_dag(spark, str(tmp_path / "t"), table_type, seed,
+                  index_type="bucket_consistent")
 
 
 def test_crash_during_compaction(spark, tmp_path):
