@@ -1808,6 +1808,44 @@ def q_docs_incremental_dedup(spark, sf_dir):
                                hash_fn="portable_md5")
 
 
+def q_emb_ivf_index_topk(spark, sf_dir):
+    """Stream-maintained IVF vector index (derived.sync_ivf_index): the
+    corpus (vec_id %5 != 0) is ingested, then churned (%7 == 1 vectors
+    negated, %11 == 1 deleted) — the cell-partitioned index table follows
+    via TWO syncs (snapshot build with frozen centroids, then a CDC fold
+    that re-assigns only changed vectors, tombstoning moved/deleted rows in
+    their OLD cells). Query probes all cells (nprobe == num_cells), so the
+    result must equal exact cosine top-k over the FINAL corpus state —
+    which is what the DuckDB oracle computes; any stale, duplicate or
+    missing index row diverges."""
+    from hudi_0_12_0_my_spark.derived import ivf_index_search, sync_ivf_index
+    key = (sf_dir, "emb_ivf_idx")
+    if key not in _BUILT:
+        emb = _read(spark, sf_dir, "embeddings")
+        eng = _eng(spark)
+        src = eng.create_table(
+            _fresh(_root(sf_dir, "emb_ivf_idx")) + "/src",
+            record_key_fields=["vec_id"], precombine_field="label",
+            keygen="nonpartitioned")
+        idx = eng.create_table(
+            os.path.join(_root(sf_dir, "emb_ivf_idx"), "idx"),
+            record_key_fields=["vec_id"], partition_field="cell")
+        src.bulk_insert(emb.filter(F.col("vec_id") % 5 != 0))
+        sync_ivf_index(src, idx, num_cells=8)
+        src.upsert(emb.filter((F.col("vec_id") % 7 == 1)
+                              & (F.col("vec_id") % 5 != 0))
+                   .withColumn("embedding",
+                               F.transform("embedding", lambda x: -x)))
+        src.delete(where="vec_id % 11 = 1")
+        sync_ivf_index(src, idx, num_cells=8)
+        _BUILT[key] = (src, idx)
+    src, idx = _BUILT[key]
+    q = src.snapshot().select("vec_id", "embedding").filter("vec_id < 5")
+    return (ivf_index_search(idx, q, k=10, nprobe=8)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def q_docs_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs sharing any word 4-gram with the
     simulated eval set (doc_id % 97 == 0) are flagged. The benchmark gram
@@ -2278,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_table_dedup": q_docs_table_dedup,
         "docs_incremental_dedup": q_docs_incremental_dedup,
+        "emb_ivf_index_topk": q_emb_ivf_index_topk,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_sample_stratified": q_docs_sample_stratified,
@@ -2329,7 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # registered query accumulates an official green row across rounds. The
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
-    "docs_quota_cap", "docs_hybrid_rrf",
+    "docs_quota_cap", "docs_hybrid_rrf", "emb_ivf_index_topk",
     "precommit_guard", "emb_random_projection", "emb_hard_negatives",
     "emb_kmeans", "emb_quantized_topk", "docs_lsh_edit_verify",
     "schema_evolution_widen", "cow_snapshot_orc", "multimodal_phash_dedup",
@@ -3916,6 +3955,24 @@ WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 
 s AS (SELECT qid, vec_id AS nid,
              list_cosine_similarity(qe, embedding) AS c
       FROM embeddings, q WHERE vec_id <> qid),
+r AS (SELECT qid AS query_id, nid AS neighbor_id,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""",
+        # exhaustive probe over the synced index == exact topk over the
+        # FINAL corpus state (post-negation churn, post-deletes)
+        "emb_ivf_index_topk": """
+WITH corpus AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 1
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS embedding
+  FROM embeddings
+  WHERE vec_id % 5 <> 0 AND vec_id % 11 <> 1),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM corpus WHERE vec_id < 5),
+s AS (SELECT qid, vec_id AS nid,
+             list_cosine_similarity(qe, embedding) AS c
+      FROM corpus, q WHERE vec_id <> qid),
 r AS (SELECT qid AS query_id, nid AS neighbor_id,
              row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rank
       FROM s)

@@ -216,3 +216,139 @@ def sync_minhash_index(src, dst, text_col: str = "text",
         dst.writer.set_extra_metadata({_CKPT: end})
         dst.upsert(upserts.unionByName(dels))
     return end
+
+
+# --------------------------------------------------------------- IVF index
+_IVF_CENTS = "ivf_centroids.json"
+
+
+def _ivf_cents_path(dst) -> str:
+    return os.path.join(dst.base_path, ".hoodie", _IVF_CENTS)
+
+
+def load_ivf_centroids(spark, dst):
+    """(cell, centroid) DataFrame from the centroids frozen at first sync."""
+    from .util import read_json
+    doc = read_json(_ivf_cents_path(dst))
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in doc["centroids"]],
+        "cell int, centroid array<float>")
+
+
+def sync_ivf_index(src, dst, num_cells: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding", seed: int = 42,
+                   end: str | None = None) -> str | None:
+    """Advance `dst` — a lake table PARTITIONED BY IVF cell, record-keyed by
+    `id_col`, columns (id, vec, cell) — to cover src commits up to `end`.
+    The stream-maintained vector-index counterpart of sync_minhash_index.
+
+    First sync samples centroids from the snapshot (assign_ivf_cells),
+    freezes them at dst/.hoodie/ivf_centroids.json (IVF lists are trained
+    once; incremental updates assign onto the frozen ring of cells), and
+    loads the full assignment. Later syncs fold ONLY the CDC diff: changed
+    vectors re-assign to the frozen centroids; a vector whose nearest cell
+    MOVED is expressed as tombstone(old cell) + insert(new cell), and
+    deletes tombstone their before-image's cell — so the per-cell
+    partitions stay exact without a global index. Checkpointing rides the
+    same atomic extra_metadata scheme as sync_rollup.
+
+    Scale shape per sync: one CDC read (touched groups only) -> broadcast
+    argmin over num_cells centroids (map-only) -> one upsert of |changed|
+    rows into their cell partitions. ANN queries then prune to nprobe cell
+    partitions via ivf_index_search.
+    """
+    from .operators.similarity import assign_ivf_cells, assign_to_centroids
+    from .util import atomic_write_json
+
+    last = src.timeline.latest_completed_write()
+    if last is None:
+        return None
+    end = end or last.time
+    begin = rollup_checkpoint(dst)
+    if begin is not None and begin >= end:
+        return None
+
+    spark = src.spark
+    if begin is None:
+        snap = src.time_travel(end) if end != last.time else src.snapshot()
+        assigned, cents = assign_ivf_cells(snap.select(id_col, vec_col),
+                                           num_cells=num_cells,
+                                           id_col=id_col, vec_col=vec_col,
+                                           seed=seed)
+        atomic_write_json(_ivf_cents_path(dst), {
+            "num_cells": num_cells, "seed": seed,
+            "centroids": [[r["cell"], [float(x) for x in r["centroid"]]]
+                          for r in cents.collect()]})
+        dst.writer.set_extra_metadata({_CKPT: end})
+        dst.upsert(assigned)
+        return end
+
+    cents = load_ivf_centroids(spark, dst)
+    cdc = src.incremental_cdc(begin, end)
+    after = (cdc.filter(F.col("op").isin("i", "u"))
+             .select(F.col(f"after.{id_col}").alias(id_col),
+                     F.col(f"after.{vec_col}").alias(vec_col)))
+    upserts = (assign_to_centroids(after, cents, id_col, vec_col)
+               .withColumn(meta.DELETE_MARKER, F.lit(False)))
+    # before-images that no longer own their old cell: deletes, plus
+    # updates whose nearest centroid changed (assign the before vector to
+    # find the cell its stale row sits in)
+    before = (cdc.filter(F.col("op").isin("u", "d"))
+              .select(F.col("op"),
+                      F.col(f"before.{id_col}").alias(id_col),
+                      F.col(f"before.{vec_col}").alias(vec_col)))
+    old = assign_to_centroids(before, cents, id_col, vec_col) \
+        .withColumnRenamed("cell", "old_cell")
+    stale = (old.join(upserts.select(id_col,
+                                     F.col("cell").alias("new_cell")),
+                      id_col, "left")
+             .filter((F.col("op") == "d")
+                     | (F.col("old_cell") != F.col("new_cell")))
+             .select(F.col(id_col),
+                     F.lit(None).cast("array<float>").alias(vec_col),
+                     F.col("old_cell").alias("cell"),
+                     F.lit(True).alias(meta.DELETE_MARKER)))
+    dst.writer.set_extra_metadata({_CKPT: end})
+    dst.upsert(upserts.unionByName(stale))
+    return end
+
+
+def ivf_index_search(dst, queries, k: int = 10, nprobe: int = 4,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding"):
+    """ANN top-k against a sync_ivf_index table: rank the frozen centroids
+    per query, take the nprobe best cells, and scan ONLY those cell
+    partitions (manifest-level partition pruning via snapshot filters — at
+    100 TB the scan touches nprobe/num_cells of the index). Output
+    (query_id, neighbor_id, rank), deterministic tie-breaks; exact when
+    nprobe == num_cells."""
+    from pyspark.sql import Window as W
+    from .operators.similarity import _dot, _norm
+
+    spark = dst.spark
+    cents = load_ivf_centroids(spark, dst)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    qs = q.crossJoin(F.broadcast(cents))
+    qsim = _dot(F.col("qvec"), F.col("centroid")) / \
+        (_norm(F.col("qvec")) * _norm(F.col("centroid")))
+    wq = W.partitionBy("query_id").orderBy(F.desc("_qs"), F.asc("cell"))
+    probe = (qs.withColumn("_qs", qsim)
+               .withColumn("_rn", F.row_number().over(wq))
+               .filter(F.col("_rn") <= nprobe)
+               .select("query_id", "qvec", "cell"))
+    cells = sorted({r["cell"] for r in probe.select("cell")
+                    .distinct().collect()})          # <= num_cells values
+    idx = dst.snapshot(filters=f"cell in ({','.join(map(str, cells))})") \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cvec"), "cell")
+    j = idx.join(F.broadcast(probe), "cell")
+    sim = _dot(F.col("qvec"), F.col("cvec")) / \
+        (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                          F.asc("neighbor_id"))
+    return (j.filter(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("cosine", sim)
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k)
+             .select("query_id", "neighbor_id", "rank"))

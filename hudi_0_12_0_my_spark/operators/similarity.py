@@ -65,15 +65,23 @@ def assign_ivf_cells(corpus: DataFrame, num_cells: int = 16,
              .select(F.row_number().over(Window.orderBy(F.asc("_r"), F.asc(id_col)))
                      .alias("cell"),
                      F.col(vec_col).alias("centroid")))
-    c = corpus.crossJoin(F.broadcast(cents))
+    return assign_to_centroids(corpus, cents, id_col, vec_col), cents
+
+
+def assign_to_centroids(df: DataFrame, cents: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Assign each row to its nearest centroid (broadcast argmin): adds a
+    `cell` column. `cents` is (cell, centroid) — small enough to broadcast
+    by construction. Deterministic tie-break on lowest cell id."""
+    c = df.crossJoin(F.broadcast(cents))
     sim = _dot(F.col(vec_col), F.col("centroid")) / \
         (_norm(F.col(vec_col)) * _norm(F.col("centroid")))
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
-    assigned = (c.withColumn("sim", sim)
-                 .withColumn("_rn", F.row_number().over(w))
-                 .filter("_rn = 1")
-                 .drop("_rn", "sim", "centroid"))
-    return assigned, cents
+    return (c.withColumn("sim", sim)
+             .withColumn("_rn", F.row_number().over(w))
+             .filter("_rn = 1")
+             .drop("_rn", "sim", "centroid"))
 
 
 def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,

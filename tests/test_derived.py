@@ -187,3 +187,52 @@ def test_rollup_checkpoint_atomic_with_commit(spark, tmp_path):
     assert rollup_checkpoint(dst) == ck1
     assert sync_rollup(src, dst, ["grp"], {"sum_v": "v"}) == ck2
     assert _got(dst) == _expected(src) == {("g1", 15.0, 1), ("g2", 20.0, 1)}
+
+
+def test_sync_ivf_index_incremental_matches_exact(spark, tmp_path):
+    """Stream-maintained IVF index: CDC folds keep the cell-partitioned
+    index equal to the corpus (moves re-home across cells via tombstone +
+    insert, deletes tombstone their old cell), exhaustive probe == exact
+    top-k, and nprobe search scans only the probed cell partitions."""
+    import math
+    from hudi_0_12_0_my_spark.derived import (ivf_index_search,
+                                              sync_ivf_index)
+    from hudi_0_12_0_my_spark.operators import cosine_topk
+    eng = Engine(spark)
+    rows = [(i, [math.sin(i * 0.7 + j) for j in range(8)], i % 3)
+            for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    src = eng.create_table(str(tmp_path / "src"),
+                           record_key_fields=["vec_id"],
+                           precombine_field="label",
+                           keygen="nonpartitioned")
+    idx = eng.create_table(str(tmp_path / "idx"),
+                           record_key_fields=["vec_id"],
+                           partition_field="cell")
+    src.bulk_insert(emb.filter("vec_id % 4 != 0"))
+    assert sync_ivf_index(src, idx, num_cells=4) is not None
+    # churn: negate (forces cell moves), delete, and noop re-sync
+    src.upsert(emb.filter("vec_id % 5 = 1 and vec_id % 4 != 0")
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: -x)))
+    src.delete(where="vec_id % 7 = 1")
+    assert sync_ivf_index(src, idx, num_cells=4) is not None
+    assert sync_ivf_index(src, idx, num_cells=4) is None    # checkpointed
+
+    snap = src.snapshot().select("vec_id", "embedding")
+    isnap = idx.snapshot()
+    assert isnap.count() == snap.count()
+    assert isnap.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+    q = snap.filter("vec_id < 8")
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in ivf_index_search(idx, q, k=5, nprobe=4).collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id
+            for r in cosine_topk(snap, q, k=5).collect()}
+    assert got == want
+
+    # nprobe=1 must prune the scan to a strict subset of index files
+    all_files = set(idx.snapshot().inputFiles())
+    one_cell = set(idx.snapshot(filters="cell in (1)").inputFiles())
+    assert one_cell and one_cell < all_files
