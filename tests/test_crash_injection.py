@@ -93,12 +93,14 @@ class crash_after:
 
 
 def run_crash_dag(spark, base_path, table_type, seed, n_steps=8,
-                  index_type=None):
+                  index_type=None, concurrency_mode=None):
     rng = random.Random(seed)
     eng = Engine(spark)
     kw = {}
     if index_type:
         kw = {"index_type": index_type, "num_buckets": 4}
+    if concurrency_mode:
+        kw["concurrency_mode"] = concurrency_mode
     t = eng.create_table(base_path, record_key_fields=["id"],
                          precombine_field="seq", partition_field="grp",
                          table_type=table_type, **kw)
@@ -270,7 +272,12 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8,
                       for i in t.timeline.completed(actions=(tl.SAVEPOINT,))]
 
         if crashed:
-            # recovery write: the single-writer guard heals stale leftovers
+            # recovery: in single-writer mode the next write's guard heals
+            # stale leftovers; under OCC nothing guards writes, so recovery
+            # is the CLEANER's lazy failed-write reclaim (retain high enough
+            # that no data files are cleaned — only dead writers are reaped)
+            if concurrency_mode == "occ":
+                t.clean(policy="KEEP_LATEST_COMMITS", retain=999)
             seq += 1
             data2 = rows(rng.sample(range(100), 5), seq)
             write("upsert", data2)
@@ -305,6 +312,16 @@ def run_crash_dag(spark, base_path, table_type, seed, n_steps=8,
 def test_crash_dag(spark, tmp_path, table_type):
     seed = zlib.crc32(f"crash-{table_type}".encode())
     run_crash_dag(spark, str(tmp_path / "t"), table_type, seed)
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_crash_dag_occ(spark, tmp_path, table_type):
+    """Same DAG in OCC mode: no single-writer guard runs, so every heal
+    must come from the cleaner's lazy failed-write reclaim (writer
+    heartbeats + rollbackFailedWrites LAZY) instead of the write guard."""
+    seed = zlib.crc32(f"crash-occ-{table_type}".encode())
+    run_crash_dag(spark, str(tmp_path / "t"), table_type, seed,
+                  concurrency_mode="occ")
 
 
 @pytest.mark.parametrize("table_type", ["cow", "mor"])
