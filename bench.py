@@ -234,6 +234,36 @@ def main() -> None:
         from hudi_0_12_0_my_spark.operators import quantized_cosine_topk
         quantized_cosine_topk(emb, emb.filter("vec_id < 10"), k=10).count()
 
+    with step("quota_cap"):                 # broadcast 2-phase domain caps
+        from hudi_0_12_0_my_spark.operators import quota_cap
+        quota_cap(docs, "source", cap=20, score_col="n_chars").count()
+
+    with step("hybrid_rrf"):                # BM25 + dense RRF fusion
+        from hudi_0_12_0_my_spark.operators import (bm25_topk, rrf_fuse)
+        lex = (bm25_topk(docs, "the data model", k=20)
+               .select("doc_id",
+                       F.row_number().over(
+                           Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+                       .alias("rank")))
+        dense = (cosine_topk(emb, emb.filter("vec_id = 0"), k=20)
+                 .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+        rrf_fuse([lex, dense], k=60, top=20).count()
+
+    with step("ivf_index_sync_search"):     # stream-maintained vector index
+        from hudi_0_12_0_my_spark.derived import (ivf_index_search,
+                                                  sync_ivf_index)
+        src = eng.create_table(os.path.join(BENCH_ROOT, "ivf_src"),
+                               record_key_fields=["vec_id"],
+                               precombine_field="label",
+                               keygen="nonpartitioned")
+        vidx = eng.create_table(os.path.join(BENCH_ROOT, "ivf_idx"),
+                                record_key_fields=["vec_id"],
+                                partition_field="cell")
+        src.bulk_insert(emb)
+        sync_ivf_index(src, vidx, num_cells=8)
+        ivf_index_search(vidx, emb.filter("vec_id < 10"), k=10,
+                         nprobe=2).count()
+
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     try:
         sf = float(sf_name.replace("sf", ""))
