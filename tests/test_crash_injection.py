@@ -367,3 +367,59 @@ def test_crash_during_compaction(spark, tmp_path):
     t.compact()
     got = {(r.id, r.grp): (r.val, r.seq) for r in t.snapshot().collect()}
     assert got == want
+
+
+def test_derived_sync_crash_convergence(spark, tmp_path):
+    """Crash-injected derived-table maintenance: a sync_rollup that dies at
+    ANY storage mutation must leave checkpoint+data consistent (they advance
+    in ONE commit via extra_metadata), so retrying the sync always converges
+    the rollup to a full recompute — never double-applied deltas, never a
+    skipped CDC window. Randomized source churn across 5 seeded runs."""
+    from pyspark.sql import functions as F
+
+    from hudi_0_12_0_my_spark.derived import sync_rollup
+
+    eng = Engine(spark)
+    for seed in range(5):
+        rng = random.Random(seed)
+        src = eng.create_table(str(tmp_path / f"src{seed}"),
+                               record_key_fields=["id"],
+                               precombine_field="seq",
+                               partition_field="grp")
+        dst = eng.create_table(str(tmp_path / f"dst{seed}"),
+                               record_key_fields=["grp"],
+                               keygen="nonpartitioned")
+        seq = 0
+        for step in range(4):
+            seq += 1
+            kind = rng.choice(["upsert", "upsert", "delete"])
+            if kind == "delete" and src.timeline.latest_completed_write():
+                live = [r.id for r in src.snapshot().select("id").collect()]
+                if live:
+                    ids = rng.sample(live, min(len(live), 4))
+                    src.delete(src.snapshot()
+                               .filter(F.col("id").isin(ids)))
+            else:
+                rows = [(i, GRPS[rng.randrange(3)],
+                         float(rng.randrange(1000)), seq)
+                        for i in rng.sample(range(40), rng.randrange(4, 10))]
+                src.upsert(spark.createDataFrame(rows, SCHEMA))
+
+            # crash the sync at a random mutation; dst's guard heals the
+            # leftovers and the retried sync must converge
+            try:
+                with crash_after(rng.randrange(1, 15),
+                                 str(tmp_path / f"dst{seed}")):
+                    sync_rollup(src, dst, ["grp"], {"sum_val": "val"})
+            except InjectedCrash:
+                pass
+            sync_rollup(src, dst, ["grp"], {"sum_val": "val"})
+
+            want = {(r.grp, round(r.sum_val, 6), r.n_rows) for r in
+                    src.snapshot().groupBy("grp")
+                    .agg(F.sum(F.col("val").cast("double")).alias("sum_val"),
+                         F.count(F.lit(1)).alias("n_rows")).collect()}
+            got = {(r.grp, round(r.sum_val, 6), r.n_rows)
+                   for r in dst.snapshot().collect()}
+            assert got == want, \
+                f"seed {seed} step {step}: rollup diverged {got} vs {want}"
