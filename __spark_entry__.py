@@ -1857,6 +1857,18 @@ def q_docs_decontaminate(spark, sf_dir):
     return contaminated_ids(probe, bench, n=4)
 
 
+def q_docs_span_decontaminate(spark, sf_dir):
+    """Span-level decontamination (GPT-3/PaLM appendix recipe): only the
+    20-token segments sharing a word 4-gram with the simulated eval set are
+    cut; the rest of each document survives, reassembled in order. DuckDB
+    replays the same segmentation, gram windows, and reassembly exactly."""
+    from hudi_0_12_0_my_spark.operators import decontaminate_spans
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    probe = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_spans(probe, bench, n=4, window=20)
+
+
 def q_docs_pii_scrub(spark, sf_dir):
     """PII scrubbing over text with synthetic PII spans appended (the corpus
     itself is PII-free word salad). Rules are RE2-safe so the DuckDB oracle
@@ -2318,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "emb_ivf_index_topk": q_emb_ivf_index_topk,
         "docs_decontaminate": q_docs_decontaminate,
+        "docs_span_decontaminate": q_docs_span_decontaminate,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_quality_percentile": q_docs_quality_percentile,
@@ -2369,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
     "docs_quota_cap", "docs_hybrid_rrf", "emb_ivf_index_topk",
+    "docs_span_decontaminate",
     "precommit_guard", "emb_random_projection", "emb_hard_negatives",
     "emb_kmeans", "emb_quantized_topk", "docs_lsh_edit_verify",
     "schema_evolution_widen", "cow_snapshot_orc", "multimodal_phash_dedup",
@@ -3652,6 +3666,42 @@ g AS (SELECT doc_id, unnest(list_distinct(list_transform(
 bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
 SELECT DISTINCT a.doc_id FROM g a JOIN bench USING (g)
 WHERE a.doc_id % 97 <> 0""",
+        "docs_span_decontaminate": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(
+           regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w,
+         generate_subscripts(string_split(
+           regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), 1) AS i
+  FROM documents WHERE doc_id % 97 <> 0 AND length(trim(text)) > 0),
+seg AS (
+  SELECT doc_id, CAST(floor((i - 1) / 20) AS BIGINT) AS seg_idx,
+         string_agg(w, ' ' ORDER BY i) AS seg
+  FROM tok GROUP BY doc_id, seg_idx),
+bt AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+       FROM documents WHERE doc_id % 97 = 0 AND length(trim(text)) > 0),
+bench AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+            range(1, greatest(len(toks) - 3, 0) + 1),
+            i -> array_to_string(list_slice(toks, i, i + 3), ' ')))) AS g
+          FROM bt),
+sg AS (SELECT doc_id, seg_idx,
+              string_split_regex(trim(lower(seg)), '\\s+') AS stoks
+       FROM seg),
+segg AS (SELECT doc_id, seg_idx, unnest(list_distinct(list_transform(
+            range(1, greatest(len(stoks) - 3, 0) + 1),
+            i -> array_to_string(list_slice(stoks, i, i + 3), ' ')))) AS g
+         FROM sg),
+bad AS (SELECT DISTINCT doc_id, seg_idx FROM segg JOIN bench USING (g)),
+kept AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                string_agg(s.seg, ' ' ORDER BY s.seg_idx) AS text_clean
+         FROM seg s LEFT JOIN bad b
+           ON s.doc_id = b.doc_id AND s.seg_idx = b.seg_idx
+         WHERE b.doc_id IS NULL GROUP BY s.doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+        FROM seg GROUP BY doc_id)
+SELECT t.doc_id, coalesce(k.text_clean, '') AS text_clean, t.n_segments,
+       CAST(t.n_segments - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN kept k USING (doc_id)""",
         "docs_pii_scrub": """
 WITH d AS (SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -22,7 +22,7 @@ from .pipeline import (chunk_documents, contaminated_ids, curate,
                        decontaminate, scrub_pii, normalize_text,
                        deterministic_sample, stratified_sample,
                        percentile_filter, mixture_sample,
-                       pack_sequences, quota_cap)
+                       pack_sequences, quota_cap, decontaminate_spans)
 from .sessions import (sessionize, session_stats, funnel_stats,
                        cohort_retention)
 from .similarity import (cosine_topk, ivf_cosine_topk,
@@ -57,6 +57,7 @@ __all__ = [
     "phash_near_dup",
     "resize_plan", "audio_chunk_plan",
     "chunk_documents", "contaminated_ids", "curate", "decontaminate",
+    "decontaminate_spans",
     "pack_sequences", "scrub_pii", "normalize_text",
     "deterministic_sample", "stratified_sample",
     "percentile_filter", "mixture_sample", "quota_cap", "rrf_fuse",

@@ -340,6 +340,61 @@ def mixture_sample(df: DataFrame, group_col: str,
                              seed=seed, buckets=buckets)
 
 
+def decontaminate_spans(docs: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 4, window: int = 20,
+                        hash_grams: bool = True) -> DataFrame:
+    """Span-level decontamination (the GPT-3/PaLM appendix recipe): instead
+    of dropping every document that overlaps the eval set, cut only the
+    contaminated SPANS and keep the rest. Documents split into fixed
+    non-overlapping `window`-token segments (the segment_dedup window
+    segmentation); a segment is removed when it shares at least one word
+    n-gram with the benchmark. Grams are matched within a segment, so an
+    overlap straddling a segment boundary keeps both halves — the standard
+    windowed approximation. Output: (id, text_clean, n_segments,
+    n_removed); fully-contaminated docs come back with empty text_clean.
+
+    Shape for 100 TB: segment explode and gram explode are map-only; the
+    probe is a BROADCAST left-semi join against the distinct-ed benchmark
+    grams (the corpus never shuffles to match); the only corpus-keyed
+    exchange is the per-doc reassembly groupBy. hash_grams probes on
+    xxhash64(gram) — collisions only ever remove an extra span.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    nseg = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    segs = F.transform(F.sequence(F.lit(0), nseg - 1),
+                       lambda i: F.concat_ws(" ", F.slice(
+                           toks, i * window + 1, window)))
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+    ex = base.select(F.col(id_col).alias("id"),
+                     F.posexplode(segs).alias("seg_idx", "seg"))
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    bench = (benchmark.select(
+        F.explode(_word_grams(F.col(text_col), n)).alias("_g"))
+        .select(key(F.col("_g")).alias("_g")).distinct())
+    seg_grams = (ex.select("id", "seg_idx",
+                           F.explode(_word_grams(F.col("seg"), n))
+                           .alias("_gs"))
+                 .select("id", "seg_idx", key(F.col("_gs")).alias("_g")))
+    bad = (seg_grams.join(F.broadcast(bench), "_g", "left_semi")
+           .select("id", "seg_idx").distinct())
+    kept = ex.join(bad, ["id", "seg_idx"], "left_anti")
+    totals = base.select(F.col(id_col).alias("id"),
+                         F.size(segs).cast("bigint").alias("n_segments"))
+    return (totals
+            .join(kept.groupBy("id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                F.concat_ws(" ", F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s.seg)).alias("text_clean")), "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                    "n_segments",
+                    (F.col("n_segments")
+                     - F.coalesce("n_kept", F.lit(0).cast("bigint")))
+                    .cast("bigint").alias("n_removed")))
+
+
 def quota_cap(df: DataFrame, group_col: str, cap: int,
               score_col: str | None = None,
               id_col: str = "doc_id") -> DataFrame:

@@ -925,3 +925,21 @@ def test_rrf_fuse_ranks_and_membership(spark):
     assert sorted(r.doc_id for r in out2) == [10, 11]
     with pytest.raises(ValueError):
         ops.rrf_fuse([])
+
+
+def test_decontaminate_spans_cuts_only_contaminated_segments(spark):
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(["tok%d" % i for i in range(20)])
+          + " secret eval answer four "
+          + " ".join(["pad%d" % i for i in range(16)])),
+         (2, " ".join(["clean%d" % i for i in range(25)]))],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "the secret eval answer four leak")],
+                                  "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ops.decontaminate_spans(docs2, bench, n=4, window=20).collect()}
+    # doc 1: seg0 = tok0..tok19 clean; seg1 contains the 4-gram -> removed
+    assert out[1].n_segments == 2 and out[1].n_removed == 1
+    assert out[1].text_clean == " ".join(["tok%d" % i for i in range(20)])
+    assert out[2].n_removed == 0
+    assert out[2].text_clean == " ".join(["clean%d" % i for i in range(25)])
