@@ -1869,6 +1869,16 @@ def q_docs_span_decontaminate(spark, sf_dir):
     return decontaminate_spans(probe, bench, n=4, window=20)
 
 
+def q_docs_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split via the engine-portable
+    bucket hash — DuckDB re-derives every assignment exactly, proving the
+    split is reproducible cross-engine (the property randomSplit lacks)."""
+    from hudi_0_12_0_my_spark.operators import split_dataset
+    docs = _read(spark, sf_dir, "documents")
+    return split_dataset(docs, {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .select("doc_id", "lang", "split")
+
+
 def q_docs_pii_scrub(spark, sf_dir):
     """PII scrubbing over text with synthetic PII spans appended (the corpus
     itself is PII-free word salad). Rules are RE2-safe so the DuckDB oracle
@@ -2331,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_index_topk": q_emb_ivf_index_topk,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_span_decontaminate": q_docs_span_decontaminate,
+        "docs_split": q_docs_split,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_quality_percentile": q_docs_quality_percentile,
@@ -2382,7 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
     "docs_quota_cap", "docs_hybrid_rrf", "emb_ivf_index_topk",
-    "docs_span_decontaminate",
+    "docs_span_decontaminate", "docs_split",
     "precommit_guard", "emb_random_projection", "emb_hard_negatives",
     "emb_kmeans", "emb_quantized_topk", "docs_lsh_edit_verify",
     "schema_evolution_widen", "cow_snapshot_orc", "multimodal_phash_dedup",
@@ -3718,6 +3729,14 @@ SELECT doc_id,
       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
     '\\b\\d(?:[ -]?\\d){12,15}\\b', '<CARD>', 'g') AS text
 FROM d""",
+        "docs_split": """
+SELECT doc_id, lang,
+       CASE WHEN ((doc_id % 1000000007) * 2654435761 + 42) % 1000000
+                 < 800000 THEN 'train'
+            WHEN ((doc_id % 1000000007) * 2654435761 + 42) % 1000000
+                 < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents""",
         "docs_sample_stratified": """
 SELECT doc_id, lang FROM documents
 WHERE ((doc_id % 1000000007) * 2654435761 + 42) % 1000000 <

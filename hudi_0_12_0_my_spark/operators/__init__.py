@@ -22,7 +22,8 @@ from .pipeline import (chunk_documents, contaminated_ids, curate,
                        decontaminate, scrub_pii, normalize_text,
                        deterministic_sample, stratified_sample,
                        percentile_filter, mixture_sample,
-                       pack_sequences, quota_cap, decontaminate_spans)
+                       pack_sequences, quota_cap, decontaminate_spans,
+                       split_dataset)
 from .sessions import (sessionize, session_stats, funnel_stats,
                        cohort_retention)
 from .similarity import (cosine_topk, ivf_cosine_topk,
@@ -61,5 +62,6 @@ __all__ = [
     "pack_sequences", "scrub_pii", "normalize_text",
     "deterministic_sample", "stratified_sample",
     "percentile_filter", "mixture_sample", "quota_cap", "rrf_fuse",
+    "split_dataset",
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
 ]

@@ -271,6 +271,35 @@ def deterministic_sample(df: DataFrame, fraction: float,
     return df.filter(_sample_bucket(id_col, seed, buckets) < keep)
 
 
+def split_dataset(df: DataFrame, weights: dict[str, float],
+                  id_col: str = "doc_id", seed: int = 42,
+                  buckets: int = 1_000_000) -> DataFrame:
+    """Deterministic train/validation/test splitting: adds a `split` column
+    assigning each row to one of `weights`' keys with the given
+    proportions, by the engine-portable id bucket hash — reproducible
+    across runs, retries and engines (`randomSplit` is none of those), and
+    a row can never land in two splits. The hash is independent of every
+    other column, so the proportions also hold within any stratum
+    (per-language splits need no extra machinery).
+
+    Map-only: one projection, no shuffle, no sampling pass.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split_dataset: weights must sum > 0")
+    bucket = _sample_bucket(id_col, seed, buckets)
+    expr, acc = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
 def percentile_filter(df: DataFrame, keep_frac: float, score_col: str,
                       group_col: str | None = None, id_col: str = "doc_id",
                       exact: bool = True,

@@ -943,3 +943,19 @@ def test_decontaminate_spans_cuts_only_contaminated_segments(spark):
     assert out[1].text_clean == " ".join(["tok%d" % i for i in range(20)])
     assert out[2].n_removed == 0
     assert out[2].text_clean == " ".join(["clean%d" % i for i in range(25)])
+
+
+def test_split_dataset_disjoint_and_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = ops.split_dataset(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # deterministic: re-running yields the identical assignment
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split
+         for r in ops.split_dataset(df, {"train": 0.8, "val": 0.1,
+                                         "test": 0.1}).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        ops.split_dataset(df, {"train": 0.0})
