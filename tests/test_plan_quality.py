@@ -599,3 +599,33 @@ def test_rrf_fuse_single_agg_no_python(spark):
     plan = _plan(rrf_fuse([lex, lex], k=60))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_index_search_prunes_and_broadcasts(spark, tmp_path):
+    """ANN search over the synced IVF table: the probe set (query x cell,
+    <= nprobe rows per query) is BROADCAST against the pruned index scan —
+    no sort-merge join, no cartesian, no Python; and the pruned scan reads
+    strictly fewer files than the full index."""
+    import math
+    from hudi_0_12_0_my_spark import Engine
+    from hudi_0_12_0_my_spark.derived import (ivf_index_search,
+                                              sync_ivf_index)
+    eng = Engine(spark)
+    emb = spark.createDataFrame(
+        [(i, [math.sin(i * 0.7 + j) for j in range(8)], i % 3)
+         for i in range(50)],
+        "vec_id long, embedding array<float>, label int")
+    src = eng.create_table(str(tmp_path / "s"), record_key_fields=["vec_id"],
+                           precombine_field="label",
+                           keygen="nonpartitioned")
+    idx = eng.create_table(str(tmp_path / "i"), record_key_fields=["vec_id"],
+                           partition_field="cell")
+    src.bulk_insert(emb)
+    sync_ivf_index(src, idx, num_cells=4)
+    df = ivf_index_search(idx, emb.filter("vec_id < 3"), k=5, nprobe=1)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert len(set(df.inputFiles())) < len(set(idx.snapshot().inputFiles()))
