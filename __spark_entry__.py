@@ -1857,6 +1857,21 @@ def q_docs_decontaminate(spark, sf_dir):
     return contaminated_ids(probe, bench, n=4)
 
 
+def q_emb_cluster_topics(spark, sf_dir):
+    """Corpus organization end-to-end: k-means over the embeddings (2 Lloyd
+    rounds, deterministic init — the emb_kmeans machinery), then label each
+    cluster with its top-5 terms by cluster-level tf-idf over the joined
+    document text (doc_id == vec_id in the fixtures). The oracle replays
+    BOTH stages: the full Lloyd CTE chain feeding the same tokenize/count/
+    idf/top-k pipeline."""
+    from hudi_0_12_0_my_spark.operators import cluster_topics, kmeans_assign
+    emb = _read(spark, sf_dir, "embeddings")
+    docs = _read(spark, sf_dir, "documents")
+    asg = kmeans_assign(emb, k=4, iters=2).select(
+        F.col("vec_id").alias("doc_id"), "cluster")
+    return cluster_topics(docs, asg, k=5)
+
+
 def q_docs_span_decontaminate(spark, sf_dir):
     """Span-level decontamination (GPT-3/PaLM appendix recipe): only the
     20-token segments sharing a word 4-gram with the simulated eval set are
@@ -2342,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": q_docs_decontaminate,
         "docs_span_decontaminate": q_docs_span_decontaminate,
         "docs_split": q_docs_split,
+        "emb_cluster_topics": q_emb_cluster_topics,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_quality_percentile": q_docs_quality_percentile,
@@ -2393,7 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
     "docs_quota_cap", "docs_hybrid_rrf", "emb_ivf_index_topk",
-    "docs_span_decontaminate", "docs_split",
+    "docs_span_decontaminate", "docs_split", "emb_cluster_topics",
     "precommit_guard", "emb_random_projection", "emb_hard_negatives",
     "emb_kmeans", "emb_quantized_topk", "docs_lsh_edit_verify",
     "schema_evolution_widen", "cow_snapshot_orc", "multimodal_phash_dedup",
@@ -3353,6 +3369,63 @@ FROM v WHERE es >= 0.5""",
         # both Lloyd rounds replayed: deterministic lowest-id init, argmin
         # with lowest-cluster tie-break, per-position avg recompute,
         # empty-cluster carry via LEFT JOIN coalesce
+        # the full Lloyd chain (same CTEs as emb_kmeans) feeding cluster-
+        # level tf-idf labeling over the joined document text
+        "emb_cluster_topics": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+d1 AS (SELECT e.vec_id, e.v, c.cl,
+              list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+       FROM e CROSS JOIN c0 c),
+a1 AS (SELECT vec_id, v, cl FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         FROM d1) WHERE rn = 1),
+m1 AS (SELECT cl, list(m ORDER BY pos) AS v FROM
+        (SELECT cl, pos, avg(x) AS m FROM
+          (SELECT cl, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1)
+         GROUP BY cl, pos) GROUP BY cl),
+c1 AS (SELECT c0.cl, coalesce(m1.v, c0.v) AS v
+       FROM c0 LEFT JOIN m1 ON c0.cl = m1.cl),
+d2_ AS (SELECT e.vec_id, e.v, c.cl,
+               list_sum(list_transform(range(1, 65),
+                 i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+        FROM e CROSS JOIN c1 c),
+a2 AS (SELECT vec_id, v, cl FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         FROM d2_) WHERE rn = 1),
+m2 AS (SELECT cl, list(m ORDER BY pos) AS v FROM
+        (SELECT cl, pos, avg(x) AS m FROM
+          (SELECT cl, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a2)
+         GROUP BY cl, pos) GROUP BY cl),
+c2 AS (SELECT c1.cl, coalesce(m2.v, c1.v) AS v
+       FROM c1 LEFT JOIN m2 ON c1.cl = m2.cl),
+dfin AS (SELECT e.vec_id, c.cl,
+              list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+       FROM e CROSS JOIN c2 c),
+asg AS (SELECT vec_id AS doc_id, cl AS cluster FROM
+ (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+  FROM dfin) WHERE rn = 1),
+tok AS (
+  SELECT a.cluster, unnest(string_split(
+    regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents d JOIN asg a USING (doc_id)
+  WHERE length(trim(d.text)) > 0),
+tc AS (SELECT cluster, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok GROUP BY cluster, term),
+cl_tot AS (SELECT cluster, SUM(tf) AS cl FROM tc GROUP BY cluster),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfq FROM tc GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM cl_tot),
+s AS (SELECT tc.cluster, tc.term,
+             round(tf / cl * ln(n / dfq), 6) AS tfidf
+      FROM tc JOIN cl_tot USING (cluster) JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM s)
+SELECT cluster, CAST(rank AS INT) AS rank, term, tfidf
+FROM r WHERE rank <= 5""",
         "emb_kmeans": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v

@@ -32,7 +32,8 @@ from .similarity import (cosine_topk, ivf_cosine_topk,
                          quantize_int8, quantized_cosine_topk,
                          random_projection, hard_negatives, rrf_fuse)
 from .joins import interval_join, salted_join
-from .lm import lm_log_prob, lm_outliers, linear_text_score, tfidf_keywords
+from .lm import (lm_log_prob, lm_outliers, linear_text_score,
+                 tfidf_keywords, cluster_topics)
 from .profile import profile
 from .temporal import asof_join, resample
 from .textstats import (with_token_stats, with_quality_score,
@@ -53,6 +54,7 @@ __all__ = [
     "with_token_stats", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_repetition_stats", "top_ngrams", "bm25_topk",
     "lm_log_prob", "lm_outliers", "linear_text_score", "tfidf_keywords",
+    "cluster_topics",
     "profile", "asof_join", "resample", "interval_join", "salted_join",
     "with_media_columns", "extract_features", "frame_sample_plan",
     "phash_near_dup",

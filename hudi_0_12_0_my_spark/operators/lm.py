@@ -157,3 +157,44 @@ def lm_outliers(df: DataFrame, order: int = 1, keep_fraction: float = 0.99,
     return (scored.crossJoin(F.broadcast(cut))
             .filter(F.col("lm_logprob") < F.col("_cut"))
             .select(id_col, "lm_logprob"))
+
+
+def cluster_topics(docs: DataFrame, assignments: DataFrame, k: int = 5,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   cluster_col: str = "cluster") -> DataFrame:
+    """Interpretable topic labels for document clusters (corpus
+    organization: k-means the embeddings, label the clusters): per cluster,
+    the top-k terms by CLUSTER-level tf-idf — the cluster plays the
+    document role (tf = term share of the cluster's tokens, idf over the
+    handful of clusters), so vocabulary every cluster shares washes out and
+    each cluster's distinctive terms surface. Output:
+    (cluster, rank, term, tfidf), rank 1..k, tie-break on term.
+
+    Shape for 100 TB: token explode joins the (id -> cluster) map, then ONE
+    (cluster, term) count shuffle (map-side combine collapses repeats
+    before the exchange); everything after operates on |clusters| x |vocab|
+    counted rows, and the final window partitions by the few clusters.
+    """
+    toks = docs.select(F.col(id_col).alias("id"),
+                       _tokens(text_col).alias("_t"))
+    a = assignments.select(F.col(id_col).alias("id"),
+                           F.col(cluster_col).alias("cluster"))
+    terms = (toks.filter(F.size("_t") > 0).join(a, "id")
+             .select("cluster", F.explode("_t").alias("term")))
+    tc = terms.groupBy("cluster", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf"))
+    cl = tc.groupBy("cluster").agg(F.sum("_tf").alias("_cl"))
+    dfreq = tc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df"))
+    n = cl.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("cluster").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (tc.join(F.broadcast(cl), "cluster").join(dfreq, "term")
+            .crossJoin(F.broadcast(n))
+            .withColumn("tfidf", F.round(
+                (F.col("_tf") / F.col("_cl"))
+                * F.log(F.col("_n") / F.col("_df")), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("cluster", F.col("rank").cast("int").alias("rank"),
+                    "term", "tfidf"))

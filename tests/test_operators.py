@@ -959,3 +959,27 @@ def test_split_dataset_disjoint_and_stable(spark):
     assert a == b
     with pytest.raises(ValueError):
         ops.split_dataset(df, {"train": 0.0})
+
+
+def test_cluster_topics_surfaces_distinctive_terms(spark):
+    docs3 = spark.createDataFrame(
+        [(1, "stocks bonds markets trading common"),
+         (2, "markets trading stocks common common"),
+         (3, "protein enzyme biology cells common"),
+         (4, "cells biology protein common common")],
+        "doc_id long, text string")
+    asg = spark.createDataFrame([(1, 0), (2, 0), (3, 1), (4, 1)],
+                                "doc_id long, cluster int")
+    out = ops.cluster_topics(docs3, asg, k=3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append((r.rank, r.term, r.tfidf))
+    # 'common' appears in both clusters -> idf 0 -> never a top term
+    for cl, rows in by_cluster.items():
+        assert all(t != "common" for _, t, _ in rows)
+        assert [r[0] for r in sorted(rows)] == [1, 2, 3]
+    top0 = {t for _, t, _ in by_cluster[0]}
+    top1 = {t for _, t, _ in by_cluster[1]}
+    assert top0 & {"stocks", "markets", "trading", "bonds"}
+    assert top1 & {"protein", "biology", "cells", "enzyme"}
+    assert not top0 & top1
