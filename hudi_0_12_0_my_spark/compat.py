@@ -41,6 +41,7 @@ RECORDKEY_FIELD = "hoodie.datasource.write.recordkey.field"
 PRECOMBINE_FIELD = "hoodie.datasource.write.precombine.field"
 PARTITIONPATH_FIELD = "hoodie.datasource.write.partitionpath.field"
 HIVE_STYLE = "hoodie.datasource.write.hive_style_partitioning"
+URL_ENCODE = "hoodie.datasource.write.partitionpath.urlencode"
 PAYLOAD_CLASS = "hoodie.datasource.write.payload.class"
 KEYGEN_CLASS = "hoodie.datasource.write.keygenerator.class"
 DROP_DUPS = "hoodie.datasource.write.insert.drop.duplicates"
@@ -131,6 +132,8 @@ def options_to_config(options: dict) -> dict:
         kw["partition_field"] = options[PARTITIONPATH_FIELD] or None
     if HIVE_STYLE in options:
         kw["hive_style_partitioning"] = _bool(options[HIVE_STYLE])
+    if URL_ENCODE in options:
+        kw["partition_urlencode"] = _bool(options[URL_ENCODE])
     if PAYLOAD_CLASS in options:
         from . import payloads
         cls = str(options[PAYLOAD_CLASS])

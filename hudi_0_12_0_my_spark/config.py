@@ -32,6 +32,7 @@ class TableConfig:
     keygen_output_format: str = "yyyy-MM-dd" # fork default (HoodieFlinkStreamerWithApollo.java:100-112)
     keygen_input_format: str | None = None   # DATE_STRING/MIXED input format(s), comma-separated
     hive_style_partitioning: bool = False    # KeyGeneratorOptions hive-style flag
+    partition_urlencode: bool = False        # hoodie.datasource.write.partitionpath.urlencode (PartitionPathEncodeUtils.escapePathName)
     payload: str = "overwrite_latest"        # payloads.py registry key
     global_index: bool = False               # HoodieGlobalSimpleIndex vs HoodieSimpleIndex
     index_type: str = "simple"               # simple | bucket | bucket_consistent | inmemory (HoodieIndex.java:45 impls)

@@ -22,6 +22,27 @@ from pyspark.sql import functions as F
 
 DEFAULT_PARTITION = "default"   # Hudi's null-partition fallback
 
+# PartitionPathEncodeUtils.charToEscape: HTTP control chars + the
+# path/metadata-hostile set. '%' is escaped FIRST so escape output never
+# re-escapes (escapePathName writes %XX for each member).
+_ESCAPE_CHARS = [chr(c) for c in range(0x01, 0x20)] + [
+    '"', '#', "'", '*', '/', ':', '=', '?', '\\', chr(0x7F), '{', '[', ']',
+    '^']
+
+
+def escape_partition_expr(val: Column) -> Column:
+    """PartitionPathEncodeUtils.escapePathName as a Catalyst expression:
+    %XX-escape the Hive-hostile character set, so a partition VALUE
+    containing '/' (or ':' etc.) cannot explode into nested directories or
+    an unlistable path. Enabled by cfg.partition_urlencode
+    (hoodie.datasource.write.partitionpath.urlencode, default false — same
+    default as the reference)."""
+    import re as _re
+    out = F.regexp_replace(val, "%", "%25")
+    for ch in _ESCAPE_CHARS:
+        out = F.regexp_replace(out, _re.escape(ch), "%%%02X" % ord(ch))
+    return out
+
 
 def record_key_expr(cfg) -> Column:
     if cfg.keygen == "uuid":
@@ -112,6 +133,8 @@ def partition_path_expr(cfg, df=None) -> Column:
             val = _timestamp_field_expr(cfg, fname, df)
         else:
             val = F.col(fname).cast("string")
+        if getattr(cfg, "partition_urlencode", False):
+            val = escape_partition_expr(val)
         val = F.coalesce(val, F.lit(DEFAULT_PARTITION))
         if cfg.hive_style_partitioning:
             val = F.concat(F.lit(fname + "="), val)

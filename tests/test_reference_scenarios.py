@@ -159,3 +159,37 @@ def test_mor_precombine_ordering_with_ordered_deletes(spark, tmp_table_dir):
     write(1, "a0", 18, 96, False);  check(12, 101)   # still pinned
     write(1, "a0", 20, 102, True)                    # current DELETE wins
     assert read_hudi(spark, tmp_table_dir).count() == 0
+
+
+def test_partition_urlencode_escapes_hostile_values(spark, tmp_table_dir):
+    """hoodie.datasource.write.partitionpath.urlencode
+    (PartitionPathEncodeUtils.escapePathName): partition VALUES containing
+    '/', ':', '%', '=' etc. are %XX-escaped so they cannot explode into
+    nested directories or unlistable paths; round-trip reads return the
+    original column values untouched."""
+    import os
+
+    from hudi_0_12_0_my_spark import Engine
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, record_key_fields=["id"],
+                         precombine_field="seq", partition_field="cat",
+                         partition_urlencode=True)
+    rows = [(1, "a/b", 1.0, 1), (2, "x:y=z", 2.0, 1), (3, "p%q", 3.0, 1),
+            (4, "plain", 4.0, 1)]
+    t.bulk_insert(spark.createDataFrame(
+        rows, "id long, cat string, val double, seq long"))
+    dirs = {d for d in os.listdir(tmp_table_dir) if not d.startswith(".")}
+    assert dirs == {"a%2Fb", "x%3Ay%3Dz", "p%25q", "plain"}
+
+    got = {(r.id, r.cat, r.val) for r in t.snapshot().collect()}
+    assert got == {(i, c, v) for i, c, v, _ in rows}
+    # upserts tag into the escaped partitions (no duplicate rows)
+    t.upsert(spark.createDataFrame([(1, "a/b", 10.0, 2)],
+                                   "id long, cat string, val double, seq long"))
+    got = {(r.id, r.val) for r in t.snapshot().collect()}
+    assert got == {(1, 10.0), (2, 2.0), (3, 3.0), (4, 4.0)}
+    # option-string route reaches the same config
+    from hudi_0_12_0_my_spark.compat import options_to_config
+    kw = options_to_config(
+        {"hoodie.datasource.write.partitionpath.urlencode": "true"})
+    assert kw["partition_urlencode"] is True
