@@ -2237,6 +2237,39 @@ def q_multimodal_features(spark, sf_dir):
                         F.size("features").alias("feat_dim"), *fcols)
 
 
+def q_multimodal_audio_chunks(spark, sf_dir):
+    """Audio chunking plan (the pre-decode explode that parallelizes one
+    long recording across tasks): per-row durations derived from n_chars,
+    one row per 10s window, end clamped to the duration. Pure sequence
+    arithmetic — DuckDB replays every window exactly."""
+    from hudi_0_12_0_my_spark.operators import (audio_chunk_plan,
+                                                with_media_columns)
+    docs = _read(spark, sf_dir, "documents") \
+        .withColumn("payload", F.coalesce(F.col("text"), F.lit(""))
+                    .cast("binary"))
+    mm = with_media_columns(docs, "payload", "audio", "audio/wav",
+                            duration_ms=F.col("n_chars") * 37,
+                            sample_rate=16000)
+    return (audio_chunk_plan(mm, chunk_ms=10_000)
+            .select("doc_id", "chunk_start_ms", "chunk_end_ms"))
+
+
+def q_multimodal_frame_plan(spark, sf_dir):
+    """Frame-sampling plan: one row per 5s frame timestamp of each clip
+    (inclusive of an exact-multiple endpoint, like the operator's
+    sequence)."""
+    from hudi_0_12_0_my_spark.operators import (frame_sample_plan,
+                                                with_media_columns)
+    docs = _read(spark, sf_dir, "documents") \
+        .withColumn("payload", F.coalesce(F.col("text"), F.lit(""))
+                    .cast("binary"))
+    mm = with_media_columns(docs, "payload", "video", "video/mp4",
+                            duration_ms=F.col("n_chars") * 37,
+                            n_frames=100)
+    return (frame_sample_plan(mm, every_ms=5_000)
+            .select("doc_id", "frame_ts"))
+
+
 def q_multimodal_phash_dedup(spark, sf_dir):
     """pHash-style banded near-dup over the binary media column
     (operators/multimodal.py phash_near_dup): 64-bit hash -> 4 bands ->
@@ -2399,6 +2432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_audio_chunks": q_multimodal_audio_chunks,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
     })
 
@@ -2410,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NEVER_DRIVER_SAMPLED = [
     "docs_quota_cap", "docs_hybrid_rrf", "emb_ivf_index_topk",
     "docs_span_decontaminate", "docs_split", "emb_cluster_topics",
+    "multimodal_audio_chunks", "multimodal_frame_plan",
     "precommit_guard", "emb_random_projection", "emb_hard_negatives",
     "emb_kmeans", "emb_quantized_topk", "docs_lsh_edit_verify",
     "schema_evolution_widen", "cow_snapshot_orc", "multimodal_phash_dedup",
@@ -3685,6 +3721,21 @@ f AS (SELECT doc_id, round(sum(1.0 / (60 + rk)), 6) AS rrf,
 SELECT doc_id, rrf, n_lists,
        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
 FROM f QUALIFY rank <= 20""",
+        "multimodal_audio_chunks": """
+WITH d AS (SELECT doc_id, CAST(n_chars * 37 AS BIGINT) AS dur
+           FROM documents),
+s AS (SELECT doc_id, dur,
+             unnest(range(0, greatest(dur - 1, 0) + 1, 10000))
+             AS chunk_start_ms
+      FROM d)
+SELECT doc_id, CAST(chunk_start_ms AS BIGINT) AS chunk_start_ms,
+       CAST(least(chunk_start_ms + 10000, dur) AS BIGINT) AS chunk_end_ms
+FROM s""",
+        "multimodal_frame_plan": """
+WITH d AS (SELECT doc_id, CAST(n_chars * 37 AS BIGINT) AS dur
+           FROM documents)
+SELECT doc_id, CAST(unnest(range(0, dur + 1, 5000)) AS BIGINT) AS frame_ts
+FROM d""",
         "docs_dup_clusters": """
 WITH RECURSIVE d0 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
             FROM documents),

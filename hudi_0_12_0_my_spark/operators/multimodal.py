@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
@@ -45,8 +45,12 @@ def with_media_columns(df: DataFrame, payload_col, media_type: str,
             fields.append(F.lit(mime).alias("mime"))
         else:
             v = meta.get(f.name)
-            fields.append((F.lit(v) if v is not None else F.lit(None))
-                          .cast(f.dataType).alias(f.name))
+            if isinstance(v, Column):
+                # per-row metadata (e.g. duration from an upstream probe)
+                fields.append(v.cast(f.dataType).alias(f.name))
+            else:
+                fields.append((F.lit(v) if v is not None else F.lit(None))
+                              .cast(f.dataType).alias(f.name))
     return (df.withColumn("media", F.col(payload_col).cast(BinaryType()))
               .withColumn("media_meta", F.struct(*fields)))
 
