@@ -660,3 +660,60 @@ def test_bad_records_fail_batch_without_quarantine(spark, tmp_path):
     import pyspark.errors
     with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException):
         q.awaitTermination(120)
+
+
+def test_stream_sink_maintains_ivf_index(spark, tmp_path):
+    """post_commit composition with the IVF vector-index maintainer: batch
+    one builds centroids + full assignment, later micro-batches fold only
+    their own CDC diff — after every batch the index holds exactly the
+    corpus ids, one cell each, and ANN search over it matches brute force."""
+    import math
+
+    from hudi_0_12_0_my_spark.derived import (ivf_index_search,
+                                              sync_ivf_index)
+    from hudi_0_12_0_my_spark.operators import cosine_topk
+
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "vecs"), record_key_fields=["vec_id"],
+                         precombine_field="seq", keygen="nonpartitioned")
+    idx = eng.create_table(str(tmp_path / "idx"), record_key_fields=["vec_id"],
+                           partition_field="cell")
+    src_dir = str(tmp_path / "in")
+
+    def vec(i, flip=1.0):
+        return [round(flip * math.sin(i * 0.7 + j), 6) for j in range(8)]
+
+    def keep_fresh(table):
+        sync_ivf_index(table, idx, num_cells=3)
+
+    _write_jsonl(src_dir, "b1.json",
+                 [{"vec_id": i, "embedding": vec(i), "seq": 1}
+                  for i in range(20)])
+    raw = (spark.readStream.format("text").load(src_dir)
+           .select(F.from_json(
+               "value", "vec_id long, embedding array<float>, seq long")
+               .alias("r"))
+           .select("r.*"))
+    q = stream_write(t, raw, str(tmp_path / "ckpt"), post_commit=keep_fresh) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    # batch 2: move some vectors (negation changes the nearest centroid)
+    _write_jsonl(src_dir, "b2.json",
+                 [{"vec_id": i, "embedding": vec(i, -1.0), "seq": 2}
+                  for i in range(0, 20, 5)]
+                 + [{"vec_id": 20 + i, "embedding": vec(40 + i), "seq": 1}
+                    for i in range(5)])
+    q = stream_write(t, raw, str(tmp_path / "ckpt"), post_commit=keep_fresh) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    snap = t.snapshot().select("vec_id", "embedding")
+    isnap = idx.snapshot()
+    assert isnap.count() == snap.count() == 25
+    assert isnap.groupBy("vec_id").count().filter("count > 1").count() == 0
+    qv = snap.filter("vec_id < 3")
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in ivf_index_search(idx, qv, k=5, nprobe=3).collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id
+            for r in cosine_topk(snap, qv, k=5).collect()}
+    assert got == want
