@@ -1028,12 +1028,41 @@ class Writer:
                 # clustering is pending.
                 from .services.clustering import pending_clustering_groups
                 blocked = pending_clustering_groups(self.t.timeline)
+                if blocked and self.cfg.concurrency_mode == "occ":
+                    # single-writer mode reaps a dead scheduler's plan in the
+                    # write guard; under OCC no guard runs, so without this a
+                    # stale plan would wedge EVERY writer until a clean runs.
+                    # Reap stale-heartbeat cluster plans here, under the
+                    # lock (live runs keep beating and stay untouched).
+                    from .util import heartbeat_fresh
+                    stale = set()
+                    for i in self.t.timeline.pending():
+                        if i.action != tl.REPLACECOMMIT:
+                            continue
+                        try:
+                            op = (self.t.timeline.metadata(i) or {}) \
+                                .get("operation")
+                        except FileNotFoundError:
+                            continue
+                        if op == "cluster" \
+                                and not heartbeat_fresh(self.base, i.time):
+                            stale.add(i.time)
+                    if stale:
+                        with self._lock():
+                            for s in sorted(stale):
+                                self._abort_staged(s)
+                        blocked = pending_clustering_groups(self.t.timeline)
                 if blocked:
                     hit = {(r[0], r[1]) for r in updates
                            .select(meta.PARTITION_PATH, meta.TARGET_FILE_ID)
                            .distinct().collect()}
                     bad = sorted(hit & blocked)
                     if bad:
+                        # controlled rejection, not a crash: the writer is
+                        # alive, so retract its own minted instant (and OCC
+                        # heartbeat) instead of leaving a pending commit for
+                        # the failed-write healer/cleaner to reap later.
+                        self._abort_staged(instant)
                         raise ClusteringUpdateRejected(
                             f"updates target file group(s) under pending "
                             f"clustering: {bad[:5]}")

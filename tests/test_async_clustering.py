@@ -116,3 +116,32 @@ def test_clustering_due_trigger(spark, tmp_path):
     assert not clustering_due(t)           # pending plan blocks re-trigger
     run_clustering(t, plan=plan)
     assert not clustering_due(t)           # counter reset by the completion
+
+
+def test_occ_writer_reaps_stale_cluster_plan(spark, tmp_path):
+    """Under OCC no single-writer guard heals a dead scheduler's plan, so a
+    blocked upsert reaps stale-heartbeat cluster plans itself (mirrors the
+    lazy failed-write cleaning the reference applies to service plans); a
+    fresh-heartbeat plan still rejects the update."""
+    import os
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "occl"), record_key_fields=["id"],
+                         precombine_field="ts", partition_field="dt",
+                         concurrency_mode="occ")
+    t.bulk_insert(_rows(spark, [(1, 1.0, 1, "a"), (2, 2.0, 1, "a")]))
+    plan = schedule_clustering(t, sort_cols=["id"], layout="linear",
+                               small_files_only=False)
+    # live scheduler (fresh heartbeat): update still rejected, and the
+    # rejected writer retracts its own minted instant (no pending leak)
+    with pytest.raises(ClusteringUpdateRejected):
+        t.upsert(_rows(spark, [(1, 9.0, 2, "a")]))
+    assert [i.time for i in t.timeline.pending()] == [plan["instant"]]
+    # scheduler dies: expire its heartbeat -> blocked writer reaps the plan
+    hb_dir = os.path.join(t.base_path, ".hoodie", ".heartbeat")
+    for f in os.listdir(hb_dir):
+        with open(os.path.join(hb_dir, f), "w") as fh:
+            fh.write("0")
+    t.upsert(_rows(spark, [(1, 9.0, 2, "a")]))
+    assert {(r.id, r.v) for r in t.snapshot().collect()} == {
+        (1, 9.0), (2, 2.0)}
+    assert not any(i.time == plan["instant"] for i in t.timeline.pending())
