@@ -1884,6 +1884,54 @@ def q_docs_span_decontaminate(spark, sf_dir):
     return decontaminate_spans(probe, bench, n=4, window=20)
 
 
+def q_docs_dsir_topk(spark, sf_dir):
+    """DSIR importance weighting (Xie'23 hashed n-gram variant): score every
+    doc by how English-like its 1+2-gram hashed-bucket distribution is
+    (target = the en slice), top-50 by weight. portable_md5 buckets +
+    round(,6) make every stage — bucket counts, smoothing, log-ratio, the
+    per-doc sum — bit-replayable in DuckDB."""
+    from hudi_0_12_0_my_spark.operators import dsir_logweights
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_logweights(docs, target, orders=(1, 2), num_buckets=4096,
+                        alpha=1.0, seed=42, hash_fn="portable_md5")
+    return (w.select("doc_id", F.round("dsir_logw", 6).alias("dsir_logw"))
+            .orderBy(F.col("dsir_logw").desc(), F.col("doc_id")).limit(50))
+
+
+def q_docs_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek'20): per-language LM-score
+    terciles, low score = head. Returns per (lang, bucket) counts; the
+    oracle replays the identical unigram LM, ranking, and ceil cuts."""
+    from hudi_0_12_0_my_spark.operators import lm_log_prob, perplexity_buckets
+    docs = _read(spark, sf_dir, "documents")
+    scored = (docs.select("doc_id", "lang")
+              .join(lm_log_prob(docs, order=1), "doc_id")
+              .withColumn("nll", -F.col("lm_logprob")))
+    b = perplexity_buckets(scored, "nll", group_col="lang", ascending=True)
+    return (b.groupBy("lang", "ppl_bucket")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.min("doc_id").alias("min_doc"))
+             .orderBy("lang", "ppl_bucket"))
+
+
+def q_docs_url_curate(spark, sf_dir):
+    """RefinedWeb URL curation: normalize synthetic crawl URLs, extract the
+    registered domain, drop two blocklisted domains, dedup on the
+    normalized URL (lowest doc_id wins). DuckDB replays the identical RE2
+    regex pipeline and first-occurrence window."""
+    from hudi_0_12_0_my_spark.operators import curate_urls
+    docs = _read(spark, sf_dir, "documents")
+    docs = docs.withColumn("url", F.concat_ws(
+        "", F.lit("HTTPS://WWW."), F.col("source"),
+        (F.col("doc_id") % 5).cast("string"), F.lit(".COM:443/p/"),
+        (F.col("doc_id") % 13).cast("string"), F.lit("/?utm=x&id="),
+        F.col("doc_id").cast("string"), F.lit("#frag")))
+    out = curate_urls(docs, blocklist=["src00.com", "src31.com"])
+    return (out.select("doc_id", "url_norm", "domain", "lang")
+            .orderBy("doc_id"))
+
+
 def q_docs_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split via the engine-portable
     bucket hash — DuckDB re-derives every assignment exactly, proving the
@@ -2435,6 +2483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_chunks": q_multimodal_audio_chunks,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
+        "docs_dsir_topk": q_docs_dsir_topk,
+        "docs_ccnet_buckets": q_docs_ccnet_buckets,
+        "docs_url_curate": q_docs_url_curate,
     })
 
 
@@ -2443,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # registered query accumulates an official green row across rounds. The
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
+    "docs_dsir_topk", "docs_ccnet_buckets", "docs_url_curate",
     "docs_quota_cap", "docs_hybrid_rrf", "emb_ivf_index_topk",
     "docs_span_decontaminate", "docs_split", "emb_cluster_topics",
     "multimodal_audio_chunks", "multimodal_frame_plan",
@@ -4180,4 +4232,75 @@ r AS (SELECT qid AS query_id, nid AS neighbor_id,
              row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rank
       FROM s)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""",
+        "docs_dsir_topk": """
+WITH d AS (SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+uni AS (SELECT doc_id, lang, unnest(toks) AS g FROM d),
+bi AS (SELECT doc_id, lang, unnest(list_transform(
+         range(1, greatest(len(toks) - 1, 0) + 1),
+         i -> toks[i] || ' ' || toks[i + 1])) AS g FROM d),
+grams AS (SELECT doc_id, lang,
+                 ('0x' || substr(md5('42|' || g), 1, 15))::BIGINT % 4096 AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+tc AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM grams
+       WHERE lang = 'en' GROUP BY b),
+rc AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM grams GROUP BY b),
+tt AS (SELECT sum(c) + 4096.0 AS s FROM tc),
+rt AS (SELECT sum(c) + 4096.0 AS s FROM rc),
+lam AS (SELECT rc.b,
+               ln((coalesce(tc.c, 0) + 1.0) / tt.s)
+             - ln((rc.c + 1.0) / rt.s) AS l
+        FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN rt),
+sc AS (SELECT doc_id, sum(l) AS w FROM grams JOIN lam USING (b)
+       GROUP BY doc_id),
+ids AS (SELECT DISTINCT doc_id FROM documents)
+SELECT i.doc_id, round(coalesce(sc.w, 0.0), 6) AS dsir_logw
+FROM ids i LEFT JOIN sc ON i.doc_id = sc.doc_id
+ORDER BY dsir_logw DESC, i.doc_id LIMIT 50""",
+        "docs_ccnet_buckets": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+cnt AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c) AS s FROM cnt),
+sc AS (SELECT doc_id, round(avg(ln(c / s)), 6) AS lp
+       FROM tok JOIN cnt USING (w) CROSS JOIN tot GROUP BY doc_id),
+j AS (SELECT d.doc_id, d.lang, -sc.lp AS nll
+      FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+r AS (SELECT doc_id, lang, nll,
+             row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM j),
+b AS (SELECT doc_id, lang,
+             CASE WHEN rn <= ceil(n * 0.3333333333333333) THEN 'head'
+                  WHEN rn <= ceil(n * 0.6666666666666666) THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM r)
+SELECT lang, ppl_bucket, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM b GROUP BY lang, ppl_bucket ORDER BY lang, ppl_bucket""",
+        "docs_url_curate": """
+WITH d AS (
+  SELECT doc_id, lang,
+         'HTTPS://WWW.' || source || CAST(doc_id % 5 AS VARCHAR)
+         || '.COM:443/p/' || CAST(doc_id % 13 AS VARCHAR)
+         || '/?utm=x&id=' || CAST(doc_id AS VARCHAR) || '#frag' AS url
+  FROM documents),
+n1 AS (SELECT doc_id, lang, lower(trim(url)) AS u FROM d),
+n2 AS (SELECT doc_id, lang,
+              regexp_replace(u, '^[a-z][a-z0-9+.-]*://', '') AS u FROM n1),
+n3 AS (SELECT doc_id, lang, regexp_replace(u, '^www\\.', '') AS u FROM n2),
+n4 AS (SELECT doc_id, lang, regexp_replace(u, '[?#].*$', '') AS u FROM n3),
+n5 AS (SELECT doc_id, lang, regexp_replace(u, '/+$', '') AS u FROM n4),
+h AS (SELECT doc_id, lang, u,
+             regexp_replace(regexp_extract(u, '^([^/]+)', 1),
+                            ':[0-9]+$', '') AS host FROM n5),
+dm AS (SELECT doc_id, lang,
+              host || regexp_replace(u, '^[^/]*', '') AS url_norm,
+              regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain FROM h),
+f AS (SELECT * FROM dm WHERE domain NOT IN ('src00.com', 'src31.com')),
+r AS (SELECT *, row_number() OVER (PARTITION BY url_norm
+                                   ORDER BY doc_id) AS rn FROM f)
+SELECT doc_id, url_norm, domain, lang FROM r WHERE rn = 1 ORDER BY doc_id""",
     }

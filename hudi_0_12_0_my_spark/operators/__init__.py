@@ -23,7 +23,8 @@ from .pipeline import (chunk_documents, contaminated_ids, curate,
                        deterministic_sample, stratified_sample,
                        percentile_filter, mixture_sample,
                        pack_sequences, quota_cap, decontaminate_spans,
-                       split_dataset)
+                       split_dataset, dsir_logweights, dsir_sample,
+                       perplexity_buckets, curate_urls)
 from .sessions import (sessionize, session_stats, funnel_stats,
                        cohort_retention)
 from .similarity import (cosine_topk, ivf_cosine_topk,
@@ -64,6 +65,7 @@ __all__ = [
     "pack_sequences", "scrub_pii", "normalize_text",
     "deterministic_sample", "stratified_sample",
     "percentile_filter", "mixture_sample", "quota_cap", "rrf_fuse",
-    "split_dataset",
+    "split_dataset", "dsir_logweights", "dsir_sample",
+    "perplexity_buckets", "curate_urls",
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
 ]

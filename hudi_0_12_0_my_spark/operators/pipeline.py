@@ -472,3 +472,174 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return (df.withColumn("_frac", frac)
               .filter(bucket < F.round(F.col("_frac") * buckets))
               .drop("_frac"))
+
+
+# ------------------------------------------------- DSIR importance sampling
+def _gram_occurrences(df: DataFrame, text_col: str, id_col: str,
+                      orders: tuple[int, ...]) -> DataFrame:
+    """(id, gram) rows WITH multiplicity (unlike _word_grams' distinct set):
+    DSIR's feature vector is the hashed n-gram COUNT vector. Map-only."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    # NB: the lambda must take exactly ONE arg — F.transform calls a two-arg
+    # lambda with (element, index), so a `n=n` default would be silently
+    # rebound to the array index
+    def gram_at(n):
+        return lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+
+    arrays = []
+    for n in orders:
+        m = F.size(toks) - (n - 1)
+        arrays.append(F.when(m >= 1, F.transform(
+            F.sequence(F.lit(1), m), gram_at(n)))
+            .otherwise(F.array().cast("array<string>")))
+    grams = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+    return (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+              .select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g")))
+
+
+def dsir_logweights(raw: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    orders: tuple[int, ...] = (1, 2),
+                    num_buckets: int = 4096, alpha: float = 1.0,
+                    seed: int = 42,
+                    hash_fn: str = "xxhash64") -> DataFrame:
+    """DSIR importance log-weights (Xie et al., NeurIPS'23 "Data Selection
+    for Language Models via Importance Resampling"): score every `raw` doc
+    by how much its hashed n-gram distribution looks like `target`'s.
+
+        logw(d) = sum over gram occurrences g in d of
+                  ln p_target(bucket(g)) - ln p_raw(bucket(g))
+
+    with add-`alpha` smoothed bucket unigram models over `num_buckets`
+    hashed features (the paper's hashed n-gram variant, orders 1+2).
+    Returns every `raw` id with `dsir_logw` (docs with empty text weigh 0).
+
+    Shape for 100 TB: gram explode is map-only; both bucket-count aggs
+    collapse to <= num_buckets rows via partial aggregation (the corpus
+    shuffles only `num_buckets` partial rows per task, not its grams); the
+    log-ratio table is `num_buckets` rows, BROADCAST to a map-side join;
+    the only corpus-keyed exchange is the per-doc partial-agg sum. The two
+    driver collects are 1-row totals. hash_fn="portable_md5" makes every
+    stage replayable by any SQL engine (the correctness-gate convention).
+    """
+    from .dedup import _seeded_hash
+    h = _seeded_hash(hash_fn)
+    bucket = lambda c: F.pmod(h(seed, c), F.lit(num_buckets))  # noqa: E731
+    B = float(num_buckets)
+
+    def counts(df_):
+        g = _gram_occurrences(df_, text_col, id_col, orders)
+        return g.select(bucket(F.col("_g")).alias("_b")) \
+                .groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+
+    tc, rc = counts(target).persist(), counts(raw).persist()
+    t_tot = (tc.agg(F.sum("_c")).collect()[0][0] or 0) + alpha * B
+    r_tot = (rc.agg(F.sum("_c")).collect()[0][0] or 0) + alpha * B
+    lam = (tc.join(rc, "_b", "full_outer")
+             .select("_b",
+                     (F.log((F.coalesce(tc["_c"], F.lit(0)) + alpha)
+                            / F.lit(t_tot))
+                      - F.log((F.coalesce(rc["_c"], F.lit(0)) + alpha)
+                              / F.lit(r_tot))).alias("_lam")))
+    scored = (_gram_occurrences(raw, text_col, id_col, orders)
+              .select("_id", bucket(F.col("_g")).alias("_b"))
+              .join(F.broadcast(lam), "_b")
+              .groupBy("_id").agg(F.sum("_lam").alias("dsir_logw")))
+    ids = raw.select(F.col(id_col).alias("_id")).distinct()
+    return (ids.join(scored, "_id", "left")
+               .select(F.col("_id").alias(id_col),
+                       F.coalesce("dsir_logw", F.lit(0.0)).alias("dsir_logw")))
+
+
+def dsir_sample(raw: DataFrame, target: DataFrame, fraction: float,
+                text_col: str = "text", id_col: str = "doc_id",
+                approx_error: float = 0.001, **kw) -> DataFrame:
+    """Select ~`fraction` of `raw` with the highest DSIR importance weights.
+
+    The production shape: the logw threshold comes from a percentile_approx
+    sketch (tiny agg, broadcast scalar), then a map-only filter — the corpus
+    never shuffles to rank. For the paper's Gumbel-resampling flavor, add
+    deterministic noise to dsir_logw upstream; top-fraction selection is the
+    deterministic variant used by most production recipes."""
+    w = dsir_logweights(raw, target, text_col=text_col, id_col=id_col, **kw)
+    thr = w.agg(F.percentile_approx(
+        "dsir_logw", 1.0 - fraction, int(1.0 / approx_error))).collect()[0][0]
+    return raw.join(w.filter(F.col("dsir_logw") >= thr).select(id_col),
+                    id_col, "left_semi")
+
+
+# ------------------------------------------------ CCNet perplexity buckets
+def perplexity_buckets(df: DataFrame, score_col: str,
+                       group_col: str | None = None,
+                       head_frac: float = 1 / 3, middle_frac: float = 1 / 3,
+                       id_col: str = "doc_id",
+                       ascending: bool = True) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al., LREC'20): rank
+    rows per group by LM score (ascending=True: LOW perplexity ranks first,
+    the CCNet convention) and label the first `head_frac` "head", the next
+    `middle_frac` "middle", the rest "tail". Deterministic (id tiebreak).
+
+    Shape for 100 TB: ONE window shuffle keyed by the group (language) —
+    the same shape as exact percentile_filter; groups are languages, so the
+    per-group range-sort parallelizes across partition ranges. For a
+    shuffle-free approximation, derive thresholds via percentile_approx and
+    a broadcast CASE instead (the percentile_filter exact=False shape)."""
+    from pyspark.sql import Window as W
+    group = [group_col] if group_col else []
+    order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w = W.partitionBy(*group).orderBy(order, F.col(id_col))
+    cw = W.partitionBy(*group)
+    rn, cnt = F.row_number().over(w), F.count(F.lit(1)).over(cw)
+    return (df.withColumn("ppl_bucket", F.when(
+        rn <= F.ceil(F.lit(float(head_frac)) * cnt), F.lit("head")).when(
+        rn <= F.ceil(F.lit(float(head_frac + middle_frac)) * cnt),
+        F.lit("middle")).otherwise(F.lit("tail"))))
+
+
+# --------------------------------------------------- URL curation (RefinedWeb)
+def curate_urls(df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
+                blocklist: list[str] | DataFrame | None = None,
+                dedup: bool = True) -> DataFrame:
+    """RefinedWeb-style URL curation (Penedo et al.'23 §3.1): normalize the
+    URL, extract the registered domain, drop blocklisted domains, and keep
+    one row per normalized URL (lowest id wins — first-crawled).
+
+    Normalization: lowercase, strip scheme / leading www. / query string /
+    fragment / trailing slashes / host port (url_norm = portless host +
+    path, so http://x.com:80/a and https://x.com/a dedup together).
+    Registered domain = last two host labels (the no-PSL approximation;
+    pass a DataFrame blocklist with exact hosts where that matters). Adds
+    `url_norm` + `domain`. Every regex avoids replacement backrefs, so the
+    identical RE2 pipeline replays on any engine (the oracle convention).
+
+    Shape for 100 TB: normalization is pure regexp column expressions
+    (map-only, codegen). A list blocklist compiles to a literal isin filter;
+    a DataFrame blocklist is a BROADCAST anti-join on domain — the corpus
+    never shuffles to be filtered. URL dedup is one shuffle keyed by
+    url_norm (first-occurrence-wins window), the same shape as exact_dedup.
+    """
+    u = F.lower(F.trim(F.col(url_col)))
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"[?#].*$", "")
+    u = F.regexp_replace(u, r"/+$", "")
+    host = F.regexp_replace(F.regexp_extract(u, r"^([^/]+)", 1),
+                            r":[0-9]+$", "")
+    path = F.regexp_replace(u, r"^[^/]*", "")
+    out = (df.withColumn("url_norm", F.concat(host, path))
+             .withColumn("domain", F.regexp_extract(
+                 host, r"([^.]+\.[^.]+)$", 1)))
+    if isinstance(blocklist, DataFrame):
+        bcol = blocklist.columns[0]
+        out = out.join(
+            F.broadcast(blocklist.select(F.col(bcol).alias("domain"))),
+            "domain", "left_anti")
+    elif blocklist:
+        out = out.filter(~F.col("domain").isin([b.lower() for b in blocklist]))
+    if dedup:
+        from pyspark.sql import Window as W
+        w = W.partitionBy("url_norm").orderBy(F.col(id_col))
+        out = (out.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+    return out

@@ -983,3 +983,71 @@ def test_cluster_topics_surfaces_distinctive_terms(spark):
     assert top0 & {"stocks", "markets", "trading", "bonds"}
     assert top1 & {"protein", "biology", "cells", "enzyme"}
     assert not top0 & top1
+
+
+def test_dsir_logweights_favors_target_like_docs(spark):
+    """Docs sharing the target's vocabulary must outweigh off-distribution
+    docs; empty docs weigh exactly 0; every raw id comes back."""
+    from hudi_0_12_0_my_spark.operators import dsir_logweights
+    raw = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "quantum flux capacitor array"),
+         (3, "the dog sat on the rug"), (4, "")],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "the dog sat on a mat")],
+        "doc_id long, text string")
+    w = {r.doc_id: r.dsir_logw
+         for r in dsir_logweights(raw, target, num_buckets=512).collect()}
+    assert set(w) == {1, 2, 3, 4}
+    assert w[4] == 0.0
+    assert w[1] > w[2] and w[3] > w[2]
+
+
+def test_dsir_sample_selects_high_weight_fraction(spark):
+    from hudi_0_12_0_my_spark.operators import dsir_logweights, dsir_sample
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma" if i % 2 == 0 else "zig zag zog")
+         for i in range(40)], "doc_id long, text string")
+    target = spark.createDataFrame([(100, "alpha beta gamma delta")],
+                                   "doc_id long, text string")
+    got = dsir_sample(raw, target, 0.4, num_buckets=512)
+    ids = {r.doc_id for r in got.collect()}
+    assert ids == {i for i in range(40) if i % 2 == 0}
+    # sample is a filter of raw (schema + rows preserved)
+    assert got.columns == raw.columns
+
+
+def test_perplexity_buckets_tercile_labels(spark):
+    from hudi_0_12_0_my_spark.operators import perplexity_buckets
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(9)],
+        "doc_id long, lang string, score double")
+    got = {r.doc_id: r.ppl_bucket
+           for r in perplexity_buckets(df, "score", group_col="lang").collect()}
+    assert [got[i] for i in range(9)] == \
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    # descending flips which scores land in the head
+    got_d = {r.doc_id: r.ppl_bucket for r in perplexity_buckets(
+        df, "score", group_col="lang", ascending=False).collect()}
+    assert [got_d[i] for i in range(9)] == \
+        ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
+
+
+def test_curate_urls_normalize_blocklist_dedup(spark):
+    from hudi_0_12_0_my_spark.operators import curate_urls
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.News.Example.COM:443/a/b/?q=1#x"),
+         (2, "http://news.example.com/a/b"),          # dup of 1 post-norm
+         (3, "https://spam.bad.com/page"),            # blocklisted
+         (4, "ftp://files.example.com/data//")],
+        "doc_id long, url string")
+    got = {r.doc_id: (r.url_norm, r.domain)
+           for r in curate_urls(df, blocklist=["bad.com"]).collect()}
+    assert 3 not in got                                # blocklist
+    assert 2 not in got and 1 in got                   # first-crawled wins
+    assert got[1] == ("news.example.com/a/b", "example.com")
+    assert got[4] == ("files.example.com/data", "example.com")
+    # DataFrame blocklist variant behaves identically
+    bl = spark.createDataFrame([("bad.com",)], "domain string")
+    got2 = {r.doc_id for r in curate_urls(df, blocklist=bl).collect()}
+    assert got2 == {1, 4}

@@ -629,3 +629,36 @@ def test_ivf_index_search_prunes_and_broadcasts(spark, tmp_path):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert len(set(df.inputFiles())) < len(set(idx.snapshot().inputFiles()))
+
+
+def test_dsir_scoring_joins_broadcast_ratio_table(spark):
+    """DSIR scoring: the corpus gram stream meets the num_buckets-row
+    log-ratio table via BroadcastHashJoin (never a SortMergeJoin keyed on
+    the gram bucket), and the per-doc sum is a hash aggregate with map-side
+    partial rows — the corpus is scanned, never re-shuffled to rank."""
+    from hudi_0_12_0_my_spark.operators import dsir_logweights
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(50)],
+        "doc_id long, text string")
+    target = docs.filter("doc_id % 5 = 0")
+    plan = dsir_logweights(docs, target, num_buckets=256) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_url_curation_is_map_only_until_dedup(spark):
+    """curate_urls without dedup is pure regexp projection + literal filter:
+    no Exchange at all. With dedup, the only Exchange is the url_norm
+    window (the exact_dedup shape)."""
+    from hudi_0_12_0_my_spark.operators import curate_urls
+    docs = spark.createDataFrame(
+        [(i, f"https://www.ex{i % 5}.com/p/{i}") for i in range(50)],
+        "doc_id long, url string")
+    plan = curate_urls(docs, blocklist=["ex0.com"], dedup=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    plan2 = curate_urls(docs, blocklist=["ex0.com"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange") <= 2      # one url_norm shuffle (+AQE read)
+    assert "BatchEvalPython" not in plan2
