@@ -24,7 +24,7 @@ from .pipeline import (chunk_documents, contaminated_ids, curate,
                        percentile_filter, mixture_sample,
                        pack_sequences, quota_cap, decontaminate_spans,
                        split_dataset, dsir_logweights, dsir_sample,
-                       perplexity_buckets, curate_urls)
+                       perplexity_buckets, curate_urls, weighted_sample)
 from .sessions import (sessionize, session_stats, funnel_stats,
                        cohort_retention)
 from .similarity import (cosine_topk, ivf_cosine_topk,
@@ -39,7 +39,8 @@ from .profile import profile
 from .temporal import asof_join, resample
 from .textstats import (with_token_stats, with_quality_score,
                         with_language_id, with_fingerprint,
-                        with_repetition_stats, top_ngrams, bm25_topk)
+                        with_repetition_stats, top_ngrams, bm25_topk,
+                        with_char_entropy)
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
@@ -66,6 +67,7 @@ __all__ = [
     "deterministic_sample", "stratified_sample",
     "percentile_filter", "mixture_sample", "quota_cap", "rrf_fuse",
     "split_dataset", "dsir_logweights", "dsir_sample",
-    "perplexity_buckets", "curate_urls",
+    "perplexity_buckets", "curate_urls", "weighted_sample",
+    "with_char_entropy",
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
 ]

@@ -643,3 +643,24 @@ def curate_urls(df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
         out = (out.withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") == 1).drop("_rn"))
     return out
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id", seed: int = 42,
+                    buckets: int = 1_000_000) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement (A-ES,
+    IPL'06): each row gets key = ln(u)/w with u derived DETERMINISTICALLY
+    from the engine-portable id bucket hash (never rand()); the k largest
+    keys are the sample. Inclusion probability is proportional to `weight_col`
+    (w must be > 0; rows with w <= 0 or NULL are excluded).
+
+    Shape for 100 TB: the key is a map-only expression and top-k compiles
+    to TakeOrderedAndProject — per-partition heaps + a k-row driver merge,
+    no global sort, no shuffle. Deterministic, retry-stable, and replayable
+    by any engine (the portable-hash convention)."""
+    u = (_sample_bucket(id_col, seed, buckets) + F.lit(0.5)) / F.lit(float(buckets))
+    key = F.log(u) / F.col(weight_col)
+    return (df.filter(F.col(weight_col) > 0)
+              .withColumn("_k", key)
+              .orderBy(F.col("_k").desc(), F.col(id_col)).limit(k)
+              .drop("_k"))

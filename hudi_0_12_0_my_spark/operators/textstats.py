@@ -294,3 +294,29 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(c), PUNCT_CLASS, ""), r"\s+", " "))
     return df.withColumn("fingerprint", F.xxhash64(norm))
+
+
+def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy of the character unigram distribution (a standard
+    gibberish/boilerplate signal: low entropy = repeated filler, high =
+    random bytes; used alongside compression-ratio filters in
+    Gopher/RefinedWeb-style cleaning). Adds `char_entropy` (rounded 6dp;
+    empty text -> 0.0).
+
+    Shape for 100 TB: entirely MAP-ONLY — per row, distinct chars are
+    counted against the char array with higher-order functions (JVM,
+    O(distinct_chars x len) per row), so no explode and no shuffle exists
+    in the plan; the alternative explode+groupBy shape costs two corpus
+    shuffles for the same number.
+    """
+    chars = F.split(F.col(text_col), "")
+    n = F.size(chars)
+    probs = F.transform(
+        F.array_distinct(chars),
+        lambda ch: F.size(F.filter(chars, lambda c: c == ch)) / n)
+    ent = F.aggregate(probs, F.lit(0.0),
+                      lambda acc, p: acc - p * F.log(p))
+    return df.withColumn(
+        "char_entropy",
+        F.when(F.coalesce(n, F.lit(0)) > 0, F.round(ent, 6))
+         .otherwise(F.lit(0.0)))

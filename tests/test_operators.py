@@ -1051,3 +1051,32 @@ def test_curate_urls_normalize_blocklist_dedup(spark):
     bl = spark.createDataFrame([("bad.com",)], "domain string")
     got2 = {r.doc_id for r in curate_urls(df, blocklist=bl).collect()}
     assert got2 == {1, 4}
+
+
+def test_char_entropy_values(spark):
+    import math
+    from hudi_0_12_0_my_spark.operators import with_char_entropy
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, "abcd")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.char_entropy
+           for r in with_char_entropy(df).collect()}
+    assert got[1] == 0.0 and got[3] == 0.0
+    assert got[2] == round(math.log(2), 6)      # two chars, uniform
+    assert got[4] == round(math.log(4), 6)      # four chars, uniform
+    assert got[4] > got[2] > got[1]
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """Heavy-weight rows must dominate the sample; zero/negative weights are
+    excluded; two runs agree exactly (A-ES keys are hash-derived)."""
+    from hudi_0_12_0_my_spark.operators import weighted_sample
+    df = spark.createDataFrame(
+        [(i, 1000.0 if i < 50 else 0.001) for i in range(100)]
+        + [(100, 0.0), (101, -5.0)],
+        "doc_id long, w double")
+    s1 = sorted(r.doc_id for r in weighted_sample(df, 40, "w").collect())
+    s2 = sorted(r.doc_id for r in weighted_sample(df, 40, "w").collect())
+    assert s1 == s2
+    assert 100 not in s1 and 101 not in s1
+    assert sum(1 for i in s1 if i < 50) >= 38    # heavy rows dominate

@@ -662,3 +662,22 @@ def test_url_curation_is_map_only_until_dedup(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("Exchange") <= 2      # one url_norm shuffle (+AQE read)
     assert "BatchEvalPython" not in plan2
+
+
+def test_char_entropy_is_map_only_and_weighted_sample_takeordered(spark):
+    """with_char_entropy: pure HOF projection — NO Exchange in the plan
+    (the explode+groupBy alternative would shuffle the corpus twice).
+    weighted_sample: key is map-only and selection compiles to
+    TakeOrderedAndProject — no global sort, no shuffle."""
+    from hudi_0_12_0_my_spark.operators import (weighted_sample,
+                                                with_char_entropy)
+    docs = spark.createDataFrame(
+        [(i, "some text", float(i + 1)) for i in range(20)],
+        "doc_id long, text string, w double")
+    plan = with_char_entropy(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    plan2 = weighted_sample(docs, 5, "w")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan2
+    assert "Exchange" not in plan2 and "BatchEvalPython" not in plan2
