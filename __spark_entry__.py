@@ -1953,6 +1953,20 @@ def q_docs_weighted_sample(spark, sf_dir):
             .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
 
 
+def q_docs_temperature_sample(spark, sf_dir):
+    """Temperature-flattened language mixture (XLM-R recipe, tau=0.5):
+    shares ∝ (count/N)^0.5, scarcest-group feasibility, deterministic
+    portable-hash filter — DuckDB re-derives counts, flattened shares, and
+    every kept id exactly."""
+    from hudi_0_12_0_my_spark.operators import temperature_sample
+    docs = _read(spark, sf_dir, "documents")
+    return (temperature_sample(docs, "lang", tau=0.5)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"),
+                                 F.min("doc_id").alias("min_doc"),
+                                 F.max("doc_id").alias("max_doc"))
+            .orderBy("lang"))
+
+
 def q_docs_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split via the engine-portable
     bucket hash — DuckDB re-derives every assignment exactly, proving the
@@ -2509,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_curate": q_docs_url_curate,
         "docs_char_entropy": q_docs_char_entropy,
         "docs_weighted_sample": q_docs_weighted_sample,
+        "docs_temperature_sample": q_docs_temperature_sample,
     })
 
 
@@ -2518,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
     "docs_dsir_topk", "docs_ccnet_buckets", "docs_url_curate",
+    "docs_temperature_sample",
     "docs_char_entropy", "docs_weighted_sample",
     "docs_quota_cap", "docs_hybrid_rrf", "emb_ivf_index_topk",
     "docs_span_decontaminate", "docs_split", "emb_cluster_topics",
@@ -4346,4 +4362,19 @@ WITH keyed AS (
   FROM documents WHERE n_chars > 0),
 top AS (SELECT * FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 60)
 SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id""",
+        "docs_temperature_sample": """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+r AS (SELECT lang, cnt, pow(cnt / n.total, 0.5) AS raised FROM c, n),
+z AS (SELECT sum(raised) AS z FROM r),
+t AS (SELECT lang, cnt, raised / z.z AS share FROM r, z),
+m AS (SELECT min(cnt / share) AS nprime FROM t),
+f AS (SELECT lang, least(CAST(1.0 AS DOUBLE), share * nprime / cnt) AS keep
+      FROM t, m),
+k AS (SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+      WHERE ((d.doc_id % 1000000007) * 2654435761 + 42) % 1000000 <
+            round(keep * 1000000))
+SELECT lang, count(*) AS n_docs, min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM k GROUP BY lang ORDER BY lang""",
     }

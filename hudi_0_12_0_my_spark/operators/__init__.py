@@ -24,7 +24,8 @@ from .pipeline import (chunk_documents, contaminated_ids, curate,
                        percentile_filter, mixture_sample,
                        pack_sequences, quota_cap, decontaminate_spans,
                        split_dataset, dsir_logweights, dsir_sample,
-                       perplexity_buckets, curate_urls, weighted_sample)
+                       perplexity_buckets, curate_urls, weighted_sample,
+                       temperature_sample)
 from .sessions import (sessionize, session_stats, funnel_stats,
                        cohort_retention)
 from .similarity import (cosine_topk, ivf_cosine_topk,
@@ -68,6 +69,6 @@ __all__ = [
     "percentile_filter", "mixture_sample", "quota_cap", "rrf_fuse",
     "split_dataset", "dsir_logweights", "dsir_sample",
     "perplexity_buckets", "curate_urls", "weighted_sample",
-    "with_char_entropy",
+    "temperature_sample", "with_char_entropy",
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
 ]

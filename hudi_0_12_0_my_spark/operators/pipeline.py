@@ -664,3 +664,30 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
               .withColumn("_k", key)
               .orderBy(F.col("_k").desc(), F.col(id_col)).limit(k)
               .drop("_k"))
+
+
+def temperature_sample(df: DataFrame, group_col: str, tau: float = 0.7,
+                       id_col: str = "doc_id", seed: int = 42,
+                       buckets: int = 1_000_000) -> DataFrame:
+    """Temperature-based group rebalancing (the XLM-R / mT5 multilingual
+    recipe, Conneau'20 §3.1): target share of group g is
+    p_g ∝ (count_g / N)^tau — tau < 1 flattens the distribution so
+    low-resource groups are upsampled RELATIVELY (here: head groups are
+    downsampled to the flattened shares; no duplication). tau=1 keeps the
+    natural mixture, tau=0 equalizes all groups.
+
+    Implemented as the tiny count agg + mixture_sample's scarcest-group
+    feasibility rule, so the corpus filter stays map-only + deterministic
+    (engine-portable hash, replayable by the oracle)."""
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError(f"temperature_sample: tau must be in [0,1], got {tau}")
+    counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()
+              if r[0] is not None}
+    if not counts:
+        return df
+    total = float(sum(counts.values()))
+    raised = {g: (c / total) ** tau for g, c in counts.items()}
+    z = sum(raised.values())
+    return mixture_sample(df, group_col,
+                          {g: v / z for g, v in raised.items()},
+                          id_col=id_col, seed=seed, buckets=buckets)

@@ -1080,3 +1080,23 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     assert s1 == s2
     assert 100 not in s1 and 101 not in s1
     assert sum(1 for i in s1 if i < 50) >= 38    # heavy rows dominate
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """tau=0 equalizes group sizes (up to hash granularity); tau=1 keeps
+    everything (natural mixture is feasible at fraction 1.0); invalid tau
+    raises."""
+    from hudi_0_12_0_my_spark.operators import temperature_sample
+    df = spark.createDataFrame(
+        [(i, "big" if i < 400 else "small") for i in range(450)],
+        "doc_id long, grp string")
+    flat = temperature_sample(df, "grp", tau=0.0)
+    sizes = {r.grp: r.c for r in
+             flat.groupBy("grp").agg(F.count("*").alias("c")).collect()}
+    assert sizes["small"] == 50                       # binding group intact
+    assert abs(sizes["big"] - 50) <= 15               # hash granularity
+    natural = temperature_sample(df, "grp", tau=1.0)
+    assert natural.count() == 450
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        temperature_sample(df, "grp", tau=1.5)
