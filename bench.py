@@ -184,6 +184,19 @@ def main() -> None:
         contaminated_ids(docs.filter("doc_id % 97 != 0"),
                          docs.filter("doc_id % 97 = 0"), n=4).count()
 
+    with step("dsir_select"):               # hashed-gram bucket models,
+        from hudi_0_12_0_my_spark.operators import dsir_sample   # broadcast
+        dsir_sample(docs, docs.filter("lang = 'en'"), 0.3,       # ratio join
+                    num_buckets=8192).count()
+
+    with step("url_curate"):                # regex normalize + domain dedup
+        from hudi_0_12_0_my_spark.operators import curate_urls
+        u = docs.withColumn("url", F.concat_ws(
+            "", F.lit("https://www."), F.col("source"),
+            (F.col("doc_id") % 5).cast("string"), F.lit(".com/p/"),
+            (F.col("doc_id") % 997).cast("string")))
+        curate_urls(u, blocklist=["src00.com"]).count()
+
     with step("index_dedup"):               # persisted-LSH batch dedup
         from hudi_0_12_0_my_spark.operators import (dedup_against_index,
                                                     minhash_index_rows)

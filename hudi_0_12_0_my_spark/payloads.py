@@ -41,6 +41,12 @@ class PayloadSpec:
     event_time_ordered: bool = False   # stored kept when its ordering >= incoming
     column_merge: bool = False         # per-column latest-non-null merge
     always_delete: bool = False        # every incoming record is a tombstone
+    # custom combineAndGetUpdateValue: (df, cfg, keys, ordering_fields,
+    # drop_deletes) -> DataFrame with ONE surviving row per key. The PySpark
+    # mapping of the reference's user-written HoodieRecordPayload subclasses
+    # (hoodie.datasource.write.payload.class pointing at user code): a
+    # DataFrame-level callable registered via payloads.register().
+    resolve_fn: object = None
 
 
 SPECS = {
@@ -60,6 +66,25 @@ def get(name: str) -> PayloadSpec:
     if name not in SPECS:
         raise ValueError(f"unknown payload {name!r}; known: {sorted(SPECS)}")
     return SPECS[name]
+
+
+def register(name: str, resolve_fn=None, **spec_kwargs) -> PayloadSpec:
+    """Register a custom payload under ``name`` (then ``payload=name`` in the
+    table config). The reference's extension point is a user-written
+    HoodieRecordPayload subclass on the classpath; the PySpark mapping is a
+    DataFrame-level combiner:
+
+        resolve_fn(df, cfg, keys, ordering_fields, drop_deletes) -> DataFrame
+
+    returning ONE row per key over the union of stored + incoming versions
+    (``ordering_fields`` are strongest-first; tombstone winners must be
+    dropped when ``drop_deletes``). It runs inside COW merge, MOR snapshot
+    merge and compaction alike, so it must be a pure DataFrame transform.
+    Like the Java classpath requirement, the registration must exist in the
+    process before a table configured with it is written or read."""
+    spec = PayloadSpec(name, resolve_fn=resolve_fn, **spec_kwargs)
+    SPECS[name] = spec
+    return spec
 
 
 def _ordering_fields(spec: PayloadSpec, cfg) -> list[str]:
@@ -107,6 +132,8 @@ def resolve(df: DataFrame, cfg, spec: PayloadSpec, drop_deletes: bool = True) ->
     propagate (MOR delta retention)."""
     keys = _key_cols(cfg)
     fields = _ordering_fields(spec, cfg)
+    if spec.resolve_fn is not None:
+        return spec.resolve_fn(df, cfg, keys, fields, drop_deletes)
     w = Window.partitionBy(*keys).orderBy(*_desc(fields))
     if spec.column_merge:
         internal = set(meta.META_COLS + [meta.OPERATION, meta.TARGET_FILE_ID, meta.DELETE_MARKER])

@@ -284,3 +284,51 @@ def test_empty_payload_native(spark, tmp_table_dir):
                                (9, "new", 0.0, 200, "2021-01-02")]))
     got = {r.id for r in t.snapshot().collect()}
     assert got == {2, 3, 4}      # 1 deleted; 9 never inserted
+
+
+def test_custom_registered_payload_counter(spark, tmp_path):
+    """payloads.register(): the PySpark mapping of a user-written
+    HoodieRecordPayload subclass (hoodie.datasource.write.payload.class).
+    A counter payload SUMS `price` across merged versions instead of
+    overwriting — verified through COW upsert merges AND the MOR snapshot
+    log-merge path, both of which dispatch into the registered callable."""
+    from pyspark.sql import Window
+    from hudi_0_12_0_my_spark import payloads
+
+    def additive(df, cfg, keys, fields, drop_deletes):
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(f).desc_nulls_last() for f in fields])
+        wsum = (Window.partitionBy(*keys)
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing))
+        out = (df.withColumn("price", F.sum("price").over(wsum))
+                 .withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1).drop("__rn"))
+        if drop_deletes:
+            out = out.filter(~payloads.is_tombstone(out))
+            from hudi_0_12_0_my_spark import meta
+            if meta.OPERATION in out.columns:
+                out = out.drop(meta.OPERATION)
+        return out
+
+    payloads.register("counter_sum", resolve_fn=additive)
+    try:
+        eng = Engine(spark)
+        for kind in ("cow", "mor"):
+            t = eng.create_table(str(tmp_path / kind),
+                                 record_key_fields=["id"],
+                                 precombine_field="ts", partition_field="dt",
+                                 payload="counter_sum", table_type=kind)
+            t.bulk_insert(make_rows(spark, [(1, "a", 10.0, 1, "2021-01-01"),
+                                            (2, "b", 5.0, 1, "2021-01-01")]))
+            t.upsert(make_rows(spark, [(1, "a2", 7.0, 2, "2021-01-01")]))
+            t.upsert(make_rows(spark, [(1, "a3", 3.0, 3, "2021-01-01")]))
+            got = {r.id: (r.price, r.name) for r in t.snapshot().collect()}
+            assert got[1] == (20.0, "a3"), (kind, got)   # 10+7+3, latest name
+            assert got[2] == (5.0, "b")
+            if kind == "mor":                  # compaction folds the same way
+                t.compact()
+                got2 = {r.id: r.price for r in t.snapshot().collect()}
+                assert got2 == {1: 20.0, 2: 5.0}
+    finally:
+        payloads.SPECS.pop("counter_sum", None)
