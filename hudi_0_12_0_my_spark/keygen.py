@@ -44,7 +44,27 @@ def escape_partition_expr(val: Column) -> Column:
     return out
 
 
+# User-registered key generators: the PySpark mapping of the reference's
+# KeyGenerator extension point (a user class named by
+# hoodie.datasource.write.keygenerator.class, KeyGenUtils.createKeyGenerator).
+# Each entry maps a keygen name -> (key_expr_fn, partition_expr_fn), both
+# cfg -> Column — pure Catalyst expressions so user keygens stay inside
+# whole-stage codegen exactly like the built-ins. Like the Java classpath
+# requirement, registration must exist before the table is written/read.
+_CUSTOM_KEYGENS: dict = {}
+
+
+def register(name: str, key_expr_fn, partition_expr_fn=None) -> None:
+    """Register a custom key generator under ``name`` (then
+    ``keygen=name`` in the table config). ``key_expr_fn(cfg) -> Column``
+    builds the record key; ``partition_expr_fn(cfg) -> Column`` the
+    partition path (None -> unpartitioned)."""
+    _CUSTOM_KEYGENS[name] = (key_expr_fn, partition_expr_fn)
+
+
 def record_key_expr(cfg) -> Column:
+    if cfg.keygen in _CUSTOM_KEYGENS:
+        return _CUSTOM_KEYGENS[cfg.keygen][0](cfg)
     if cfg.keygen == "uuid":
         # UuidKeyGenerator: random key per row (INSERT-only tables)
         return F.expr("uuid()")
@@ -125,6 +145,9 @@ def _partition_specs(cfg) -> list[tuple[str, str]]:
 
 
 def partition_path_expr(cfg, df=None) -> Column:
+    if cfg.keygen in _CUSTOM_KEYGENS:
+        pfn = _CUSTOM_KEYGENS[cfg.keygen][1]
+        return pfn(cfg) if pfn is not None else F.lit("")
     if cfg.keygen in ("nonpartitioned", "global_delete") or not cfg.partition_field:
         return F.lit("")
     parts = []

@@ -332,3 +332,37 @@ def test_custom_registered_payload_counter(spark, tmp_path):
                 assert got2 == {1: 20.0, 2: 5.0}
     finally:
         payloads.SPECS.pop("counter_sum", None)
+
+
+def test_registered_python_keygen(spark, tmp_path):
+    """keygen.register(): a user keygen built from Catalyst expressions —
+    key = 'id#name', partition = price band — drives write AND read (point
+    lookups/pruning use the same expressions), mirroring the reference's
+    hoodie.datasource.write.keygenerator.class user-classpath hook."""
+    from hudi_0_12_0_my_spark import keygen
+
+    keygen.register(
+        "banded",
+        lambda cfg: F.concat_ws("#", F.col("id").cast("string"),
+                                F.col("name")),
+        lambda cfg: F.when(F.col("price") >= 50, F.lit("high"))
+                     .otherwise(F.lit("low")))
+    try:
+        eng = Engine(spark)
+        t = eng.create_table(str(tmp_path / "kg"), record_key_fields=["id"],
+                             precombine_field="ts", keygen="banded",
+                             partition_field="price")
+        t.bulk_insert(make_rows(spark, [(1, "a", 10.0, 1, "2021-01-01"),
+                                        (2, "b", 90.0, 1, "2021-01-01")]))
+        parts = {r[0] for r in t.snapshot(keep_meta=True)
+                 .select("_hoodie_partition_path").distinct().collect()}
+        assert parts == {"low", "high"}
+        keys = {r[0] for r in t.snapshot(keep_meta=True)
+                .select("_hoodie_record_key").collect()}
+        assert keys == {"1#a", "2#b"}
+        # upsert targets the same derived key/partition
+        t.upsert(make_rows(spark, [(1, "a", 20.0, 2, "2021-01-01")]))
+        got = {r.id: r.price for r in t.snapshot().collect()}
+        assert got == {1: 20.0, 2: 90.0}
+    finally:
+        keygen._CUSTOM_KEYGENS.pop("banded", None)
