@@ -1403,6 +1403,20 @@ def q_docs_fingerprint(spark, sf_dir):
                     .alias("n_distinct"), _n())
 
 
+def q_docs_substring_dedup(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022) at 8-token granularity
+    (operators/dedup.py exact_substring_dedup): every 8-token span that
+    occurs more than once corpus-wide is cut from all but its first
+    occurrence; overlapping windows catch duplicated passages regardless of
+    alignment (unlike the non-overlapping segment_dedup). The oracle
+    replays the overlapping-window enumeration, first-occurrence ranking
+    and token-coverage union exactly."""
+    from hudi_0_12_0_my_spark.operators import exact_substring_dedup
+    docs = _read(spark, sf_dir, "documents")
+    return exact_substring_dedup(docs, k=8).select(
+        "doc_id", "text_dedup", "n_tokens", "n_removed")
+
+
 def q_docs_segment_dedup(spark, sf_dir):
     """C4-style sub-document exact dedup at 20-token window granularity
     (operators/dedup.py segment_dedup): distinct segments keep their first
@@ -2478,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_quality_percentile": q_docs_quality_percentile,
         "docs_segment_dedup": q_docs_segment_dedup,
+        "docs_substring_dedup": q_docs_substring_dedup,
         "docs_tfidf": q_docs_tfidf,
         "docs_quality_classifier": q_docs_quality_classifier,
         "docs_lm_unigram": q_docs_lm_unigram,
@@ -2532,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # registered query accumulates an official green row across rounds. The
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
+    "docs_substring_dedup",
     "docs_dsir_topk", "docs_ccnet_buckets", "docs_url_curate",
     "docs_temperature_sample",
     "docs_char_entropy", "docs_weighted_sample",
@@ -4124,6 +4140,38 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
       FROM s)
 SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
 FROM r WHERE rank <= 5 AND doc_id < 30""",
+        "docs_substring_dedup": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(
+           regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w,
+         generate_subscripts(string_split(
+           regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), 1) AS i
+  FROM documents WHERE length(trim(text)) > 0),
+n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+pos AS (SELECT doc_id, unnest(range(0, n - 8 + 1)) AS p
+        FROM n WHERE n >= 8),
+win AS (SELECT t.doc_id, p.p, string_agg(t.w, ' ' ORDER BY t.i) AS win
+        FROM pos p JOIN tok t
+          ON t.doc_id = p.doc_id AND t.i BETWEEN p.p + 1 AND p.p + 8
+        GROUP BY t.doc_id, p.p),
+mk AS (SELECT doc_id, p, count(*) OVER (PARTITION BY win) AS c,
+              row_number() OVER (PARTITION BY win
+                                 ORDER BY doc_id, p) AS r
+       FROM win),
+cov AS (SELECT doc_id, p FROM mk WHERE c > 1 AND r > 1),
+rem AS (SELECT DISTINCT t.doc_id, t.i FROM tok t
+        JOIN cov c ON c.doc_id = t.doc_id
+                  AND t.i BETWEEN c.p + 1 AND c.p + 8),
+kept AS (SELECT t.doc_id, t.i, t.w FROM tok t
+         LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.i = t.i
+         WHERE r.i IS NULL)
+SELECT n.doc_id,
+       coalesce(string_agg(k.w, ' ' ORDER BY k.i), '') AS text_dedup,
+       n.n AS n_tokens,
+       n.n - count(k.i) AS n_removed
+FROM n LEFT JOIN kept k USING (doc_id)
+GROUP BY n.doc_id, n.n""",
         "docs_segment_dedup": """
 WITH tok AS (
   SELECT doc_id,

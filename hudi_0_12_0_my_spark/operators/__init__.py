@@ -11,7 +11,8 @@ Python appears only in the (stubbed) multimodal decode path.
 from .dedup import (exact_dedup, minhash_signatures, minhash_lsh_pairs,
                     minhash_lsh_dedup, simhash, simhash_near_dup_pairs,
                     ngram_jaccard_pairs, segment_dedup, minhash_index_rows,
-                    dedup_against_index, edit_verified_pairs)
+                    dedup_against_index, edit_verified_pairs,
+                    exact_substring_dedup)
 from .graph import (connected_components, dup_clusters,
                     dedup_by_components, select_cluster_representatives,
                     cluster_representatives)
@@ -47,7 +48,7 @@ __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "minhash_lsh_dedup", "simhash", "simhash_near_dup_pairs",
     "ngram_jaccard_pairs", "segment_dedup", "minhash_index_rows",
-    "dedup_against_index", "edit_verified_pairs",
+    "dedup_against_index", "edit_verified_pairs", "exact_substring_dedup",
     "connected_components", "dup_clusters", "dedup_by_components",
     "select_cluster_representatives", "cluster_representatives",
     "cosine_topk", "ivf_cosine_topk", "embedding_near_dup_pairs",

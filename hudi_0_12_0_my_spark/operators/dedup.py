@@ -131,6 +131,69 @@ def segment_dedup(df: DataFrame, window: int = 50, sep: str | None = None,
                     .alias("n_kept")))
 
 
+def exact_substring_dedup(df: DataFrame, k: int = 20,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): any k-token span that occurs more than
+    once corpus-wide (across or within documents) is removed from every
+    occurrence EXCEPT the first (min (id, position) — deterministic), and
+    each document reassembles from its surviving tokens.
+
+    Unlike :func:`segment_dedup` (non-overlapping windows), the windows
+    here OVERLAP at stride 1, so duplicated passages are caught regardless
+    of alignment — the property the suffix-array approach in the paper
+    buys. Removals of overlapping duplicated windows union per token.
+    Documents shorter than k tokens have no windows and pass through
+    (whitespace-normalized). Returns (id, text_dedup, n_tokens, n_removed).
+
+    Shape for 100 TB: the window explode is map-only and projects ONLY
+    (id, pos, md5) before any exchange — the k-token strings never leave
+    the map stage, so the shuffled volume is O(corpus tokens) x ~25 bytes,
+    the same asymptotics as the paper's suffix array. One shuffle on the
+    uniform 128-bit hash (a single window sort computes both the
+    occurrence count and the first-occurrence rank — half the exchanged
+    volume of a groupBy+join-back), one shuffle on id to union the covered
+    intervals, one keyed join back to the token arrays. Nothing pairwise;
+    the per-token coverage test is an array HOF over that doc's removal
+    starts (bounded by the doc's own length).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+              .select(F.col(id_col).alias("id"), toks.alias("toks"))
+              .withColumn("n", F.size("toks")))
+    ex = (base.filter(F.col("n") >= k)
+          .select("id", F.posexplode(F.transform(
+              F.sequence(F.lit(0), F.col("n") - k),
+              lambda p: F.concat_ws(" ", F.slice(F.col("toks"), p + 1, k))))
+              .alias("pos", "win"))
+          .select("id", "pos",
+                  F.md5(F.col("win").cast("binary")).alias("_h")))
+    w = Window.partitionBy("_h")
+    marked = (ex.withColumn("_cnt", F.count(F.lit(1)).over(w))
+                .withColumn("_rn", F.row_number().over(
+                    w.orderBy(F.col("id").asc(), F.col("pos").asc()))))
+    covered = (marked.filter((F.col("_cnt") > 1) & (F.col("_rn") > 1))
+               .groupBy("id")
+               .agg(F.sort_array(F.collect_list("pos")).alias("starts")))
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.col("n") - 1),
+        lambda t: ~F.exists("starts",
+                            lambda s: (s <= t) & (t < s + F.lit(k))))
+    return (base.join(covered, "id", "left")
+            .withColumn("starts",
+                        F.coalesce("starts", F.array().cast("array<int>")))
+            .withColumn("_kept", kept_idx)
+            .select(F.col("id").alias(id_col),
+                    F.concat_ws(" ", F.transform(
+                        "_kept",
+                        lambda t: F.element_at("toks", t + 1)))
+                    .alias("text_dedup"),
+                    F.col("n").cast("bigint").alias("n_tokens"),
+                    (F.col("n") - F.size("_kept")).cast("bigint")
+                    .alias("n_removed")))
+
+
 def _bucket_pairs(band_entries: DataFrame, id_col: str,
                   payload_col: str, max_bucket_size: int | None = None) -> DataFrame:
     """(id_a, id_b, <payload>_a, <payload>_b) for all pairs sharing a

@@ -564,6 +564,44 @@ def test_segment_dedup_window_mode(spark):
     assert 4 not in out                # empty doc has no segments
 
 
+def test_exact_substring_dedup_overlapping_windows(spark):
+    """ExactSubstr (Lee et al.): doc 2 embeds doc 1's 3-token span at an
+    UNALIGNED offset — overlapping windows catch it (segment_dedup would
+    not); a within-doc repeat keeps only its first occurrence; short docs
+    (< k tokens) pass through untouched."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"),
+         (2, "x a b c y"),        # "a b c" duplicated at offset 1
+         (3, "p q r p q r"),      # within-doc repeat of "p q r"
+         (4, "u v")],             # shorter than k -> no windows
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ops.exact_substring_dedup(df, k=3).collect()}
+    # doc 1 wins both duplicated spans (min id): untouched
+    assert out[1].text_dedup == "a b c d" and out[1].n_removed == 0
+    # doc 2 loses exactly the embedded span, keeps its own tokens
+    assert out[2].text_dedup == "x y" and out[2].n_removed == 3
+    # doc 3: windows (p q r)@0 and @3 duplicate; second occurrence cut.
+    # windows (q r p)@1 and (r p q)@2 are singletons -> only tokens 3..5 go
+    assert out[3].text_dedup == "p q r" and out[3].n_removed == 3
+    assert out[4].text_dedup == "u v" and out[4].n_removed == 0
+    assert out[4].n_tokens == 2
+
+
+def test_exact_substring_dedup_union_of_overlaps(spark):
+    """Two overlapping duplicated windows union their coverage instead of
+    double-counting: doc 2 repeats doc 1's 4-token run, producing two
+    overlapping duplicated 3-windows whose union is 4 tokens."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"),
+         (2, "a b c d e")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ops.exact_substring_dedup(df, k=3).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].text_dedup == "e" and out[2].n_removed == 4
+
+
 def test_segment_dedup_separator_mode(spark):
     """Paragraph separator mode: shared paragraph kept only in the earliest
     doc, survivors rejoin with the separator."""

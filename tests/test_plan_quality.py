@@ -388,6 +388,20 @@ def test_segment_dedup_no_pairwise_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_exact_substring_dedup_plan_shape(spark):
+    """ExactSubstr dedup must stay keyed end-to-end: no Python eval, no
+    cartesian/nested-loop join, and the window strings must not survive
+    past the map stage (only the 128-bit hash is exchanged)."""
+    from hudi_0_12_0_my_spark.operators import exact_substring_dedup
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta gamma delta " * 8).strip()) for i in range(100)],
+        "doc_id long, text string")
+    plan = _plan(exact_substring_dedup(docs, k=5))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_cohort_retention_two_data_shuffles(spark):
     """Cohort retention: the event-sized exchanges are only the user min
     and the (cohort, offset) distinct-count; the matrix-sized join back to
