@@ -1608,6 +1608,26 @@ def q_events_cohorts(spark, sf_dir):
         "cohort", "period_offset", "n_users", "retention")
 
 
+def q_events_top_paths(spark, sf_dir):
+    """Top-20 user journey paths (operators/sessions.py top_paths): each
+    user's first 5 event types in (ts, event_id) order join into a path;
+    paths rank by user count. Deterministic tie-break (count desc, path
+    asc) on both engines."""
+    from hudi_0_12_0_my_spark.operators import top_paths
+    ev = _read_events(spark, sf_dir)
+    return top_paths(ev, n_steps=5, k=20).select(
+        "path", "n_users", "path_len")
+
+
+def q_events_transitions(spark, sf_dir):
+    """First-order Markov event transition matrix (operators/sessions.py
+    event_transitions): per-user consecutive (src -> dst) pairs in
+    (ts, event_id) order, with row-normalized probabilities."""
+    from hudi_0_12_0_my_spark.operators import event_transitions
+    ev = _read_events(spark, sf_dir)
+    return event_transitions(ev).select("src", "dst", "n", "p")
+
+
 _CLS_WEIGHTS = {"spark": 1.0, "vector": 0.8, "query": 0.5,
                 "slow": -1.2, "big": -0.4, "the": -0.1}
 
@@ -2502,6 +2522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hybrid_rrf": q_docs_hybrid_rrf,
         "events_sessionize": q_events_sessionize,
         "events_cohorts": q_events_cohorts,
+        "events_top_paths": q_events_top_paths,
+        "events_transitions": q_events_transitions,
         "rollup_incremental": q_rollup_incremental,
         "orders_profile": q_orders_profile,
         "scd2_history": q_scd2_history,
@@ -2547,7 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # registered query accumulates an official green row across rounds. The
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
-    "docs_substring_dedup",
+    "docs_substring_dedup", "events_top_paths", "events_transitions",
     "docs_dsir_topk", "docs_ccnet_buckets", "docs_url_curate",
     "docs_temperature_sample",
     "docs_char_entropy", "docs_weighted_sample",
@@ -4108,6 +4130,30 @@ SELECT c.cohort, c.period_offset, c.n_users,
        round(CAST(c.n_users AS DOUBLE) / CAST(s.sz AS DOUBLE), 6)
          AS retention
 FROM c JOIN s USING (cohort)""",
+        "events_top_paths": """
+WITH rn AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS r
+  FROM events),
+p AS (SELECT user_id,
+             string_agg(event_type, ' > ' ORDER BY r) AS path,
+             CAST(count(*) AS INT) AS path_len
+      FROM rn WHERE r <= 5 GROUP BY user_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users, path_len
+FROM p GROUP BY path, path_len
+ORDER BY n_users DESC, path ASC LIMIT 20""",
+        "events_transitions": """
+WITH nxt AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM nxt WHERE dst IS NOT NULL GROUP BY src, dst)
+SELECT src, dst, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+FROM c""",
         "docs_quality_classifier": """
 WITH w(tok, wt) AS (VALUES ('spark', 1.0), ('vector', 0.8), ('query', 0.5),
                            ('slow', -1.2), ('big', -0.4), ('the', -0.1)),

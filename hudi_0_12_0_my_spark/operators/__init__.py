@@ -28,7 +28,7 @@ from .pipeline import (chunk_documents, contaminated_ids, curate,
                        perplexity_buckets, curate_urls, weighted_sample,
                        temperature_sample)
 from .sessions import (sessionize, session_stats, funnel_stats,
-                       cohort_retention)
+                       cohort_retention, top_paths, event_transitions)
 from .similarity import (cosine_topk, ivf_cosine_topk,
                          embedding_near_dup_pairs, hyperplane_signatures,
                          lsh_cosine_topk, semantic_dedup, kmeans_assign,
@@ -72,4 +72,5 @@ __all__ = [
     "perplexity_buckets", "curate_urls", "weighted_sample",
     "temperature_sample", "with_char_entropy",
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
+    "top_paths", "event_transitions",
 ]

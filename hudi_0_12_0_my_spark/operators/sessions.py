@@ -147,3 +147,64 @@ def cohort_retention(df: DataFrame, user_col: str = "user_id",
             .select("cohort", "period_offset", "n_users",
                     F.round(F.col("n_users") / F.col("_size"), 6)
                     .alias("retention")))
+
+
+def top_paths(df: DataFrame, n_steps: int = 5, k: int = 20,
+              user_col: str = "user_id", type_col: str = "event_type",
+              ts_col: str = "ts", id_col: str = "event_id",
+              sep: str = " > ") -> DataFrame:
+    """Top-k user journey paths: each user's first `n_steps` event types in
+    time order (ties on ts break by `id_col` — total, deterministic) join
+    into a path string; paths rank by frequency (count desc, path asc).
+
+    Returns (path, n_users, path_len). Users with fewer than `n_steps`
+    events contribute their full (shorter) path — standard behavior-flow
+    semantics, so the counts partition the user base.
+
+    Shape for 100 TB: ONE shuffle on user (partial-agg collect of at most
+    `n_steps`-worth of (ts,id,type) structs is NOT possible pre-sort, so the
+    groupBy collects per-user events — bounded by max_events_per_user-style
+    upstream caps, same hazard class as sessionize); then the path count is
+    a partial-aggregated groupBy on the path string and the top-k folds into
+    TakeOrdered on the driver — no global sort exchange.
+    """
+    per_user = (df.select(F.col(user_col).alias("u"),
+                          F.struct(F.col(ts_col).alias("t"),
+                                   F.col(id_col).alias("i"),
+                                   F.col(type_col).alias("e")).alias("s"))
+                .groupBy("u")
+                .agg(F.slice(F.array_sort(F.collect_list("s")),
+                             1, n_steps).alias("head")))
+    paths = per_user.select(
+        F.concat_ws(sep, F.transform("head", lambda s: s.e)).alias("path"),
+        F.size("head").alias("path_len"))
+    return (paths.groupBy("path", "path_len")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .select("path", "n_users", F.col("path_len").cast("int"))
+            .orderBy(F.col("n_users").desc(), F.col("path").asc())
+            .limit(k))
+
+
+def event_transitions(df: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for every consecutive pair (src -> dst) in a user's time-ordered events
+    (ties break by `id_col`), the corpus-wide count and the row-normalized
+    transition probability p = n / sum(n over src), rounded to 6.
+
+    Returns (src, dst, n, p). Shape for 100 TB: ONE shuffle on user for the
+    lead() window, then a partial-aggregated groupBy on (src, dst) — the
+    matrix is |types|^2, so the normalizing per-src sum is a broadcast-sized
+    window over the tiny aggregate, not over events.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (df.withColumn("_dst", F.lead(type_col).over(w))
+             .filter(F.col("_dst").isNotNull())
+             .select(F.col(type_col).alias("src"), F.col("_dst").alias("dst")))
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = Window.partitionBy("src")
+    return counts.select(
+        "src", "dst", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"))

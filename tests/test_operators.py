@@ -627,6 +627,59 @@ def test_tfidf_keywords_ranks_discriminative_terms(docs):
     assert all(abs(v - exp) < 1e-9 for _, _, v in rows)
 
 
+def test_top_paths_first_n_and_ranking(spark):
+    """Journey paths take each user's first n event types in (ts, id) order;
+    shorter histories contribute their full path; ranking is count desc then
+    path asc."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # users 1,2: view > click > buy ; user 3: view > click ; user 4: error
+    for u, seq in ((1, ["view", "click", "buy"]),
+                   (2, ["view", "click", "buy"]),
+                   (3, ["view", "click"]),
+                   (4, ["error"])):
+        rows += [(u * 10 + i, t0 + dt.timedelta(minutes=i), u, e)
+                 for i, e in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = [(r.path, r.n_users, r.path_len)
+           for r in ops.top_paths(df, n_steps=3, k=10).collect()]
+    assert out == [("view > click > buy", 2, 3),
+                   ("error", 1, 1),
+                   ("view > click", 1, 2)]
+
+
+def test_top_paths_truncates_to_n_steps(spark):
+    """A 5-event history with n_steps=2 keeps only the first two types."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, e)
+            for i, e in enumerate(["a", "b", "c", "d", "e"])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = ops.top_paths(df, n_steps=2, k=5).collect()
+    assert [(r.path, r.path_len) for r in out] == [("a > b", 2)]
+
+
+def test_event_transitions_counts_and_probs(spark):
+    """Per-user consecutive pairs only (no cross-user pair), probabilities
+    row-normalized per source type."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(0, t0, 1, "a"), (1, t0 + dt.timedelta(1), 1, "b"),
+            (2, t0 + dt.timedelta(2), 1, "a"), (3, t0 + dt.timedelta(3), 1, "c"),
+            (4, t0, 2, "a"), (5, t0 + dt.timedelta(1), 2, "b")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = {(r.src, r.dst): (r.n, r.p)
+           for r in ops.event_transitions(df).collect()}
+    assert out[("a", "b")] == (2, round(2 / 3, 6))
+    assert out[("a", "c")] == (1, round(1 / 3, 6))
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("b", "c") not in out and ("c", "a") not in out
+
+
 def test_cohort_retention_weekly(spark):
     """Two weekly cohorts: u1/u2 start week0 (u2 churns after week0,
     u1 active week0+week1); u3 starts week1. Offsets and ratios follow."""
