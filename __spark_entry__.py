@@ -1891,6 +1891,20 @@ def q_docs_decontaminate(spark, sf_dir):
     return contaminated_ids(probe, bench, n=4)
 
 
+def q_docs_contamination_score(spark, sf_dir):
+    """Graded benchmark-overlap scoring (operators/pipeline.py
+    contamination_score): fraction of each doc's distinct word 4-grams that
+    appear in the simulated eval set (doc_id % 97 == 0). The continuous
+    variant of docs_decontaminate — the oracle recomputes the per-doc
+    distinct-gram hit fractions on the raw strings."""
+    from hudi_0_12_0_my_spark.operators import contamination_score
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    probe = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_score(probe, bench, n=4).select(
+        "doc_id", "n_grams", "n_contaminated", "contamination")
+
+
 def q_emb_cluster_topics(spark, sf_dir):
     """Corpus organization end-to-end: k-means over the embeddings (2 Lloyd
     rounds, deterministic init — the emb_kmeans machinery), then label each
@@ -2505,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "emb_ivf_index_topk": q_emb_ivf_index_topk,
         "docs_decontaminate": q_docs_decontaminate,
+        "docs_contamination_score": q_docs_contamination_score,
         "docs_span_decontaminate": q_docs_span_decontaminate,
         "docs_split": q_docs_split,
         "emb_cluster_topics": q_emb_cluster_topics,
@@ -2570,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
     "docs_substring_dedup", "events_top_paths", "events_transitions",
+    "docs_contamination_score",
     "docs_dsir_topk", "docs_ccnet_buckets", "docs_url_curate",
     "docs_temperature_sample",
     "docs_char_entropy", "docs_weighted_sample",
@@ -3921,6 +3937,27 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
                             AND a.doc_id < b2.doc_id)
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(fa, fb)) <= 6""",
+        "docs_contamination_score": """
+WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(toks) - 3, 0) + 1),
+        i -> array_to_string(list_slice(toks, i, i + 3), ' ')))) AS g
+      FROM t),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+agg AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated
+        FROM g a LEFT JOIN bench b USING (g)
+        WHERE a.doc_id % 97 <> 0 GROUP BY a.doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.n_contaminated, 0) AS n_contaminated,
+       CASE WHEN coalesce(a.n_grams, 0) > 0
+            THEN round(CAST(a.n_contaminated AS DOUBLE) / a.n_grams, 6)
+            ELSE 0.0 END AS contamination
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % 97 <> 0""",
         "docs_decontaminate": """
 WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
            FROM documents),

@@ -20,6 +20,7 @@ from .multimodal import (with_media_columns, extract_features,
                          frame_sample_plan, resize_plan, audio_chunk_plan,
                          phash_near_dup)
 from .pipeline import (chunk_documents, contaminated_ids, curate,
+                       contamination_score,
                        decontaminate, scrub_pii, normalize_text,
                        deterministic_sample, stratified_sample,
                        percentile_filter, mixture_sample,
@@ -63,7 +64,8 @@ __all__ = [
     "with_media_columns", "extract_features", "frame_sample_plan",
     "phash_near_dup",
     "resize_plan", "audio_chunk_plan",
-    "chunk_documents", "contaminated_ids", "curate", "decontaminate",
+    "chunk_documents", "contaminated_ids", "contamination_score",
+    "curate", "decontaminate",
     "decontaminate_spans",
     "pack_sequences", "scrub_pii", "normalize_text",
     "deterministic_sample", "stratified_sample",

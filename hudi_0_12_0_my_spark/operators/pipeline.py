@@ -60,6 +60,47 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
             .select(id_col).distinct())
 
 
+def contamination_score(docs: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 8, hash_grams: bool = True) -> DataFrame:
+    """Continuous contamination scoring: for every doc, the fraction of its
+    DISTINCT word n-grams that appear in the benchmark set — the graded
+    variant of :func:`contaminated_ids` (PaLM reports this overlap fraction
+    before choosing a drop threshold; a doc quoting one benchmark line
+    scores low, a verbatim copy scores ~1.0).
+
+    Returns (id, n_grams, n_contaminated, contamination) for ALL docs —
+    docs shorter than n tokens have n_grams = 0 and contamination = 0.0.
+
+    Shape for 100 TB: identical to contaminated_ids — benchmark grams
+    broadcast, corpus grams generated map-side; the only corpus-keyed
+    exchange is the per-doc count aggregation (partial-agg, uniform key).
+    """
+    g = _word_grams(F.col(text_col), n)
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    bench = (benchmark.select(F.explode(g).alias("_g"))
+             .select(key(F.col("_g")).alias("_g")).distinct()
+             .withColumn("_hit", F.lit(1)))
+    # explode_outer keeps gram-less (short) docs as a null row; the key
+    # transform must preserve that null (xxhash64(NULL) is the seed, not
+    # NULL) so count("_g") and the join both ignore it
+    probe = (docs.select(F.col(id_col),
+                         F.explode_outer(g).alias("_g"))
+             .select(id_col,
+                     F.when(F.col("_g").isNotNull(),
+                            key(F.col("_g"))).alias("_g")))
+    return (probe.join(F.broadcast(bench), "_g", "left")
+            .groupBy(id_col)
+            .agg(F.count("_g").cast("bigint").alias("n_grams"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint")
+                 .alias("n_contaminated"))
+            .withColumn("contamination",
+                        F.when(F.col("n_grams") > 0,
+                               F.round(F.col("n_contaminated")
+                                       / F.col("n_grams"), 6))
+                        .otherwise(F.lit(0.0))))
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   n: int = 8, mark_only: bool = False) -> DataFrame:

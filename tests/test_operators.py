@@ -239,6 +239,29 @@ def test_decontaminate_flags_shared_ngrams(docs, spark):
     assert flags[1] is True and flags[4] is False and len(flags) == 7
 
 
+def test_contamination_score_fractions(spark):
+    """Graded overlap: doc 1 is a verbatim benchmark copy (score 1.0),
+    doc 2 shares half its distinct 2-grams, doc 3 shares none, and a doc
+    shorter than n tokens scores 0.0 with zero grams."""
+    bench = spark.createDataFrame(
+        [(100, "a b c")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c"),            # grams {a b, b c} — both hit
+         (2, "a b x y"),          # grams {a b, b x, x y} — 1 of 3
+         (3, "p q r"),            # no overlap
+         (4, "z")],               # < n tokens
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ops.contamination_score(docs, bench, n=2).collect()}
+    assert (out[1].n_grams, out[1].n_contaminated,
+            out[1].contamination) == (2, 2, 1.0)
+    assert (out[2].n_grams, out[2].n_contaminated,
+            out[2].contamination) == (3, 1, round(1 / 3, 6))
+    assert out[3].contamination == 0.0 and out[3].n_grams == 2
+    assert (out[4].n_grams, out[4].n_contaminated,
+            out[4].contamination) == (0, 0, 0.0)
+
+
 def test_scrub_pii_rules(spark):
     df = spark.createDataFrame(
         [(1, "mail a.b+c@x-corp.co.uk now"),
