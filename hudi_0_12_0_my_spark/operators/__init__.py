@@ -27,7 +27,7 @@ from .pipeline import (chunk_documents, contaminated_ids, curate,
                        pack_sequences, quota_cap, decontaminate_spans,
                        split_dataset, dsir_logweights, dsir_sample,
                        perplexity_buckets, curate_urls, weighted_sample,
-                       temperature_sample)
+                       temperature_sample, shard_plan)
 from .sessions import (sessionize, session_stats, funnel_stats,
                        cohort_retention, top_paths, event_transitions)
 from .similarity import (cosine_topk, ivf_cosine_topk,
@@ -72,7 +72,7 @@ __all__ = [
     "percentile_filter", "mixture_sample", "quota_cap", "rrf_fuse",
     "split_dataset", "dsir_logweights", "dsir_sample",
     "perplexity_buckets", "curate_urls", "weighted_sample",
-    "temperature_sample", "with_char_entropy",
+    "temperature_sample", "with_char_entropy", "shard_plan",
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
     "top_paths", "event_transitions",
 ]

@@ -732,3 +732,42 @@ def temperature_sample(df: DataFrame, group_col: str, tau: float = 0.7,
     return mixture_sample(df, group_col,
                           {g: v / z for g, v in raised.items()},
                           id_col=id_col, seed=seed, buckets=buckets)
+
+
+def shard_plan(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+               text_col: str | None = None, seed: int = 42) -> DataFrame:
+    """Deterministic training-export sharding: assign every row a
+    `shard_id` and a within-shard `shard_pos` so N writer tasks (or a
+    downstream loader) materialize identically-ordered shards on every
+    retry and on every engine — the reproducible global shuffle a training
+    run needs (randomSplit/rand() ordering is none of that).
+
+    shard_id = engine-portable id hash mod n_shards; shard_pos orders the
+    shard by (hash, id), i.e. a pseudorandom but deterministic training
+    order. With `text_col` set, adds per-row `n_tokens` (whitespace) so the
+    plan doubles as token accounting per shard.
+
+    Shape for 100 TB: ONE exchange on shard_id with an in-partition sort —
+    exactly the repartition(n)+sortWithinPartitions a shard writer performs
+    anyway, so the plan adds nothing over the write itself. Hash sharding
+    is uniform, so per-shard volume = corpus/n_shards: pick n_shards so a
+    shard is a few GB (1000-executor clusters want >= tens of thousands of
+    shards, which also kills the window-partition skew concern).
+    """
+    from pyspark.sql import Window
+    if n_shards < 1:
+        raise ValueError("shard_plan: n_shards must be >= 1")
+    bucket = _sample_bucket(id_col, seed, 1 << 31)
+    out = (df.withColumn("_b", bucket)
+           .withColumn("shard_id",
+                       F.pmod(F.col("_b"), F.lit(n_shards)).cast("int")))
+    w = Window.partitionBy("shard_id").orderBy(F.col("_b").asc(),
+                                               F.col(id_col).asc())
+    out = (out.withColumn("shard_pos",
+                          (F.row_number().over(w) - 1).cast("bigint"))
+           .drop("_b"))
+    if text_col is not None:
+        out = out.withColumn(
+            "n_tokens",
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint"))
+    return out

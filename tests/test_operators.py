@@ -239,6 +239,25 @@ def test_decontaminate_flags_shared_ngrams(docs, spark):
     assert flags[1] is True and flags[4] is False and len(flags) == 7
 
 
+def test_shard_plan_deterministic_and_dense(spark):
+    """Shard assignment is stable across calls; positions are dense 0..m-1
+    within each shard; token counts ride along when text_col is given."""
+    df = spark.createDataFrame(
+        [(i, "w " * (i + 1)) for i in range(50)], "doc_id long, text string")
+    a = ops.shard_plan(df, n_shards=4, text_col="text").collect()
+    b = ops.shard_plan(df, n_shards=4, text_col="text").collect()
+    assert sorted((r.doc_id, r.shard_id, r.shard_pos) for r in a) == \
+           sorted((r.doc_id, r.shard_id, r.shard_pos) for r in b)
+    assert {r.shard_id for r in a} == {0, 1, 2, 3}
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r.shard_id, []).append(r.shard_pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    toks = {r.doc_id: r.n_tokens for r in a}
+    assert toks[0] == 1 and toks[49] == 50
+
+
 def test_contamination_score_fractions(spark):
     """Graded overlap: doc 1 is a verbatim benchmark copy (score 1.0),
     doc 2 shares half its distinct 2-grams, doc 3 shares none, and a doc
