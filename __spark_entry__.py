@@ -1698,6 +1698,20 @@ def q_emb_topk(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_emb_prototype_prune(spark, sf_dir):
+    """SSL-prototypes pruning (operators/similarity.py prototype_prune):
+    k-means (k=4, 2 Lloyd rounds, deterministic init), then keep only the
+    hardest 70% of each cluster by distance-to-centroid. The oracle replays
+    the full Lloyd chain (the emb_kmeans CTEs) plus the per-cluster
+    hardness ranking and the ceil(0.7*n) cutoff."""
+    from hudi_0_12_0_my_spark.operators import prototype_prune
+    emb = _read(spark, sf_dir, "embeddings")
+    res = prototype_prune(emb, k=4, iters=2, keep_frac=0.7)
+    return res.select("vec_id",
+                      F.col("cluster").cast("int").alias("cluster"),
+                      F.round("dist", 6).alias("dist"), "hardness_rank")
+
+
 def q_emb_kmeans(spark, sf_dir):
     """Lloyd k-means hard assignment (k=4, 2 iterations, deterministic
     lowest-id init). DuckDB replays both Lloyd rounds with CTEs — same
@@ -2564,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_setops": q_orders_setops,
         "emb_topk": q_emb_topk,
         "emb_kmeans": q_emb_kmeans,
+        "emb_prototype_prune": q_emb_prototype_prune,
         "emb_quantized_topk": q_emb_quantized_topk,
         "emb_random_projection": q_emb_random_projection,
         "emb_hard_negatives": q_emb_hard_negatives,
@@ -2597,7 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # judge's full local replay (tools/check_correctness.py) covers the rest.
 _NEVER_DRIVER_SAMPLED = [
     "docs_substring_dedup", "events_top_paths", "events_transitions",
-    "docs_contamination_score", "docs_shard_plan",
+    "docs_contamination_score", "docs_shard_plan", "emb_prototype_prune",
     "docs_dsir_topk", "docs_ccnet_buckets", "docs_url_curate",
     "docs_temperature_sample",
     "docs_char_entropy", "docs_weighted_sample",
@@ -3657,6 +3672,53 @@ df AS (SELECT e.vec_id, c.cl,
 SELECT vec_id, cl AS cluster, round(sqrt(d2), 6) AS dist FROM
  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
   FROM df) WHERE rn = 1""",
+        # same Lloyd chain as emb_kmeans, plus the per-cluster hardness
+        # ranking (d2 desc == dist desc, monotone) and the ceil(0.7*n) cut
+        "emb_prototype_prune": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+d1 AS (SELECT e.vec_id, e.v, c.cl,
+              list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+       FROM e CROSS JOIN c0 c),
+a1 AS (SELECT vec_id, v, cl FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         FROM d1) WHERE rn = 1),
+m1 AS (SELECT cl, list(m ORDER BY pos) AS v FROM
+        (SELECT cl, pos, avg(x) AS m FROM
+          (SELECT cl, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1)
+         GROUP BY cl, pos) GROUP BY cl),
+c1 AS (SELECT c0.cl, coalesce(m1.v, c0.v) AS v
+       FROM c0 LEFT JOIN m1 ON c0.cl = m1.cl),
+d2_ AS (SELECT e.vec_id, e.v, c.cl,
+               list_sum(list_transform(range(1, 65),
+                 i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+        FROM e CROSS JOIN c1 c),
+a2 AS (SELECT vec_id, v, cl FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         FROM d2_) WHERE rn = 1),
+m2 AS (SELECT cl, list(m ORDER BY pos) AS v FROM
+        (SELECT cl, pos, avg(x) AS m FROM
+          (SELECT cl, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a2)
+         GROUP BY cl, pos) GROUP BY cl),
+c2 AS (SELECT c1.cl, coalesce(m2.v, c1.v) AS v
+       FROM c1 LEFT JOIN m2 ON c1.cl = m2.cl),
+df AS (SELECT e.vec_id, c.cl,
+              list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+       FROM e CROSS JOIN c2 c),
+fin AS (SELECT vec_id, cl AS cluster, d2 FROM
+ (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+  FROM df) WHERE rn = 1),
+rk AS (SELECT vec_id, cluster, d2,
+              row_number() OVER (PARTITION BY cluster
+                                 ORDER BY d2 DESC, vec_id) AS r,
+              count(*) OVER (PARTITION BY cluster) AS n
+       FROM fin)
+SELECT vec_id, cluster, round(sqrt(d2), 6) AS dist,
+       CAST(r AS INT) AS hardness_rank
+FROM rk WHERE r <= ceil(n * 0.7)""",
         # int8 quantization is exact in both engines (floor(x*s+0.5) on
         # IEEE doubles), integer dots exact, final division deterministic
         "emb_quantized_topk": """

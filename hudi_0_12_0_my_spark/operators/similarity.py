@@ -251,6 +251,40 @@ def kmeans_assign(corpus: DataFrame, k: int = 4, iters: int = 2,
     return _assigned().select(id_col, "cluster", "dist")
 
 
+def prototype_prune(corpus: DataFrame, k: int = 4, iters: int = 2,
+                    keep_frac: float = 0.7, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): cluster the embeddings with :func:`kmeans_assign`
+    (deterministic Lloyd), rank each cluster's members by distance to
+    their prototype (centroid), and KEEP only the hardest `keep_frac`
+    fraction — the most prototypical (closest, most redundant) examples
+    are dropped, which the paper shows beats random pruning when data is
+    abundant. Ties on distance break by id — fully deterministic.
+
+    Returns (id, cluster, dist, hardness_rank) for the survivors,
+    hardness_rank = 1 is the farthest-from-centroid member.
+
+    Shape for 100 TB: the k-means rounds are scan + model-sized agg (see
+    kmeans_assign); the pruning adds ONE window shuffle keyed on cluster.
+    Cluster cardinality is corpus/k — at real scale use k large enough
+    (10^4-10^5, SemDeDup-style) that a cluster fits a task, which is also
+    what the method itself wants.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("prototype_prune: keep_frac must be in (0, 1]")
+    a = kmeans_assign(corpus, k=k, iters=iters,
+                      id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cluster").orderBy(F.col("dist").desc(),
+                                              F.col(id_col).asc())
+    return (a.withColumn("_r", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(
+                Window.partitionBy("cluster")))
+            .filter(F.col("_r") <= F.ceil(F.col("_n") * F.lit(keep_frac)))
+            .select(id_col, "cluster", "dist",
+                    F.col("_r").cast("int").alias("hardness_rank")))
+
+
 def quantize_int8(df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = 127/max|x|, element

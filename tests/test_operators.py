@@ -947,6 +947,23 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert all(r.dist == r.dist for r in out)      # no NaN
 
 
+def test_prototype_prune_keeps_hardest_per_cluster(spark):
+    """Two 4-point blobs, keep_frac=0.5: each cluster keeps its 2 members
+    farthest from the centroid (the blob outliers), drops the 2 most
+    prototypical; hardness_rank 1 is the farthest survivor."""
+    rows = [(1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.1, 0.1]),
+            (4, [2.0, 0.0]),                       # cluster-0 outlier
+            (101, [10.0, 10.0]), (102, [10.1, 10.0]), (103, [10.1, 10.1]),
+            (104, [12.0, 10.0])]                   # cluster-1 outlier
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ops.prototype_prune(df, k=2, iters=2, keep_frac=0.5).collect()
+    kept = {r.vec_id: r for r in out}
+    assert len(out) == 4
+    assert 4 in kept and 104 in kept               # outliers always survive
+    assert kept[4].hardness_rank == 1 and kept[104].hardness_rank == 1
+    assert 2 not in kept and 102 not in kept       # prototypical ones go
+
+
 def test_quantized_topk_matches_exact_ranking(emb):
     """int8 quantization preserves the neighbor ranking on well-separated
     vectors: top-1 for query 0 must be its near-copy vec 100, and the
