@@ -235,6 +235,10 @@ def main() -> None:
         from hudi_0_12_0_my_spark.operators import segment_dedup
         segment_dedup(docs, window=20).count()
 
+    with step("substring_dedup"):           # overlapping-window ExactSubstr
+        from hudi_0_12_0_my_spark.operators import exact_substring_dedup
+        exact_substring_dedup(docs, k=20).count()
+
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     with step("emb_topk"):
         cosine_topk(emb, emb.filter("vec_id < 10"), k=10).count()
