@@ -64,7 +64,19 @@ class ClusteringUpdateRejected(RuntimeError):
 META_FIELDS = [T.StructField(c, T.StringType(), True) for c in meta.META_COLS]
 
 
+class NoTableSchemaError(RuntimeError):
+    """Read of a table with no registered schema: never written AND created
+    without DDL. Mirrors TableSchemaResolver.getTableAvroSchema's
+    "Failed to read schema from the table" on commit-less tables — the
+    opaque alternative is json.loads(None) deep in read planning."""
+
+
 def business_schema(cfg) -> T.StructType:
+    if cfg.schema_json is None:
+        raise NoTableSchemaError(
+            f"table {cfg.name!r} has no registered schema: no completed "
+            "write yet and no schema declared at create time (write once, or "
+            "create the table via SQL DDL / schema_json=)")
     return T.StructType.fromJson(__import__("json").loads(cfg.schema_json))
 
 

@@ -366,3 +366,18 @@ def test_registered_python_keygen(spark, tmp_path):
         assert got == {1: 20.0, 2: 90.0}
     finally:
         keygen._CUSTOM_KEYGENS.pop("banded", None)
+
+
+def test_snapshot_of_never_written_table_raises_clearly(spark, tmp_path):
+    """A table with no completed write and no declared schema cannot be
+    read — the error must SAY that (TableSchemaResolver's commit-less
+    failure), not die as json.loads(None) deep in read planning."""
+    import pytest
+    from hudi_0_12_0_my_spark import Engine
+    from hudi_0_12_0_my_spark.writer import NoTableSchemaError
+    t = Engine(spark).create_table(str(tmp_path / "empty"),
+                                   record_key_fields=["id"],
+                                   precombine_field="seq",
+                                   partition_field="grp")
+    with pytest.raises(NoTableSchemaError, match="no registered schema"):
+        t.snapshot()

@@ -423,3 +423,66 @@ def test_derived_sync_crash_convergence(spark, tmp_path):
                    for r in dst.snapshot().collect()}
             assert got == want, \
                 f"seed {seed} step {step}: rollup diverged {got} vs {want}"
+
+
+@pytest.mark.parametrize("crash_at", [2, 5, 9])
+def test_streaming_sink_crash_replay_exactly_once(spark, tmp_path, crash_at):
+    """A streaming micro-batch that dies mid-write (any storage mutation)
+    must leave the table recoverable AND replay-safe: restarting the stream
+    re-delivers the batch, the single-writer guard heals the crashed
+    leftovers, and the batch-id ledger prevents a double-apply if the crash
+    landed after the commit became durable. The final table equals the
+    batch contents EXACTLY for every crash point (HoodieStreamingSink
+    retry + latestBatchId semantics under a real mid-write death)."""
+    import shutil
+    from pyspark.sql import functions as F
+    from hudi_0_12_0_my_spark.streaming import stream_write
+
+    base = str(tmp_path / f"tbl{crash_at}")
+    eng = Engine(spark)
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    src_dir = str(tmp_path / f"in{crash_at}")
+    ckpt = str(tmp_path / f"ckpt{crash_at}")
+    os.makedirs(src_dir, exist_ok=True)
+    rows = [{"id": 1, "grp": "a", "val": 1.0, "seq": 1},
+            {"id": 2, "grp": "b", "val": 2.0, "seq": 1}]
+    import json as _json
+    with open(os.path.join(src_dir, "b1.json"), "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    raw = (spark.readStream.format("text").load(src_dir)
+           .select(F.from_json(
+               "value", "id long, grp string, val double, seq long")
+               .alias("r"))
+           .select("r.*"))
+
+    crashed = False
+    try:
+        with crash_after(crash_at, base):
+            # retry_count=0: with the process 'dead', in-batch retries
+            # only burn backoff time — a real death never retries
+            q = stream_write(t, raw, ckpt, retry_count=0) \
+                .trigger(availableNow=True).start()
+            q.awaitTermination(120)
+    except Exception:   # StreamingQueryException wrapping InjectedCrash
+        crashed = True
+    if not crashed:
+        # crash point beyond the batch's mutation count: batch committed
+        assert t.snapshot().count() == 2
+        return
+
+    # restart after the 'process death': Spark re-delivers the batch from
+    # the (possibly partial) checkpoint; the sink heals and commits once
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = stream_write(t, raw, ckpt, retry_count=0) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {(r.id, r.grp, r.val, r.seq) for r in t.snapshot().collect()}
+    assert got == {(1, "a", 1.0, 1), (2, "b", 2.0, 1)}, \
+        f"crash_at={crash_at}: replay diverged: {got}"
+    # healed: nothing pending, no markers, exactly one effective batch
+    assert [i for i in t.timeline.pending()
+            if i.action in (tl.COMMIT, tl.DELTACOMMIT)] == []
+    assert len(t.timeline.completed_write_instants()) == 1
