@@ -519,8 +519,31 @@ def stratified_sample(df: DataFrame, strata_col: str,
 def _gram_occurrences(df: DataFrame, text_col: str, id_col: str,
                       orders: tuple[int, ...]) -> DataFrame:
     """(id, gram) rows WITH multiplicity (unlike _word_grams' distinct set):
-    DSIR's feature vector is the hashed n-gram COUNT vector. Map-only."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    DSIR's feature vector is the hashed n-gram COUNT vector. Map-only.
+
+    The token array MUST be materialized in its own projection before the
+    gram lambdas reference it: higher-order functions are interpreted (no
+    codegen), so an inline split() child is re-run PER SEQUENCE ELEMENT —
+    the regex then costs O(tokens) per doc instead of O(1) (measured 17s ->
+    1.6s on the sf0.1 DSIR bench step; the same pathology class as the
+    minhash generator-inlining fix in dedup._min_hash_exprs). CollapseProject
+    keeps the materialization because the non-cheap split has multiple
+    consumer references."""
+    # gram building is CPU-heavy: spread a single-small-file source across
+    # the cores (cheap row shuffle; metadata-only probe, no-op at scale —
+    # the dedup._with_shingles convention)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file-backed plan
+        nfiles = par
+    if 0 < nfiles < par:
+        df = df.repartition(par, id_col)
+    base = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+              .select(F.col(id_col).alias("_id"),
+                      F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                      .alias("_toks")))
+    toks = F.col("_toks")
 
     # NB: the lambda must take exactly ONE arg — F.transform calls a two-arg
     # lambda with (element, index), so a `n=n` default would be silently
@@ -535,8 +558,7 @@ def _gram_occurrences(df: DataFrame, text_col: str, id_col: str,
             F.sequence(F.lit(1), m), gram_at(n)))
             .otherwise(F.array().cast("array<string>")))
     grams = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
-    return (df.filter(F.length(F.trim(F.col(text_col))) > 0)
-              .select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g")))
+    return base.select("_id", F.explode(grams).alias("_g"))
 
 
 def dsir_logweights(raw: DataFrame, target: DataFrame,
@@ -577,12 +599,19 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
     tc, rc = counts(target).persist(), counts(raw).persist()
     t_tot = (tc.agg(F.sum("_c")).collect()[0][0] or 0) + alpha * B
     r_tot = (rc.agg(F.sum("_c")).collect()[0][0] or 0) + alpha * B
-    lam = (tc.join(rc, "_b", "full_outer")
-             .select("_b",
-                     (F.log((F.coalesce(tc["_c"], F.lit(0)) + alpha)
-                            / F.lit(t_tot))
-                      - F.log((F.coalesce(rc["_c"], F.lit(0)) + alpha)
-                              / F.lit(r_tot))).alias("_lam")))
+    # the log-ratio table is model-sized (<= num_buckets rows): collect it
+    # to a literal DataFrame so the bucket caches release immediately and a
+    # caller consuming the result twice (dsir_sample: threshold + filter)
+    # re-runs only the map-only raw-gram scan, never the model build
+    lam_rows = (tc.join(rc, "_b", "full_outer")
+                .select("_b",
+                        (F.log((F.coalesce(tc["_c"], F.lit(0)) + alpha)
+                               / F.lit(t_tot))
+                         - F.log((F.coalesce(rc["_c"], F.lit(0)) + alpha)
+                                 / F.lit(r_tot))).alias("_lam"))).collect()
+    tc.unpersist()
+    rc.unpersist()
+    lam = raw.sparkSession.createDataFrame(lam_rows, "_b long, _lam double")
     scored = (_gram_occurrences(raw, text_col, id_col, orders)
               .select("_id", bucket(F.col("_g")).alias("_b"))
               .join(F.broadcast(lam), "_b")

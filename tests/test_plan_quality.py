@@ -402,6 +402,53 @@ def test_exact_substring_dedup_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_contamination_score_broadcasts_benchmark(spark):
+    """Graded contamination scoring must probe with a BROADCAST of the
+    benchmark grams — the corpus side never shuffles to meet it; the only
+    corpus-keyed exchange is the per-doc count agg."""
+    from hudi_0_12_0_my_spark.operators import contamination_score
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(200)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(900, "alpha beta gamma")],
+                                  "doc_id long, text string")
+    plan = _plan(contamination_score(docs, bench, n=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_journey_ops_stay_keyed(spark):
+    """top_paths and event_transitions: no Python eval, no pairwise joins;
+    transitions' per-src normalization windows over the matrix-sized
+    aggregate, never over events."""
+    import datetime as dt
+    from hudi_0_12_0_my_spark.operators import event_transitions, top_paths
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 20), i % 40,
+             ["a", "b", "c"][i % 3]) for i in range(600)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    for df in (top_paths(ev, n_steps=4, k=10), event_transitions(ev)):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_plan_single_data_exchange(spark):
+    """shard_plan must cost exactly the repartition+sort a shard writer
+    runs anyway: ONE data exchange (hash on shard_id for the window), no
+    joins, no Python."""
+    from hudi_0_12_0_my_spark.operators import shard_plan
+    docs = spark.createDataFrame(
+        [(i, "w x y z") for i in range(500)], "doc_id long, text string")
+    plan = _plan(shard_plan(docs, n_shards=8, text_col="text"))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
 def test_cohort_retention_two_data_shuffles(spark):
     """Cohort retention: the event-sized exchanges are only the user min
     and the (cohort, offset) distinct-count; the matrix-sized join back to
