@@ -37,6 +37,22 @@ def _seeded_hash(hash_fn: str):
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
+def _spread_cpu_heavy(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread a single-small-file source across all cores before a
+    CPU-heavy map (hashing/shingling/gram building): cheap shuffle of raw
+    rows, not of the fan-out. inputFiles() is a metadata-only probe — big
+    (many-file) or non-file sources keep their partitioning untouched, so
+    nothing is added at scale."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file-backed plan
+        nfiles = par
+    if 0 < nfiles < par:
+        return df.repartition(par, id_col)
+    return df
+
+
 def _combine_hash(hash_fn: str, cols: list[Column]) -> Column:
     """Order-sensitive hash of several bigint columns (LSH band buckets)."""
     if hash_fn == "xxhash64":
@@ -90,18 +106,27 @@ def segment_dedup(df: DataFrame, window: int = 50, sep: str | None = None,
     on the hash -> ONE shuffle on id to reassemble. Identical plan class to
     exact_dedup, just at segment granularity; nothing is ever pairwise.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # the SEGMENT ARRAY is materialized once per row before explode/size
+    # reference it: in window mode the slice lambda would otherwise re-run
+    # the split per segment position (interpreted-HOF reinlining — see
+    # pipeline._gram_occurrences), and both consumers (ex, totals) share it
+    nonempty = df.filter(F.length(F.trim(F.col(text_col))) > 0)
     if sep is not None:
-        segs = F.filter(F.split(F.col(text_col), sep),
-                        lambda s: F.length(F.trim(s)) > 0)
+        segs_expr = F.filter(F.split(F.col(text_col), sep),
+                             lambda s: F.length(F.trim(s)) > 0)
+        segd = nonempty.select(F.col(id_col).alias("id"),
+                               segs_expr.alias("_segs"))
     else:
+        tokd = nonempty.select(F.col(id_col).alias("id"),
+                               F.split(F.trim(F.col(text_col)), r"\s+")
+                               .alias("_toks"))
+        toks = F.col("_toks")
         nseg = F.ceil(F.size(toks) / F.lit(window)).cast("int")
-        segs = F.transform(F.sequence(F.lit(0), nseg - 1),
-                           lambda i: F.concat_ws(" ", F.slice(
-                               toks, i * window + 1, window)))
-    ex = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
-          .select(F.col(id_col).alias("id"),
-                  F.posexplode(segs).alias("seg_idx", "seg"))
+        segd = tokd.select("id", F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice(
+                toks, i * window + 1, window))).alias("_segs"))
+    ex = (segd.select("id", F.posexplode("_segs").alias("seg_idx", "seg"))
           .withColumn("_h", F.md5(F.col("seg").cast("binary"))))
     winners = ex.groupBy("_h").agg(
         F.min(F.struct("id", "seg_idx")).alias("_w"))
@@ -114,9 +139,8 @@ def segment_dedup(df: DataFrame, window: int = 50, sep: str | None = None,
         joiner = " " if sep is None else "\n\n"
     # per-doc totals are a map-only projection of the source (array size) —
     # no need to re-shuffle the exploded segments just to count them
-    totals = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
-              .select(F.col(id_col).alias("id"),
-                      F.size(segs).cast("bigint").alias("n_segments"))
+    totals = (segd.select("id",
+                          F.size("_segs").cast("bigint").alias("n_segments"))
               .filter(F.col("n_segments") > 0))
     return (totals
             .join(kept.groupBy("id").agg(
@@ -259,24 +283,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def _with_shingles(df: DataFrame, text_col: str, id_col: str,
                    shingle_k: int) -> DataFrame:
     """(id, _shingles) — normalized distinct character shingles per row."""
-    # the hashing map is CPU-heavy: make sure it parallelizes even when the
-    # source is a single small file (cheap shuffle of raw rows, not shingles).
-    # inputFiles() is a metadata-only probe — unlike df.rdd.getNumPartitions()
-    # it triggers no plan materialization; big (many-file) or non-file sources
-    # keep their partitioning untouched, so no shuffle is added at scale
-    par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        nfiles = len(df.inputFiles())
-    except Exception:  # noqa: BLE001 — non-file-backed plan
-        nfiles = par
-    if 0 < nfiles < par:
-        df = df.repartition(par, id_col)
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    df = _spread_cpu_heavy(df, id_col)
+    # materialize the normalized text before the shingle lambda references
+    # it: transform() is interpreted, so an inline regexp_replace child
+    # would re-run once per character position of every row
+    base = df.select(
+        F.col(id_col),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        .alias("_norm"))
+    norm = F.col("_norm")
     n = F.greatest(F.length(norm) - (shingle_k - 1), F.lit(1))
     sh = F.array_distinct(
         F.transform(F.sequence(F.lit(1), n),
                     lambda i: norm.substr(i, F.lit(shingle_k))))
-    return df.select(F.col(id_col), sh.alias("_shingles"))
+    return base.select(F.col(id_col), sh.alias("_shingles"))
 
 
 def _min_hash_exprs(hash_fn: str, num_hashes: int) -> list:
@@ -398,20 +418,20 @@ def simhash(df: DataFrame, text_col: str = "text",
     aggregate(token_hashes, 0, acc +/- 1) — the same shuffle-shape rewrite
     minhash got (no explode(tokens) -> groupBy(id), which shuffles every
     token of every document; VERDICT r1 'What's wrong' #3)."""
-    # CPU-heavy map: spread a few-file source across all cores first (same
-    # metadata-only probe as minhash_signatures; no-op at scale)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        nfiles = len(df.inputFiles())
-    except Exception:  # noqa: BLE001 — non-file-backed plan
-        nfiles = par
-    if 0 < nfiles < par:
-        df = df.repartition(par, id_col)
+    df = _spread_cpu_heavy(df, id_col)
     assert bits <= 64 and (hash_fn != "portable_md5" or bits <= 60), \
         "portable_md5 yields 60 hash bits"
     h = _seeded_hash(hash_fn)
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    th = F.transform(toks, lambda t: h(0, t))
+    # the token-hash array MUST be materialized in its own projection: the
+    # `bits` aggregate() HOFs below are interpreted (no codegen, no CSE), so
+    # an inline split+hash child would re-run once PER BIT — 64 regex splits
+    # and 64x token hashing per row (measured 4.9s -> sub-second at sf0.1)
+    hashed = (df.select(id_col,
+                        F.transform(
+                            F.split(F.trim(F.lower(F.col(text_col))),
+                                    r"\s+"),
+                            lambda t: h(0, t)).alias("_th")))
+    th = F.col("_th")
 
     def bitsum(i):
         # factory closure: captures the PYTHON int i per bit (shiftright
@@ -422,8 +442,8 @@ def simhash(df: DataFrame, text_col: str = "text",
                 F.shiftright(h, i).bitwiseAND(1) == 1,
                 F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")))
 
-    out = df.select(id_col, F.array(*[bitsum(i) for i in range(bits)])
-                    .alias("_bs"))
+    out = hashed.select(id_col, F.array(*[bitsum(i) for i in range(bits)])
+                        .alias("_bs"))
     fp = F.lit(0).cast("long")
     for i in range(bits):
         fp = fp + F.when(F.col("_bs")[i] > 0,
@@ -474,15 +494,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     scale while contributing almost no discrimination).
     Output: (id_a, id_b, jaccard).
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    df = _spread_cpu_heavy(df, id_col)
+    # token array materialized before the gram lambda references it (an
+    # inline split child of slice() would re-run per gram position — the
+    # interpreted-HOF reinlining pathology, see _gram_occurrences)
+    tokd = df.select(id_col,
+                     F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                     .alias("_toks"))
+    toks = F.col("_toks")
     m = F.size(toks) - (n - 1)
     # guard: sequence(1, m) with m < 1 would generate a *descending* range
     grams = F.when(m >= 1, F.array_distinct(F.transform(
         F.sequence(F.lit(1), m),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n)))))) \
         .otherwise(F.array().cast("array<bigint>"))
-    docs = df.select(id_col, grams.alias("grams")) \
-             .withColumn("n_grams", F.size("grams")).filter("n_grams > 0")
+    docs = tokd.select(id_col, grams.alias("grams")) \
+               .withColumn("n_grams", F.size("grams")).filter("n_grams > 0")
     inv = docs.select(id_col, "n_grams", F.explode("grams").alias("g"))
     freq = inv.groupBy("g").count().filter(F.col("count") <= max_shingle_freq)
     inv = inv.join(freq.select("g"), "g")

@@ -25,14 +25,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _word_grams(text: Column, n: int) -> Column:
-    """Distinct lowercase word n-grams of `text` as array<string> (map-only)."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+def _word_grams(text: Column, n: int, *, pre_tokenized: bool = False) -> Column:
+    """Distinct lowercase word n-grams of `text` as array<string> (map-only).
+
+    PERF: the gram lambda slices its token-array child per gram position,
+    and interpreted HOFs re-evaluate children — pass a MATERIALIZED
+    token-array column (pre_tokenized=True) when the input is
+    document-sized, or the regex split re-runs O(tokens) times per row
+    (see _gram_occurrences; same pathology class as minhash's
+    _min_hash_exprs note)."""
+    toks = text if pre_tokenized else F.split(F.trim(F.lower(text)), r"\s+")
     m = F.size(toks) - (n - 1)
     return F.when(m >= 1, F.array_distinct(F.transform(
         F.sequence(F.lit(1), m),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n))))) \
         .otherwise(F.array().cast("array<string>"))
+
+
+def _doc_grams(df: DataFrame, text_col: str, id_col: str, n: int,
+               outer: bool = False) -> DataFrame:
+    """(id, _g) exploded DISTINCT-gram rows with the token array
+    materialized in its own projection (the cheap-attribute shape).
+    outer=True keeps gram-less (short) docs as a null-gram row."""
+    tokd = df.select(F.col(id_col),
+                     F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                     .alias("_toks"))
+    g = _word_grams(F.col("_toks"), n, pre_tokenized=True)
+    ex = F.explode_outer(g) if outer else F.explode(g)
+    return tokd.select(F.col(id_col), ex.alias("_g"))
 
 
 def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
@@ -50,12 +70,11 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
     broadcast table and cheaper equality at the same result (64-bit
     collisions only ever ADD a contaminated id, at ~1e-9 odds per pair).
     """
-    g = _word_grams(F.col(text_col), n)
     key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
-    bench = (benchmark.select(F.explode(g).alias("_g"))
+    bench = (_doc_grams(benchmark, text_col, id_col, n)
              .select(key(F.col("_g")).alias("_g")).distinct())
-    probe = docs.select(F.col(id_col), F.explode(g).alias("_g")) \
-                .select(id_col, key(F.col("_g")).alias("_g"))
+    probe = _doc_grams(docs, text_col, id_col, n) \
+        .select(id_col, key(F.col("_g")).alias("_g"))
     return (probe.join(F.broadcast(bench), "_g", "left_semi")
             .select(id_col).distinct())
 
@@ -76,16 +95,14 @@ def contamination_score(docs: DataFrame, benchmark: DataFrame,
     broadcast, corpus grams generated map-side; the only corpus-keyed
     exchange is the per-doc count aggregation (partial-agg, uniform key).
     """
-    g = _word_grams(F.col(text_col), n)
     key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
-    bench = (benchmark.select(F.explode(g).alias("_g"))
+    bench = (_doc_grams(benchmark, text_col, id_col, n)
              .select(key(F.col("_g")).alias("_g")).distinct()
              .withColumn("_hit", F.lit(1)))
     # explode_outer keeps gram-less (short) docs as a null row; the key
     # transform must preserve that null (xxhash64(NULL) is the seed, not
     # NULL) so count("_g") and the join both ignore it
-    probe = (docs.select(F.col(id_col),
-                         F.explode_outer(g).alias("_g"))
+    probe = (_doc_grams(docs, text_col, id_col, n, outer=True)
              .select(id_col,
                      F.when(F.col("_g").isNotNull(),
                             key(F.col("_g"))).alias("_g")))
@@ -430,27 +447,35 @@ def decontaminate_spans(docs: DataFrame, benchmark: DataFrame,
     exchange is the per-doc reassembly groupBy. hash_grams probes on
     xxhash64(gram) — collisions only ever remove an extra span.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # token and segment arrays materialize in their own projections so the
+    # interpreted slice lambda references cheap attributes (the reinlining
+    # pathology — see _gram_occurrences)
+    toks = F.col("_toks")
     nseg = F.ceil(F.size(toks) / F.lit(window)).cast("int")
-    segs = F.transform(F.sequence(F.lit(0), nseg - 1),
-                       lambda i: F.concat_ws(" ", F.slice(
-                           toks, i * window + 1, window)))
-    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
-    ex = base.select(F.col(id_col).alias("id"),
-                     F.posexplode(segs).alias("seg_idx", "seg"))
+    segd = (docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("id"),
+                    F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
+            .select("id", F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.concat_ws(" ", F.slice(
+                    toks, i * window + 1, window))).alias("_segs")))
+    ex = segd.select("id", F.posexplode("_segs").alias("seg_idx", "seg"))
     key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
-    bench = (benchmark.select(
-        F.explode(_word_grams(F.col(text_col), n)).alias("_g"))
-        .select(key(F.col("_g")).alias("_g")).distinct())
+    bench = (_doc_grams(benchmark, text_col, id_col, n)
+             .select(key(F.col("_g")).alias("_g")).distinct())
     seg_grams = (ex.select("id", "seg_idx",
-                           F.explode(_word_grams(F.col("seg"), n))
-                           .alias("_gs"))
+                           F.split(F.trim(F.lower(F.col("seg"))), r"\s+")
+                           .alias("_stoks"))
+                 .select("id", "seg_idx",
+                         F.explode(_word_grams(F.col("_stoks"), n,
+                                               pre_tokenized=True))
+                         .alias("_gs"))
                  .select("id", "seg_idx", key(F.col("_gs")).alias("_g")))
     bad = (seg_grams.join(F.broadcast(bench), "_g", "left_semi")
            .select("id", "seg_idx").distinct())
     kept = ex.join(bad, ["id", "seg_idx"], "left_anti")
-    totals = base.select(F.col(id_col).alias("id"),
-                         F.size(segs).cast("bigint").alias("n_segments"))
+    totals = segd.select("id",
+                         F.size("_segs").cast("bigint").alias("n_segments"))
     return (totals
             .join(kept.groupBy("id").agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_kept"),
@@ -529,16 +554,8 @@ def _gram_occurrences(df: DataFrame, text_col: str, id_col: str,
     minhash generator-inlining fix in dedup._min_hash_exprs). CollapseProject
     keeps the materialization because the non-cheap split has multiple
     consumer references."""
-    # gram building is CPU-heavy: spread a single-small-file source across
-    # the cores (cheap row shuffle; metadata-only probe, no-op at scale —
-    # the dedup._with_shingles convention)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        nfiles = len(df.inputFiles())
-    except Exception:  # noqa: BLE001 — non-file-backed plan
-        nfiles = par
-    if 0 < nfiles < par:
-        df = df.repartition(par, id_col)
+    from .dedup import _spread_cpu_heavy
+    df = _spread_cpu_heavy(df, id_col)
     base = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
               .select(F.col(id_col).alias("_id"),
                       F.split(F.trim(F.lower(F.col(text_col))), r"\s+")

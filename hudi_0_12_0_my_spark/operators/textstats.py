@@ -309,14 +309,19 @@ def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     in the plan; the alternative explode+groupBy shape costs two corpus
     shuffles for the same number.
     """
-    chars = F.split(F.col(text_col), "")
+    # the char array materializes first: the per-distinct-char filter
+    # lambda re-evaluates its children (interpreted HOF), so an inline
+    # split would re-split the text once per distinct character
+    chars = F.col("_chars")
     n = F.size(chars)
     probs = F.transform(
         F.array_distinct(chars),
         lambda ch: F.size(F.filter(chars, lambda c: c == ch)) / n)
     ent = F.aggregate(probs, F.lit(0.0),
                       lambda acc, p: acc - p * F.log(p))
-    return df.withColumn(
-        "char_entropy",
-        F.when(F.coalesce(n, F.lit(0)) > 0, F.round(ent, 6))
-         .otherwise(F.lit(0.0)))
+    return (df.withColumn("_chars", F.split(F.col(text_col), ""))
+            .withColumn(
+                "char_entropy",
+                F.when(F.coalesce(n, F.lit(0)) > 0, F.round(ent, 6))
+                .otherwise(F.lit(0.0)))
+            .drop("_chars"))
