@@ -1905,6 +1905,31 @@ def q_docs_decontaminate(spark, sf_dir):
     return contaminated_ids(probe, bench, n=4)
 
 
+def q_docs_segment_filter(spark, sf_dir):
+    """RefinedWeb-style line-wise corrections at 20-token segment
+    granularity (operators/pipeline.py segment_filter): segments with
+    fewer than 3 tokens, digit/punct domination, or repeating earlier
+    content within the SAME doc are dropped and the doc reassembles.
+    Entirely map-only (no exchange in the plan). The oracle replays every
+    rule (RE2-safe char classes) and the first-occurrence test."""
+    from hudi_0_12_0_my_spark.operators import segment_filter
+    docs = _read(spark, sf_dir, "documents")
+    return segment_filter(docs, window=20, min_tokens=3).select(
+        "doc_id", "text_filtered", "n_segments", "n_kept")
+
+
+def q_docs_mixture_plan(spark, sf_dir):
+    """Training-mixture token budgeting (operators/pipeline.py
+    mixture_plan): per-language available tokens vs a 100k-token budget at
+    fixed target shares, with the implied epoch (repeat) factor."""
+    from hudi_0_12_0_my_spark.operators import mixture_plan
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_plan(docs, "lang",
+                        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2},
+                        target_tokens=100_000).select(
+        "group", "available_tokens", "share", "assigned_tokens", "epochs")
+
+
 def q_docs_shard_plan(spark, sf_dir):
     """Deterministic training-export sharding (operators/pipeline.py
     shard_plan): shard_id = portable Knuth hash mod 8, shard_pos = rank of
@@ -2546,6 +2571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": q_docs_decontaminate,
         "docs_contamination_score": q_docs_contamination_score,
         "docs_shard_plan": q_docs_shard_plan,
+        "docs_segment_filter": q_docs_segment_filter,
+        "docs_mixture_plan": q_docs_mixture_plan,
         "docs_span_decontaminate": q_docs_span_decontaminate,
         "docs_split": q_docs_split,
         "emb_cluster_topics": q_emb_cluster_topics,
@@ -2613,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NEVER_DRIVER_SAMPLED = [
     "docs_substring_dedup", "events_top_paths", "events_transitions",
     "docs_contamination_score", "docs_shard_plan", "emb_prototype_prune",
+    "docs_segment_filter", "docs_mixture_plan",
     "docs_dsir_topk", "docs_ccnet_buckets", "docs_url_curate",
     "docs_temperature_sample",
     "docs_char_entropy", "docs_weighted_sample",
@@ -4011,6 +4039,52 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
                             AND a.doc_id < b2.doc_id)
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(fa, fb)) <= 6""",
+        "docs_segment_filter": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(
+           regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w,
+         generate_subscripts(string_split(
+           regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), 1) AS i
+  FROM documents WHERE length(trim(text)) > 0),
+seg AS (
+  SELECT doc_id, CAST(floor((i - 1) / 20) AS BIGINT) AS seg_idx,
+         string_agg(w, ' ' ORDER BY i) AS seg
+  FROM tok GROUP BY doc_id, seg_idx),
+rules AS (
+  SELECT doc_id, seg_idx, seg,
+         (len(string_split(seg, ' ')) >= 3
+          AND length(regexp_replace(seg, '[^0-9]', '', 'g'))
+              / greatest(length(seg), 1) <= 0.5
+          AND length(regexp_replace(seg, '[^!-/:-@\\[-`{-~]', '', 'g'))
+              / greatest(length(seg), 1) <= 0.3
+          AND row_number() OVER (PARTITION BY doc_id, seg
+                                 ORDER BY seg_idx) = 1) AS ok
+  FROM seg),
+kept AS (SELECT doc_id, seg_idx, seg FROM rules WHERE ok),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+        FROM seg GROUP BY doc_id),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS text_filtered
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.text_filtered, '') AS text_filtered,
+       t.n_segments, coalesce(a.n_kept, 0) AS n_kept
+FROM tot t LEFT JOIN agg a USING (doc_id)""",
+        "docs_mixture_plan": """
+WITH n AS (
+  SELECT lang AS "group",
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS available_tokens
+  FROM documents WHERE lang IN ('en', 'de', 'es', 'fr') GROUP BY 1),
+s AS (SELECT "group", available_tokens,
+             CASE "group" WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+                          WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2 END AS share
+      FROM n)
+SELECT "group", available_tokens, round(share, 6) AS share,
+       CAST(floor(share * 100000.0) AS BIGINT) AS assigned_tokens,
+       round(CAST(floor(share * 100000.0) AS BIGINT)
+             / CAST(available_tokens AS DOUBLE), 6) AS epochs
+FROM s""",
         "docs_shard_plan": """
 WITH h AS (
   SELECT doc_id,

@@ -27,7 +27,8 @@ from .pipeline import (chunk_documents, contaminated_ids, curate,
                        pack_sequences, quota_cap, decontaminate_spans,
                        split_dataset, dsir_logweights, dsir_sample,
                        perplexity_buckets, curate_urls, weighted_sample,
-                       temperature_sample, shard_plan)
+                       temperature_sample, shard_plan, segment_filter,
+                       mixture_plan)
 from .sessions import (sessionize, session_stats, funnel_stats,
                        cohort_retention, top_paths, event_transitions)
 from .similarity import (cosine_topk, ivf_cosine_topk,
@@ -74,6 +75,7 @@ __all__ = [
     "split_dataset", "dsir_logweights", "dsir_sample",
     "perplexity_buckets", "curate_urls", "weighted_sample",
     "temperature_sample", "with_char_entropy", "shard_plan",
+    "segment_filter", "mixture_plan",
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
     "top_paths", "event_transitions",
 ]

@@ -817,3 +817,111 @@ def shard_plan(df: DataFrame, n_shards: int, id_col: str = "doc_id",
             "n_tokens",
             F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint"))
     return out
+
+
+def segment_filter(df: DataFrame, window: int = 20, sep: str | None = None,
+                   min_tokens: int = 3, max_digit_frac: float = 0.5,
+                   max_punct_frac: float = 0.3,
+                   dedup_within_doc: bool = True,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   joiner: str | None = None) -> DataFrame:
+    """RefinedWeb §3.1.3-style line-wise corrections, segment-granular:
+    drop low-quality segments (too few tokens, digit- or punctuation-
+    dominated, within-doc repeats) and reassemble the survivors — removing
+    boilerplate/navigation junk WITHOUT dropping whole documents.
+
+    Segments split on `sep` (real line/paragraph filtering) or, for
+    corpora without structure, fixed `window`-token spans. A segment
+    survives if: token count >= min_tokens, digit-char fraction <=
+    max_digit_frac, punctuation fraction <= max_punct_frac, and (with
+    dedup_within_doc) it is the FIRST occurrence of its content inside the
+    document (array_position == own index; corpus-wide dedup is
+    segment_dedup's job). Rules are RE2-safe so any engine replays them.
+
+    Returns (id, text_filtered, n_segments, n_kept).
+
+    Shape for 100 TB: entirely MAP-ONLY — segments, rules and reassembly
+    are array HOFs per row; the plan has NO exchange at all (cheapest
+    possible curation step; runs at scan speed).
+    """
+    toks_of = lambda s: F.split(F.trim(s), r"\s+")           # noqa: E731
+    digit_frac = lambda s: (F.length(F.regexp_replace(s, r"[^0-9]", ""))
+                            / F.greatest(F.length(s), F.lit(1)))  # noqa: E731
+    punct_frac = lambda s: (F.length(F.regexp_replace(
+        s, r"[^!-/:-@\[-`{-~]", "")) / F.greatest(F.length(s),
+                                                  F.lit(1)))  # noqa: E731
+    nonempty = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    if sep is not None:
+        segd = nonempty.select(
+            F.col(id_col),
+            F.filter(F.split(F.col(text_col), sep),
+                     lambda s: F.length(F.trim(s)) > 0).alias("_segs"))
+    else:
+        tokd = nonempty.select(F.col(id_col),
+                               F.split(F.trim(F.col(text_col)), r"\s+")
+                               .alias("_toks"))
+        t = F.col("_toks")
+        nseg = F.ceil(F.size(t) / F.lit(window)).cast("int")
+        segd = tokd.select(F.col(id_col), F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice(
+                t, i * window + 1, window))).alias("_segs"))
+
+    def ok(s):
+        cond = ((F.size(toks_of(s)) >= min_tokens)
+                & (digit_frac(s) <= max_digit_frac)
+                & (punct_frac(s) <= max_punct_frac))
+        return cond
+
+    segs = F.col("_segs")
+    if dedup_within_doc:
+        # keep index i only if _segs[i] first occurs at i (1-based search)
+        kept = F.filter(
+            F.transform(segs, lambda s, i: F.struct(
+                s.alias("s"), (F.array_position(segs, s) == i + 1)
+                .alias("first"))),
+            lambda x: x.first & ok(x.s))
+        kept = F.transform(kept, lambda x: x.s)
+    else:
+        kept = F.filter(segs, ok)
+    out_joiner = joiner if joiner is not None \
+        else (" " if sep is None else "\n\n")
+    return segd.select(
+        F.col(id_col),
+        F.concat_ws(out_joiner, kept).alias("text_filtered"),
+        F.size("_segs").cast("bigint").alias("n_segments"),
+        F.size(kept).cast("bigint").alias("n_kept"))
+
+
+def mixture_plan(df: DataFrame, group_col: str,
+                 weights: dict[str, float], target_tokens: int,
+                 text_col: str = "text") -> DataFrame:
+    """Training-mixture token budgeting (the planning half of mixture
+    sampling, DoReMi/Pile-style): given per-group target weights and a
+    total token budget, report for each group its available tokens, the
+    tokens the budget assigns it, and the EPOCHS over its data that
+    implies (epochs > 1 = the group repeats; the scarcity signal mixture
+    design iterates on).
+
+    Returns (group, available_tokens, share, assigned_tokens, epochs) for
+    the groups in `weights`. One partially-aggregated shuffle on the group
+    key; token counting is a map-side projection.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("mixture_plan: weights must sum > 0")
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    avail = (df.filter(F.col(group_col).isin(*weights))
+             .select(F.col(group_col).alias("group"), n_tok.alias("_n"))
+             .groupBy("group")
+             .agg(F.sum("_n").alias("available_tokens")))
+    share = F.create_map(*[x for k, v in weights.items()
+                           for x in (F.lit(k), F.lit(v / total))])
+    return (avail
+            .withColumn("share", F.round(share[F.col("group")], 6))
+            .withColumn("assigned_tokens",
+                        F.floor(F.col("share") * F.lit(float(target_tokens)))
+                        .cast("bigint"))
+            .withColumn("epochs",
+                        F.round(F.col("assigned_tokens")
+                                / F.col("available_tokens"), 6)))

@@ -239,6 +239,57 @@ def test_decontaminate_flags_shared_ngrams(docs, spark):
     assert flags[1] is True and flags[4] is False and len(flags) == 7
 
 
+def test_segment_filter_rules_and_within_doc_dedup(spark):
+    """Separator mode: short lines, digit-dominated lines, punct-dominated
+    lines and within-doc repeated lines drop; the doc reassembles from the
+    survivors in order."""
+    text = "\n".join([
+        "a good clean line here",        # kept
+        "no",                            # < 3 tokens -> dropped
+        "1234 5678 9012",                # digits dominate -> dropped
+        "!!! ??? *** ###",               # punctuation -> dropped
+        "a good clean line here",        # within-doc repeat -> dropped
+        "another fine closing line",     # kept
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = ops.segment_filter(df, sep=r"\n", min_tokens=3,
+                             joiner="\n").collect()[0]
+    assert out.text_filtered == "a good clean line here\n" \
+                                "another fine closing line"
+    assert out.n_segments == 6 and out.n_kept == 2
+
+
+def test_segment_filter_window_mode_map_only(spark):
+    """Window mode drops the short tail segment; and the plan contains no
+    exchange at all (pure map)."""
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7"),    # windows of 3: [3,3,1-token tail]
+         (2, "")],
+        "doc_id long, text string")
+    res = ops.segment_filter(df, window=3, min_tokens=2)
+    rows = {r.doc_id: r for r in res.collect()}
+    assert rows[1].n_segments == 3 and rows[1].n_kept == 2
+    assert rows[1].text_filtered == "w1 w2 w3 w4 w5 w6"
+    assert 2 not in rows
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mixture_plan_epochs(spark):
+    """Budget assignment: shares normalize, epochs = assigned/available."""
+    df = spark.createDataFrame(
+        [(1, "a b c d", "en"), (2, "e f", "en"), (3, "g h i", "de")],
+        "doc_id long, text string, lang string")
+    out = {r.group: r for r in
+           ops.mixture_plan(df, "lang", {"en": 3, "de": 1},
+                            target_tokens=12).collect()}
+    assert out["en"].available_tokens == 6
+    assert out["en"].share == 0.75 and out["en"].assigned_tokens == 9
+    assert out["en"].epochs == 1.5
+    assert out["de"].available_tokens == 3
+    assert out["de"].assigned_tokens == 3 and out["de"].epochs == 1.0
+
+
 def test_shard_plan_deterministic_and_dense(spark):
     """Shard assignment is stable across calls; positions are dense 0..m-1
     within each shard; token counts ride along when text_col is given."""
