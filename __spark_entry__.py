@@ -1698,6 +1698,21 @@ def q_emb_topk(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_emb_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py pq_train/encode/
+    topk; Jegou'11): 8 subspaces x 8 codes, one deterministic Lloyd round
+    per subspace, asymmetric-distance top-10 for 5 queries. The oracle
+    replays the per-subspace init/assign/recompute chain, the encoding,
+    the centroid reconstruction and the ordered 64-term distance fold —
+    every rank is exact."""
+    from hudi_0_12_0_my_spark.operators import pq_topk, pq_train
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = pq_train(emb, m=8, ksub=8)
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                   cents=cents).select(
+        "query_id", "neighbor_id", "adist", "rank")
+
+
 def q_emb_prototype_prune(spark, sf_dir):
     """SSL-prototypes pruning (operators/similarity.py prototype_prune):
     k-means (k=4, 2 Lloyd rounds, deterministic init), then keep only the
@@ -2606,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": q_emb_topk,
         "emb_kmeans": q_emb_kmeans,
         "emb_prototype_prune": q_emb_prototype_prune,
+        "emb_pq_topk": q_emb_pq_topk,
         "emb_quantized_topk": q_emb_quantized_topk,
         "emb_random_projection": q_emb_random_projection,
         "emb_hard_negatives": q_emb_hard_negatives,
@@ -2640,7 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NEVER_DRIVER_SAMPLED = [
     "docs_substring_dedup", "events_top_paths", "events_transitions",
     "docs_contamination_score", "docs_shard_plan", "emb_prototype_prune",
-    "docs_segment_filter", "docs_mixture_plan",
+    "docs_segment_filter", "docs_mixture_plan", "emb_pq_topk",
     "docs_dsir_topk", "docs_ccnet_buckets", "docs_url_curate",
     "docs_temperature_sample",
     "docs_char_entropy", "docs_weighted_sample",
@@ -3700,6 +3716,58 @@ df AS (SELECT e.vec_id, c.cl,
 SELECT vec_id, cl AS cluster, round(sqrt(d2), 6) AS dist FROM
  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
   FROM df) WHERE rn = 1""",
+        # per-subspace PQ chain: init = 8 lowest-id rows' subvectors, one
+        # Lloyd round (assign argmin ties->lowest code, avg recompute,
+        # empty-code carry), re-encode, reconstruct, ordered 64-term fold
+        "emb_pq_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+js AS (SELECT unnest(range(8)) AS j),
+sub AS (SELECT e.vec_id, js.j, list_slice(e.v, js.j * 8 + 1, js.j * 8 + 8) AS s
+        FROM e CROSS JOIN js),
+init AS (SELECT j,
+                CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1
+                     AS INT) AS code,
+                s AS cv
+         FROM sub
+         WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+d0 AS (SELECT sub.vec_id, sub.j, sub.s, init.code,
+              list_sum(list_transform(range(1, 9),
+                i -> (sub.s[i] - init.cv[i]) * (sub.s[i] - init.cv[i])))
+                AS d2
+       FROM sub JOIN init ON sub.j = init.j),
+a0 AS (SELECT vec_id, j, s, code FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2, code) AS rn
+         FROM d0) WHERE rn = 1),
+m1 AS (SELECT j, code, list(mm ORDER BY pos) AS cv FROM
+        (SELECT j, code, pos, avg(x) AS mm FROM
+          (SELECT j, code, generate_subscripts(s, 1) AS pos, unnest(s) AS x
+           FROM a0)
+         GROUP BY j, code, pos) GROUP BY j, code),
+c1 AS (SELECT init.j, init.code, coalesce(m1.cv, init.cv) AS cv
+       FROM init LEFT JOIN m1 ON init.j = m1.j AND init.code = m1.code),
+d1 AS (SELECT sub.vec_id, sub.j, c1.code,
+              list_sum(list_transform(range(1, 9),
+                i -> (sub.s[i] - c1.cv[i]) * (sub.s[i] - c1.cv[i]))) AS d2
+       FROM sub JOIN c1 ON sub.j = c1.j),
+enc AS (SELECT vec_id, j, code FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                       ORDER BY d2, code) AS rn
+          FROM d1) WHERE rn = 1),
+rec AS (SELECT enc.vec_id, flatten(list(c1.cv ORDER BY enc.j)) AS recon
+        FROM enc JOIN c1 ON enc.j = c1.j AND enc.code = c1.code
+        GROUP BY enc.vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+d AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i] - r.recon[i]) * (q.qv[i] - r.recon[i])))
+               AS adist
+      FROM q CROSS JOIN rec r WHERE r.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, round(adist, 6) AS adist, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist, neighbor_id) AS rn
+      FROM d)
+WHERE rn <= 10""",
         # same Lloyd chain as emb_kmeans, plus the per-cluster hardness
         # ranking (d2 desc == dist desc, monotone) and the ceil(0.7*n) cut
         "emb_prototype_prune": """

@@ -469,3 +469,123 @@ def rrf_fuse(rankings: list, k: int = 60, id_col: str = "doc_id",
     if top is not None:
         out = out.filter(F.col("rank") <= top)
     return out
+
+
+def pq_train(corpus: DataFrame, m: int = 8, ksub: int = 16,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> list:
+    """Train product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the vector into `m`
+    subvectors and run one deterministic Lloyd round per subspace (init =
+    the `ksub` lowest-id rows' subvectors; empty codes keep their init
+    centroid; argmin ties break to the lowest code).
+
+    Returns nested Python lists `cents[m][ksub][dsub]` — MODEL-sized
+    driver state (m*ksub*dsub doubles), broadcast as literals by the
+    encode/search steps. All m subspaces train in ONE corpus pass: the
+    per-subspace code assignment is a map-only argmin and the centroid
+    recompute is a single partially-aggregated shuffle of (subspace, code,
+    pos) cells — shuffle volume m*ksub*dsub rows per task, independent of
+    corpus size.
+    """
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
+    if not rows:
+        raise ValueError("pq_train: empty corpus")
+    dim = len(rows[0][1])
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    cents = [[[float(x) for x in r[1][j * dsub:(j + 1) * dsub]]
+              for r in rows] for j in range(m)]
+
+    staged = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    v = F.col("_v")
+
+    def code_expr(j, cj):
+        darr = F.array(*[
+            F.aggregate(F.zip_with(F.slice(v, j * dsub + 1, dsub),
+                                   F.array(*[F.lit(x) for x in c]),
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, x: acc + x) for c in cj])
+        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+    cells = staged.select(F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), code_expr(j, cents[j]).alias("code"),
+                 F.slice(v, j * dsub + 1, dsub).alias("sub"))
+        for j in range(m)])).alias("c")).select("c.*")
+    means = (cells.select("j", "code", F.posexplode("sub").alias("pos", "x"))
+             .groupBy("j", "code", "pos").agg(F.avg("x").alias("mean"))
+             .collect())
+    upd = {}
+    for r in means:
+        upd.setdefault((r.j, r.code), [0.0] * dsub)[r.pos] = r.mean
+    return [[upd.get((j, c), cents[j][c]) for c in range(ksub)]
+            for j in range(m)]
+
+
+def pq_encode(corpus: DataFrame, cents: list, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors against trained PQ codebooks: (id, codes array<int>).
+
+    Map-only argmin per subspace against literal centroids — at 100 TB the
+    encoded table is dim*8/m/4 x smaller than float32 (e.g. 64-dim, m=8:
+    8 bytes of codes vs 256 bytes), the scan-byte cut PQ exists for.
+    """
+    m, dsub = len(cents), len(cents[0][0])
+    staged = corpus.select(F.col(id_col),
+                           F.col(vec_col).cast("array<double>").alias("_v"))
+    v = F.col("_v")
+
+    def code_expr(j):
+        darr = F.array(*[
+            F.aggregate(F.zip_with(F.slice(v, j * dsub + 1, dsub),
+                                   F.array(*[F.lit(x) for x in c]),
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, x: acc + x)
+            for c in cents[j]])
+        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+    return staged.select(id_col, F.array(*[code_expr(j) for j in range(m)])
+                         .alias("codes"))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            m: int = 8, ksub: int = 16, cents: list | None = None,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance: the corpus is scanned
+    as codes only; each candidate's distance is ||q - recon(codes)||^2
+    against the query's RAW vector (asymmetric = query side stays exact).
+
+    The reconstruction concatenates the code-selected centroids (literal
+    lookup, map-only) and the distance is ONE ordered 64-term fold — the
+    identical left-to-right summation a SQL engine replays, so results are
+    oracle-exact. Broadcast queries + per-partition TakeOrdered window,
+    the cosine_topk shape. Output: (query_id, neighbor_id, adist, rank).
+    """
+    if cents is None:
+        cents = pq_train(corpus, m=m, ksub=ksub,
+                         id_col=id_col, vec_col=vec_col)
+    m, dsub = len(cents), len(cents[0][0])
+    codes = pq_encode(corpus, cents, id_col, vec_col) \
+        .select(F.col(id_col).alias("neighbor_id"), "codes")
+    qq = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("_q"))
+    joined = codes.crossJoin(F.broadcast(qq))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    lits = [F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents[j]])
+            for j in range(m)]
+    recon = F.flatten(F.array(*[
+        F.element_at(lits[j], F.col("codes")[j] + 1) for j in range(m)]))
+    adist = F.aggregate(F.zip_with(F.col("_q"), recon,
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                               F.asc("neighbor_id"))
+    return (joined.withColumn("adist", adist)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("adist", 6).alias("adist"),
+                    F.col("rank").cast("int")))

@@ -998,6 +998,41 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert all(r.dist == r.dist for r in out)      # no NaN
 
 
+def test_pq_topk_recovers_near_duplicates(spark):
+    """PQ asymmetric distance must rank a vector's near-copy first: two
+    well-separated blobs, each with a query and its jittered twin. With
+    m=2 subspaces x 4 codes the reconstruction error is far smaller than
+    the blob separation."""
+    import random
+    rnd = random.Random(7)
+    rows = []
+    for i in range(20):
+        base = [0.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [9.0, 9.0, 9.0, 9.0]
+        rows.append((i, [b + rnd.uniform(-0.3, 0.3) for b in base]))
+    rows.append((100, [x + 0.01 for x in rows[0][1]]))   # twin of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ops.pq_train(df, m=2, ksub=4)
+    assert len(cents) == 2 and len(cents[0]) == 4 and len(cents[0][0]) == 2
+    out = ops.pq_topk(df, df.filter("vec_id = 0"), k=5, cents=cents).collect()
+    by_rank = {r.rank: r.neighbor_id for r in out}
+    # all top-5 neighbors are from vec 0's blob (even ids + the twin)
+    assert all(n == 100 or n % 2 == 0 for n in by_rank.values())
+    assert 100 in by_rank.values()
+
+
+def test_pq_encode_codes_shape(spark):
+    """Codes are m ints in [0, ksub); identical vectors encode identically."""
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0]),
+            (3, [8.0, 8.0, 8.0, 8.0]), (4, [0.0, 0.0, 1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ops.pq_train(df, m=2, ksub=2)
+    enc = {r.vec_id: list(r.codes) for r in
+           ops.pq_encode(df, cents).collect()}
+    assert enc[1] == enc[2]
+    assert all(len(c) == 2 and all(0 <= x < 2 for x in c)
+               for c in enc.values())
+
+
 def test_prototype_prune_keeps_hardest_per_cluster(spark):
     """Two 4-point blobs, keep_frac=0.5: each cluster keeps its 2 members
     farthest from the centroid (the blob outliers), drops the 2 most
