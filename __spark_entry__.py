@@ -1698,6 +1698,28 @@ def q_emb_topk(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_docs_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition over the NEW r3 operators:
+    RefinedWeb segment filter -> ExactSubstr dedup (k=8) -> deterministic
+    shard plan, summarized per shard. Exercises the operators CHAINED
+    (each consumes the previous one's rewritten text), the way a real
+    export pipeline runs them; the oracle replays the full chain."""
+    from hudi_0_12_0_my_spark.operators import (exact_substring_dedup,
+                                                segment_filter, shard_plan)
+    docs = _read(spark, sf_dir, "documents")
+    filt = (segment_filter(docs, window=20, min_tokens=3)
+            .filter(F.length("text_filtered") > 0)
+            .select("doc_id", F.col("text_filtered").alias("text")))
+    dd = (exact_substring_dedup(filt, k=8)
+          .filter(F.length("text_dedup") > 0)
+          .select("doc_id", F.col("text_dedup").alias("text")))
+    sp = shard_plan(dd, n_shards=4, text_col="text")
+    return (sp.groupBy("shard_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("sum_tokens"))
+            .select("shard_id", "n_docs", "sum_tokens"))
+
+
 def q_emb_pq_topk(spark, sf_dir):
     """Product-quantization ANN (operators/similarity.py pq_train/encode/
     topk; Jegou'11): 8 subspaces x 8 codes, one deterministic Lloyd round
@@ -2622,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_emb_kmeans,
         "emb_prototype_prune": q_emb_prototype_prune,
         "emb_pq_topk": q_emb_pq_topk,
+        "docs_curation_pipeline": q_docs_curation_pipeline,
         "emb_quantized_topk": q_emb_quantized_topk,
         "emb_random_projection": q_emb_random_projection,
         "emb_hard_negatives": q_emb_hard_negatives,
@@ -2657,6 +2680,7 @@ _NEVER_DRIVER_SAMPLED = [
     "docs_substring_dedup", "events_top_paths", "events_transitions",
     "docs_contamination_score", "docs_shard_plan", "emb_prototype_prune",
     "docs_segment_filter", "docs_mixture_plan", "emb_pq_topk",
+    "docs_curation_pipeline",
     "docs_dsir_topk", "docs_ccnet_buckets", "docs_url_curate",
     "docs_temperature_sample",
     "docs_char_entropy", "docs_weighted_sample",
@@ -3716,6 +3740,65 @@ df AS (SELECT e.vec_id, c.cl,
 SELECT vec_id, cl AS cluster, round(sqrt(d2), 6) AS dist FROM
  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
   FROM df) WHERE rn = 1""",
+        # full chain replay: segment filter -> overlapping-window dedup ->
+        # portable-hash sharding, each stage consuming the previous one's
+        # rewritten text
+        "docs_curation_pipeline": """
+WITH sf_tok AS (
+  SELECT doc_id,
+         unnest(string_split(
+           regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w,
+         generate_subscripts(string_split(
+           regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), 1) AS i
+  FROM documents WHERE length(trim(text)) > 0),
+sf_seg AS (
+  SELECT doc_id, CAST(floor((i - 1) / 20) AS BIGINT) AS seg_idx,
+         string_agg(w, ' ' ORDER BY i) AS seg
+  FROM sf_tok GROUP BY doc_id, seg_idx),
+sf_rules AS (
+  SELECT doc_id, seg_idx, seg,
+         (len(string_split(seg, ' ')) >= 3
+          AND length(regexp_replace(seg, '[^0-9]', '', 'g'))
+              / greatest(length(seg), 1) <= 0.5
+          AND length(regexp_replace(seg, '[^!-/:-@\\[-`{-~]', '', 'g'))
+              / greatest(length(seg), 1) <= 0.3
+          AND row_number() OVER (PARTITION BY doc_id, seg
+                                 ORDER BY seg_idx) = 1) AS ok
+  FROM sf_seg),
+docs2 AS (SELECT doc_id,
+                 string_agg(seg, ' ' ORDER BY seg_idx) AS text
+          FROM sf_rules WHERE ok GROUP BY doc_id),
+sd_tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM docs2 WHERE length(text) > 0),
+sd_n AS (SELECT doc_id, count(*) AS n FROM sd_tok GROUP BY 1),
+sd_pos AS (SELECT doc_id, unnest(range(0, n - 8 + 1)) AS p
+           FROM sd_n WHERE n >= 8),
+sd_win AS (SELECT t.doc_id, p.p, string_agg(t.w, ' ' ORDER BY t.i) AS win
+           FROM sd_pos p JOIN sd_tok t
+             ON t.doc_id = p.doc_id AND t.i BETWEEN p.p + 1 AND p.p + 8
+           GROUP BY t.doc_id, p.p),
+sd_mk AS (SELECT doc_id, p, count(*) OVER (PARTITION BY win) AS c,
+                 row_number() OVER (PARTITION BY win
+                                    ORDER BY doc_id, p) AS r
+          FROM sd_win),
+sd_cov AS (SELECT doc_id, p FROM sd_mk WHERE c > 1 AND r > 1),
+sd_rem AS (SELECT DISTINCT t.doc_id, t.i FROM sd_tok t
+           JOIN sd_cov c ON c.doc_id = t.doc_id
+                        AND t.i BETWEEN c.p + 1 AND c.p + 8),
+docs3 AS (SELECT t.doc_id, count(*) AS n_tokens
+          FROM sd_tok t LEFT JOIN sd_rem r
+            ON r.doc_id = t.doc_id AND r.i = t.i
+          WHERE r.i IS NULL GROUP BY t.doc_id),
+h AS (SELECT doc_id,
+             ((doc_id % 1000000007) * 2654435761 + 42) % 2147483648 AS b,
+             n_tokens
+      FROM docs3)
+SELECT CAST(b % 4 AS INT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM h GROUP BY 1""",
         # per-subspace PQ chain: init = 8 lowest-id rows' subvectors, one
         # Lloyd round (assign argmin ties->lowest code, avg recompute,
         # empty-code carry), re-encode, reconstruct, ordered 64-term fold
