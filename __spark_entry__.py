@@ -1698,6 +1698,70 @@ def q_emb_topk(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_emb_mmr_rerank(spark, sf_dir):
+    """MMR diverse re-ranking (operators/similarity.py mmr_rerank,
+    Carbonell'98): top-20 retrieval then 5 greedy picks per query at
+    lambda=0.7. The oracle UNROLLS the greedy loop into one CTE block per
+    step (argmax of 0.7*rel - 0.3*max-sim-to-selected, ties to lowest id)
+    — rank-exact; scores are rank-only like the other cosine gates (FP
+    fold order differs across engines)."""
+    from hudi_0_12_0_my_spark.operators import mmr_rerank
+    emb = _read(spark, sf_dir, "embeddings")
+    res = mmr_rerank(emb, emb.filter(F.col("vec_id") < 3), k=5,
+                     fetch_k=20, lambda_=0.7)
+    return res.select("query_id", "neighbor_id", "rank")
+
+
+def _mmr_oracle(k: int = 5, fetch_k: int = 20, lam: float = 0.7) -> str:
+    head = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 3),
+rels AS (SELECT qid, vec_id AS nid,
+                list_cosine_similarity(qe, embedding) AS rel
+         FROM e, q WHERE vec_id <> qid),
+c AS (SELECT qid, nid, rel FROM
+       (SELECT qid, nid, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, nid) AS rr
+        FROM rels) WHERE rr <= {fetch_k}),
+sim AS (SELECT a.qid, a.nid AS ia, b.nid AS ib,
+               list_cosine_similarity(ea.embedding, eb.embedding) AS s
+        FROM c a JOIN c b ON a.qid = b.qid AND a.nid < b.nid
+        JOIN e ea ON ea.vec_id = a.nid
+        JOIN e eb ON eb.vec_id = b.nid),
+p1 AS (SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY rel DESC, nid) AS r
+       FROM c),
+s1 AS (SELECT qid, nid AS pick FROM p1 WHERE r = 1),
+sel1 AS (SELECT qid, [pick] AS picks FROM s1)"""
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f""",
+p{i} AS (
+  SELECT c.qid, c.nid, c.rel,
+         coalesce(max(CASE
+           WHEN s.ia = c.nid AND list_contains(l.picks, s.ib) THEN s.s
+           WHEN s.ib = c.nid AND list_contains(l.picks, s.ia) THEN s.s
+         END), 0.0) AS red
+  FROM c JOIN sel{i - 1} l ON l.qid = c.qid
+  LEFT JOIN sim s ON s.qid = c.qid AND (s.ia = c.nid OR s.ib = c.nid)
+  WHERE NOT list_contains(l.picks, c.nid)
+  GROUP BY c.qid, c.nid, c.rel),
+s{i} AS (SELECT qid, nid AS pick FROM
+          (SELECT qid, nid,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY {lam} * rel - (1.0 - {lam}) * red DESC,
+                             nid) AS r
+           FROM p{i}) WHERE r = 1),
+sel{i} AS (SELECT l.qid, list_append(l.picks, s.pick) AS picks
+           FROM sel{i - 1} l JOIN s{i} s USING (qid))""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT qid AS query_id, pick AS neighbor_id, "
+        f"CAST({i} AS INT) AS rank FROM s{i}" for i in range(1, k + 1))
+    return head + "".join(steps) + "\n" + tail
+
+
 def q_docs_curation_pipeline(spark, sf_dir):
     """End-to-end curation composition over the NEW r3 operators:
     RefinedWeb segment filter -> ExactSubstr dedup (k=8) -> deterministic
@@ -2645,6 +2709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_prototype_prune": q_emb_prototype_prune,
         "emb_pq_topk": q_emb_pq_topk,
         "docs_curation_pipeline": q_docs_curation_pipeline,
+        "emb_mmr_rerank": q_emb_mmr_rerank,
         "emb_quantized_topk": q_emb_quantized_topk,
         "emb_random_projection": q_emb_random_projection,
         "emb_hard_negatives": q_emb_hard_negatives,
@@ -2680,7 +2745,7 @@ _NEVER_DRIVER_SAMPLED = [
     "docs_substring_dedup", "events_top_paths", "events_transitions",
     "docs_contamination_score", "docs_shard_plan", "emb_prototype_prune",
     "docs_segment_filter", "docs_mixture_plan", "emb_pq_topk",
-    "docs_curation_pipeline",
+    "docs_curation_pipeline", "emb_mmr_rerank",
     "docs_dsir_topk", "docs_ccnet_buckets", "docs_url_curate",
     "docs_temperature_sample",
     "docs_char_entropy", "docs_weighted_sample",
@@ -3740,6 +3805,7 @@ df AS (SELECT e.vec_id, c.cl,
 SELECT vec_id, cl AS cluster, round(sqrt(d2), 6) AS dist FROM
  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
   FROM df) WHERE rn = 1""",
+        "emb_mmr_rerank": _mmr_oracle(k=5, fetch_k=20, lam=0.7),
         # full chain replay: segment filter -> overlapping-window dedup ->
         # portable-hash sharding, each stage consuming the previous one's
         # rewritten text

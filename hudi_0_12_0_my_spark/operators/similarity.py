@@ -589,3 +589,76 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "neighbor_id",
                     F.round("adist", 6).alias("adist"),
                     F.col("rank").cast("int")))
+
+
+def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               fetch_k: int = 50, lambda_: float = 0.7,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick k of the top-`fetch_k` retrieved candidates maximizing
+        lambda * rel(c) - (1 - lambda) * max_{s in selected} sim(c, s)
+    — relevance traded against redundancy, the standard diversity pass a
+    RAG/retrieval pipeline runs after ANN. Ties break to the lowest
+    neighbor id; the first pick is the plain top-1.
+
+    Shape for 100 TB: retrieval (cosine top-fetch_k) and the per-query
+    candidate pairwise-sim matrix are DISTRIBUTED (the matrix is
+    fetch_k^2 rows per query, bucketed by query — never corpus-pairwise);
+    only the greedy selection itself runs on the driver, over MODEL-sized
+    state (fetch_k rows + fetch_k^2/2 sims per query). Greedy MMR is
+    inherently sequential in k — this split is how production retrieval
+    stacks run it.
+
+    Output: (query_id, neighbor_id, mmr_score, rank) with rank 1..k.
+    """
+    cand = cosine_topk(corpus, queries, k=fetch_k,
+                       id_col=id_col, vec_col=vec_col)
+    cv = corpus.select(F.col(id_col).alias("_nid"),
+                       F.col(vec_col).alias("_v"))
+    withv = cand.join(cv, cand["neighbor_id"] == cv["_nid"]) \
+                .select("query_id", "neighbor_id", "cosine", "_v")
+    a = withv.select(F.col("query_id"),
+                     F.col("neighbor_id").alias("_ia"),
+                     F.col("_v").alias("_va"))
+    b = withv.select(F.col("query_id").alias("_qb"),
+                     F.col("neighbor_id").alias("_ib"),
+                     F.col("_v").alias("_vb"))
+    pair_sim = (_dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb"))))
+    sims = (a.join(b, (a["query_id"] == b["_qb"])
+                   & (a["_ia"] < b["_ib"]))
+            .select("query_id", "_ia", "_ib", pair_sim.alias("_s")))
+
+    by_q: dict = {}
+    for r in cand.collect():
+        by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.cosine))
+    sim_map: dict = {}
+    for r in sims.collect():
+        sim_map[(r.query_id, r._ia, r._ib)] = r._s
+
+    def s_of(q, x, y):
+        return sim_map.get((q, x, y) if x < y else (q, y, x), 0.0)
+
+    out = []
+    for q, cands in by_q.items():
+        # candidates in (rel desc, id asc) retrieval order
+        cands = sorted(cands, key=lambda t: (-t[1], t[0]))
+        selected: list = []
+        remaining = dict(cands)
+        for rank in range(1, min(k, len(cands)) + 1):
+            best = None
+            for nid, rel in cands:
+                if nid not in remaining:
+                    continue
+                red = max((s_of(q, nid, s) for s in selected), default=0.0)
+                score = lambda_ * rel - (1.0 - lambda_) * red
+                if best is None or score > best[0] or \
+                        (score == best[0] and nid < best[1]):
+                    best = (score, nid)
+            out.append((q, best[1], round(best[0], 6), rank))
+            selected.append(best[1])
+            del remaining[best[1]]
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        out, "query_id long, neighbor_id long, mmr_score double, rank int")

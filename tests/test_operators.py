@@ -998,6 +998,23 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert all(r.dist == r.dist for r in out)      # no NaN
 
 
+def test_mmr_rerank_defers_redundant_neighbor(spark):
+    """The query's two nearest neighbors are near-copies of each other;
+    plain top-k ranks them 1-2, but MMR at lambda=0.5 picks the diverse
+    third vector at rank 2 and defers the redundant twin."""
+    rows = [(0, [1.0, 0.0, 0.0]),        # query
+            (1, [0.99, 0.1, 0.0]),       # close to query
+            (2, [0.98, 0.11, 0.0]),      # near-copy of 1 (redundant)
+            (3, [0.7, 0.0, 0.7])]        # diverse, still relevant
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.rank: r.neighbor_id for r in
+           ops.mmr_rerank(df, df.filter("vec_id = 0"), k=3, fetch_k=3,
+                          lambda_=0.5).collect()}
+    assert out[1] == 1          # first pick = plain top-1
+    assert out[2] == 3          # diversity beats the redundant twin
+    assert out[3] == 2
+
+
 def test_pq_topk_recovers_near_duplicates(spark):
     """PQ asymmetric distance must rank a vector's near-copy first: two
     well-separated blobs, each with a query and its jittered twin. With
