@@ -161,20 +161,23 @@ def top_paths(df: DataFrame, n_steps: int = 5, k: int = 20,
     events contribute their full (shorter) path — standard behavior-flow
     semantics, so the counts partition the user base.
 
-    Shape for 100 TB: ONE shuffle on user (partial-agg collect of at most
-    `n_steps`-worth of (ts,id,type) structs is NOT possible pre-sort, so the
-    groupBy collects per-user events — bounded by max_events_per_user-style
-    upstream caps, same hazard class as sessionize); then the path count is
-    a partial-aggregated groupBy on the path string and the top-k folds into
-    TakeOrdered on the driver — no global sort exchange.
+    Shape for 100 TB: ONE shuffle on user — the row_number window and the
+    groupBy share the user key, so Catalyst reuses the exchange; the
+    `rn <= n_steps` filter runs BETWEEN them, capping per-user aggregation
+    state at n_steps structs (a 10^8-event bot user sorts in its window
+    partition but never materializes more than n_steps rows into the
+    collect) — then the path count is a partial-aggregated groupBy on the
+    path string and the top-k folds into TakeOrdered, no global sort.
     """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     per_user = (df.select(F.col(user_col).alias("u"),
                           F.struct(F.col(ts_col).alias("t"),
                                    F.col(id_col).alias("i"),
-                                   F.col(type_col).alias("e")).alias("s"))
+                                   F.col(type_col).alias("e")).alias("s"),
+                          F.row_number().over(w).alias("_rn"))
+                .filter(F.col("_rn") <= n_steps)
                 .groupBy("u")
-                .agg(F.slice(F.array_sort(F.collect_list("s")),
-                             1, n_steps).alias("head")))
+                .agg(F.array_sort(F.collect_list("s")).alias("head")))
     paths = per_user.select(
         F.concat_ws(sep, F.transform("head", lambda s: s.e)).alias("path"),
         F.size("head").alias("path_len"))
