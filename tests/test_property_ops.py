@@ -131,3 +131,56 @@ def test_split_dataset_is_a_partition(spark, texts, w):
     assert a == b
     assert set(a) == set(range(len(texts)))
     assert set(a.values()) <= set(weights)
+
+
+@PROP
+@given(data=st.data(), direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_pandas_merge_asof(spark, data, direction):
+    """asof_join vs pandas.merge_asof (independent reference), including
+    genuinely-NULL right payload values (must propagate, not be filled
+    from an older row) and equal-timestamp inclusive matches."""
+    import pandas as pd
+
+    key = st.integers(0, 2)
+    ts = st.integers(0, 20)
+    lrows = data.draw(st.lists(st.tuples(key, ts), min_size=1, max_size=12))
+    rrows = data.draw(st.lists(
+        st.tuples(key, ts, st.one_of(st.none(), st.integers(0, 9))),
+        min_size=0, max_size=12))
+    # pandas merge_asof needs unique (key, ts) on the right for a defined
+    # winner; dedupe keeping the draw's last occurrence
+    rdict = {(k, t): v for k, t, v in rrows}
+    rrows = [(k, t, v) for (k, t), v in rdict.items()]
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, k, t0 + dt.timedelta(minutes=t)) for i, (k, t) in
+         enumerate(lrows)],
+        "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(minutes=t), v) for k, t, v in rrows],
+        "user_id long, ts timestamp, val long")
+    got = {r.event_id: r.r_val for r in
+           ops.asof_join(ldf, rdf, "user_id",
+                         direction=direction).collect()}
+
+    lp = pd.DataFrame([(i, k, t0 + dt.timedelta(minutes=t))
+                       for i, (k, t) in enumerate(lrows)],
+                      columns=["event_id", "user_id", "ts"]) \
+        .sort_values(["ts", "event_id"], kind="stable")
+    rp = pd.DataFrame([(k, t0 + dt.timedelta(minutes=t), v)
+                       for k, t, v in rrows],
+                      columns=["user_id", "ts", "val"]) \
+        .sort_values("ts", kind="stable")
+    if rp.empty:
+        exp = {i: None for i in lp.event_id}
+    else:
+        m = pd.merge_asof(lp, rp, on="ts", by="user_id",
+                          direction=direction, suffixes=("", "_r"))
+        exp = {row["event_id"]: (None if pd.isnull(row["val"])
+                                 else int(row["val"]))
+               for _, row in m.iterrows()}
+    assert set(got) == set(exp)
+    for eid in got:
+        assert got[eid] == exp[eid], (eid, direction, lrows, rrows)
