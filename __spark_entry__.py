@@ -1799,6 +1799,20 @@ def q_emb_pq_topk(spark, sf_dir):
         "query_id", "neighbor_id", "adist", "rank")
 
 
+def q_emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition (operators/similarity.py ivfpq_topk): coarse
+    cells prune the scan, PQ codes shrink it. Gate config probes ALL cells
+    (nprobe = num_cells), where the result must equal plain PQ top-k
+    EXACTLY — proving the cell partitioning neither loses nor duplicates
+    any vector; the oracle is the full PQ chain replay."""
+    from hudi_0_12_0_my_spark.operators import ivfpq_topk, pq_train
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = pq_train(emb, m=8, ksub=8)
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                      num_cells=8, nprobe=8, cents=cents).select(
+        "query_id", "neighbor_id", "adist", "rank")
+
+
 def q_emb_prototype_prune(spark, sf_dir):
     """SSL-prototypes pruning (operators/similarity.py prototype_prune):
     k-means (k=4, 2 Lloyd rounds, deterministic init), then keep only the
@@ -2708,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_emb_kmeans,
         "emb_prototype_prune": q_emb_prototype_prune,
         "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
         "docs_curation_pipeline": q_docs_curation_pipeline,
         "emb_mmr_rerank": q_emb_mmr_rerank,
         "emb_quantized_topk": q_emb_quantized_topk,
@@ -2745,7 +2760,7 @@ _NEVER_DRIVER_SAMPLED = [
     "docs_substring_dedup", "events_top_paths", "events_transitions",
     "docs_contamination_score", "docs_shard_plan", "emb_prototype_prune",
     "docs_segment_filter", "docs_mixture_plan", "emb_pq_topk",
-    "docs_curation_pipeline", "emb_mmr_rerank",
+    "docs_curation_pipeline", "emb_mmr_rerank", "emb_ivfpq_topk",
     "docs_dsir_topk", "docs_ccnet_buckets", "docs_url_curate",
     "docs_temperature_sample",
     "docs_char_entropy", "docs_weighted_sample",
@@ -2779,7 +2794,7 @@ def _sample_priority_order(q: dict) -> dict:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "cow_snapshot": f"""
 WITH {LI_CTES}
 SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
@@ -4887,3 +4902,6 @@ SELECT lang, count(*) AS n_docs, min(doc_id) AS min_doc,
        max(doc_id) AS max_doc
 FROM k GROUP BY lang ORDER BY lang""",
     }
+    # exhaustive-probe IVF-PQ must equal plain PQ exactly: same oracle
+    out["emb_ivfpq_topk"] = out["emb_pq_topk"]
+    return out

@@ -37,7 +37,7 @@ from .similarity import (cosine_topk, ivf_cosine_topk,
                          quantize_int8, quantized_cosine_topk,
                          random_projection, hard_negatives, rrf_fuse,
                          prototype_prune, pq_train, pq_encode, pq_topk,
-                         mmr_rerank)
+                         mmr_rerank, ivfpq_topk)
 from .joins import interval_join, salted_join
 from .lm import (lm_log_prob, lm_outliers, linear_text_score,
                  tfidf_keywords, cluster_topics)
@@ -59,7 +59,7 @@ __all__ = [
     "hyperplane_signatures", "lsh_cosine_topk", "semantic_dedup",
     "kmeans_assign", "quantize_int8", "quantized_cosine_topk",
     "random_projection", "hard_negatives", "prototype_prune",
-    "pq_train", "pq_encode", "pq_topk", "mmr_rerank",
+    "pq_train", "pq_encode", "pq_topk", "mmr_rerank", "ivfpq_topk",
     "with_token_stats", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_repetition_stats", "top_ngrams", "bm25_topk",
     "lm_log_prob", "lm_outliers", "linear_text_score", "tfidf_keywords",

@@ -662,3 +662,58 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 10,
     spark = corpus.sparkSession
     return spark.createDataFrame(
         out, "query_id long, neighbor_id long, mmr_score double, rank int")
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               num_cells: int = 16, nprobe: int = 4,
+               m: int = 8, ksub: int = 16, cents: list | None = None,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC structure, Jegou'11 §IV): coarse IVF cells
+    prune WHICH rows are scanned (partition pruning via nprobe) while PQ
+    codes shrink WHAT is scanned (m bytes per row) — the two orthogonal
+    levers a billion-vector index needs composed.
+
+    Candidates come from each query's `nprobe` nearest cells (broadcast
+    centroid argmin, the ivf_cosine_topk probe) and are ranked by PQ
+    asymmetric distance against literal codebooks. With nprobe = num_cells
+    the result equals plain pq_topk exactly (the correctness-gate
+    configuration: cell partitioning must neither lose nor duplicate any
+    vector). Output: (query_id, neighbor_id, adist, rank).
+    """
+    if cents is None:
+        cents = pq_train(corpus, m=m, ksub=ksub,
+                         id_col=id_col, vec_col=vec_col)
+    m, dsub = len(cents), len(cents[0][0])
+    assigned, cell_cents = assign_ivf_cells(corpus, num_cells,
+                                            id_col, vec_col)
+    codes = (pq_encode(assigned, cents, id_col, vec_col)
+             .join(assigned.select(id_col, "cell"), id_col)
+             .select(F.col(id_col).alias("neighbor_id"), "codes", "cell"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_q"))
+    qc = q.crossJoin(F.broadcast(cell_cents))
+    sim = (_dot(F.col("_q"), F.col("centroid"))
+           / (_norm(F.col("_q")) * _norm(F.col("centroid"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probes = (qc.withColumn("_sim", sim)
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= nprobe)
+              .select("query_id", "_q", "cell"))
+    cand = (codes.join(F.broadcast(probes), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id")))
+    lits = [F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents[j]])
+            for j in range(m)]
+    recon = F.flatten(F.array(*[
+        F.element_at(lits[j], F.col("codes")[j] + 1) for j in range(m)]))
+    adist = F.aggregate(F.zip_with(F.col("_q"), recon,
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, x: acc + x)
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                                F.asc("neighbor_id"))
+    return (cand.withColumn("adist", adist)
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("adist", 6).alias("adist"),
+                    F.col("rank").cast("int")))

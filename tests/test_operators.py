@@ -1050,6 +1050,39 @@ def test_pq_encode_codes_shape(spark):
                for c in enc.values())
 
 
+def test_ivfpq_exhaustive_probe_equals_plain_pq(spark):
+    """With nprobe = num_cells, IVF-PQ must equal pq_topk exactly — the
+    cell partitioning is result-invisible."""
+    import random
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ops.pq_train(df, m=2, ksub=4)
+    q = df.filter("vec_id < 2")
+    plain = [(r.query_id, r.rank, r.neighbor_id, r.adist) for r in
+             ops.pq_topk(df, q, k=5, cents=cents)
+             .orderBy("query_id", "rank").collect()]
+    ivf = [(r.query_id, r.rank, r.neighbor_id, r.adist) for r in
+           ops.ivfpq_topk(df, q, k=5, num_cells=4, nprobe=4, cents=cents)
+           .orderBy("query_id", "rank").collect()]
+    assert plain == ivf
+
+
+def test_ivfpq_partial_probe_prunes_cells(spark):
+    """With nprobe=1 every returned neighbor lives in the query's own
+    (nearest) cell — the scan really is partition-pruned."""
+    rows = [(i, [float(i % 2) * 10 + 0.01 * i, 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ops.pq_train(df, m=1, ksub=4)
+    res = ops.ivfpq_topk(df, df.filter("vec_id = 0"), k=5,
+                         num_cells=2, nprobe=1, cents=cents).collect()
+    assert len(res) == 5
+    from hudi_0_12_0_my_spark.operators.similarity import assign_ivf_cells
+    assigned, _ = assign_ivf_cells(df, 2)
+    cell_of = {r.vec_id: r.cell for r in assigned.collect()}
+    assert {cell_of[r.neighbor_id] for r in res} == {cell_of[0]}
+
+
 def test_prototype_prune_keeps_hardest_per_cluster(spark):
     """Two 4-point blobs, keep_frac=0.5: each cluster keeps its 2 members
     farthest from the centroid (the blob outliers), drops the 2 most
