@@ -2045,6 +2045,16 @@ def q_docs_mixture_plan(spark, sf_dir):
         "group", "available_tokens", "share", "assigned_tokens", "epochs")
 
 
+def q_docs_bpe_pairs(spark, sf_dir):
+    """BPE first-merge statistics (operators/textstats.py bpe_pair_counts,
+    Sennrich'16): corpus compresses to its word vocabulary, then adjacent
+    char pairs count weighted by word frequency; top-20 is the merge-rule
+    candidate list. Oracle replays the vocab compression and weighting."""
+    from hudi_0_12_0_my_spark.operators import bpe_pair_counts
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, k=20).select("rank", "pair", "occurrences")
+
+
 def q_docs_shard_plan(spark, sf_dir):
     """Deterministic training-export sharding (operators/pipeline.py
     shard_plan): shard_id = portable Knuth hash mod 8, shard_pos = rank of
@@ -2686,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": q_docs_decontaminate,
         "docs_contamination_score": q_docs_contamination_score,
         "docs_shard_plan": q_docs_shard_plan,
+        "docs_bpe_pairs": q_docs_bpe_pairs,
         "docs_segment_filter": q_docs_segment_filter,
         "docs_mixture_plan": q_docs_mixture_plan,
         "docs_span_decontaminate": q_docs_span_decontaminate,
@@ -2761,6 +2772,7 @@ _NEVER_DRIVER_SAMPLED = [
     "docs_contamination_score", "docs_shard_plan", "emb_prototype_prune",
     "docs_segment_filter", "docs_mixture_plan", "emb_pq_topk",
     "docs_curation_pipeline", "emb_mmr_rerank", "emb_ivfpq_topk",
+    "docs_bpe_pairs",
     "docs_dsir_topk", "docs_ccnet_buckets", "docs_url_curate",
     "docs_temperature_sample",
     "docs_char_entropy", "docs_weighted_sample",
@@ -4271,6 +4283,20 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
                             AND a.doc_id < b2.doc_id)
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(fa, fb)) <= 6""",
+        "docs_bpe_pairs": """
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+v AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM w WHERE length(w) >= 2 GROUP BY w),
+p AS (SELECT substr(w, i, 2) AS pair, n
+      FROM v, unnest(range(1, length(w))) AS t(i)),
+c AS (SELECT pair, CAST(sum(n) AS BIGINT) AS occurrences
+      FROM p GROUP BY pair)
+SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, pair)
+            AS INT) AS rank,
+       pair, occurrences
+FROM c ORDER BY occurrences DESC, pair LIMIT 20""",
         "docs_segment_filter": """
 WITH tok AS (
   SELECT doc_id,

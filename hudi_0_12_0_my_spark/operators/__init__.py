@@ -46,7 +46,7 @@ from .temporal import asof_join, resample
 from .textstats import (with_token_stats, with_quality_score,
                         with_language_id, with_fingerprint,
                         with_repetition_stats, top_ngrams, bm25_topk,
-                        with_char_entropy)
+                        with_char_entropy, bpe_pair_counts)
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
@@ -77,7 +77,7 @@ __all__ = [
     "split_dataset", "dsir_logweights", "dsir_sample",
     "perplexity_buckets", "curate_urls", "weighted_sample",
     "temperature_sample", "with_char_entropy", "shard_plan",
-    "segment_filter", "mixture_plan",
+    "segment_filter", "mixture_plan", "bpe_pair_counts",
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
     "top_paths", "event_transitions",
 ]

@@ -325,3 +325,38 @@ def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.when(F.coalesce(n, F.lit(0)) > 0, F.round(ent, 6))
                 .otherwise(F.lit(0.0)))
             .drop("_chars"))
+
+
+def bpe_pair_counts(df: DataFrame, k: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """Tokenizer induction, step one of BPE (Sennrich'16): corpus-weighted
+    counts of adjacent character pairs WITHIN words — the statistic whose
+    argmax becomes the first merge rule. Returns the top-k pairs
+    (rank, pair, occurrences), ties to the lexicographically smallest pair.
+
+    Shape for 100 TB: the corpus compresses to its word VOCABULARY first
+    (one partially-aggregated shuffle on the word — Zipf makes the
+    combiner collapse almost everything map-side), then pair generation
+    runs over vocab-sized data with the word count as weight: the
+    quadratic-ish char work never touches corpus-sized rows. Same
+    TakeOrdered ending as top_ngrams (no global sort).
+    """
+    words = (df.select(F.explode(
+        F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                 lambda t: F.length(t) >= 2)).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("_n")))
+    # chars materialized before the pair lambda references it (interpreted
+    # HOFs re-evaluate children per element — see _gram_occurrences)
+    staged = words.select("_n", F.split(F.col("w"), "").alias("_ch")) \
+                  .withColumn("_m", F.size("_ch") - 1)
+    pairs = staged.select(
+        "_n", F.explode(F.transform(
+            F.sequence(F.lit(1), F.col("_m")),
+            lambda i: F.concat(F.element_at("_ch", i),
+                               F.element_at("_ch", i + 1)))).alias("pair"))
+    counts = pairs.groupBy("pair").agg(
+        F.sum("_n").cast("bigint").alias("occurrences"))
+    top = counts.orderBy(F.desc("occurrences"), F.asc("pair")).limit(k)
+    w = Window.orderBy(F.desc("occurrences"), F.asc("pair"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select(F.col("rank").cast("int"), "pair", "occurrences"))

@@ -998,6 +998,19 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert all(r.dist == r.dist for r in out)      # no NaN
 
 
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    """'ab' appears in 'abc' (x3 docs) and 'ab' (x1): count 4; ties break
+    lexicographically; single-char words contribute nothing."""
+    df = spark.createDataFrame(
+        [(1, "abc abc x"), (2, "abc ab"), (3, "de de")],
+        "doc_id long, text string")
+    out = [(r.rank, r.pair, r.occurrences) for r in
+           ops.bpe_pair_counts(df, k=3).collect()]
+    assert out[0] == (1, "ab", 4)        # 3x 'abc' + 1x 'ab'
+    assert out[1] == (2, "bc", 3)
+    assert out[2] == (3, "de", 2)
+
+
 def test_mmr_rerank_defers_redundant_neighbor(spark):
     """The query's two nearest neighbors are near-copies of each other;
     plain top-k ranks them 1-2, but MMR at lambda=0.5 picks the diverse
