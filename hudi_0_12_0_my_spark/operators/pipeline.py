@@ -42,17 +42,20 @@ def _word_grams(text: Column, n: int, *, pre_tokenized: bool = False) -> Column:
         .otherwise(F.array().cast("array<string>"))
 
 
-def _doc_grams(df: DataFrame, text_col: str, id_col: str, n: int,
+def _doc_grams(df: DataFrame, text_col: str, id_col: str | None, n: int,
                outer: bool = False) -> DataFrame:
     """(id, _g) exploded DISTINCT-gram rows with the token array
     materialized in its own projection (the cheap-attribute shape).
-    outer=True keeps gram-less (short) docs as a null-gram row."""
-    tokd = df.select(F.col(id_col),
+    outer=True keeps gram-less (short) docs as a null-gram row.
+    id_col=None yields gram rows only — benchmark sides need no id
+    column (and must not be required to carry one)."""
+    ids = [F.col(id_col)] if id_col is not None else []
+    tokd = df.select(*ids,
                      F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
                      .alias("_toks"))
     g = _word_grams(F.col("_toks"), n, pre_tokenized=True)
     ex = F.explode_outer(g) if outer else F.explode(g)
-    return tokd.select(F.col(id_col), ex.alias("_g"))
+    return tokd.select(*ids, ex.alias("_g"))
 
 
 def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
@@ -71,7 +74,7 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
     collisions only ever ADD a contaminated id, at ~1e-9 odds per pair).
     """
     key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
-    bench = (_doc_grams(benchmark, text_col, id_col, n)
+    bench = (_doc_grams(benchmark, text_col, None, n)
              .select(key(F.col("_g")).alias("_g")).distinct())
     probe = _doc_grams(docs, text_col, id_col, n) \
         .select(id_col, key(F.col("_g")).alias("_g"))
@@ -96,7 +99,7 @@ def contamination_score(docs: DataFrame, benchmark: DataFrame,
     exchange is the per-doc count aggregation (partial-agg, uniform key).
     """
     key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
-    bench = (_doc_grams(benchmark, text_col, id_col, n)
+    bench = (_doc_grams(benchmark, text_col, None, n)
              .select(key(F.col("_g")).alias("_g")).distinct()
              .withColumn("_hit", F.lit(1)))
     # explode_outer keeps gram-less (short) docs as a null row; the key
@@ -461,7 +464,7 @@ def decontaminate_spans(docs: DataFrame, benchmark: DataFrame,
                     toks, i * window + 1, window))).alias("_segs")))
     ex = segd.select("id", F.posexplode("_segs").alias("seg_idx", "seg"))
     key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
-    bench = (_doc_grams(benchmark, text_col, id_col, n)
+    bench = (_doc_grams(benchmark, text_col, None, n)
              .select(key(F.col("_g")).alias("_g")).distinct())
     seg_grams = (ex.select("id", "seg_idx",
                            F.split(F.trim(F.lower(F.col("seg"))), r"\s+")
@@ -904,8 +907,12 @@ def mixture_plan(df: DataFrame, group_col: str,
     design iterates on).
 
     Returns (group, available_tokens, share, assigned_tokens, epochs) for
-    the groups in `weights`. One partially-aggregated shuffle on the group
-    key; token counting is a map-side projection.
+    EVERY group in `weights` — a weighted group with no rows surfaces with
+    available_tokens = 0 and NULL epochs (infinite repetition: the loudest
+    scarcity signal, not a silently dropped row). The budget math uses the
+    EXACT share; the reported `share` column is rounded for display only.
+    One partially-aggregated shuffle on the group key; token counting is a
+    map-side projection.
     """
     total = float(sum(weights.values()))
     if total <= 0:
@@ -915,13 +922,21 @@ def mixture_plan(df: DataFrame, group_col: str,
              .select(F.col(group_col).alias("group"), n_tok.alias("_n"))
              .groupBy("group")
              .agg(F.sum("_n").alias("available_tokens")))
-    share = F.create_map(*[x for k, v in weights.items()
-                           for x in (F.lit(k), F.lit(v / total))])
-    return (avail
-            .withColumn("share", F.round(share[F.col("group")], 6))
+    wdf = df.sparkSession.createDataFrame(
+        [(k, v / total) for k, v in weights.items()],
+        "group string, _share double")
+    return (wdf.join(avail, "group", "left")
+            .withColumn("available_tokens",
+                        F.coalesce("available_tokens", F.lit(0))
+                        .cast("bigint"))
             .withColumn("assigned_tokens",
-                        F.floor(F.col("share") * F.lit(float(target_tokens)))
+                        F.floor(F.col("_share")
+                                * F.lit(float(target_tokens)))
                         .cast("bigint"))
             .withColumn("epochs",
-                        F.round(F.col("assigned_tokens")
-                                / F.col("available_tokens"), 6)))
+                        F.when(F.col("available_tokens") > 0,
+                               F.round(F.col("assigned_tokens")
+                                       / F.col("available_tokens"), 6)))
+            .select("group", "available_tokens",
+                    F.round("_share", 6).alias("share"),
+                    "assigned_tokens", "epochs"))

@@ -491,6 +491,9 @@ def pq_train(corpus: DataFrame, m: int = 8, ksub: int = 16,
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
     if not rows:
         raise ValueError("pq_train: empty corpus")
+    # fewer rows than requested codes: train the codebook that exists
+    # (ksub = |corpus|) instead of dying on an index error downstream
+    ksub = min(ksub, len(rows))
     dim = len(rows[0][1])
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
@@ -524,15 +527,19 @@ def pq_train(corpus: DataFrame, m: int = 8, ksub: int = 16,
 
 
 def pq_encode(corpus: DataFrame, cents: list, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
-    """Encode vectors against trained PQ codebooks: (id, codes array<int>).
+              vec_col: str = "embedding",
+              passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """Encode vectors against trained PQ codebooks:
+    (id, *passthrough, codes array<int>).
 
     Map-only argmin per subspace against literal centroids — at 100 TB the
     encoded table is dim*8/m/4 x smaller than float32 (e.g. 64-dim, m=8:
     8 bytes of codes vs 256 bytes), the scan-byte cut PQ exists for.
+    `passthrough` carries extra columns (e.g. an IVF cell) through the
+    encode so composed indexes stay one pass instead of joining back.
     """
     m, dsub = len(cents), len(cents[0][0])
-    staged = corpus.select(F.col(id_col),
+    staged = corpus.select(F.col(id_col), *[F.col(c) for c in passthrough],
                            F.col(vec_col).cast("array<double>").alias("_v"))
     v = F.col("_v")
 
@@ -545,7 +552,8 @@ def pq_encode(corpus: DataFrame, cents: list, id_col: str = "vec_id",
             for c in cents[j]])
         return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
-    return staged.select(id_col, F.array(*[code_expr(j) for j in range(m)])
+    return staged.select(id_col, *passthrough,
+                         F.array(*[code_expr(j) for j in range(m)])
                          .alias("codes"))
 
 
@@ -612,8 +620,12 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     Output: (query_id, neighbor_id, mmr_score, rank) with rank 1..k.
     """
+    # persisted: the retrieval lineage (broadcast cross-join + per-query
+    # window over the corpus) would otherwise re-run for the collect AND
+    # once per side of the pairwise self-join; cand itself is model-sized
+    # (fetch_k rows per query)
     cand = cosine_topk(corpus, queries, k=fetch_k,
-                       id_col=id_col, vec_col=vec_col)
+                       id_col=id_col, vec_col=vec_col).persist()
     cv = corpus.select(F.col(id_col).alias("_nid"),
                        F.col(vec_col).alias("_v"))
     withv = cand.join(cv, cand["neighbor_id"] == cv["_nid"]) \
@@ -636,6 +648,7 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 10,
     sim_map: dict = {}
     for r in sims.collect():
         sim_map[(r.query_id, r._ia, r._ib)] = r._s
+    cand.unpersist()
 
     def s_of(q, x, y):
         return sim_map.get((q, x, y) if x < y else (q, y, x), 0.0)
@@ -660,8 +673,16 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 10,
             selected.append(best[1])
             del remaining[best[1]]
     spark = corpus.sparkSession
-    return spark.createDataFrame(
-        out, "query_id long, neighbor_id long, mmr_score double, rank int")
+    # id columns take the corpus id type — the operator stays id-type
+    # agnostic like cosine_topk/pq_topk
+    from pyspark.sql import types as T
+    id_type = corpus.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField("query_id", id_type),
+        T.StructField("neighbor_id", id_type),
+        T.StructField("mmr_score", T.DoubleType()),
+        T.StructField("rank", T.IntegerType())])
+    return spark.createDataFrame(out, schema)
 
 
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -687,8 +708,10 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     m, dsub = len(cents), len(cents[0][0])
     assigned, cell_cents = assign_ivf_cells(corpus, num_cells,
                                             id_col, vec_col)
-    codes = (pq_encode(assigned, cents, id_col, vec_col)
-             .join(assigned.select(id_col, "cell"), id_col)
+    # cell passes THROUGH the encode — one pass over the assigned corpus,
+    # no corpus-sized join back and no second centroid-assignment run
+    codes = (pq_encode(assigned, cents, id_col, vec_col,
+                       passthrough=("cell",))
              .select(F.col(id_col).alias("neighbor_id"), "codes", "cell"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("_q"))

@@ -275,6 +275,29 @@ def test_segment_filter_window_mode_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_decontaminate_benchmark_needs_no_id_column(spark, docs):
+    """The benchmark side is grams-only: a text-only eval set works (the
+    pre-r3 contract; regression guard for the _doc_grams refactor)."""
+    bench = spark.createDataFrame(
+        [("jumps over the lazy dog tonight",)], "text string")
+    got = {r.doc_id for r in ops.contaminated_ids(docs, bench, n=4).collect()}
+    assert got == {1, 2, 3, 7}
+
+
+def test_mixture_plan_missing_group_surfaces(spark):
+    """A weighted group with no rows must appear with available_tokens=0
+    and NULL epochs — infinite repetition is the signal, not a dropped
+    row; and assigned_tokens uses the EXACT share, not the display one."""
+    df = spark.createDataFrame([(1, "a b c", "en")],
+                               "doc_id long, text string, lang string")
+    out = {r.group: r for r in
+           ops.mixture_plan(df, "lang", {"en": 1, "xx": 2},
+                            target_tokens=3_000_000).collect()}
+    assert out["xx"].available_tokens == 0 and out["xx"].epochs is None
+    assert out["en"].assigned_tokens == 1_000_000   # exact 1/3, not 0.333333
+    assert out["xx"].assigned_tokens == 2_000_000
+
+
 def test_mixture_plan_epochs(spark):
     """Budget assignment: shares normalize, epochs = assigned/available."""
     df = spark.createDataFrame(
