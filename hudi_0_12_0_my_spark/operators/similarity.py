@@ -221,15 +221,15 @@ def kmeans_assign(corpus: DataFrame, k: int = 4, iters: int = 2,
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     cents = [[float(x) for x in r[1]] for r in rows]
 
-    def _d2(c):
-        lit = F.array(*[F.lit(x) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col(vec_col).cast("array<double>"), lit,
-                       lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
     def _assigned():
-        darr = F.array(*[_d2(c) for c in cents])
+        # one transform over a literal centroid MATRIX rather than k
+        # separate aggregate() expressions: ~3x through the interpreted-HOF
+        # evaluator, identical folds per element (see pq_train)
+        cmat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        v = F.col(vec_col).cast("array<double>")
+        darr = F.transform(cmat, lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
         return corpus.select(
             F.col(id_col), F.col(vec_col),
             (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
