@@ -28,12 +28,21 @@ def _seeded_hash(hash_fn: str):
       correctness gate so MinHash/SimHash results are oracle-checkable;
       ~3-5x slower than xxhash64, same LSH guarantees.
     """
+    # seed may be a Python int OR an int Column (a lambda variable from a
+    # transform over a literal seed array) — both hash identically: the
+    # int rides through xxhash64 as the same typed value, and the portable
+    # variant stringifies it the same way
     if hash_fn == "xxhash64":
-        return lambda seed, c: F.xxhash64(F.lit(seed), c)
+        return lambda seed, c: F.xxhash64(
+            seed if isinstance(seed, Column) else F.lit(seed), c)
     if hash_fn == "portable_md5":
-        return lambda seed, c: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), c)), 1, 15),
-            16, 10).cast("long")
+        def h(seed, c):
+            s = (seed.cast("string") if isinstance(seed, Column)
+                 else F.lit(str(seed)))
+            return F.conv(
+                F.substring(F.md5(F.concat(s, F.lit("|"), c)), 1, 15),
+                16, 10).cast("long")
+        return h
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
@@ -276,8 +285,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     between a scan and a scan + terabyte-scale exchange.
     """
     with_sh = _with_shingles(df, text_col, id_col, shingle_k)
-    mins = _min_hash_exprs(hash_fn, num_hashes)
-    return with_sh.select(id_col, F.array(*mins).alias("sig"))
+    return with_sh.select(id_col,
+                          _min_hash_sig(hash_fn, num_hashes).alias("sig"))
 
 
 def _with_shingles(df: DataFrame, text_col: str, id_col: str,
@@ -299,24 +308,23 @@ def _with_shingles(df: DataFrame, text_col: str, id_col: str,
     return base.select(F.col(id_col), sh.alias("_shingles"))
 
 
-def _min_hash_exprs(hash_fn: str, num_hashes: int) -> list:
-    """One array_min(transform(_shingles, seeded-hash)) column per seed.
+def _min_hash_sig(hash_fn: str, num_hashes: int):
+    """The full signature as ONE nested transform over a literal seed
+    array: sig = transform(seeds, s -> array_min(transform(_shingles,
+    t -> h(s, t)))).
 
-    Callers that need several derived columns (sig + band buckets) MUST
-    build them in the SAME select from these expressions: whole-stage
-    codegen's common-subexpression elimination evaluates each min-hash once
-    per row there, whereas referencing a projected `sig` column from a LATER
-    select lets the optimizer inline the full num_hashes-lambda expression
-    per reference — measured 4s -> 89s on a 1000-doc batch."""
+    vs num_hashes separate array_min expressions this is ~5x through the
+    interpreted-HOF evaluator (identical values — the seed rides as an
+    int lambda variable instead of an int literal, same hash input).
+    Downstream band buckets index the PROJECTED sig column from a later
+    select — CollapseProject keeps a multi-referenced non-cheap alias
+    materialized, so the shingle hashing runs once per row (the d37375b
+    pathology was building buckets from the raw expressions in one select)."""
     h = _seeded_hash(hash_fn)
-
-    def seeded(seed):
-        # NB: must be a one-arg lambda — F.transform treats a two-arg callable
-        # as (element, index) and would silently override a default-arg seed
-        return lambda s: h(seed, s)
-
-    return [F.array_min(F.transform("_shingles", seeded(i)))
-            for i in range(num_hashes)]
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    return F.transform(
+        seeds, lambda s: F.array_min(
+            F.transform("_shingles", lambda t: h(s, t))))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -539,17 +547,16 @@ def minhash_index_rows(df: DataFrame, text_col: str = "text",
     (derived.sync_minhash_index maintains it from the CDC feed)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    with_sh = _with_shingles(df, text_col, id_col, shingle_k)
-    mins = _min_hash_exprs(hash_fn, num_hashes)
-    # sig and buckets MUST come out of one select over the min-hash
-    # expressions (codegen CSE evaluates each min once); building buckets
-    # from a projected sig column multiplies the shingle-hash work per
-    # reference — see _min_hash_exprs
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
+                              shingle_k, hash_fn)
+    # buckets index the PROJECTED sig column from a later select —
+    # CollapseProject keeps the multi-referenced non-cheap sig alias
+    # materialized (same composition minhash_lsh_pairs uses), so the
+    # shingle hashing runs once per row
     buckets = F.array(*[
-        _combine_hash(hash_fn, [mins[b * r + j] for j in range(r)])
+        _combine_hash(hash_fn, [F.col("sig")[b * r + j] for j in range(r)])
         for b in range(bands)])
-    return with_sh.select(id_col, F.array(*mins).alias("sig"),
-                          buckets.alias("buckets"))
+    return sigs.select(id_col, "sig", buckets.alias("buckets"))
 
 
 def dedup_against_index(batch: DataFrame, index: DataFrame,

@@ -33,7 +33,7 @@ def _word_grams(text: Column, n: int, *, pre_tokenized: bool = False) -> Column:
     token-array column (pre_tokenized=True) when the input is
     document-sized, or the regex split re-runs O(tokens) times per row
     (see _gram_occurrences; same pathology class as minhash's
-    _min_hash_exprs note)."""
+    _min_hash_sig note)."""
     toks = text if pre_tokenized else F.split(F.trim(F.lower(text)), r"\s+")
     m = F.size(toks) - (n - 1)
     return F.when(m >= 1, F.array_distinct(F.transform(
@@ -554,7 +554,7 @@ def _gram_occurrences(df: DataFrame, text_col: str, id_col: str,
     codegen), so an inline split() child is re-run PER SEQUENCE ELEMENT —
     the regex then costs O(tokens) per doc instead of O(1) (measured 17s ->
     1.6s on the sf0.1 DSIR bench step; the same pathology class as the
-    minhash generator-inlining fix in dedup._min_hash_exprs). CollapseProject
+    minhash generator-inlining fix in dedup._min_hash_sig). CollapseProject
     keeps the materialization because the non-cheap split has multiple
     consumer references."""
     from .dedup import _spread_cpu_heavy
