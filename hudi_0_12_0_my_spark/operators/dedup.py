@@ -309,22 +309,25 @@ def _with_shingles(df: DataFrame, text_col: str, id_col: str,
 
 
 def _min_hash_sig(hash_fn: str, num_hashes: int):
-    """The full signature as ONE nested transform over a literal seed
-    array: sig = transform(seeds, s -> array_min(transform(_shingles,
-    t -> h(s, t)))).
+    """sig = array(array_min(transform(_shingles, h(seed_i, t))) per seed).
 
-    vs num_hashes separate array_min expressions this is ~5x through the
-    interpreted-HOF evaluator (identical values — the seed rides as an
-    int lambda variable instead of an int literal, same hash input).
-    Downstream band buckets index the PROJECTED sig column from a later
-    select — CollapseProject keeps a multi-referenced non-cheap alias
-    materialized, so the shingle hashing runs once per row (the d37375b
-    pathology was building buckets from the raw expressions in one select)."""
+    Shape choice, MEASURED both ways at sf0.1: a single nested transform
+    over a literal seed array is 5x faster when the signature is terminal
+    (0.33s vs 1.57s standalone), but band-bucket consumers extract
+    sig[i] — Catalyst's SimplifyExtractValueOps rewrites array(...)[i] to
+    the i-th element expression directly, so the per-seed ARRAY composes
+    to exactly the needed mins (warm pairs pipeline 1.56s), while the
+    nested transform is re-inlined WHOLE per extract (3.57s). The array
+    shape wins where it matters (every consumer extracts elements)."""
     h = _seeded_hash(hash_fn)
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    return F.transform(
-        seeds, lambda s: F.array_min(
-            F.transform("_shingles", lambda t: h(s, t))))
+
+    def seeded(seed):
+        # NB: one-arg lambda — F.transform treats a two-arg callable as
+        # (element, index) and would silently override a default-arg seed
+        return lambda s: h(seed, s)
+
+    return F.array(*[F.array_min(F.transform("_shingles", seeded(i)))
+                     for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
