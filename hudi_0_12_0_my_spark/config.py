@@ -82,6 +82,10 @@ class TableConfig:
     schema_json: str | None = None           # canonical table schema (StructType.json())
     # schema evolution: list of {"from": old, "to": new} renames, applied at read
     column_renames: list = field(default_factory=list)
+    # schema evolution: dropped column names (TableChanges.java delete):
+    # registry-only drop — files keep the bytes, reads never project them.
+    # Names stay here forever so a re-add can't resurface pre-drop values.
+    dropped_columns: list = field(default_factory=list)
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -101,6 +101,8 @@ class FileSystemLockProvider(LockProvider):
                  poll_sec: float = 0.05, expire_sec: float = 0.0):
         super().__init__(path, timeout_sec, poll_sec)
         self.expire_sec = expire_sec
+        import uuid
+        self._token = uuid.uuid4().hex   # unique per acquirer: ownership proof
 
     def _payload(self) -> bytes:
         import json
@@ -109,36 +111,73 @@ class FileSystemLockProvider(LockProvider):
         import time as _t
         return json.dumps({"pid": os.getpid(),
                            "host": socket.gethostname(),
+                           "token": self._token,
                            "ts": _t.time()}).encode()
 
-    def _stale(self, st) -> bool:
+    def _read_meta(self, st, path: str):
         import json
+        try:
+            return json.loads(st.read_bytes(path).decode())
+        except (ValueError, OSError):
+            return None      # unreadable / vanished / legacy lock
+
+    def _stale(self, meta, grace: float | None = None) -> bool:
         import socket
         import time as _t
-        try:
-            meta = json.loads(st.read_bytes(self.path).decode())
-        except (ValueError, OSError):
-            return False     # unreadable/legacy lock: never force-reclaim
-        if self.expire_sec > 0 and \
-                _t.time() - float(meta.get("ts", _t.time())) > self.expire_sec:
+        if meta is None:
+            return False     # unreadable lock: never force-reclaim
+        expire = self.expire_sec if grace is None else grace
+        if expire > 0 and \
+                _t.time() - float(meta.get("ts", _t.time())) > expire:
             return True
         return (meta.get("host") == socket.gethostname()
                 and isinstance(meta.get("pid"), int)
                 and not _pid_alive(meta["pid"]))
 
+    def _reclaim(self, st, meta) -> None:
+        """TOCTOU-safe stale-lock removal. Two writers that both judge the
+        lock stale must not both proceed (the second's unlink would delete
+        the first's FRESH lock). Serialized by a per-generation reclaim
+        mutex: the stale payload's token names an exclusive tombstone file;
+        only its creator may unlink the lock, and only after re-reading and
+        confirming the payload still carries that same token — so a lock
+        re-created in the window (new token) is never touched."""
+        token = meta.get("token") or "legacy"
+        tomb = f"{self.path}.reclaim-{token}"
+        if st.exists(tomb):
+            # a reclaimer crashed mid-reclaim: its tombstone would block this
+            # generation forever. Same staleness rules, capped at 60s age —
+            # the reclaim critical section is milliseconds.
+            tmeta = self._read_meta(st, tomb)
+            cap = min(self.expire_sec, 60.0) if self.expire_sec > 0 else 60.0
+            if not self._stale(tmeta, grace=cap):
+                return
+            st.unlink(tomb)
+        if not st.create_exclusive(tomb, self._payload()):
+            return           # another writer is reclaiming this generation
+        try:
+            cur = self._read_meta(st, self.path)
+            if cur is not None and (cur.get("token") or "legacy") == token:
+                st.unlink(self.path)   # verified: still the stale generation
+        finally:
+            st.unlink(tomb)
+
     def try_lock(self) -> bool:
         st = get_storage(self.path)
         if st.exists(self.path):
-            if not self._stale(st):
+            meta = self._read_meta(st, self.path)
+            if not self._stale(meta):
                 return False
-            try:
-                st.unlink(self.path)   # reference: delete expired lock file
-            except OSError:
-                return False           # someone else reclaimed first
+            self._reclaim(st, meta)    # reference: delete expired lock file
         return st.create_exclusive(self.path, self._payload())
 
     def unlock(self) -> None:
-        get_storage(self.path).unlink(self.path)
+        st = get_storage(self.path)
+        meta = self._read_meta(st, self.path)
+        if meta is not None and meta.get("token") not in (None, self._token):
+            return   # reclaimed while we thought we held it: the lock at
+            # this path belongs to a NEWER holder — never delete it.
+        st.unlink(self.path)
 
 
 _INPROC: dict[str, threading.Lock] = {}

@@ -219,6 +219,9 @@ def kmeans_assign(corpus: DataFrame, k: int = 4, iters: int = 2,
     index via array_position-of-min — deterministic and replayable.
     """
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if not rows:
+        raise ValueError("kmeans_assign: empty corpus")
+    k = min(k, len(rows))   # mirror pq_train's ksub clamp: fewer rows than k
     cents = [[float(x) for x in r[1]] for r in rows]
 
     def _assigned():

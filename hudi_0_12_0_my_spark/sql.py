@@ -348,6 +348,22 @@ def dispatch(engine, text: str):
         engine.table(_ident(m.group(1))).change_column(m.group(2), m.group(3))
         return engine.spark.createDataFrame([(True,)], "ok boolean")
 
+    # ALTER TABLE t DROP COLUMN[S] c  (TableChanges delete action)
+    m = re.match(r"^ALTER\s+TABLE\s+([\w.`\"]+)\s+DROP\s+COLUMNS?\s*"
+                 r"\(?\s*(\w+)\s*\)?\s*$", sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        engine.table(_ident(m.group(1))).drop_column(m.group(2))
+        return engine.spark.createDataFrame([(True,)], "ok boolean")
+
+    # ALTER TABLE t ALTER [COLUMN] c FIRST | AFTER other  (column reorder,
+    # TableChanges ColumnPositionChange)
+    m = re.match(r"^ALTER\s+TABLE\s+([\w.`\"]+)\s+ALTER\s+(?:COLUMN\s+)?"
+                 r"(\w+)\s+(?:(FIRST)|AFTER\s+(\w+))\s*$", sql, re.IGNORECASE)
+    if m and engine.has_table(_ident(m.group(1))):
+        engine.table(_ident(m.group(1))).move_column(
+            m.group(2), first=bool(m.group(3)), after=m.group(4))
+        return engine.spark.createDataFrame([(True,)], "ok boolean")
+
     m = re.match(r"^ALTER\s+TABLE\s+([\w.`\"]+)\s+DROP\s+PARTITION\s*"
                  r"\(\s*(.+?)\s*\)\s*$", sql, re.IGNORECASE)
     if m and engine.has_table(_ident(m.group(1))):

@@ -198,6 +198,12 @@ class LakeTable:
         schema = business_schema(self.cfg)
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
+        if name in self.cfg.dropped_columns:
+            raise ValueError(
+                f"column {name!r} was previously dropped; re-adding it would "
+                f"resurface pre-drop values from old data files (the "
+                f"reference's column-id internal schema gives re-adds a new "
+                f"id for the same reason) — use a different name")
         schema = schema.add(T.StructField(
             name, T._parse_datatype_string(dtype)))
         self.cfg.schema_json = schema.json()
@@ -216,6 +222,10 @@ class LakeTable:
             raise ValueError(f"no column {old!r}")
         if new in schema.fieldNames():
             raise ValueError(f"column {new!r} already exists")
+        if new in self.cfg.dropped_columns:
+            raise ValueError(
+                f"column {new!r} was previously dropped; renaming onto it "
+                f"would resurface pre-drop values from old data files")
         fields = [T.StructField(new, f.dataType, f.nullable)
                   if f.name == old else f for f in schema.fields]
         self.cfg.schema_json = T.StructType(fields).json()
@@ -272,6 +282,63 @@ class LakeTable:
             return
         fields = [T.StructField(name, target, True) if f.name == name else f
                   for f in schema.fields]
+        self.cfg.schema_json = T.StructType(fields).json()
+        cfgmod.save_config(self.base_path, self.cfg)
+        self.reload()
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN (TableChanges.java delete action):
+        registry-only — no data rewrite. Data files of every era keep the
+        physical bytes; reads project only registered columns
+        (writer.base_read_schema drives ``spark.read.schema``), so the
+        column vanishes with parquet-footer-level pruning — free at 100 TB.
+        The name is remembered in cfg.dropped_columns: later writes that
+        still carry it have the values discarded (Avro projection
+        semantics), and re-adding the same name is refused so pre-drop
+        bytes can never resurface."""
+        from .writer import business_schema
+        schema = business_schema(self.cfg)
+        if name not in schema.fieldNames():
+            raise ValueError(f"no column {name!r}")
+        if self.cfg.record_key_fields and name in self.cfg.record_key_fields:
+            raise ValueError("cannot drop a record key field")
+        if self.cfg.partition_field == name:
+            raise ValueError("cannot drop the partition field")
+        if self.cfg.precombine_field == name:
+            raise ValueError("cannot drop the precombine field")
+        from pyspark.sql import types as T
+        self.cfg.schema_json = T.StructType(
+            [f for f in schema.fields if f.name != name]).json()
+        self.cfg.dropped_columns = list(self.cfg.dropped_columns) + [name]
+        cfgmod.save_config(self.base_path, self.cfg)
+        self.reload()
+
+    def move_column(self, name: str, first: bool = False,
+                    after: str | None = None) -> None:
+        """ALTER TABLE ... FIRST / AFTER (TableChanges ColumnPositionChange):
+        reorder the DECLARED column order in the table registry. Purely a
+        registry permutation — writes align by name, reads project in
+        registry order — so it costs nothing at any scale."""
+        from pyspark.sql import types as T
+
+        from .writer import business_schema
+        schema = business_schema(self.cfg)
+        names = schema.fieldNames()
+        if name not in names:
+            raise ValueError(f"no column {name!r}")
+        if first == (after is not None):
+            raise ValueError("move_column: pass exactly one of first/after")
+        if after is not None and after not in names:
+            raise ValueError(f"no column {after!r}")
+        if after == name:
+            raise ValueError("cannot move a column after itself")
+        fld = next(f for f in schema.fields if f.name == name)
+        rest = [f for f in schema.fields if f.name != name]
+        if first:
+            fields = [fld] + rest
+        else:
+            i = next(j for j, f in enumerate(rest) if f.name == after)
+            fields = rest[:i + 1] + [fld] + rest[i + 1:]
         self.cfg.schema_json = T.StructType(fields).json()
         cfgmod.save_config(self.base_path, self.cfg)
         self.reload()

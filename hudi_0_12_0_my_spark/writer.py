@@ -469,7 +469,9 @@ class Writer:
             marker_is_business = meta.DELETE_MARKER in schema.fieldNames()
             # additive evolution: new incoming columns append to the registry
             # (AlterHoodieTableAddColumnsCommand.scala / TableChanges.java add)
-            known = set(schema.fieldNames())
+            # dropped names never re-enter via additive evolution: values are
+            # discarded (Avro projection — old-schema writers keep working)
+            known = set(schema.fieldNames()) | set(cfg.dropped_columns)
             new_fields = [f for f in df.schema.fields
                           if f.name not in known and f.name != meta.DELETE_MARKER]
             if new_fields:

@@ -381,3 +381,66 @@ def test_snapshot_of_never_written_table_raises_clearly(spark, tmp_path):
                                    partition_field="grp")
     with pytest.raises(NoTableSchemaError, match="no registered schema"):
         t.snapshot()
+
+def test_schema_evolution_drop_column(spark, table):
+    """ALTER TABLE DROP COLUMN (TableChanges delete): registry-only drop,
+    old files keep the bytes but reads never project them; later writes
+    still carrying the column have the values discarded; re-adding or
+    renaming onto the dropped name is refused (resurrect hazard)."""
+    table.bulk_insert(make_rows(spark, BATCH1))
+    table.drop_column("name")
+    snap = table.snapshot()
+    assert "name" not in snap.columns
+    # an old-schema writer still sends `name`: values discarded, write ok
+    table.upsert(make_rows(spark, [(5, "ghost", 50.0, 100, "2021-01-03")]))
+    snap = table.snapshot()
+    assert "name" not in snap.columns
+    assert {r.id for r in snap.collect()} == {1, 2, 3, 4, 5}
+    with pytest.raises(ValueError, match="dropped"):
+        table.add_column("name", "string")
+    table.add_column("label", "string")
+    with pytest.raises(ValueError, match="dropped"):
+        table.rename_column("label", "name")
+    with pytest.raises(ValueError, match="record key"):
+        table.drop_column("id")
+    with pytest.raises(ValueError, match="partition"):
+        table.drop_column("dt")
+    with pytest.raises(ValueError, match="precombine"):
+        table.drop_column("ts")
+    with pytest.raises(ValueError, match="no column"):
+        table.drop_column("nope")
+
+
+def test_schema_evolution_move_column(spark, table):
+    """ALTER TABLE ... FIRST / AFTER (ColumnPositionChange): declared order
+    permutes; values and later writes (aligned by name) are unaffected."""
+    table.bulk_insert(make_rows(spark, BATCH1))
+    table.move_column("price", first=True)
+    assert table.snapshot().columns[0] == "price"
+    table.move_column("price", after="name")
+    cols = table.snapshot().columns
+    assert cols.index("price") == cols.index("name") + 1
+    table.upsert(make_rows(spark, [(1, "a2", 11.0, 200, "2021-01-01")]))
+    got = {r.id: (r.name, r.price) for r in table.snapshot().collect()}
+    assert got[1] == ("a2", 11.0)
+    with pytest.raises(ValueError, match="exactly one"):
+        table.move_column("price")
+    with pytest.raises(ValueError, match="exactly one"):
+        table.move_column("price", first=True, after="name")
+    with pytest.raises(ValueError, match="after itself"):
+        table.move_column("price", after="price")
+
+
+def test_schema_evolution_drop_and_move_sql(spark, tmp_table_dir):
+    """The SQL surface for drop/reorder dispatches to the table methods."""
+    eng = Engine(spark)
+    t = eng.create_table(tmp_table_dir, name="h0_dropsql",
+                         record_key_fields=["id"], precombine_field="ts",
+                         partition_field="dt", table_type="cow")
+    t.bulk_insert(make_rows(spark, BATCH1))
+    eng.sql("ALTER TABLE h0_dropsql DROP COLUMN name")
+    eng.sql("ALTER TABLE h0_dropsql ALTER COLUMN price FIRST")
+    snap = t.reload().snapshot()
+    assert "name" not in snap.columns and snap.columns[0] == "price"
+    eng.sql("ALTER TABLE h0_dropsql ALTER COLUMN price AFTER id")
+    assert t.reload().snapshot().columns[1] == "price"

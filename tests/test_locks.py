@@ -167,3 +167,73 @@ def test_expired_lock_reclaim(tmp_path):
     lk = FileSystemLockProvider(path, expire_sec=60.0)
     assert lk.try_lock()
     lk.unlock()
+
+def test_unlock_is_ownership_checked(tmp_path):
+    """ADVICE r3: an expired-but-alive holder's unlock must NOT delete the
+    reclaimer's fresh lock. A's lock expires, B reclaims + acquires; A's
+    late unlock is a no-op (token mismatch) and B keeps mutual exclusion."""
+    import json
+    path = str(tmp_path / "lock")
+    a = FileSystemLockProvider(path, expire_sec=0.05)
+    assert a.try_lock()
+    import time
+    time.sleep(0.1)                       # A's lock is now age-expired
+    b = FileSystemLockProvider(path, expire_sec=0.05)
+    assert b.try_lock()                   # reclaims A's stale lock
+    a.unlock()                            # late exit of the old holder
+    with open(path) as fh:                # B's lock survived A's unlock
+        assert json.load(fh)["token"] == b._token
+    c = FileSystemLockProvider(path, timeout_sec=0.2)
+    assert not c.try_lock()               # B still holds
+    b.unlock()
+    assert not os.path.exists(path)       # B's own unlock does release
+
+
+def test_reclaim_serialized_by_tombstone(tmp_path):
+    """Two writers that both judged the same lock generation stale are
+    serialized by the per-token reclaim tombstone: while one holds the
+    tombstone, the other's try_lock returns False instead of double-deleting."""
+    import json
+    import socket
+    import subprocess
+    import time
+    path = str(tmp_path / "lock")
+    dead = subprocess.Popen([sys.executable, "-c", "pass"]); dead.wait()
+    with open(path, "w") as fh:           # stale: dead same-host pid
+        json.dump({"pid": dead.pid, "host": socket.gethostname(),
+                   "ts": time.time(), "token": "gen1"}, fh)
+    # a LIVE reclaimer already holds the generation's tombstone
+    with open(path + ".reclaim-gen1", "w") as fh:
+        json.dump({"pid": os.getpid(), "host": socket.gethostname(),
+                   "ts": time.time(), "token": "other"}, fh)
+    b = FileSystemLockProvider(path)
+    assert not b.try_lock()               # reclaim in progress elsewhere
+    # a STALE tombstone (crashed reclaimer) is itself healed
+    with open(path + ".reclaim-gen1", "w") as fh:
+        json.dump({"pid": dead.pid, "host": socket.gethostname(),
+                   "ts": time.time(), "token": "other"}, fh)
+    assert b.try_lock()
+    b.unlock()
+
+
+def test_reclaim_verifies_generation_token(tmp_path):
+    """TOCTOU guard: if the lock was re-created (new token) between the
+    staleness judgement and the reclaim, the reclaim must not unlink it."""
+    import json
+    import socket
+    import subprocess
+    import time
+    from hudi_0_12_0_my_spark.storage import get_storage
+    path = str(tmp_path / "lock")
+    dead = subprocess.Popen([sys.executable, "-c", "pass"]); dead.wait()
+    stale = {"pid": dead.pid, "host": socket.gethostname(),
+             "ts": time.time(), "token": "gen1"}
+    b = FileSystemLockProvider(path)
+    # simulate: B read `stale`, then another writer re-created the lock
+    fresh = {"pid": os.getpid(), "host": socket.gethostname(),
+             "ts": time.time(), "token": "gen2"}
+    with open(path, "w") as fh:
+        json.dump(fresh, fh)
+    b._reclaim(get_storage(path), stale)
+    with open(path) as fh:                # the fresh generation survived
+        assert json.load(fh)["token"] == "gen2"
