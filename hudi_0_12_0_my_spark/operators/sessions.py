@@ -62,7 +62,8 @@ def session_stats(df: DataFrame, user_col: str = "user_id",
 
 def funnel_stats(df: DataFrame, steps: list[str],
                  user_col: str = "user_id", type_col: str = "event_type",
-                 ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+                 ts_col: str = "ts", id_col: str = "event_id",
+                 max_events_per_type: int = 1000) -> DataFrame:
     """Ordered-funnel analysis: how many users completed step 1, then step 2
     strictly after their earliest step-1 time, and so on.
 
@@ -71,9 +72,21 @@ def funnel_stats(df: DataFrame, steps: list[str],
     events filtered to funnel types, collected per user as a sorted array,
     and the step progression folded per-row with `aggregate` — versus the
     textbook k-way cascade of self-joins, which shuffles the event table k
-    times. Per-user arrays are bounded by the funnel types' frequency, not
-    total activity; ties on ts break by event id in the sort but a next
-    step still requires strictly increasing ts (same as the cascade).
+    times. Ties on ts break by event id in the sort but a next step still
+    requires strictly increasing ts (same as the cascade).
+
+    Skew hardening (the top_paths `row_number <= n` treatment): per-user
+    aggregation state is capped BEFORE the collect — only each user's
+    earliest `max_events_per_type` events OF EACH STEP TYPE enter the
+    array, via running per-type counts over the SAME user-keyed sorted
+    window the groupBy reuses (one exchange total, no extra shuffle). A
+    bot that fires funnel-type events therefore materializes at most
+    k*cap structs instead of its whole history. Correctness contract:
+    reach is MONOTONE in the event set (dropping candidates can only
+    stall the cascade earlier, adding them only helps), so the result is
+    exact whenever every (user, step-type) has <= cap events, and a
+    deterministic LOWER BOUND (never an overcount) for pathological users
+    beyond it — the conservative direction for funnel metrics.
 
     Output: (step int, event_type, users) — users whose progression reached
     at least that step.
@@ -81,6 +94,18 @@ def funnel_stats(df: DataFrame, steps: list[str],
     k = len(steps)
     step_arr = F.array(*[F.lit(s) for s in steps])
     ev = df.filter(F.col(type_col).isin(*steps))
+    # earliest-N-per-type cap: running per-type occurrence counts over the
+    # user-keyed window; partitioning matches the groupBy below, so Catalyst
+    # reuses the exchange and the window sort feeds the collect presorted
+    wcap = (Window.partitionBy(user_col).orderBy(ts_col, id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    occ = F.lit(None).cast("long")
+    for s in set(steps):
+        occ = F.when(F.col(type_col) == s,
+                     F.sum(F.when(F.col(type_col) == s, 1).otherwise(0))
+                     .over(wcap)).otherwise(occ)
+    ev = (ev.withColumn("_occ", occ)
+          .filter(F.col("_occ") <= max_events_per_type).drop("_occ"))
     arr = ev.groupBy(user_col).agg(F.sort_array(F.collect_list(F.struct(
         F.col(ts_col).alias("ts"), F.col(id_col).alias("eid"),
         F.col(type_col).alias("et")))).alias("evs"))

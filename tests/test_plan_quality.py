@@ -331,7 +331,9 @@ def test_connected_components_shuffles_bounded_per_round(spark):
 def test_funnel_single_event_shuffle(spark):
     """funnel_stats shuffles the event table ONCE (groupBy user); the only
     other exchange aggregates the k-row step counts. No joins — the k-way
-    cascade shape would show k SortMergeJoins."""
+    cascade shape would show k SortMergeJoins. The per-(user, type)
+    earliest-N cap runs as a Window BEFORE the collect, inside the SAME
+    user-keyed exchange (skew hardening must not add a shuffle)."""
     from hudi_0_12_0_my_spark.operators import funnel_stats
     ev = spark.createDataFrame(
         [(i, i % 5, "view" if i % 2 else "click", "2024-01-01 00:00:00")
@@ -342,6 +344,10 @@ def test_funnel_single_event_shuffle(spark):
         .executedPlan().toString().split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # the cap window is present and upstream of the per-user collect
+    # (executed plans print top-down, so upstream operators print later)
+    assert "Window" in plan
+    assert plan.index("Window") > plan.index("collect_list")
 
 
 def test_minhash_single_signature_pass(spark):
