@@ -230,3 +230,120 @@ def start_multi_table_ingest(engine, configs, checkpoint_root: str,
     return [start_table_stream(engine, c, checkpoint_root,
                                trigger=trigger, **sink_kwargs)
             for c in configs]
+
+
+class ContinuousIngest:
+    """Managed continuous-mode ingest loop — HoodieDeltaStreamer continuous
+    (HoodieDeltaStreamer.java:94 onward, DeltaSyncService): each ROUND
+    ingests everything currently available (one ``availableNow`` pass per
+    table ≙ syncOnce), hands due table services (compaction / clustering /
+    clean) to a per-table background worker (AsyncCompactService
+    equivalent), then waits out the remainder of ``min_sync_interval_sec``
+    before the next round. Exactly-once holds across rounds AND crashes:
+    every micro-batch rides the sink's batch-id ledger in commit metadata
+    (streaming/sink.py:58), so a round replayed after a crash skips batches
+    the table already holds.
+
+    Graceful shutdown (onDeltaSyncShutdown): :meth:`request_shutdown` (or
+    reaching ``max_rounds``) lets the in-flight round finish, waits for the
+    service workers, closes them, and surfaces any service error.
+
+    ``run(max_rounds=N)`` drives the loop on the calling thread; pass
+    ``max_rounds=None`` for a true long-lived service (stop it from another
+    thread via ``request_shutdown()``).
+    """
+
+    def __init__(self, engine, configs, checkpoint_root: str,
+                 min_sync_interval_sec: float = 0.0,
+                 compact: bool = True, clean: bool = False,
+                 cluster: bool = False, cluster_kwargs: dict | None = None,
+                 **sink_kwargs):
+        import threading
+        if isinstance(configs, str):
+            configs = load_stream_configs(configs)
+        self.engine = engine
+        self.configs = list(configs)
+        self.checkpoint_root = checkpoint_root
+        self.min_sync_interval_sec = min_sync_interval_sec
+        self._svc_opts = {"compact": compact, "clean": clean,
+                          "cluster": cluster,
+                          "cluster_kwargs": cluster_kwargs}
+        self.sink_kwargs = sink_kwargs
+        self._stop = threading.Event()
+        self._services: dict[str, object] = {}
+        self.rounds: list[dict] = []
+
+    def request_shutdown(self) -> None:
+        """Ask the loop to stop after the in-flight round (graceful)."""
+        self._stop.set()
+
+    def _service(self, cfg: TableStreamConfig):
+        svc = self._services.get(cfg.name)
+        if svc is None:
+            from .async_services import AsyncTableServices
+            svc = AsyncTableServices(self.engine.load_table(cfg.base_path),
+                                     **self._svc_opts)
+            self._services[cfg.name] = svc
+        return svc
+
+    def _sync_once(self) -> dict:
+        import time as _t
+        t0 = _t.monotonic()
+        queries = []
+        for c in self.configs:
+            _ensure_table(self.engine, c)
+            q = start_table_stream(
+                self.engine, c, self.checkpoint_root,
+                trigger={"availableNow": True},
+                async_services=self._service(c), inline_compact=False,
+                **self.sink_kwargs)
+            queries.append(q)
+        for q in queries:
+            q.awaitTermination()
+        return {"round": len(self.rounds),
+                "duration_sec": _t.monotonic() - t0,
+                "tables": [c.name for c in self.configs]}
+
+    def run(self, max_rounds: int | None = None) -> list[dict]:
+        """Drive sync rounds until ``max_rounds`` or a shutdown request.
+        Returns the per-round stats. Any ingest error stops the loop (the
+        reference shuts the service down on a failed sync) after closing
+        the service workers; any service error surfaces on close."""
+        done = 0                 # per-invocation: run() is re-entrant
+        try:
+            while not self._stop.is_set() and \
+                    (max_rounds is None or done < max_rounds):
+                stat = self._sync_once()
+                self.rounds.append(stat)
+                done += 1
+                remaining = self.min_sync_interval_sec - stat["duration_sec"]
+                if remaining > 0 and \
+                        (max_rounds is None or done < max_rounds):
+                    self._stop.wait(remaining)   # interruptible sleep
+        finally:
+            self.close()
+        return self.rounds[-done:] if done else []
+
+    def close(self) -> None:
+        """Wait for in-flight service executions and release the workers;
+        raises the first service error if one occurred."""
+        errs = []
+        for svc in self._services.values():
+            try:
+                svc.wait()
+                svc.close()
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+        self._services.clear()
+        if errs:
+            raise errs[0]
+
+
+def run_continuous(engine, configs, checkpoint_root: str,
+                   min_sync_interval_sec: float = 0.0,
+                   max_rounds: int | None = None, **kwargs) -> list[dict]:
+    """One-call continuous mode: build a :class:`ContinuousIngest` and run
+    it for ``max_rounds`` (None = until shutdown from another thread)."""
+    return ContinuousIngest(engine, configs, checkpoint_root,
+                            min_sync_interval_sec=min_sync_interval_sec,
+                            **kwargs).run(max_rounds=max_rounds)

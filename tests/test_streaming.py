@@ -717,3 +717,82 @@ def test_stream_sink_maintains_ivf_index(spark, tmp_path):
     want = {(r.query_id, r.rank): r.neighbor_id
             for r in cosine_topk(snap, qv, k=5).collect()}
     assert got == want
+
+
+def test_continuous_ingest_rounds_with_services(spark, tmp_path):
+    """ContinuousIngest (HoodieDeltaStreamer.java:94 continuous mode): N
+    sync rounds over arriving files, exactly-once across rounds, async
+    compaction interleaved by the managed loop, graceful close."""
+    from hudi_0_12_0_my_spark import timeline as tl
+    from hudi_0_12_0_my_spark.streaming.ingest import ContinuousIngest
+
+    eng = Engine(spark)
+    base, src = str(tmp_path / "ct"), str(tmp_path / "in")
+    eng.create_table(base, name="ct", record_key_fields=["id"],
+                     precombine_field="seq", table_type="mor",
+                     compaction_max_delta_commits=2)
+    tc = TableStreamConfig(
+        name="ct", base_path=base, table_type="mor",
+        fields=[{"name": "id", "type": "bigint"},
+                {"name": "v", "type": "bigint"},
+                {"name": "seq", "type": "bigint"}],
+        record_key_fields=["id"], precombine_field="seq",
+        source={"format": "json-files", "path": src})
+    ci = ContinuousIngest(eng, [tc], str(tmp_path / "ck"))
+    _write_jsonl(src, "b1.json", [{"id": k, "v": k, "seq": 1}
+                                  for k in range(5)])
+    ci.run(max_rounds=1)
+    _write_jsonl(src, "b2.json", [{"id": k, "v": 100 + k, "seq": 2}
+                                  for k in range(3)])
+    ci.run(max_rounds=1)
+    _write_jsonl(src, "b3.json", [{"id": 9, "v": 9, "seq": 3}])
+    stats = ci.run(max_rounds=1)
+    assert len(ci.rounds) == 3 and stats[-1]["tables"] == ["ct"]
+    t = eng.load_table(base)
+    got = {(r.id, r.v) for r in t.snapshot().collect()}
+    assert got == {(k, 100 + k) for k in range(3)} \
+        | {(k, k) for k in range(3, 5)} | {(9, 9)}
+    # the loop's service worker compacted between rounds (MOR, trigger=2)
+    actions = {i.action for i in t.timeline.completed_write_instants()}
+    assert tl.COMMIT in actions
+    # an idle extra round is a no-op (ledger + availableNow see nothing new)
+    ci.run(max_rounds=1)
+    assert {(r.id, r.v) for r in eng.load_table(base).snapshot().collect()} \
+        == got
+
+
+def test_continuous_ingest_crash_replays_exactly_once(spark, tmp_path):
+    """A round killed mid-commit (storage-mutation crash injection) must
+    leave the table recoverable; the restarted loop replays the batch
+    EXACTLY once via the sink's batch-id ledger — no duplicate or lost
+    rows (VERDICT r3 item 6 done-criterion)."""
+    from tests.test_crash_injection import InjectedCrash, crash_after
+    from hudi_0_12_0_my_spark.streaming.ingest import ContinuousIngest
+
+    eng = Engine(spark)
+    base, src = str(tmp_path / "cc"), str(tmp_path / "in")
+    tc = TableStreamConfig(
+        name="cc", base_path=base,
+        fields=[{"name": "id", "type": "bigint"},
+                {"name": "v", "type": "bigint"},
+                {"name": "seq", "type": "bigint"}],
+        record_key_fields=["id"], precombine_field="seq",
+        source={"format": "json-files", "path": src})
+    ck = str(tmp_path / "ck")
+    _write_jsonl(src, "b1.json", [{"id": k, "v": k, "seq": 1}
+                                  for k in range(4)])
+    ContinuousIngest(eng, [tc], ck).run(max_rounds=1)
+    _write_jsonl(src, "b2.json", [{"id": k, "v": 100 + k, "seq": 2}
+                                  for k in range(2)])
+    died = False
+    try:
+        with crash_after(6, base_path=base):
+            ContinuousIngest(eng, [tc], ck, retry_count=0).run(max_rounds=1)
+    except Exception as e:  # StreamingQueryException wraps InjectedCrash
+        died = isinstance(e, InjectedCrash) or "InjectedCrash" in str(e)
+    assert died, "crash injection never fired"
+    # restart: the replayed micro-batch applies exactly once
+    ContinuousIngest(eng, [tc], ck).run(max_rounds=1)
+    snap = eng.load_table(base).snapshot().collect()
+    assert len(snap) == 4
+    assert {(r.id, r.v) for r in snap} == {(0, 100), (1, 101), (2, 2), (3, 3)}
