@@ -211,6 +211,14 @@ def main() -> None:
         ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
         session_stats(ev, gap_seconds=86400, value_col="value").count()
 
+    with step("journey_ops"):               # funnel cascade + top paths +
+        # Markov transitions: each ONE user-keyed shuffle, state capped
+        from hudi_0_12_0_my_spark.operators import (event_transitions,
+                                                    funnel_stats, top_paths)
+        funnel_stats(ev, ["view", "click", "purchase"]).count()
+        top_paths(ev, n_steps=5, k=20).count()
+        event_transitions(ev).count()
+
     with step("interval_join"):             # bucketed range join, no NLJ
         from hudi_0_12_0_my_spark.operators import interval_join
         bands = spark.range(60).select(
