@@ -1,0 +1,159 @@
+"""sf1 scale smoke for the shuffle-sensitive LLM operators (VERDICT r3 #7).
+
+sf0.1 cannot see super-linear regressions, so this opt-in tier scales the
+corpus tables 10x (documents 5k -> 50k, embeddings 2k -> 20k) and times the
+six most shuffle-sensitive operators at both tiers, reporting sf1/sf0.1
+wall-clock ratios. Data grows 10x, so a scale-safe operator should land
+well under ~12x (per-row work + one extra log factor); a quadratic one
+shows 50-100x.
+
+The sf1 tier is DERIVED deterministically from the driver's sf0.1 parquet
+(never hand-synthesized semantics): replica r of a document keeps its token
+multiset but deterministically reorders words by xxhash64(word, pos, r), so
+replicas are NOT near-duplicates of each other and LSH bucket densities
+stay realistic instead of collapsing into 10-deep duplicate stacks;
+replica r of an embedding adds a small per-dimension deterministic offset.
+Fixture build is cached at /tmp/spark_graft_sf1 and excluded from timings.
+
+Usage:  python tools/scale_smoke.py [--rebuild]
+Prints one JSON line {"op": {"sf0.1": s, "sf1": s, "ratio": r}, ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/spark_graft_sf1"
+BENCH_ROOT = "/tmp/spark_graft_scale_smoke"
+REPLICAS = 10
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    rep = spark.range(REPLICAS).select(F.col("id").alias("_r"))
+    exploded = (docs.crossJoin(rep)
+                .select((F.col("doc_id") * REPLICAS + F.col("_r"))
+                        .alias("doc_id"),
+                        "_r", "text", "lang", "source", "n_chars"))
+    # deterministic per-replica word reorder: hash-sort the token array
+    # (replica 0 keeps the original order — the sf0.1 rows survive verbatim)
+    shuffled = F.array_join(
+        F.expr("transform(array_sort(transform(split(text, ' '), (w, i) -> "
+               "struct(xxhash64(w, i, _r) as h, w as w))), s -> s.w)"), " ")
+    out = exploded.select(
+        "doc_id",
+        F.when(F.col("_r") == 0, F.col("text")).otherwise(shuffled)
+        .alias("text"),
+        "lang", "source", "n_chars")
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+    eout = (emb.crossJoin(rep)
+            .select((F.col("vec_id") * REPLICAS + F.col("_r"))
+                    .alias("vec_id"),
+                    F.expr("transform(embedding, (x, i) -> cast(x + "
+                           "((_r * 31 + i) % 13 - 6) * 0.01 as float))")
+                    .alias("embedding"),
+                    "label"))
+    eout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1, "embeddings.parquet"))
+
+
+def run_tier(spark, eng, sf_dir: str, tag: str) -> dict:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hudi_0_12_0_my_spark.derived import ivf_index_search, sync_ivf_index
+    from hudi_0_12_0_my_spark.operators import (curate, dsir_sample,
+                                                dup_clusters,
+                                                exact_substring_dedup,
+                                                minhash_lsh_pairs)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    docs.persist().count()
+    emb.persist().count()
+    t: dict = {}
+
+    def step(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *a):
+                t[name] = round(time.perf_counter() - self.t0, 3)
+        return _T()
+
+    with step("minhash_lsh"):
+        minhash_lsh_pairs(docs, num_hashes=32, bands=8,
+                          jaccard_threshold=0.4).count()
+    with step("dup_clusters"):
+        dup_clusters(minhash_lsh_pairs(docs, num_hashes=32, bands=8,
+                                       jaccard_threshold=0.4)).count()
+    with step("substring_dedup"):
+        exact_substring_dedup(docs, k=20).count()
+    with step("dsir_select"):
+        dsir_sample(docs, docs.filter("lang = 'en'"), 0.3,
+                    num_buckets=8192).count()
+    with step("curate"):
+        curate(docs, min_quality=0.3, dedup="exact",
+               sample_fraction=0.5).count()
+    with step("ivf_index_sync_search"):
+        root = os.path.join(BENCH_ROOT, tag)
+        shutil.rmtree(root, ignore_errors=True)
+        src = eng.create_table(os.path.join(root, "src"),
+                               record_key_fields=["vec_id"],
+                               precombine_field="label",
+                               keygen="nonpartitioned")
+        vidx = eng.create_table(os.path.join(root, "idx"),
+                                record_key_fields=["vec_id"],
+                                partition_field="cell")
+        src.bulk_insert(emb)
+        sync_ivf_index(src, vidx, num_cells=8)
+        ivf_index_search(vidx, emb.filter(f"vec_id < {10 * REPLICAS}"),
+                         k=10, nprobe=2).count()
+    docs.unpersist()
+    emb.unpersist()
+    return t
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from hudi_0_12_0_my_spark import Engine
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("scale-smoke")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+             .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--rebuild" in sys.argv or not os.path.exists(
+            os.path.join(SF1, "embeddings.parquet")):
+        build_sf1(spark)
+    eng = Engine(spark)
+    run_tier(spark, eng, SF01, "warm")   # discard: JIT/codegen warmup
+    small = run_tier(spark, eng, SF01, "sf01")
+    big = run_tier(spark, eng, SF1, "sf1")
+    out = {op: {"sf0.1": small[op], "sf1": big[op],
+                "ratio": round(big[op] / max(small[op], 1e-9), 2)}
+           for op in small}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
