@@ -1945,6 +1945,60 @@ def q_docs_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
 
 
+def q_docs_containment(spark, sf_dir):
+    """Asymmetric doc-in-doc near-dup via n-gram CONTAINMENT
+    (operators/dedup.py ngram_containment_pairs): |A∩B| / min(|A|,|B|) over
+    distinct word 3-grams — catches embedded/quoted duplication Jaccard
+    dilutes away. Oracle replays the gram sets and the inverted-index
+    intersection on the raw gram strings."""
+    from hudi_0_12_0_my_spark.operators import ngram_containment_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, n=3, threshold=0.5)
+
+
+def q_docs_pmi_pairs(spark, sf_dir):
+    """Sliding-window PMI association statistics (operators/textstats.py
+    pmi_top_pairs): top-25 token pairs ranked by c_ab/(c_a*c_b) — monotone
+    in PMI for a fixed corpus, so the ranking is transcendental-free and
+    the oracle replays counts, the single IEEE division and the ordering
+    exactly."""
+    from hudi_0_12_0_my_spark.operators import pmi_top_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return pmi_top_pairs(docs, window=3, k=25, min_count=10)
+
+
+def q_events_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters (operators/sketches.py heavy_hitters):
+    depth-4 x width-64 portable-md5 sketch over event user_ids, top-20 users
+    by estimated frequency. Width 64 < distinct keys forces real collisions,
+    so the gate exercises the min-over-rows estimate, not a trivial exact
+    count; estimates are integer cell sums the oracle replays bit-for-bit."""
+    from hudi_0_12_0_my_spark.operators import heavy_hitters
+    ev = _read_events(spark, sf_dir)
+    return heavy_hitters(ev, "user_id", depth=4, width=64, k=20,
+                         hash_fn="portable_md5")
+
+
+def q_events_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct users per (event_type, day)
+    (operators/sketches.py hll_distinct, m=64 registers): registers are
+    pure integer bit math (bucket = h mod m, rho from bin()-length of the
+    remaining bits), the register fold is a scaled-integer sum, and the
+    single float division is IEEE-exact — DuckDB replays the estimate to
+    the last bit. Joined against the exact distinct count per group so the
+    gate also witnesses estimator accuracy."""
+    from hudi_0_12_0_my_spark.operators import hll_distinct
+    ev = _read_events(spark, sf_dir).withColumn(
+        "day", F.to_date(F.date_trunc("day", F.col("ts"))))
+    est = hll_distinct(ev, "user_id", group_cols=["event_type", "day"],
+                       p=6, hash_fn="portable_md5", seed=7,
+                       out_col="est_users")
+    exact = ev.groupBy("event_type", "day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    return est.join(exact, ["event_type", "day"]) \
+              .select("event_type", "day", "est_users", "n_users")
+
+
 def q_docs_table_dedup(spark, sf_dir):
     """Composition: curation operators run over the LAKE TABLE snapshot, not
     raw parquet — documents ingested (bulk_insert), corrected (upsert), then
@@ -2727,6 +2781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_language_id": q_docs_language_id,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_containment": q_docs_containment,
+        "docs_pmi_pairs": q_docs_pmi_pairs,
+        "events_heavy_hitters": q_events_heavy_hitters,
+        "events_hll_distinct": q_events_hll_distinct,
         "docs_table_dedup": q_docs_table_dedup,
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "emb_ivf_index_topk": q_emb_ivf_index_topk,
@@ -2819,7 +2877,8 @@ _NEVER_DRIVER_SAMPLED = [
     "events_window_funcs", "orders_setops", "emb_semantic_dedup",
     "docs_dup_clusters", "docs_cluster_best", "docs_bm25", "emb_lsh_topk",
     # new round-4 gates (no official row yet either)
-    "schema_evolution_drop",
+    "schema_evolution_drop", "docs_containment", "docs_pmi_pairs",
+    "events_heavy_hitters", "events_hll_distinct",
 ]
 
 
@@ -3657,6 +3716,100 @@ pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           GROUP BY 1, 2, 3, 4)
 SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
 FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""",
+        "docs_containment": """
+WITH d0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE length(trim(text)) > 0),
+d AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+      FROM d0),
+d2 AS (SELECT doc_id, grams, len(grams) AS n_grams FROM d WHERE len(grams) > 0),
+inv AS (SELECT doc_id, n_grams, unnest(grams) AS g FROM d2),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_grams AS na, b.n_grams AS nb,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       CAST(inter AS DOUBLE) / least(na, nb) AS containment
+FROM pairs WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.5""",
+        "docs_pmi_pairs": """
+WITH t AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> length(x) > 0) AS toks
+           FROM documents),
+st AS (SELECT toks, len(toks) AS n FROM t),
+p0 AS (SELECT unnest(flatten(list_transform(range(1, n - 1 + 1), i ->
+         list_transform(range(i + 1, least(i + 3, n) + 1), j ->
+           struct_pack(a := least(toks[i], toks[j]),
+                       b := greatest(toks[i], toks[j])))))) AS p
+       FROM st WHERE n >= 2),
+pr AS (SELECT p.a AS tok_a, p.b AS tok_b FROM p0 WHERE p.a <> p.b),
+cab AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM pr GROUP BY 1, 2 HAVING count(*) >= 10),
+uni AS (SELECT unnest(toks) AS tok FROM st),
+cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+sc AS (SELECT cab.tok_a, cab.tok_b, cab.c_ab, ua.c AS c_a, ub.c AS c_b,
+              CAST(cab.c_ab AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) AS score
+       FROM cab JOIN cu ua ON ua.tok = cab.tok_a
+                JOIN cu ub ON ub.tok = cab.tok_b),
+r AS (SELECT *, row_number() OVER (ORDER BY score DESC, c_ab DESC,
+                                   tok_a ASC, tok_b ASC) AS rank FROM sc)
+SELECT CAST(rank AS INT) AS rank, tok_a, tok_b, c_ab, c_a, c_b, score
+FROM r WHERE rank <= 25""",
+        # Count-Min sketch replay: same portable-md5 seeded hashes, same
+        # depth-4 x width-64 cells, estimate = min over rows of the hashed
+        # cell count — integer-exact in any engine
+        "events_heavy_hitters": """
+WITH seeds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+hashed AS (SELECT s.d,
+             ('0x' || substr(md5(CAST(s.d AS VARCHAR) || '|'
+                                 || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT
+             % 64 AS bucket
+           FROM events e CROSS JOIN seeds s),
+cells AS (SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM hashed GROUP BY 1, 2),
+ks AS (SELECT DISTINCT user_id FROM events),
+probe AS (SELECT k.user_id, min(c.cnt) AS est
+          FROM ks k CROSS JOIN seeds s
+          JOIN cells c ON c.d = s.d AND c.bucket =
+            ('0x' || substr(md5(CAST(s.d AS VARCHAR) || '|'
+                                || CAST(k.user_id AS VARCHAR)), 1, 15))::BIGINT
+            % 64
+          GROUP BY 1),
+r AS (SELECT user_id, CAST(est AS BIGINT) AS est,
+             row_number() OVER (ORDER BY est DESC, user_id ASC) AS rank
+      FROM probe)
+SELECT CAST(rank AS INT) AS rank, user_id, est FROM r WHERE rank <= 20""",
+        # HyperLogLog replay: integer register derivation (bucket = h mod 64,
+        # rho via bin()-length of h div 64, cap 55), scaled-integer register
+        # sum, one IEEE division — bit-identical to the Spark estimate
+        "events_hll_distinct": """
+WITH e AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  user_id
+           FROM events),
+h AS (SELECT event_type, day,
+        ('0x' || substr(md5('7|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        AS hv
+      FROM e),
+b AS (SELECT event_type, day, hv % 64 AS bucket,
+             (hv - (hv % 64)) // 64 AS pattern FROM h),
+r AS (SELECT event_type, day, bucket,
+        max(CASE WHEN pattern = 0 THEN 55
+                 ELSE least(54 - length(bin(pattern)) + 1, 55) END) AS reg
+      FROM b GROUP BY 1, 2, 3),
+s AS (SELECT event_type, day,
+        CAST(sum(1::BIGINT << (55 - reg))
+             + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS s
+      FROM r GROUP BY 1, 2),
+x AS (SELECT event_type, day, CAST(count(DISTINCT user_id) AS BIGINT)
+             AS n_users
+      FROM e GROUP BY 1, 2)
+SELECT s.event_type, s.day,
+       round(CAST(0.709 AS DOUBLE) * 64 * 64
+             * CAST(1::BIGINT << 55 AS DOUBLE) / CAST(s.s AS DOUBLE), 6)
+       AS est_users,
+       x.n_users
+FROM s JOIN x ON s.event_type = x.event_type AND s.day = x.day""",
         "docs_table_dedup": """
 WITH cur AS (SELECT doc_id,
                CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text

@@ -12,7 +12,7 @@ from .dedup import (exact_dedup, minhash_signatures, minhash_lsh_pairs,
                     minhash_lsh_dedup, simhash, simhash_near_dup_pairs,
                     ngram_jaccard_pairs, segment_dedup, minhash_index_rows,
                     dedup_against_index, edit_verified_pairs,
-                    exact_substring_dedup)
+                    exact_substring_dedup, ngram_containment_pairs)
 from .graph import (connected_components, dup_clusters,
                     dedup_by_components, select_cluster_representatives,
                     cluster_representatives)
@@ -42,11 +42,12 @@ from .joins import interval_join, salted_join
 from .lm import (lm_log_prob, lm_outliers, linear_text_score,
                  tfidf_keywords, cluster_topics)
 from .profile import profile
+from .sketches import cms_cells, heavy_hitters, hll_distinct
 from .temporal import asof_join, resample
 from .textstats import (with_token_stats, with_quality_score,
                         with_language_id, with_fingerprint,
                         with_repetition_stats, top_ngrams, bm25_topk,
-                        with_char_entropy, bpe_pair_counts)
+                        with_char_entropy, bpe_pair_counts, pmi_top_pairs)
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
@@ -80,4 +81,6 @@ __all__ = [
     "segment_filter", "mixture_plan", "bpe_pair_counts",
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
     "top_paths", "event_transitions",
+    "cms_cells", "heavy_hitters", "hll_distinct",
+    "ngram_containment_pairs", "pmi_top_pairs",
 ]

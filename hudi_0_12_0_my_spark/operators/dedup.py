@@ -494,16 +494,15 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 
 
 # ------------------------------------------------------------ n-gram jaccard
-def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.8,
-                        max_shingle_freq: int = 1000) -> DataFrame:
-    """Exact n-gram (word) Jaccard via inverted-index self-join.
+def _gram_pair_overlap(df: DataFrame, text_col: str, id_col: str, n: int,
+                       max_shingle_freq: int) -> DataFrame:
+    """(id_a, id_b, na, nb, inter) — distinct word-n-gram set sizes and
+    intersection for every pair sharing at least one gram, via an
+    inverted-index self-join on the gram hash (never all-pairs).
 
     Stop-shingle skew control: shingles occurring in > max_shingle_freq docs
     are dropped before the join (they would otherwise dominate the shuffle at
     scale while contributing almost no discrimination).
-    Output: (id_a, id_b, jaccard).
     """
     df = _spread_cpu_heavy(df, id_col)
     # token array materialized before the gram lambda references it (an
@@ -532,10 +531,47 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                        F.col("a.n_grams").alias("na"),
                        F.col("b.n_grams").alias("nb"))
               .agg(F.count("*").alias("inter")))
+    return common
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8,
+                        max_shingle_freq: int = 1000) -> DataFrame:
+    """Exact n-gram (word) Jaccard via inverted-index self-join
+    (`_gram_pair_overlap`). Output: (id_a, id_b, jaccard)."""
+    common = _gram_pair_overlap(df, text_col, id_col, n, max_shingle_freq)
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (common.withColumn("jaccard", jac)
                   .filter(F.col("jaccard") >= threshold)
                   .select("id_a", "id_b", "jaccard"))
+
+
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            threshold: float = 0.9,
+                            max_shingle_freq: int = 1000) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram CONTAINMENT:
+    C = |A∩B| / min(|A|, |B|) — catches doc-IN-doc duplication (quotes,
+    wrapper pages, aggregator reposts) that Jaccard misses: a 100-gram
+    snippet fully embedded in a 10,000-gram page has Jaccard ~0.01 but
+    containment 1.0. The standard complement to Jaccard in corpus dedup
+    (Broder 1997's "containment" resemblance variant).
+
+    Same inverted-index shape as `ngram_jaccard_pairs` (shared
+    `_gram_pair_overlap`): one gram-keyed self-join with a stop-shingle
+    frequency cap, never all-pairs. Output: (id_a, id_b, na, nb,
+    containment) with id_a < id_b; na/nb let callers pick the "container"
+    side (the larger gram set) when cutting the contained copy.
+    """
+    common = _gram_pair_overlap(df, text_col, id_col, n, max_shingle_freq)
+    cont = F.col("inter") / F.least("na", "nb")
+    return (common.withColumn("containment", cont)
+                  .filter(F.col("containment") >= threshold)
+                  .select("id_a", "id_b",
+                          F.col("na").cast("bigint").alias("na"),
+                          F.col("nb").cast("bigint").alias("nb"),
+                          "containment"))
 
 
 # ------------------------------------------------- incremental LSH indexing

@@ -1,0 +1,164 @@
+"""Mergeable-sketch operators: Count-Min heavy hitters, HyperLogLog distincts.
+
+Why sketches at 100 TB: exact per-key state (a groupBy on the raw key) costs a
+full-corpus shuffle whose reduce-side state is proportional to the number of
+DISTINCT keys. A mergeable sketch replaces that with a MODEL-SIZED aggregate
+(depth x width cells / m registers) built in one map-side-combined shuffle of
+at most `cells x partitions` partial rows; the data itself never shuffles.
+
+- Count-Min (Cormode & Muthukrishnan 2005): depth seeded hash rows x width
+  buckets of counts; point estimate = min over rows of the hashed cell
+  (one-sided error <= eps*N with prob 1-delta at width=e/eps, depth=ln(1/delta)).
+- HyperLogLog (Flajolet 2007): m=2^p registers of max leading-zero runs;
+  estimate = alpha_m * m^2 / sum(2^-reg). Registers here are derived with
+  pure integer bit math (bucket = h mod m, rho from the bit length of the
+  remaining hash bits) so a SQL oracle replays them bit-for-bit — no float
+  enters until the single final division, which is IEEE-exact on identical
+  operands in any engine.
+
+Both accept the repo-wide `hash_fn` convention (`operators/dedup.py
+_seeded_hash`): "xxhash64" for production, "portable_md5" for cross-engine
+exact oracles.
+
+Reference parity note: the reference engine exposes no sketch operators —
+these extend the LLM-pipeline surface (corpus frequency screens, cardinality
+dashboards) per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import _seeded_hash
+
+# bits of entropy per hash function (portable md5 keeps 15 hex chars = 60
+# bits, always non-negative; xxhash64 is signed 64-bit — the sign bit is
+# masked off below, leaving 63)
+_HASH_BITS = {"portable_md5": 60, "xxhash64": 63}
+
+# register cap: rho <= 55 keeps the integer register sum
+# sum(1 << (55 - rho)) + empties * (1 << 55) inside int64 for m <= 128
+_RHO_CAP = 55
+
+
+def _nonneg_hash(hash_fn: str):
+    h = _seeded_hash(hash_fn)
+    if hash_fn == "portable_md5":
+        return h  # already a 60-bit non-negative value
+    return lambda seed, c: h(seed, c).bitwiseAND(F.lit((1 << 63) - 1))
+
+
+def cms_cells(df: DataFrame, key_col: str, depth: int = 4, width: int = 64,
+              hash_fn: str = "xxhash64") -> DataFrame:
+    """The Count-Min sketch itself: (d, bucket, cnt) — at most depth*width
+    rows, built with ONE map-side-combined shuffle. Sketches of disjoint
+    corpus slices merge by cell-wise addition (same groupBy), which is what
+    makes the shape incremental at scale."""
+    h = _nonneg_hash(hash_fn)
+    key = F.col(key_col)
+    rows = df.select(F.posexplode(F.array(*[
+        F.pmod(h(d, key), F.lit(width)) for d in range(depth)]))
+        .alias("d", "bucket"))
+    return rows.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+def heavy_hitters(df: DataFrame, key_col: str, depth: int = 4,
+                  width: int = 64, k: int = 20,
+                  hash_fn: str = "xxhash64",
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Top-k keys by Count-Min estimated frequency: (rank, <key>, est).
+
+    Two stages, both scale-flat:
+    1. sketch build — `cms_cells` (model-sized result, collected and
+       re-broadcast as literal arrays: depth arrays of width ints);
+    2. probe — map-only `least()` of depth literal-array lookups per
+       candidate key, then TakeOrdered top-k (orderBy+limit: per-partition
+       heads + a k-row merge, never a global sort of the candidate set).
+
+    `candidates` bounds the probe set (e.g. yesterday's hitters + a sample);
+    default is the distinct keys of `df` itself — one extra shuffle that a
+    production caller at 100 TB replaces with a candidate feed, which is
+    exactly the regime CMS exists for (the sketch never needs the keys).
+
+    Estimates are integers (sums of counts), so ranking and values are
+    engine-portable with hash_fn="portable_md5". Ties rank by key ascending.
+    """
+    h = _nonneg_hash(hash_fn)
+    mat: dict[tuple[int, int], int] = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_cells(df, key_col, depth, width, hash_fn).collect()}
+    arrs = [F.array(*[F.lit(int(mat.get((d, b), 0))) for b in range(width)])
+            for d in range(depth)]
+    cand = (candidates if candidates is not None
+            else df.select(key_col).distinct())
+    est = F.least(*[
+        F.element_at(arrs[d],
+                     F.pmod(h(d, F.col(key_col)), F.lit(width))
+                     .cast("int") + 1)
+        for d in range(depth)])
+    top = (cand.withColumn("est", est.cast("bigint"))
+               .orderBy(F.desc("est"), F.asc(key_col)).limit(k))
+    w = Window.orderBy(F.desc("est"), F.asc(key_col))
+    return (top.withColumn("rank", F.row_number().over(w))  # k rows only
+               .select(F.col("rank").cast("int").alias("rank"),
+                       key_col, "est"))
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(df: DataFrame, key_col: str,
+                 group_cols: list[str] | None = None, p: int = 6,
+                 hash_fn: str = "xxhash64", seed: int = 7,
+                 out_col: str = "est_distinct") -> DataFrame:
+    """HyperLogLog distinct-count estimate per group: (<groups>, est_distinct).
+
+    Register derivation is all-integer so any SQL engine replays it exactly:
+      h      = seeded hash, non-negative, HASH_BITS bits
+      bucket = h mod m           (m = 2^p registers)
+      rho    = (HASH_BITS - p) - bitlen(h div m) + 1   (bitlen via bin();
+               h div m == 0 -> HASH_BITS - p + 1), capped at 55
+      reg    = max(rho) per bucket
+    The register sum is computed SCALED-INTEGER — S = sum(1 << (55 - reg)) +
+    empties * (1 << 55) — so it is order-independent and overflow-free
+    (<= m * 2^55 for m <= 128); the estimate alpha_m * m^2 * 2^55 / S does
+    one float multiply chain + one division on identical operands: IEEE
+    round-to-nearest makes it bit-identical across engines. (The classic
+    low-range linear-counting correction needs ln(); it is deliberately
+    omitted to keep the output transcendental-free — callers wanting it can
+    apply it on the m-row register table.)
+
+    Shape: one groupBy(groups, bucket) max — map-side combined, reduce state
+    m rows per group — then a per-group fold of those m rows. The raw keys
+    never shuffle.
+    """
+    gcols = list(group_cols or [])
+    m = 1 << p
+    pbits = _HASH_BITS[hash_fn] - p
+    hv = _nonneg_hash(hash_fn)(seed, F.col(key_col))
+    staged = df.select(*gcols, F.pmod(hv, F.lit(m)).alias("_bucket"),
+                       (hv - F.pmod(hv, F.lit(m))).alias("_hi"))
+    # h div m for non-negative h: (h - h mod m) / m, exact integer
+    pat = (F.col("_hi") / F.lit(m)).cast("long")
+    rho = F.when(pat == 0, F.lit(pbits + 1)) \
+           .otherwise(F.lit(pbits) - F.length(F.bin(pat)) + 1)
+    rho = F.least(rho, F.lit(_RHO_CAP))
+    regs = (staged.withColumn("_rho", rho.cast("int"))
+            .groupBy(*gcols, "_bucket").agg(F.max("_rho").alias("_reg")))
+    # shiftleft's python wrapper wants a literal shift — the SQL form takes
+    # a column exponent
+    s_used = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - _reg)"))
+    n_used = F.count(F.lit(1))
+    fold = regs.groupBy(*gcols).agg(
+        (s_used + (F.lit(m) - n_used) * F.lit(1 << _RHO_CAP)).alias("_s"))
+    est = (F.lit(_alpha(m) * m * m) * F.lit(float(1 << _RHO_CAP))
+           / F.col("_s").cast("double"))
+    return fold.select(*gcols, F.round(est, 6).alias(out_col))

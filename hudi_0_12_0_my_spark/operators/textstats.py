@@ -360,3 +360,61 @@ def bpe_pair_counts(df: DataFrame, k: int = 20,
     w = Window.orderBy(F.desc("occurrences"), F.asc("pair"))
     return (top.withColumn("rank", F.row_number().over(w))
             .select(F.col("rank").cast("int"), "pair", "occurrences"))
+
+
+def pmi_top_pairs(df: DataFrame, window: int = 3, k: int = 20,
+                  min_count: int = 5,
+                  text_col: str = "text") -> DataFrame:
+    """Top-k token pairs by pointwise mutual information within a sliding
+    co-occurrence window (word2vec/GloVe-style association statistics):
+    (rank, tok_a, tok_b, c_ab, c_a, c_b, score).
+
+    PMI = log( P(a,b) / (P(a) P(b)) ) is MONOTONE in c_ab / (c_a * c_b) for
+    a fixed corpus, so the ranking key `score = c_ab / (c_a * c_b)` skips
+    the transcendental entirely: counts are integers and the one division
+    is IEEE-exact on identical operands, which keeps the output bit-portable
+    across engines (callers wanting nats apply log(score * N_pairs_norm)
+    themselves). Pairs are unordered (tok_a < tok_b, self-pairs dropped).
+
+    Shape for 100 TB: token arrays materialize in their own projection
+    (interpreted-HOF rule), pair generation is map-side (per-position
+    windows, fan-out <= window per token), ONE shuffle on the pair for
+    c_ab with map-side combine, `min_count` prunes the singleton tail
+    BEFORE the two unigram joins (vocab-sized, uniformly keyed), and the
+    ending is TakeOrdered — never a global sort.
+    """
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    staged = df.select(toks.alias("_toks")) \
+               .withColumn("_n", F.size("_toks"))
+    t = F.col("_toks")
+    pair_arrays = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.col("_n") - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.least(i + window, F.col("_n"))),
+            lambda j: F.struct(
+                F.least(F.element_at(t, i), F.element_at(t, j)).alias("a"),
+                F.greatest(F.element_at(t, i), F.element_at(t, j)).alias("b")))))
+    pairs = (staged.filter(F.col("_n") >= 2)
+             .select(F.explode(pair_arrays).alias("p"))
+             .select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+             .filter(F.col("tok_a") != F.col("tok_b")))
+    c_ab = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    c_ab = c_ab.filter(F.col("c_ab") >= min_count)
+    uni = (staged.select(F.explode("_toks").alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    scored = (c_ab
+              .join(uni.select(F.col("tok").alias("tok_a"),
+                               F.col("c").alias("c_a")), "tok_a")
+              .join(uni.select(F.col("tok").alias("tok_b"),
+                               F.col("c").alias("c_b")), "tok_b")
+              .withColumn("score",
+                          F.col("c_ab").cast("double")
+                          / (F.col("c_a") * F.col("c_b")).cast("double")))
+    order = [F.desc("score"), F.desc("c_ab"), F.asc("tok_a"), F.asc("tok_b")]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return (top.withColumn("rank", F.row_number().over(w))  # k rows only
+            .select(F.col("rank").cast("int").alias("rank"),
+                    "tok_a", "tok_b", "c_ab", "c_a", "c_b", "score"))
