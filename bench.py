@@ -274,6 +274,14 @@ def main() -> None:
                  .select(F.col("neighbor_id").alias("doc_id"), "rank"))
         rrf_fuse([lex, dense], k=60, top=20).count()
 
+    with step("sketches"):                  # CMS heavy hitters + HLL + PMI
+        from hudi_0_12_0_my_spark.operators import (heavy_hitters,
+                                                    hll_distinct,
+                                                    pmi_top_pairs)
+        heavy_hitters(ev, "user_id", depth=4, width=256, k=20).count()
+        hll_distinct(ev, "user_id", group_cols=["event_type"], p=8).count()
+        pmi_top_pairs(docs, window=3, k=25, min_count=10).count()
+
     with step("ivf_index_sync_search"):     # stream-maintained vector index
         from hudi_0_12_0_my_spark.derived import (ivf_index_search,
                                                   sync_ivf_index)

@@ -275,3 +275,60 @@ def test_funnel_cap_is_exact_for_bots_and_conservative(spark):
              for r in ops.funnel_stats(df2, ["view", "click"]).collect()}
     assert exact == {1: 1, 2: 1}
     assert capped == {1: 1}              # lower bound, never an overcount
+
+
+# ------------------------------------------------------------ sketches
+def _portable_hash(seed: int, value) -> int:
+    import hashlib
+    return int(hashlib.md5(f"{seed}|{value}".encode()).hexdigest()[:15], 16)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                max_size=120))
+@PROP
+def test_cms_estimate_model_equivalence(spark, keys):
+    """CMS estimates equal a pure-Python sketch model exactly (portable
+    hash), and never underestimate the true count."""
+    from collections import Counter
+    depth, width = 3, 8
+    exact = Counter(keys)
+    cells: dict = {}
+    for k, n in exact.items():
+        for d in range(depth):
+            b = _portable_hash(d, k) % width
+            cells[(d, b)] = cells.get((d, b), 0) + n
+    model = {k: min(cells[(d, _portable_hash(d, k) % width)]
+                    for d in range(depth)) for k in exact}
+    df = spark.createDataFrame([(k,) for k in keys], "key long")
+    got = {r["key"]: r["est"]
+           for r in ops.heavy_hitters(df, "key", depth=depth, width=width,
+                                      k=len(exact),
+                                      hash_fn="portable_md5").collect()}
+    assert got == model
+    for k, est in got.items():
+        assert est >= exact[k]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                max_size=150))
+@PROP
+def test_hll_register_model_equivalence(spark, keys):
+    """HLL registers (and therefore the estimate) match a pure-Python
+    bit-math model: bucket = h mod m, rho = pbits - bitlen(h div m) + 1."""
+    p, m, seed = 4, 16, 7
+    pbits = 60 - p
+    regs: dict = {}
+    for k in set(keys):
+        h = _portable_hash(seed, k)
+        b, pat = h % m, h // m
+        rho = min((pbits + 1) if pat == 0 else pbits - pat.bit_length() + 1,
+                  55)
+        regs[b] = max(regs.get(b, 0), rho)
+    s = sum(1 << (55 - r) for r in regs.values()) \
+        + (m - len(regs)) * (1 << 55)
+    alpha = 0.673
+    model = round(alpha * m * m * float(1 << 55) / float(s), 6)
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = ops.hll_distinct(df, "k", p=p, hash_fn="portable_md5",
+                           seed=seed).collect()[0][0]
+    assert got == model
