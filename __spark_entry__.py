@@ -1634,6 +1634,29 @@ def q_rollup_incremental(spark, sf_dir):
         F.round("sum_price", 2).alias("sum_price"), "n_rows")
 
 
+def q_cms_sketch_sync(spark, sf_dir):
+    """Incrementally maintained Count-Min sketch (derived.py
+    sync_cms_sketch): a CMS of lineitem order keys kept current across the
+    COW table's bulk_insert -> upsert -> delete history by folding the CDC
+    diff into the cells (+after/-before; cell-wise addition IS CMS merge).
+    The oracle rebuilds the sketch from scratch over the FINAL table state
+    — incremental fold must equal batch recompute bit-for-bit, including
+    update self-cancellation (l_orderkey unchanged by the upsert) and
+    delete debits."""
+    from hudi_0_12_0_my_spark.derived import sync_cms_sketch
+    t, commits = _build_cow(spark, sf_dir)
+    key = (sf_dir, "cms_sketch")
+    if key not in _BUILT:
+        dst = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "cms_sketch")),
+            record_key_fields=["d", "bucket"], keygen="nonpartitioned")
+        for end in commits:          # one sync per source commit
+            sync_cms_sketch(t, dst, "l_orderkey", depth=4, width=64,
+                            hash_fn="portable_md5", end=end)
+        _BUILT[key] = dst
+    return _BUILT[key].snapshot().select("d", "bucket", "cnt")
+
+
 def q_events_cohorts(spark, sf_dir):
     """Weekly cohort retention matrix (operators/sessions.py
     cohort_retention): users bucketed by first-activity week, distinct
@@ -2814,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_paths": q_events_top_paths,
         "events_transitions": q_events_transitions,
         "rollup_incremental": q_rollup_incremental,
+        "cms_sketch_sync": q_cms_sketch_sync,
         "orders_profile": q_orders_profile,
         "scd2_history": q_scd2_history,
         "events_asof_join": q_events_asof_join,
@@ -2878,7 +2902,7 @@ _NEVER_DRIVER_SAMPLED = [
     "docs_dup_clusters", "docs_cluster_best", "docs_bm25", "emb_lsh_topk",
     # new round-4 gates (no official row yet either)
     "schema_evolution_drop", "docs_containment", "docs_pmi_pairs",
-    "events_heavy_hitters", "events_hll_distinct",
+    "events_heavy_hitters", "events_hll_distinct", "cms_sketch_sync",
 ]
 
 
@@ -3756,6 +3780,19 @@ r AS (SELECT *, row_number() OVER (ORDER BY score DESC, c_ab DESC,
                                    tok_a ASC, tok_b ASC) AS rank FROM sc)
 SELECT CAST(rank AS INT) AS rank, tok_a, tok_b, c_ab, c_a, c_b, score
 FROM r WHERE rank <= 25""",
+        # incremental CMS maintenance vs batch recompute: the oracle builds
+        # the sketch from scratch over the FINAL table state; the engine got
+        # there by folding 3 commits of CDC diffs
+        "cms_sketch_sync": f"""
+WITH {LI_CTES},
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+hashed AS (SELECT s.d,
+             ('0x' || substr(md5(CAST(s.d AS VARCHAR) || '|'
+                                 || CAST(f.l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+             % 64 AS bucket
+           FROM final f CROSS JOIN seeds s)
+SELECT CAST(d AS INT) AS d, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM hashed GROUP BY 1, 2""",
         # Count-Min sketch replay: same portable-md5 seeded hashes, same
         # depth-4 x width-64 cells, estimate = min over rows of the hashed
         # cell count — integer-exact in any engine

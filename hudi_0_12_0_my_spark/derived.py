@@ -352,3 +352,126 @@ def ivf_index_search(dst, queries, k: int = 10, nprobe: int = 4,
              .withColumn("rank", F.row_number().over(w))
              .filter(F.col("rank") <= k)
              .select("query_id", "neighbor_id", "rank"))
+
+
+# --------------------------------------------------- incremental CMS sketch
+_CMS_PARAMS = "cms_sketch_params"
+
+
+def cms_sketch_params(dst) -> dict | None:
+    """Sketch geometry of a maintained CMS table (recorded on first sync,
+    immutable afterwards — folding deltas hashed with different seeds/width
+    into existing cells would silently corrupt every estimate)."""
+    for ins in reversed(dst.timeline.completed_write_instants()):
+        p = (dst.timeline.metadata(ins).get("extra_metadata") or {}) \
+            .get(_CMS_PARAMS)
+        if p:
+            import json
+            return json.loads(p)
+    return None
+
+
+def sync_cms_sketch(src, dst, key_col: str, depth: int = 4, width: int = 64,
+                    hash_fn: str = "xxhash64",
+                    end: str | None = None) -> str | None:
+    """Keep a Count-Min sketch of `src[key_col]` current as a derived lake
+    table (record key (d, bucket), columns d/bucket/cnt) by folding the
+    CDC diff — the canonical incremental use of a MERGEABLE sketch: deletes
+    and update-befores contribute -1 to their hashed cells, inserts and
+    update-afters +1, and cell-wise addition is exactly CMS merge
+    (operators/sketches.py). First sync folds the full snapshot.
+
+    Scale shape per sync: one CDC read (touched file groups only) -> hash
+    fan-out depth per changed row -> delta cells (ONE shuffle, model-sized
+    result) -> join against current cells (<= depth*width rows) -> upsert of
+    the changed cells. The corpus itself never re-scans after sync #1 —
+    which is the whole point of maintaining the sketch instead of the keys.
+
+    Returns the new checkpoint instant, or None when already current.
+    Probe the maintained sketch with `cms_table_estimate`.
+    """
+    import json
+
+    from .operators.dedup import _seeded_hash
+    from .operators.sketches import _nonneg_hash, cms_cells
+
+    last = src.timeline.latest_completed_write()
+    if last is None:
+        return None
+    end = end or last.time
+    begin = rollup_checkpoint(dst)
+    if begin is not None and begin >= end:
+        return None
+    params = {"key_col": key_col, "depth": depth, "width": width,
+              "hash_fn": hash_fn}
+    stored = cms_sketch_params(dst)
+    if stored is not None and stored != params:
+        raise ValueError(
+            f"sketch params changed: table built with {stored}, "
+            f"sync called with {params}")
+    _ = _seeded_hash(hash_fn)  # validates hash_fn before any job runs
+
+    if begin is None:
+        snap = src.time_travel(end) if end != last.time else src.snapshot()
+        merged = cms_cells(snap, key_col, depth, width, hash_fn) \
+            .select(F.col("d").cast("int").alias("d"), "bucket", "cnt")
+    else:
+        h = _nonneg_hash(hash_fn)
+        cdc = src.incremental_cdc(begin, end)
+        minus = (cdc.filter(F.col("op").isin("u", "d"))
+                 .select(F.lit(-1).alias("_sign"),
+                         F.col(f"before.{key_col}").alias("_k")))
+        plus = (cdc.filter(F.col("op").isin("i", "u"))
+                .select(F.lit(1).alias("_sign"),
+                        F.col(f"after.{key_col}").alias("_k")))
+        contrib = minus.unionByName(plus).select(
+            "_sign", F.posexplode(F.array(*[
+                F.pmod(h(d, F.col("_k")), F.lit(width))
+                for d in range(depth)])).alias("d", "bucket"))
+        deltas = (contrib.groupBy("d", "bucket")
+                  .agg(F.sum("_sign").cast("bigint").alias("_delta"))
+                  .filter(F.col("_delta") != 0))
+        deltas = deltas.persist()   # reused by semi-join probe AND merge
+        try:
+            cur = (dst.snapshot()
+                   .join(deltas.select("d", "bucket").distinct(),
+                         on=["d", "bucket"], how="left_semi")
+                   .select("d", "bucket", F.col("cnt").alias("__old")))
+            merged = (deltas.join(cur, on=["d", "bucket"], how="left")
+                      .select(F.col("d").cast("int").alias("d"), "bucket",
+                              (F.coalesce(F.col("__old"), F.lit(0))
+                               + F.col("_delta")).cast("bigint").alias("cnt"))
+                      .withColumn(meta.DELETE_MARKER, F.col("cnt") <= 0))
+            dst.writer.set_extra_metadata(
+                {_CKPT: end, _CMS_PARAMS: json.dumps(params)})
+            dst.upsert(merged)
+        finally:
+            deltas.unpersist()
+        return end
+    dst.writer.set_extra_metadata(
+        {_CKPT: end, _CMS_PARAMS: json.dumps(params)})
+    dst.upsert(merged)
+    return end
+
+
+def cms_table_estimate(dst, candidates, key_col: str):
+    """Probe a maintained CMS table: (key, est) per candidate row — the
+    same literal-array broadcast probe as operators/sketches.py
+    heavy_hitters, reading cells from the sketch table instead of building
+    them. Map-only over the candidate set."""
+    from .operators.sketches import _nonneg_hash
+
+    params = cms_sketch_params(dst)
+    if params is None:
+        raise ValueError("no synced CMS sketch on this table")
+    depth, width = params["depth"], params["width"]
+    h = _nonneg_hash(params["hash_fn"])
+    mat = {(r["d"], r["bucket"]): r["cnt"] for r in dst.snapshot().collect()}
+    arrs = [F.array(*[F.lit(int(mat.get((d, b), 0))) for b in range(width)])
+            for d in range(depth)]
+    est = F.least(*[
+        F.element_at(arrs[d],
+                     F.pmod(h(d, F.col(key_col)), F.lit(width))
+                     .cast("int") + 1)
+        for d in range(depth)])
+    return candidates.withColumn("est", est.cast("bigint"))

@@ -236,3 +236,58 @@ def test_sync_ivf_index_incremental_matches_exact(spark, tmp_path):
     all_files = set(idx.snapshot().inputFiles())
     one_cell = set(idx.snapshot(filters="cell in (1)").inputFiles())
     assert one_cell and one_cell < all_files
+
+
+def test_sync_cms_sketch_incremental_matches_recompute(spark, tmp_path):
+    import pytest
+
+    from hudi_0_12_0_my_spark.derived import (cms_sketch_params,
+                                              cms_table_estimate,
+                                              sync_cms_sketch)
+    from hudi_0_12_0_my_spark.operators.sketches import cms_cells
+
+    eng = Engine(spark)
+    src = eng.create_table(str(tmp_path / "src"), record_key_fields=["id"],
+                           partition_field="grp")
+    dst = eng.create_table(str(tmp_path / "dst"),
+                           record_key_fields=["d", "bucket"],
+                           keygen="nonpartitioned")
+
+    src.bulk_insert(spark.createDataFrame(
+        [(f"r{i}", "g1", i % 5) for i in range(40)], SCHEMA))
+    ck1 = sync_cms_sketch(src, dst, "v", depth=3, width=8)
+    assert ck1 is not None
+    assert cms_sketch_params(dst)["width"] == 8
+
+    def cells(df_or_table):
+        if hasattr(df_or_table, "snapshot"):
+            rows = df_or_table.snapshot().select("d", "bucket", "cnt").collect()
+        else:
+            rows = df_or_table.collect()
+        return {(r["d"], r["bucket"]): r["cnt"] for r in rows}
+
+    # incremental folds: update moves keys between cells, delete debits
+    src.upsert(spark.createDataFrame(
+        [(f"r{i}", "g1", 7) for i in range(10)], SCHEMA))       # v 0->7 moves
+    src.delete(where=F.col("v") == 3)
+    assert sync_cms_sketch(src, dst, "v", depth=3, width=8) > ck1
+    assert cells(dst) == cells(cms_cells(src.snapshot(), "v", 3, 8))
+
+    # zero-count cells are tombstoned, not kept as 0 rows
+    assert all(c > 0 for c in cells(dst).values())
+
+    # estimates from the maintained table are one-sided (>= exact)
+    exact = {r["v"]: r["n"] for r in
+             src.snapshot().groupBy("v").agg(F.count("*").alias("n")).collect()}
+    est = {r["v"]: r["est"] for r in cms_table_estimate(
+        dst, src.snapshot().select("v").distinct(), "v").collect()}
+    assert all(est[k] >= n for k, n in exact.items())
+
+    # geometry is pinned: a different width must refuse to fold
+    with pytest.raises(ValueError, match="params changed"):
+        src.upsert(spark.createDataFrame([("x", "g1", 1)], SCHEMA))
+        sync_cms_sketch(src, dst, "v", depth=3, width=16)
+
+    # already current after a matching re-sync -> no-op
+    assert sync_cms_sketch(src, dst, "v", depth=3, width=8) is not None
+    assert sync_cms_sketch(src, dst, "v", depth=3, width=8) is None
