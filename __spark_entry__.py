@@ -1657,6 +1657,28 @@ def q_cms_sketch_sync(spark, sf_dir):
     return _BUILT[key].snapshot().select("d", "bucket", "cnt")
 
 
+def q_hll_sketch_sync(spark, sf_dir):
+    """Incrementally maintained HLL register table (derived.py
+    sync_hll_sketch) over the COW lineitem history: the upsert commit folds
+    monotonically (max of registers — l_orderkey unchanged, so before/after
+    contributions coincide), the delete commit trips the retraction
+    detector and recomputes (a max is not invertible). Oracle rebuilds the
+    registers from the FINAL state — either path must land exactly there,
+    including tombstoned silent buckets."""
+    from hudi_0_12_0_my_spark.derived import sync_hll_sketch
+    t, commits = _build_cow(spark, sf_dir)
+    key = (sf_dir, "hll_sketch")
+    if key not in _BUILT:
+        dst = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "hll_sketch")),
+            record_key_fields=["bucket"], keygen="nonpartitioned")
+        for end in commits:          # one sync per source commit
+            sync_hll_sketch(t, dst, "l_orderkey", p=6,
+                            hash_fn="portable_md5", seed=7, end=end)
+        _BUILT[key] = dst
+    return _BUILT[key].snapshot().select("bucket", "reg")
+
+
 def q_events_cohorts(spark, sf_dir):
     """Weekly cohort retention matrix (operators/sessions.py
     cohort_retention): users bucketed by first-activity week, distinct
@@ -2838,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "rollup_incremental": q_rollup_incremental,
         "cms_sketch_sync": q_cms_sketch_sync,
+        "hll_sketch_sync": q_hll_sketch_sync,
         "orders_profile": q_orders_profile,
         "scd2_history": q_scd2_history,
         "events_asof_join": q_events_asof_join,
@@ -2903,6 +2926,7 @@ _NEVER_DRIVER_SAMPLED = [
     # new round-4 gates (no official row yet either)
     "schema_evolution_drop", "docs_containment", "docs_pmi_pairs",
     "events_heavy_hitters", "events_hll_distinct", "cms_sketch_sync",
+    "hll_sketch_sync",
 ]
 
 
@@ -3793,6 +3817,17 @@ hashed AS (SELECT s.d,
            FROM final f CROSS JOIN seeds s)
 SELECT CAST(d AS INT) AS d, bucket, CAST(count(*) AS BIGINT) AS cnt
 FROM hashed GROUP BY 1, 2""",
+        # maintained HLL registers vs batch recompute over the final state
+        "hll_sketch_sync": f"""
+WITH {LI_CTES},
+h AS (SELECT ('0x' || substr(md5('7|' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+             AS hv
+      FROM final),
+b AS (SELECT hv % 64 AS bucket, (hv - (hv % 64)) // 64 AS pattern FROM h)
+SELECT bucket,
+       max(CASE WHEN pattern = 0 THEN 55
+                ELSE least(54 - length(bin(pattern)) + 1, 55) END) AS reg
+FROM b GROUP BY 1""",
         # Count-Min sketch replay: same portable-md5 seeded hashes, same
         # depth-4 x width-64 cells, estimate = min over rows of the hashed
         # cell count — integer-exact in any engine

@@ -475,3 +475,127 @@ def cms_table_estimate(dst, candidates, key_col: str):
                      .cast("int") + 1)
         for d in range(depth)])
     return candidates.withColumn("est", est.cast("bigint"))
+
+
+# --------------------------------------------------- incremental HLL sketch
+_HLL_PARAMS = "hll_sketch_params"
+
+
+def hll_sketch_params(dst) -> dict | None:
+    """Register geometry of a maintained HLL table (see cms_sketch_params)."""
+    for ins in reversed(dst.timeline.completed_write_instants()):
+        p = (dst.timeline.metadata(ins).get("extra_metadata") or {}) \
+            .get(_HLL_PARAMS)
+        if p:
+            import json
+            return json.loads(p)
+    return None
+
+
+def _hll_registers(df, key_col: str, p: int, hash_fn: str, seed: int):
+    """(bucket, reg) register table for a frame — the per-bucket max-rho
+    fold from operators/sketches.py hll_distinct, without the estimate."""
+    from .operators.sketches import _HASH_BITS, _RHO_CAP, _nonneg_hash
+
+    m = 1 << p
+    pbits = _HASH_BITS[hash_fn] - p
+    hv = _nonneg_hash(hash_fn)(seed, F.col(key_col))
+    staged = df.select(F.pmod(hv, F.lit(m)).alias("bucket"),
+                       ((hv - F.pmod(hv, F.lit(m))) / F.lit(m)).cast("long")
+                       .alias("_pat"))
+    rho = F.when(F.col("_pat") == 0, F.lit(pbits + 1)) \
+           .otherwise(F.lit(pbits) - F.length(F.bin(F.col("_pat"))) + 1)
+    rho = F.least(rho, F.lit(_RHO_CAP))
+    return (staged.withColumn("_rho", rho.cast("int"))
+            .groupBy("bucket").agg(F.max("_rho").alias("reg")))
+
+
+def sync_hll_sketch(src, dst, key_col: str, p: int = 8,
+                    hash_fn: str = "xxhash64", seed: int = 7,
+                    end: str | None = None) -> str | None:
+    """Keep an HLL register table of `src[key_col]` current (record key
+    `bucket`, columns bucket/reg).
+
+    HLL registers are MAX-folds — monotone, so inserts (and update-afters)
+    merge incrementally as max(old, new) — but a max is NOT invertible: a
+    delete (or an update that changes key_col) could lower a register, and
+    no bounded state can tell. The sync therefore checks the CDC window for
+    register-lowering ops and falls back to a full register recompute for
+    that window only (the standard production treatment of non-invertible
+    sketches: fold the monotone 99%, recompute when retraction actually
+    happens). Distinct-count queries read the m-row table with the same
+    scaled-integer estimate as operators/sketches.py (`hll_table_estimate`).
+
+    Scale shape: monotone syncs touch only the CDC diff; the fallback costs
+    one corpus scan — the same price as building the sketch once, and only
+    on windows that retract keys.
+    """
+    import json
+
+    last = src.timeline.latest_completed_write()
+    if last is None:
+        return None
+    end = end or last.time
+    begin = rollup_checkpoint(dst)
+    if begin is not None and begin >= end:
+        return None
+    params = {"key_col": key_col, "p": p, "hash_fn": hash_fn, "seed": seed}
+    stored = hll_sketch_params(dst)
+    if stored is not None and stored != params:
+        raise ValueError(
+            f"sketch params changed: table built with {stored}, "
+            f"sync called with {params}")
+
+    full = begin is None
+    if not full:
+        cdc = src.incremental_cdc(begin, end)
+        lowering = cdc.filter(
+            (F.col("op") == "d")
+            | ((F.col("op") == "u")
+               & (F.col(f"before.{key_col}") != F.col(f"after.{key_col}")))
+        ).limit(1).count()
+        full = lowering > 0
+
+    if full:
+        snap = src.time_travel(end) if end != last.time else src.snapshot()
+        regs = _hll_registers(snap, key_col, p, hash_fn, seed)
+        if begin is not None:
+            # recompute replaces the whole register set: buckets that fell
+            # silent since the last sync must tombstone, not linger
+            old = dst.snapshot().select("bucket")
+            gone = old.join(regs.select("bucket"), "bucket", "left_anti") \
+                      .withColumn("reg", F.lit(0)) \
+                      .withColumn(meta.DELETE_MARKER, F.lit(True))
+            regs = regs.withColumn(meta.DELETE_MARKER, F.lit(False)) \
+                       .unionByName(gone)
+    else:
+        contrib = src.incremental_cdc(begin, end) \
+            .filter(F.col("op").isin("i", "u")) \
+            .select(F.col(f"after.{key_col}").alias(key_col))
+        delta = _hll_registers(contrib, key_col, p, hash_fn, seed)
+        cur = dst.snapshot().select("bucket", F.col("reg").alias("__old"))
+        regs = (delta.join(cur, "bucket", "left")
+                .select("bucket",
+                        F.greatest(F.col("reg"),
+                                   F.coalesce(F.col("__old"), F.lit(0)))
+                        .alias("reg")))
+    dst.writer.set_extra_metadata(
+        {_CKPT: end, _HLL_PARAMS: json.dumps(params)})
+    dst.upsert(regs)
+    return end
+
+
+def hll_table_estimate(dst) -> float:
+    """Distinct-count estimate from a maintained HLL register table — the
+    same transcendental-free scaled-integer formula as
+    operators/sketches.py hll_distinct."""
+    from .operators.sketches import _RHO_CAP, _alpha
+
+    params = hll_sketch_params(dst)
+    if params is None:
+        raise ValueError("no synced HLL sketch on this table")
+    m = 1 << params["p"]
+    rows = dst.snapshot().select("bucket", "reg").collect()
+    s = sum(1 << (_RHO_CAP - r["reg"]) for r in rows) \
+        + (m - len(rows)) * (1 << _RHO_CAP)
+    return round(_alpha(m) * m * m * float(1 << _RHO_CAP) / float(s), 6)

@@ -291,3 +291,57 @@ def test_sync_cms_sketch_incremental_matches_recompute(spark, tmp_path):
     # already current after a matching re-sync -> no-op
     assert sync_cms_sketch(src, dst, "v", depth=3, width=8) is not None
     assert sync_cms_sketch(src, dst, "v", depth=3, width=8) is None
+
+
+def test_sync_hll_sketch_monotone_fold_and_retraction_fallback(spark, tmp_path):
+    import pytest
+
+    from hudi_0_12_0_my_spark.derived import (_hll_registers,
+                                              hll_sketch_params,
+                                              hll_table_estimate,
+                                              sync_hll_sketch)
+
+    eng = Engine(spark)
+    src = eng.create_table(str(tmp_path / "src"), record_key_fields=["id"],
+                           partition_field="grp")
+    dst = eng.create_table(str(tmp_path / "dst"),
+                           record_key_fields=["bucket"],
+                           keygen="nonpartitioned")
+
+    def regs_of(df):
+        return {(r["bucket"], r["reg"])
+                for r in _hll_registers(df, "v", 4, "xxhash64", 7).collect()}
+
+    def regs_tbl():
+        return {(r["bucket"], r["reg"])
+                for r in dst.snapshot().select("bucket", "reg").collect()}
+
+    src.bulk_insert(spark.createDataFrame(
+        [(f"r{i}", "g1", i) for i in range(50)], SCHEMA))
+    ck1 = sync_hll_sketch(src, dst, "v", p=4)
+    assert ck1 is not None and hll_sketch_params(dst)["p"] == 4
+    assert regs_tbl() == regs_of(src.snapshot())
+
+    # inserts + an update that does NOT change v: monotone max-fold path
+    src.upsert(spark.createDataFrame(
+        [(f"r{i}", "g1", i) for i in range(50, 90)]
+        + [("r0", "g2", 0)], SCHEMA))          # moves partition, same v
+    assert sync_hll_sketch(src, dst, "v", p=4) > ck1
+    assert regs_tbl() == regs_of(src.snapshot())
+
+    # a delete retracts keys: registers could lower -> recompute fallback,
+    # with silent buckets tombstoned
+    src.delete(where=F.col("v") >= 10)
+    sync_hll_sketch(src, dst, "v", p=4)
+    assert regs_tbl() == regs_of(src.snapshot())
+
+    # estimate in the right range at m=16 (raw HLL without the low-range
+    # linear-counting correction overshoots small cardinalities; 10 keys)
+    assert 5 <= hll_table_estimate(dst) <= 20
+
+    # geometry pinned
+    src.upsert(spark.createDataFrame([("x", "g1", 3)], SCHEMA))
+    with pytest.raises(ValueError, match="params changed"):
+        sync_hll_sketch(src, dst, "v", p=6)
+    assert sync_hll_sketch(src, dst, "v", p=4) is not None
+    assert sync_hll_sketch(src, dst, "v", p=4) is None
