@@ -748,3 +748,20 @@ def test_char_entropy_is_map_only_and_weighted_sample_takeordered(spark):
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan2
     assert "Exchange" not in plan2 and "BatchEvalPython" not in plan2
+
+
+def test_pmi_and_heavy_hitters_plan_shapes(spark):
+    """Sketch/collocation endings must be TakeOrderedAndProject, never a
+    global sort exchange; the CMS probe is map-only over the candidate set
+    (cells ride as literal arrays — no join, no second corpus pass)."""
+    from hudi_0_12_0_my_spark.operators import heavy_hitters, pmi_top_pairs
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i % 7} delta") for i in range(300)],
+        "doc_id long, text string")
+    plan = _plan(pmi_top_pairs(docs, window=2, k=10, min_count=2))
+    assert "TakeOrderedAndProject" in plan
+    ev = spark.createDataFrame([(i % 40,) for i in range(400)], "key long")
+    plan2 = _plan(heavy_hitters(ev, "key", depth=3, width=16, k=5))
+    assert "TakeOrderedAndProject" in plan2
+    # probe side: no join operator anywhere — the sketch is literal arrays
+    assert "Join" not in plan2
