@@ -549,10 +549,10 @@ def sync_hll_sketch(src, dst, key_col: str, p: int = 8,
     full = begin is None
     if not full:
         cdc = src.incremental_cdc(begin, end)
+        changed = ~F.col(f"before.{key_col}").eqNullSafe(
+            F.col(f"after.{key_col}"))   # null-safe: NULL -> non-NULL flips
         lowering = cdc.filter(
-            (F.col("op") == "d")
-            | ((F.col("op") == "u")
-               & (F.col(f"before.{key_col}") != F.col(f"after.{key_col}")))
+            (F.col("op") == "d") | ((F.col("op") == "u") & changed)
         ).limit(1).count()
         full = lowering > 0
 
