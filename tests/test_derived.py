@@ -345,3 +345,41 @@ def test_sync_hll_sketch_monotone_fold_and_retraction_fallback(spark, tmp_path):
         sync_hll_sketch(src, dst, "v", p=6)
     assert sync_hll_sketch(src, dst, "v", p=4) is not None
     assert sync_hll_sketch(src, dst, "v", p=4) is None
+
+
+def test_sketch_sync_checkpoint_atomic_rollback_converges(spark, tmp_path):
+    """Sketch syncs inherit the atomic checkpoint-in-commit contract:
+    rolling back a fold commit reverts the checkpoint WITH the cells, and a
+    re-sync re-folds exactly the rolled-back window — the maintained sketch
+    converges to the batch recompute, no double-applied deltas."""
+    from hudi_0_12_0_my_spark.derived import (rollup_checkpoint,
+                                              sync_cms_sketch)
+    from hudi_0_12_0_my_spark.operators.sketches import cms_cells
+
+    eng = Engine(spark)
+    src = eng.create_table(str(tmp_path / "src"), record_key_fields=["id"],
+                           partition_field="grp")
+    dst = eng.create_table(str(tmp_path / "dst"),
+                           record_key_fields=["d", "bucket"],
+                           keygen="nonpartitioned")
+    src.bulk_insert(spark.createDataFrame(
+        [(f"r{i}", "g1", i % 6) for i in range(30)], SCHEMA))
+    ck1 = sync_cms_sketch(src, dst, "v", depth=3, width=8)
+
+    src.upsert(spark.createDataFrame(
+        [(f"r{i}", "g1", (i % 6) + 10) for i in range(15)], SCHEMA))
+    ck2 = sync_cms_sketch(src, dst, "v", depth=3, width=8)
+    assert ck2 > ck1
+
+    def cells(rows):
+        return {(r["d"], r["bucket"]): r["cnt"] for r in rows}
+
+    want = cells(cms_cells(src.snapshot(), "v", 3, 8).collect())
+    assert cells(dst.snapshot().collect()) == want
+
+    # crash-recovery path: roll back the fold commit -> checkpoint reverts
+    # with the cells; re-sync converges to the same sketch
+    dst.rollback(dst.timeline.latest_completed_write().time)
+    assert rollup_checkpoint(dst) == ck1
+    assert sync_cms_sketch(src, dst, "v", depth=3, width=8) == ck2
+    assert cells(dst.snapshot().collect()) == want
