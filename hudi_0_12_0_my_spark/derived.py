@@ -395,13 +395,10 @@ def sync_cms_sketch(src, dst, key_col: str, depth: int = 4, width: int = 64,
     from .operators.dedup import _seeded_hash
     from .operators.sketches import _nonneg_hash, cms_cells
 
-    last = src.timeline.latest_completed_write()
-    if last is None:
-        return None
-    end = end or last.time
-    begin = rollup_checkpoint(dst)
-    if begin is not None and begin >= end:
-        return None
+    _ = _seeded_hash(hash_fn)  # validates hash_fn before any job runs
+    # geometry pin FIRST — a drifted config must refuse loudly even when
+    # the table happens to be current (an "already current" None would mask
+    # the misconfiguration until the next source commit)
     params = {"key_col": key_col, "depth": depth, "width": width,
               "hash_fn": hash_fn}
     stored = cms_sketch_params(dst)
@@ -409,7 +406,13 @@ def sync_cms_sketch(src, dst, key_col: str, depth: int = 4, width: int = 64,
         raise ValueError(
             f"sketch params changed: table built with {stored}, "
             f"sync called with {params}")
-    _ = _seeded_hash(hash_fn)  # validates hash_fn before any job runs
+    last = src.timeline.latest_completed_write()
+    if last is None:
+        return None
+    end = end or last.time
+    begin = rollup_checkpoint(dst)
+    if begin is not None and begin >= end:
+        return None
 
     if begin is None:
         snap = src.time_travel(end) if end != last.time else src.snapshot()
@@ -457,24 +460,17 @@ def sync_cms_sketch(src, dst, key_col: str, depth: int = 4, width: int = 64,
 def cms_table_estimate(dst, candidates, key_col: str):
     """Probe a maintained CMS table: (key, est) per candidate row — the
     same literal-array broadcast probe as operators/sketches.py
-    heavy_hitters, reading cells from the sketch table instead of building
-    them. Map-only over the candidate set."""
-    from .operators.sketches import _nonneg_hash
+    heavy_hitters (shared `cms_probe`), reading cells from the sketch table
+    instead of building them. Map-only over the candidate set."""
+    from .operators.sketches import cms_probe
 
     params = cms_sketch_params(dst)
     if params is None:
         raise ValueError("no synced CMS sketch on this table")
-    depth, width = params["depth"], params["width"]
-    h = _nonneg_hash(params["hash_fn"])
     mat = {(r["d"], r["bucket"]): r["cnt"] for r in dst.snapshot().collect()}
-    arrs = [F.array(*[F.lit(int(mat.get((d, b), 0))) for b in range(width)])
-            for d in range(depth)]
-    est = F.least(*[
-        F.element_at(arrs[d],
-                     F.pmod(h(d, F.col(key_col)), F.lit(width))
-                     .cast("int") + 1)
-        for d in range(depth)])
-    return candidates.withColumn("est", est.cast("bigint"))
+    est = cms_probe(mat, params["depth"], params["width"],
+                    params["hash_fn"], key_col)
+    return candidates.withColumn("est", est)
 
 
 # --------------------------------------------------- incremental HLL sketch
@@ -490,24 +486,6 @@ def hll_sketch_params(dst) -> dict | None:
             import json
             return json.loads(p)
     return None
-
-
-def _hll_registers(df, key_col: str, p: int, hash_fn: str, seed: int):
-    """(bucket, reg) register table for a frame — the per-bucket max-rho
-    fold from operators/sketches.py hll_distinct, without the estimate."""
-    from .operators.sketches import _HASH_BITS, _RHO_CAP, _nonneg_hash
-
-    m = 1 << p
-    pbits = _HASH_BITS[hash_fn] - p
-    hv = _nonneg_hash(hash_fn)(seed, F.col(key_col))
-    staged = df.select(F.pmod(hv, F.lit(m)).alias("bucket"),
-                       ((hv - F.pmod(hv, F.lit(m))) / F.lit(m)).cast("long")
-                       .alias("_pat"))
-    rho = F.when(F.col("_pat") == 0, F.lit(pbits + 1)) \
-           .otherwise(F.lit(pbits) - F.length(F.bin(F.col("_pat"))) + 1)
-    rho = F.least(rho, F.lit(_RHO_CAP))
-    return (staged.withColumn("_rho", rho.cast("int"))
-            .groupBy("bucket").agg(F.max("_rho").alias("reg")))
 
 
 def sync_hll_sketch(src, dst, key_col: str, p: int = 8,
@@ -532,6 +510,19 @@ def sync_hll_sketch(src, dst, key_col: str, p: int = 8,
     """
     import json
 
+    from .operators.dedup import _seeded_hash
+    from .operators.sketches import _check_p, hll_registers
+
+    _ = _seeded_hash(hash_fn)  # validates hash_fn before any job runs
+    _check_p(p)
+    # geometry pin FIRST (see sync_cms_sketch): drifted config must refuse
+    # loudly even when the table is already current
+    params = {"key_col": key_col, "p": p, "hash_fn": hash_fn, "seed": seed}
+    stored = hll_sketch_params(dst)
+    if stored is not None and stored != params:
+        raise ValueError(
+            f"sketch params changed: table built with {stored}, "
+            f"sync called with {params}")
     last = src.timeline.latest_completed_write()
     if last is None:
         return None
@@ -539,12 +530,6 @@ def sync_hll_sketch(src, dst, key_col: str, p: int = 8,
     begin = rollup_checkpoint(dst)
     if begin is not None and begin >= end:
         return None
-    params = {"key_col": key_col, "p": p, "hash_fn": hash_fn, "seed": seed}
-    stored = hll_sketch_params(dst)
-    if stored is not None and stored != params:
-        raise ValueError(
-            f"sketch params changed: table built with {stored}, "
-            f"sync called with {params}")
 
     full = begin is None
     if not full:
@@ -558,7 +543,7 @@ def sync_hll_sketch(src, dst, key_col: str, p: int = 8,
 
     if full:
         snap = src.time_travel(end) if end != last.time else src.snapshot()
-        regs = _hll_registers(snap, key_col, p, hash_fn, seed)
+        regs = hll_registers(snap, key_col, p=p, hash_fn=hash_fn, seed=seed)
         if begin is not None:
             # recompute replaces the whole register set: buckets that fell
             # silent since the last sync must tombstone, not linger
@@ -572,7 +557,8 @@ def sync_hll_sketch(src, dst, key_col: str, p: int = 8,
         contrib = src.incremental_cdc(begin, end) \
             .filter(F.col("op").isin("i", "u")) \
             .select(F.col(f"after.{key_col}").alias(key_col))
-        delta = _hll_registers(contrib, key_col, p, hash_fn, seed)
+        delta = hll_registers(contrib, key_col, p=p, hash_fn=hash_fn,
+                              seed=seed)
         cur = dst.snapshot().select("bucket", F.col("reg").alias("__old"))
         regs = (delta.join(cur, "bucket", "left")
                 .select("bucket",
@@ -589,13 +575,13 @@ def hll_table_estimate(dst) -> float:
     """Distinct-count estimate from a maintained HLL register table — the
     same transcendental-free scaled-integer formula as
     operators/sketches.py hll_distinct."""
-    from .operators.sketches import _RHO_CAP, _alpha
+    from .operators.sketches import _alpha, _rho_cap
 
     params = hll_sketch_params(dst)
     if params is None:
         raise ValueError("no synced HLL sketch on this table")
-    m = 1 << params["p"]
+    m, cap = 1 << params["p"], _rho_cap(params["p"])
     rows = dst.snapshot().select("bucket", "reg").collect()
-    s = sum(1 << (_RHO_CAP - r["reg"]) for r in rows) \
-        + (m - len(rows)) * (1 << _RHO_CAP)
-    return round(_alpha(m) * m * m * float(1 << _RHO_CAP) / float(s), 6)
+    s = sum(1 << (cap - r["reg"]) for r in rows) \
+        + (m - len(rows)) * (1 << cap)
+    return round(_alpha(m) * m * m * float(1 << cap) / float(s), 6)

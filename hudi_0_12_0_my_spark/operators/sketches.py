@@ -12,9 +12,12 @@ at most `cells x partitions` partial rows; the data itself never shuffles.
 - HyperLogLog (Flajolet 2007): m=2^p registers of max leading-zero runs;
   estimate = alpha_m * m^2 / sum(2^-reg). Registers here are derived with
   pure integer bit math (bucket = h mod m, rho from the bit length of the
-  remaining hash bits) so a SQL oracle replays them bit-for-bit — no float
-  enters until the single final division, which is IEEE-exact on identical
-  operands in any engine.
+  remaining hash bits, pattern = h >> p via an exact shift) so a SQL oracle
+  replays them bit-for-bit — no float enters until the single final
+  division, which is IEEE-exact on identical operands in any engine.
+
+NULL keys are excluded before hashing, matching count_distinct semantics
+(a NULL neither counts as a distinct key nor lands in any cell).
 
 Both accept the repo-wide `hash_fn` convention (`operators/dedup.py
 _seeded_hash`): "xxhash64" for production, "portable_md5" for cross-engine
@@ -27,7 +30,7 @@ dashboards) per the build brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import _seeded_hash
 
@@ -36,9 +39,18 @@ from .dedup import _seeded_hash
 # masked off below, leaving 63)
 _HASH_BITS = {"portable_md5": 60, "xxhash64": 63}
 
-# register cap: rho <= 55 keeps the integer register sum
-# sum(1 << (55 - rho)) + empties * (1 << 55) inside int64 for m <= 128
-_RHO_CAP = 55
+
+def _rho_cap(p: int) -> int:
+    """Register cap keeping the scaled-integer register sum
+    sum(1 << (cap - reg)) + empties * (1 << cap) <= 2^p * 2^cap = 2^62
+    inside int64 at any precision (the truncation probability per key is
+    2^-cap — unobservable)."""
+    return min(55, 62 - p)
+
+
+def _check_p(p: int) -> None:
+    if not 4 <= p <= 16:
+        raise ValueError(f"HLL precision p must be in [4, 16], got {p}")
 
 
 def _nonneg_hash(hash_fn: str):
@@ -56,11 +68,27 @@ def cms_cells(df: DataFrame, key_col: str, depth: int = 4, width: int = 64,
     makes the shape incremental at scale."""
     h = _nonneg_hash(hash_fn)
     key = F.col(key_col)
-    rows = df.select(F.posexplode(F.array(*[
+    rows = df.filter(key.isNotNull()).select(F.posexplode(F.array(*[
         F.pmod(h(d, key), F.lit(width)) for d in range(depth)]))
         .alias("d", "bucket"))
     return rows.groupBy("d", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+def cms_probe(cells: dict, depth: int, width: int, hash_fn: str,
+              key_col: str) -> Column:
+    """Map-only Count-Min point-estimate column: `least()` of depth
+    literal-array lookups (the collected cells ride into the plan as depth
+    arrays of width ints — no join, no second pass over anything).
+    `cells` maps (d, bucket) -> count; missing cells are 0."""
+    h = _nonneg_hash(hash_fn)
+    arrs = [F.array(*[F.lit(int(cells.get((d, b), 0))) for b in range(width)])
+            for d in range(depth)]
+    return F.least(*[
+        F.element_at(arrs[d],
+                     F.pmod(h(d, F.col(key_col)), F.lit(width))
+                     .cast("int") + 1)
+        for d in range(depth)]).cast("bigint")
 
 
 def heavy_hitters(df: DataFrame, key_col: str, depth: int = 4,
@@ -71,10 +99,10 @@ def heavy_hitters(df: DataFrame, key_col: str, depth: int = 4,
 
     Two stages, both scale-flat:
     1. sketch build — `cms_cells` (model-sized result, collected and
-       re-broadcast as literal arrays: depth arrays of width ints);
-    2. probe — map-only `least()` of depth literal-array lookups per
-       candidate key, then TakeOrdered top-k (orderBy+limit: per-partition
-       heads + a k-row merge, never a global sort of the candidate set).
+       re-broadcast as literal arrays);
+    2. probe — map-only `cms_probe` per candidate key, then TakeOrdered
+       top-k (orderBy+limit: per-partition heads + a k-row merge, never a
+       global sort of the candidate set).
 
     `candidates` bounds the probe set (e.g. yesterday's hitters + a sample);
     default is the distinct keys of `df` itself — one extra shuffle that a
@@ -84,20 +112,14 @@ def heavy_hitters(df: DataFrame, key_col: str, depth: int = 4,
     Estimates are integers (sums of counts), so ranking and values are
     engine-portable with hash_fn="portable_md5". Ties rank by key ascending.
     """
-    h = _nonneg_hash(hash_fn)
     mat: dict[tuple[int, int], int] = {
         (r["d"], r["bucket"]): r["cnt"]
         for r in cms_cells(df, key_col, depth, width, hash_fn).collect()}
-    arrs = [F.array(*[F.lit(int(mat.get((d, b), 0))) for b in range(width)])
-            for d in range(depth)]
     cand = (candidates if candidates is not None
             else df.select(key_col).distinct())
-    est = F.least(*[
-        F.element_at(arrs[d],
-                     F.pmod(h(d, F.col(key_col)), F.lit(width))
-                     .cast("int") + 1)
-        for d in range(depth)])
-    top = (cand.withColumn("est", est.cast("bigint"))
+    cand = cand.filter(F.col(key_col).isNotNull())
+    est = cms_probe(mat, depth, width, hash_fn, key_col)
+    top = (cand.withColumn("est", est)
                .orderBy(F.desc("est"), F.asc(key_col)).limit(k))
     w = Window.orderBy(F.desc("est"), F.asc(key_col))
     return (top.withColumn("rank", F.row_number().over(w))  # k rows only
@@ -115,50 +137,69 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_registers(df: DataFrame, key_col: str,
+                  group_cols: list[str] | None = None, p: int = 6,
+                  hash_fn: str = "xxhash64", seed: int = 7) -> DataFrame:
+    """(<groups>, bucket, reg) — the HLL register table itself, derived with
+    pure integer bit math so a SQL oracle replays it exactly:
+      h       = seeded hash, non-negative, HASH_BITS bits (NULL keys dropped)
+      bucket  = h mod m            (m = 2^p registers)
+      pattern = h >> p             (exact integer shift)
+      rho     = (HASH_BITS - p) - bitlen(pattern) + 1   (bitlen via bin();
+                pattern == 0 -> HASH_BITS - p + 1), capped at _rho_cap(p)
+      reg     = max(rho) per (group, bucket)
+    ONE map-side-combined shuffle on (groups, bucket) — raw keys never
+    shuffle. This is the single source of the register math; hll_distinct
+    and the maintained sketch (derived.py sync_hll_sketch) both fold it.
+    """
+    _check_p(p)
+    gcols = list(group_cols or [])
+    m = 1 << p
+    pbits = _HASH_BITS[hash_fn] - p
+    key = F.col(key_col)
+    hv = _nonneg_hash(hash_fn)(seed, key)
+    staged = df.filter(key.isNotNull()).select(
+        *gcols, F.pmod(hv, F.lit(m)).alias("bucket"),
+        F.shiftright(hv, p).alias("_pat"))
+    pat = F.col("_pat")
+    rho = F.when(pat == 0, F.lit(pbits + 1)) \
+           .otherwise(F.lit(pbits) - F.length(F.bin(pat)) + 1)
+    rho = F.least(rho, F.lit(_rho_cap(p)))
+    return (staged.withColumn("_rho", rho.cast("int"))
+            .groupBy(*gcols, "bucket").agg(F.max("_rho").alias("reg")))
+
+
+def hll_estimate_col(s_col: Column, p: int) -> Column:
+    """The transcendental-free HLL estimate from a SCALED-INTEGER register
+    sum s = sum(1 << (cap - reg)) + empties * (1 << cap): one float multiply
+    chain + one division on identical operands — IEEE round-to-nearest makes
+    it bit-identical across engines. (The classic low-range linear-counting
+    correction needs ln(); deliberately omitted to stay transcendental-free —
+    callers wanting it can apply it on the register table.)"""
+    m = 1 << p
+    return F.round(F.lit(_alpha(m) * m * m) * F.lit(float(1 << _rho_cap(p)))
+                   / s_col.cast("double"), 6)
+
+
 def hll_distinct(df: DataFrame, key_col: str,
                  group_cols: list[str] | None = None, p: int = 6,
                  hash_fn: str = "xxhash64", seed: int = 7,
                  out_col: str = "est_distinct") -> DataFrame:
-    """HyperLogLog distinct-count estimate per group: (<groups>, est_distinct).
+    """HyperLogLog distinct-count estimate per group: (<groups>, est).
 
-    Register derivation is all-integer so any SQL engine replays it exactly:
-      h      = seeded hash, non-negative, HASH_BITS bits
-      bucket = h mod m           (m = 2^p registers)
-      rho    = (HASH_BITS - p) - bitlen(h div m) + 1   (bitlen via bin();
-               h div m == 0 -> HASH_BITS - p + 1), capped at 55
-      reg    = max(rho) per bucket
-    The register sum is computed SCALED-INTEGER — S = sum(1 << (55 - reg)) +
-    empties * (1 << 55) — so it is order-independent and overflow-free
-    (<= m * 2^55 for m <= 128); the estimate alpha_m * m^2 * 2^55 / S does
-    one float multiply chain + one division on identical operands: IEEE
-    round-to-nearest makes it bit-identical across engines. (The classic
-    low-range linear-counting correction needs ln(); it is deliberately
-    omitted to keep the output transcendental-free — callers wanting it can
-    apply it on the m-row register table.)
-
-    Shape: one groupBy(groups, bucket) max — map-side combined, reduce state
-    m rows per group — then a per-group fold of those m rows. The raw keys
-    never shuffle.
+    `hll_registers` does the bit-exact derivation; this folds the m rows
+    per group into the scaled-integer sum (order-independent, overflow-free
+    by _rho_cap) and applies `hll_estimate_col`. Shape: two shuffles, both
+    on register-sized data — the raw keys never move.
     """
+    _check_p(p)
     gcols = list(group_cols or [])
-    m = 1 << p
-    pbits = _HASH_BITS[hash_fn] - p
-    hv = _nonneg_hash(hash_fn)(seed, F.col(key_col))
-    staged = df.select(*gcols, F.pmod(hv, F.lit(m)).alias("_bucket"),
-                       (hv - F.pmod(hv, F.lit(m))).alias("_hi"))
-    # h div m for non-negative h: (h - h mod m) / m, exact integer
-    pat = (F.col("_hi") / F.lit(m)).cast("long")
-    rho = F.when(pat == 0, F.lit(pbits + 1)) \
-           .otherwise(F.lit(pbits) - F.length(F.bin(pat)) + 1)
-    rho = F.least(rho, F.lit(_RHO_CAP))
-    regs = (staged.withColumn("_rho", rho.cast("int"))
-            .groupBy(*gcols, "_bucket").agg(F.max("_rho").alias("_reg")))
+    m, cap = 1 << p, _rho_cap(p)
+    regs = hll_registers(df, key_col, gcols, p, hash_fn, seed)
     # shiftleft's python wrapper wants a literal shift — the SQL form takes
     # a column exponent
-    s_used = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - _reg)"))
+    s_used = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {cap} - reg)"))
     n_used = F.count(F.lit(1))
     fold = regs.groupBy(*gcols).agg(
-        (s_used + (F.lit(m) - n_used) * F.lit(1 << _RHO_CAP)).alias("_s"))
-    est = (F.lit(_alpha(m) * m * m) * F.lit(float(1 << _RHO_CAP))
-           / F.col("_s").cast("double"))
-    return fold.select(*gcols, F.round(est, 6).alias(out_col))
+        (s_used + (F.lit(m) - n_used) * F.lit(1 << cap)).alias("_s"))
+    return fold.select(*gcols, hll_estimate_col(F.col("_s"), p).alias(out_col))

@@ -283,9 +283,12 @@ def test_sync_cms_sketch_incremental_matches_recompute(spark, tmp_path):
         dst, src.snapshot().select("v").distinct(), "v").collect()}
     assert all(est[k] >= n for k, n in exact.items())
 
-    # geometry is pinned: a different width must refuse to fold
+    # geometry is pinned: a different width must refuse to fold — even
+    # BEFORE the new source commit lands (pin checked ahead of currency)
     with pytest.raises(ValueError, match="params changed"):
-        src.upsert(spark.createDataFrame([("x", "g1", 1)], SCHEMA))
+        sync_cms_sketch(src, dst, "v", depth=3, width=16)
+    src.upsert(spark.createDataFrame([("x", "g1", 1)], SCHEMA))
+    with pytest.raises(ValueError, match="params changed"):
         sync_cms_sketch(src, dst, "v", depth=3, width=16)
 
     # already current after a matching re-sync -> no-op
@@ -296,10 +299,10 @@ def test_sync_cms_sketch_incremental_matches_recompute(spark, tmp_path):
 def test_sync_hll_sketch_monotone_fold_and_retraction_fallback(spark, tmp_path):
     import pytest
 
-    from hudi_0_12_0_my_spark.derived import (_hll_registers,
-                                              hll_sketch_params,
+    from hudi_0_12_0_my_spark.derived import (hll_sketch_params,
                                               hll_table_estimate,
                                               sync_hll_sketch)
+    from hudi_0_12_0_my_spark.operators.sketches import hll_registers
 
     eng = Engine(spark)
     src = eng.create_table(str(tmp_path / "src"), record_key_fields=["id"],
@@ -310,7 +313,8 @@ def test_sync_hll_sketch_monotone_fold_and_retraction_fallback(spark, tmp_path):
 
     def regs_of(df):
         return {(r["bucket"], r["reg"])
-                for r in _hll_registers(df, "v", 4, "xxhash64", 7).collect()}
+                for r in hll_registers(df, "v", p=4, hash_fn="xxhash64",
+                                       seed=7).collect()}
 
     def regs_tbl():
         return {(r["bucket"], r["reg"])

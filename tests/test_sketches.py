@@ -95,9 +95,9 @@ def test_hll_no_raw_key_shuffle(spark):
     df = spark.range(1000).select(F.col("id").alias("k"))
     plan = ops.hll_distinct(df, "k", p=6)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "_bucket" in plan
+    assert "bucket" in plan
     # first aggregate's partial (map-side) fold happens before any exchange
-    # of per-key rows: the only hashpartitioning key present is _bucket
+    # of per-key rows: the only hashpartitioning key present is the bucket
     assert "hashpartitioning(k" not in plan
 
 
