@@ -141,3 +141,47 @@ def test_containment_catches_doc_in_doc(spark):
     # jaccard misses the same pair at any usable threshold
     jac = ops.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
     assert jac == []
+
+
+def test_hll_registers_merge_by_max(spark):
+    # registers(A union B) == bucket-wise max of registers(A), registers(B):
+    # the mergeability that lets per-slice register tables fold into a
+    # corpus-wide one (and what sync_hll_sketch's monotone path relies on)
+    from hudi_0_12_0_my_spark.operators.sketches import hll_registers
+    a = spark.range(0, 400).select(F.col("id").alias("k"))
+    b = spark.range(300, 700).select(F.col("id").alias("k"))
+    whole = {r["bucket"]: r["reg"]
+             for r in hll_registers(a.unionAll(b), "k", p=5).collect()}
+    parts: dict = {}
+    for df in (a, b):
+        for r in hll_registers(df, "k", p=5).collect():
+            parts[r["bucket"]] = max(parts.get(r["bucket"], 0), r["reg"])
+    assert whole == parts
+
+
+def test_sketches_ignore_null_keys(spark):
+    # NULL keys: count_distinct semantics — no phantom cells or registers
+    from pyspark.sql import Row
+    df = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=None), Row(k=2)])
+    clean = df.filter("k IS NOT NULL")
+    got = {(r["d"], r["bucket"]): r["cnt"]
+           for r in ops.cms_cells(df, "k", 3, 8).collect()}
+    want = {(r["d"], r["bucket"]): r["cnt"]
+            for r in ops.cms_cells(clean, "k", 3, 8).collect()}
+    assert got == want
+    assert ops.hll_distinct(df, "k", p=6).collect() \
+        == ops.hll_distinct(clean, "k", p=6).collect()
+
+
+def test_hll_precision_validation(spark):
+    import pytest
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="precision"):
+        ops.hll_distinct(df, "k", p=3)
+    with pytest.raises(ValueError, match="precision"):
+        ops.hll_distinct(df, "k", p=17)
+    # p=12 (4096 registers) stays overflow-free under the scaled cap
+    n = 20_000
+    big = spark.range(n).select(F.col("id").alias("k"))
+    est = ops.hll_distinct(big, "k", p=12).collect()[0][0]
+    assert est > 0 and abs(est - n) / n < 0.10

@@ -77,7 +77,9 @@ def run_tier(spark, eng, sf_dir: str, tag: str) -> dict:
     from hudi_0_12_0_my_spark.operators import (curate, dsir_sample,
                                                 dup_clusters,
                                                 exact_substring_dedup,
-                                                minhash_lsh_pairs)
+                                                minhash_lsh_pairs,
+                                                ngram_containment_pairs,
+                                                pmi_top_pairs)
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -108,6 +110,10 @@ def run_tier(spark, eng, sf_dir: str, tag: str) -> dict:
     with step("curate"):
         curate(docs, min_quality=0.3, dedup="exact",
                sample_fraction=0.5).count()
+    with step("pmi_pairs"):           # pair fan-out shuffle + unigram joins
+        pmi_top_pairs(docs, window=3, k=25, min_count=10).count()
+    with step("containment"):         # inverted-index self-join
+        ngram_containment_pairs(docs, n=3, threshold=0.5).count()
     with step("ivf_index_sync_search"):
         root = os.path.join(BENCH_ROOT, tag)
         shutil.rmtree(root, ignore_errors=True)
