@@ -2001,6 +2001,16 @@ def q_docs_containment(spark, sf_dir):
     return ngram_containment_pairs(docs, n=3, threshold=0.5)
 
 
+def q_docs_containment_prefix(spark, sf_dir):
+    """Prefix-filtered containment (operators/dedup.py
+    ngram_containment_pairs_prefix, PPJoin pigeonhole bound): must return
+    EXACTLY the brute inverted-join pairs — same oracle as
+    `docs_containment`, proving the candidate pruning is lossless."""
+    from hudi_0_12_0_my_spark.operators import ngram_containment_pairs_prefix
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_containment_pairs_prefix(docs, n=3, threshold=0.5)
+
+
 def q_docs_pmi_pairs(spark, sf_dir):
     """Sliding-window PMI association statistics (operators/textstats.py
     pmi_top_pairs): top-25 token pairs ranked by c_ab/(c_a*c_b) — monotone
@@ -2827,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_language_id": q_docs_language_id,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_containment": q_docs_containment,
+        "docs_containment_prefix": q_docs_containment_prefix,
         "docs_pmi_pairs": q_docs_pmi_pairs,
         "events_heavy_hitters": q_events_heavy_hitters,
         "events_hll_distinct": q_events_hll_distinct,
@@ -2926,7 +2937,7 @@ _NEVER_DRIVER_SAMPLED = [
     # new round-4 gates (no official row yet either)
     "schema_evolution_drop", "docs_containment", "docs_pmi_pairs",
     "events_heavy_hitters", "events_hll_distinct", "cms_sketch_sync",
-    "hll_sketch_sync",
+    "hll_sketch_sync", "docs_containment_prefix",
 ]
 
 
@@ -3765,6 +3776,23 @@ pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
 FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""",
         "docs_containment": """
+WITH d0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE length(trim(text)) > 0),
+d AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+      FROM d0),
+d2 AS (SELECT doc_id, grams, len(grams) AS n_grams FROM d WHERE len(grams) > 0),
+inv AS (SELECT doc_id, n_grams, unnest(grams) AS g FROM d2),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_grams AS na, b.n_grams AS nb,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       CAST(inter AS DOUBLE) / least(na, nb) AS containment
+FROM pairs WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.5""",
+        "docs_containment_prefix": """
 WITH d0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
             FROM documents WHERE length(trim(text)) > 0),
 d AS (SELECT doc_id,

@@ -12,7 +12,8 @@ from .dedup import (exact_dedup, minhash_signatures, minhash_lsh_pairs,
                     minhash_lsh_dedup, simhash, simhash_near_dup_pairs,
                     ngram_jaccard_pairs, segment_dedup, minhash_index_rows,
                     dedup_against_index, edit_verified_pairs,
-                    exact_substring_dedup, ngram_containment_pairs)
+                    exact_substring_dedup, ngram_containment_pairs,
+                    ngram_containment_pairs_prefix)
 from .graph import (connected_components, dup_clusters,
                     dedup_by_components, select_cluster_representatives,
                     cluster_representatives)
@@ -82,5 +83,6 @@ __all__ = [
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
     "top_paths", "event_transitions",
     "cms_cells", "heavy_hitters", "hll_distinct",
-    "ngram_containment_pairs", "pmi_top_pairs",
+    "ngram_containment_pairs", "ngram_containment_pairs_prefix",
+    "pmi_top_pairs",
 ]

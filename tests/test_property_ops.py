@@ -332,3 +332,18 @@ def test_hll_register_model_equivalence(spark, keys):
     got = ops.hll_distinct(df, "k", p=p, hash_fn="portable_md5",
                            seed=seed).collect()[0][0]
     assert got == model
+
+
+@given(CORPUS, st.sampled_from([0.5, 0.75, 0.9]))
+@PROP
+def test_containment_prefix_filter_equals_brute(spark, texts, t):
+    """Prefix-filtered containment must return EXACTLY the brute
+    inverted-join results (the pigeonhole recall bound is exact, not
+    approximate) on random corpora at several thresholds."""
+    df = _df(spark, texts)
+    brute = {(r["id_a"], r["id_b"], r["na"], r["nb"], round(r["containment"], 9))
+             for r in ops.ngram_containment_pairs(df, n=2, threshold=t).collect()}
+    pref = {(r["id_a"], r["id_b"], r["na"], r["nb"], round(r["containment"], 9))
+            for r in ops.ngram_containment_pairs_prefix(
+                df, n=2, threshold=t).collect()}
+    assert pref == brute
