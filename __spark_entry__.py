@@ -1679,6 +1679,20 @@ def q_hll_sketch_sync(spark, sf_dir):
     return _BUILT[key].snapshot().select("bucket", "reg")
 
 
+def q_events_value_quantiles(spark, sf_dir):
+    """Histogram-sketch quantiles (operators/sketches.py
+    histogram_quantiles): p50/p90/p99 of event value per event_type from a
+    100-bin fixed-width histogram — integer cell counts, then exactly three
+    IEEE float ops (target rank, in-bin fraction, interpolation), so DuckDB
+    replays the estimates bit-for-bit. The quantile member of the sketch
+    trio (CMS frequency / HLL cardinality / histogram distribution)."""
+    from hudi_0_12_0_my_spark.operators import histogram_quantiles
+    ev = _read_events(spark, sf_dir)
+    return histogram_quantiles(ev, "value", [0.5, 0.9, 0.99],
+                               lo=0.0, hi=500.0, bins=100,
+                               group_cols=["event_type"])
+
+
 def q_events_cohorts(spark, sf_dir):
     """Weekly cohort retention matrix (operators/sessions.py
     cohort_retention): users bucketed by first-activity week, distinct
@@ -2872,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "cms_sketch_sync": q_cms_sketch_sync,
         "hll_sketch_sync": q_hll_sketch_sync,
+        "events_value_quantiles": q_events_value_quantiles,
         "orders_profile": q_orders_profile,
         "scd2_history": q_scd2_history,
         "events_asof_join": q_events_asof_join,
@@ -2937,7 +2952,7 @@ _NEVER_DRIVER_SAMPLED = [
     # new round-4 gates (no official row yet either)
     "schema_evolution_drop", "docs_containment", "docs_pmi_pairs",
     "events_heavy_hitters", "events_hll_distinct", "cms_sketch_sync",
-    "hll_sketch_sync", "docs_containment_prefix",
+    "hll_sketch_sync", "docs_containment_prefix", "events_value_quantiles",
 ]
 
 
@@ -3845,6 +3860,30 @@ hashed AS (SELECT s.d,
            FROM final f CROSS JOIN seeds s)
 SELECT CAST(d AS INT) AS d, bucket, CAST(count(*) AS BIGINT) AS cnt
 FROM hashed GROUP BY 1, 2""",
+        # histogram-sketch quantiles: integer cells + three IEEE float ops
+        # (target, fraction, interpolation) — bit-exact replay
+        "events_value_quantiles": """
+WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+c AS (SELECT event_type,
+        greatest(0, least(99, CAST(floor((value - 0.0) / 5.0) AS INT))) AS bin,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM e GROUP BY 1, 2),
+w AS (SELECT event_type, bin, cnt,
+        sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c),
+qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+p AS (SELECT w.event_type, qq.q, w.bin, w.cnt, w.cum,
+             qq.q * CAST(w.n AS DOUBLE) AS target
+      FROM w CROSS JOIN qq
+      WHERE CAST(w.cum AS DOUBLE) >= qq.q * CAST(w.n AS DOUBLE)),
+f AS (SELECT event_type, q, min(bin) AS bin FROM p GROUP BY 1, 2)
+SELECT f.event_type, f.q,
+       round(0.0 + (CAST(f.bin AS DOUBLE)
+                    + (p.target - CAST(p.cum - p.cnt AS DOUBLE))
+                      / CAST(p.cnt AS DOUBLE)) * 5.0, 6) AS est
+FROM f JOIN p ON p.event_type = f.event_type AND p.q = f.q
+             AND p.bin = f.bin""",
         # maintained HLL registers vs batch recompute over the final state
         "hll_sketch_sync": f"""
 WITH {LI_CTES},

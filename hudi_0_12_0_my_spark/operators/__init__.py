@@ -43,7 +43,8 @@ from .joins import interval_join, salted_join
 from .lm import (lm_log_prob, lm_outliers, linear_text_score,
                  tfidf_keywords, cluster_topics)
 from .profile import profile
-from .sketches import cms_cells, heavy_hitters, hll_distinct
+from .sketches import (cms_cells, heavy_hitters, hll_distinct,
+                       histogram_cells, histogram_quantiles)
 from .temporal import asof_join, resample
 from .textstats import (with_token_stats, with_quality_score,
                         with_language_id, with_fingerprint,
@@ -83,6 +84,7 @@ __all__ = [
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
     "top_paths", "event_transitions",
     "cms_cells", "heavy_hitters", "hll_distinct",
+    "histogram_cells", "histogram_quantiles",
     "ngram_containment_pairs", "ngram_containment_pairs_prefix",
     "pmi_top_pairs",
 ]

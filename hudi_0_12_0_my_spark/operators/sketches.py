@@ -203,3 +203,74 @@ def hll_distinct(df: DataFrame, key_col: str,
     fold = regs.groupBy(*gcols).agg(
         (s_used + (F.lit(m) - n_used) * F.lit(1 << cap)).alias("_s"))
     return fold.select(*gcols, hll_estimate_col(F.col("_s"), p).alias(out_col))
+
+
+# ------------------------------------------------------ histogram quantiles
+def histogram_cells(df: DataFrame, value_col: str, lo: float, hi: float,
+                    bins: int = 128,
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """Fixed-width histogram sketch: (<groups>, bin, cnt) — the quantile
+    member of the mergeable-sketch trio (CMS = frequency, HLL = cardinality,
+    histogram = distribution). ONE map-side-combined shuffle of at most
+    `bins` rows per group; sketches of disjoint slices merge by cell-wise
+    addition. Values are clamped into [lo, hi) (outliers land in the edge
+    bins — pick bounds from domain knowledge or a prior pass); NULLs are
+    dropped (count semantics). Bin math is floor((v - lo) / width) with
+    width = (hi - lo) / bins — one correctly-rounded division per row, so a
+    SQL oracle replays the cells exactly when lo/hi/bins are exact decimals.
+    """
+    if bins < 1 or not hi > lo:
+        raise ValueError(f"need hi > lo and bins >= 1, got [{lo}, {hi}) x {bins}")
+    gcols = list(group_cols or [])
+    width = (hi - lo) / bins
+    v = F.col(value_col)
+    b = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int")
+    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b))
+    return (df.filter(v.isNotNull())
+            .select(*gcols, b.alias("bin"))
+            .groupBy(*gcols, "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+
+
+def histogram_quantiles(df: DataFrame, value_col: str, qs: list[float],
+                        lo: float, hi: float, bins: int = 128,
+                        group_cols: list[str] | None = None) -> DataFrame:
+    """Quantile estimates from the histogram sketch: (<groups>, q, est).
+
+    For each quantile q: target rank = q * N; the containing bin is the
+    first bin whose cumulative count reaches the target; the estimate
+    interpolates linearly inside it —
+        est = lo + (bin + (target - cum_before) / cnt_bin) * width.
+    Error is bounded by one bin width — the classic fixed-width trade
+    (vs exact percentile_disc's full sort): at 100 TB the sketch costs one
+    model-sized shuffle while an exact quantile costs a global sort; and
+    unlike t-digest/GK the cells replay exactly in any SQL engine (integer
+    counts, then three IEEE-exact float ops), so the gate oracle checks the
+    estimates bit-for-bit.
+
+    Everything after the cells is tiny: a per-group cumulative window over
+    <= bins rows, a literal-array explode of qs, a min-bin pick per (group,
+    q). The raw values never shuffle.
+    """
+    gcols = list(group_cols or [])
+    width = (hi - lo) / bins
+    cells = histogram_cells(df, value_col, lo, hi, bins, gcols)
+    wspec = Window.partitionBy(*[F.col(g) for g in gcols]).orderBy("bin") \
+        if gcols else Window.orderBy("bin")
+    cum = (cells.withColumn("cum", F.sum("cnt").over(wspec))
+           .withColumn("n", F.sum("cnt").over(
+               Window.partitionBy(*[F.col(g) for g in gcols])
+               if gcols else Window.partitionBy())))
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    probe = (cum.withColumn("q", F.explode(qarr))
+             .withColumn("target", F.col("q") * F.col("n").cast("double"))
+             .filter(F.col("cum").cast("double") >= F.col("target")))
+    first = (probe.groupBy(*gcols, "q")
+             .agg(F.min("bin").alias("bin")))
+    est = (F.lit(float(lo))
+           + (F.col("bin").cast("double")
+              + (F.col("target") - (F.col("cum") - F.col("cnt"))
+                 .cast("double")) / F.col("cnt").cast("double"))
+           * F.lit(width))
+    return (first.join(probe, [*gcols, "q", "bin"])
+            .select(*gcols, "q", F.round(est, 6).alias("est")))

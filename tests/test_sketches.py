@@ -185,3 +185,50 @@ def test_hll_precision_validation(spark):
     big = spark.range(n).select(F.col("id").alias("k"))
     est = ops.hll_distinct(big, "k", p=12).collect()[0][0]
     assert est > 0 and abs(est - n) / n < 0.10
+
+
+def test_histogram_quantiles_within_bin_width_of_exact(spark):
+    # estimate error is bounded by one bin width vs the exact quantile
+    from hudi_0_12_0_my_spark.operators import histogram_quantiles
+    df = spark.range(10_000).select((F.col("id") % 1000).cast("double")
+                                    .alias("v"))
+    got = {r["q"]: r["est"] for r in histogram_quantiles(
+        df, "v", [0.5, 0.9, 0.99], lo=0.0, hi=1000.0, bins=200).collect()}
+    exact = df.selectExpr(
+        "percentile(v, array(0.5, 0.9, 0.99)) AS p").collect()[0]["p"]
+    width = 1000.0 / 200
+    for q, e in zip([0.5, 0.9, 0.99], exact):
+        assert abs(got[q] - e) <= width + 1e-9
+
+
+def test_histogram_cells_merge_clamp_and_validation(spark):
+    import pytest
+    from hudi_0_12_0_my_spark.operators import histogram_cells
+    a = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    b = spark.range(50, 220).select(F.col("id").cast("double").alias("v"))
+    whole = {r["bin"]: r["cnt"] for r in
+             histogram_cells(a.unionAll(b), "v", 0.0, 100.0, 10).collect()}
+    parts: dict = {}
+    for df in (a, b):
+        for r in histogram_cells(df, "v", 0.0, 100.0, 10).collect():
+            parts[r["bin"]] = parts.get(r["bin"], 0) + r["cnt"]
+    assert whole == parts                      # cell-wise addition merge
+    # out-of-range values clamp into the edge bin (b reaches 219 > hi=100)
+    assert whole[9] == sum(1 for v in list(range(90, 100)) * 2
+                           + list(range(100, 220)) if v >= 90)
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_cells(a, "v", 5.0, 5.0, 10)
+
+
+def test_histogram_quantiles_grouped_monotone(spark):
+    from pyspark.sql import Row
+    from hudi_0_12_0_my_spark.operators import histogram_quantiles
+    df = spark.createDataFrame(
+        [Row(g="lo", v=float(i % 10)) for i in range(500)]
+        + [Row(g="hi", v=float(80 + i % 10)) for i in range(500)])
+    got = {(r["g"], r["q"]): r["est"] for r in histogram_quantiles(
+        df, "v", [0.1, 0.5, 0.9], lo=0.0, hi=100.0, bins=100,
+        group_cols=["g"]).collect()}
+    assert got[("hi", 0.5)] > got[("lo", 0.5)] + 70
+    for g in ("lo", "hi"):                     # monotone in q
+        assert got[(g, 0.1)] <= got[(g, 0.5)] <= got[(g, 0.9)]
