@@ -3807,23 +3807,6 @@ pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 SELECT id_a, id_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
        CAST(inter AS DOUBLE) / least(na, nb) AS containment
 FROM pairs WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.5""",
-        "docs_containment_prefix": """
-WITH d0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-            FROM documents WHERE length(trim(text)) > 0),
-d AS (SELECT doc_id,
-        list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-          i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
-      FROM d0),
-d2 AS (SELECT doc_id, grams, len(grams) AS n_grams FROM d WHERE len(grams) > 0),
-inv AS (SELECT doc_id, n_grams, unnest(grams) AS g FROM d2),
-pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 a.n_grams AS na, b.n_grams AS nb,
-                 CAST(count(*) AS BIGINT) AS inter
-          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-          GROUP BY 1, 2, 3, 4)
-SELECT id_a, id_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
-       CAST(inter AS DOUBLE) / least(na, nb) AS containment
-FROM pairs WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.5""",
         "docs_pmi_pairs": """
 WITH t AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                               x -> length(x) > 0) AS toks
@@ -5254,4 +5237,7 @@ FROM k GROUP BY lang ORDER BY lang""",
     }
     # exhaustive-probe IVF-PQ must equal plain PQ exactly: same oracle
     out["emb_ivfpq_topk"] = out["emb_pq_topk"]
+    # the prefix-filtered gate must check against the IDENTICAL oracle —
+    # structural aliasing, not a second copy of the SQL text
+    out["docs_containment_prefix"] = out["docs_containment"]
     return out

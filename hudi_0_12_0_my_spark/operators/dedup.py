@@ -494,15 +494,18 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 
 
 # ------------------------------------------------------------ n-gram jaccard
-def _gram_pair_overlap(df: DataFrame, text_col: str, id_col: str, n: int,
+def _capped_gram_index(df: DataFrame, text_col: str, id_col: str, n: int,
                        max_shingle_freq: int) -> DataFrame:
-    """(id_a, id_b, na, nb, inter) — distinct word-n-gram set sizes and
-    intersection for every pair sharing at least one gram, via an
-    inverted-index self-join on the gram hash (never all-pairs).
-
-    Stop-shingle skew control: shingles occurring in > max_shingle_freq docs
-    are dropped before the join (they would otherwise dominate the shuffle at
-    scale while contributing almost no discrimination).
+    """(id, n_grams, g, _freq) — the stop-capped inverted index BOTH
+    overlap operators (brute and prefix-filtered) share, so their
+    intersection semantics can never drift apart:
+    - `n_grams` is the FULL (pre-cap) distinct-gram set size — the
+      jaccard/containment denominators use the true set sizes;
+    - the cap only thins the JOIN: grams in > max_shingle_freq docs are
+      dropped from the index (they dominate the shuffle at scale while
+      contributing almost no discrimination), so `inter` counts shared
+      UNCAPPED grams on both paths;
+    - `_freq` is the gram's doc frequency (the prefix filter ranks by it).
     """
     df = _spread_cpu_heavy(df, id_col)
     # token array materialized before the gram lambda references it (an
@@ -522,7 +525,18 @@ def _gram_pair_overlap(df: DataFrame, text_col: str, id_col: str, n: int,
                .withColumn("n_grams", F.size("grams")).filter("n_grams > 0")
     inv = docs.select(id_col, "n_grams", F.explode("grams").alias("g"))
     freq = inv.groupBy("g").count().filter(F.col("count") <= max_shingle_freq)
-    inv = inv.join(freq.select("g"), "g")
+    return inv.join(freq.withColumnRenamed("count", "_freq"), "g")
+
+
+def _gram_pair_overlap(df: DataFrame, text_col: str, id_col: str, n: int,
+                       max_shingle_freq: int) -> DataFrame:
+    """(id_a, id_b, na, nb, inter) — distinct word-n-gram set sizes and
+    intersection for every pair sharing at least one (uncapped) gram, via
+    an inverted-index self-join on the gram hash (never all-pairs).
+    Set sizes and cap semantics: `_capped_gram_index`.
+    """
+    inv = _capped_gram_index(df, text_col, id_col, n, max_shingle_freq) \
+        .drop("_freq")
     a, b = inv.alias("a"), inv.alias("b")
     common = (a.join(b, (F.col("a.g") == F.col("b.g"))
                      & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -657,21 +671,28 @@ def ngram_containment_pairs_prefix(df: DataFrame, text_col: str = "text",
     corpus-scale path: identical output, far fewer candidate pairs.
 
     Pigeonhole bound (Chaudhuri/Xiao prefix filter, adapted to containment
-    over the MIN set size): if C(A,B) = |A∩B|/min(|A|,|B|) >= t and A is the
-    smaller side, A misses at most |A| - ceil(t*|A|) grams of B, so ANY
-    fixed subset of |A| - ceil(t*|A|) + 1 of A's grams must hit B. Probing
-    each doc's GLOBALLY RAREST grams (frequency-ascending prefix) makes the
-    candidate join touch the thin end of the gram-frequency distribution —
-    at t=0.9 that is ~10% of the inverted index on the probe side — while
-    recall stays exact: every qualifying pair is generated via its smaller
-    member's prefix. Verification then computes the true intersection with
-    one JVM `array_intersect` per candidate (gram arrays ride along two key
-    joins; no Python, no re-shuffle of the corpus).
+    over the MIN set size): a qualifying pair has inter >= t * min(na, nb)
+    shared UNCAPPED grams, so the smaller-by-full-size member A shares at
+    least ceil(t*na) of its CAPPED grams with B — meaning any fixed subset
+    of |A_capped| - ceil(t*na) + 1 of A's capped grams must hit B. Probing
+    each doc's GLOBALLY RAREST grams (frequency-ascending prefix, +1 slack
+    gram to absorb float rounding in ceil(t*n)) makes the candidate join
+    touch the thin end of the gram-frequency distribution — at t=0.9 that
+    is ~10% of the inverted index on the probe side — while recall stays
+    exact: every qualifying pair is generated via its smaller member's
+    prefix. Verification then computes the true intersection with one JVM
+    `array_intersect` per candidate.
 
     Same output contract as ngram_containment_pairs: (id_a, id_b, na, nb,
-    containment), id_a < id_b, containment >= threshold. The stop-shingle
-    cap applies to BOTH stages (the brute operator drops capped grams from
-    the intersection too, so results match exactly).
+    containment), id_a < id_b, containment >= threshold (0 < t <= 1).
+    Both operators read the SAME `_capped_gram_index`: na/nb are the full
+    pre-cap set sizes, `inter` counts only uncapped grams — results match
+    exactly, including when the stop-shingle cap triggers.
+
+    The per-doc materialization (capped grams + frequency, one row per doc)
+    is persisted and reused by all three stages; at true corpus scale
+    materialize the index to a table instead (the `minhash_index_rows`
+    pattern) rather than caching it.
 
     MEASURED trade-off (equality verified both tiers): on the synthetic
     small-vocabulary testdata the prefix filter does NOT win — sf0.1
@@ -685,48 +706,46 @@ def ngram_containment_pairs_prefix(df: DataFrame, text_col: str = "text",
     corpus is small enough that pair density, not candidate generation, is
     the bound.
     """
-    df = _spread_cpu_heavy(df, id_col)
-    tokd = df.select(id_col,
-                     F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-                     .alias("_toks"))
-    toks = F.col("_toks")
-    m = F.size(toks) - (n - 1)
-    grams = F.when(m >= 1, F.array_distinct(F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n)))))) \
-        .otherwise(F.array().cast("array<bigint>"))
-    docs = tokd.select(id_col, grams.alias("grams"))
-    inv = docs.select(id_col, F.explode("grams").alias("g"))
-    freq = inv.groupBy("g").count()
-    # stop-shingle cap first (mirrors the brute operator), then the
-    # frequency-ascending prefix per doc
-    inv_f = (inv.join(freq.filter(F.col("count") <= max_shingle_freq), "g")
-             .withColumnRenamed("count", "_freq"))
-    sizes = (inv_f.groupBy(id_col)
-             .agg(F.count(F.lit(1)).cast("int").alias("n_grams")))
-    probe_k = F.col("n_grams") - F.ceil(F.lit(float(threshold))
-                                        * F.col("n_grams")).cast("int") + 1
-    w = Window.partitionBy(id_col).orderBy(F.asc("_freq"), F.asc("g"))
-    probes = (inv_f.join(sizes, id_col)
-              .withColumn("_rk", F.row_number().over(w))
-              .filter(F.col("_rk") <= probe_k)
-              .select(F.col(id_col).alias("_pid"), "g"))
-    cand = (probes.join(inv_f.select(F.col(id_col).alias("_iid"), "g"), "g")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    inv_f = _capped_gram_index(df, text_col, id_col, n, max_shingle_freq)
+    # ONE per-doc materialization all three stages reuse: capped grams
+    # sorted frequency-ascending, plus the FULL set size for the
+    # denominator (one corpus pass instead of three)
+    per_doc = (inv_f.groupBy(id_col)
+               .agg(F.sort_array(F.collect_list(
+                        F.struct(F.col("_freq").alias("f"), F.col("g"))))
+                    .alias("_gf"),
+                    F.first("n_grams").cast("bigint").alias("n_full"))
+               .withColumn("_grams",
+                           F.transform("_gf", lambda x: x["g"])))
+    per_doc = per_doc.persist()
+    # pigeonhole prefix over the CAPPED set, required overlap from the FULL
+    # size; +1 slack gram absorbs any float rounding in ceil(t * n_full)
+    probe_k = (F.size("_gf")
+               - F.ceil(F.lit(float(threshold))
+                        * F.col("n_full").cast("double")).cast("int") + 2)
+    probes = (per_doc
+              .select(F.col(id_col).alias("_pid"),
+                      F.explode(F.slice("_gf", 1,
+                                        F.greatest(probe_k, F.lit(0))))
+                      .alias("_p"))
+              .select("_pid", F.col("_p.g").alias("g")))
+    index = per_doc.select(F.col(id_col).alias("_iid"),
+                           F.explode("_grams").alias("g"))
+    cand = (probes.join(index, "g")
             .filter(F.col("_pid") != F.col("_iid"))
             .select(F.least("_pid", "_iid").alias("id_a"),
                     F.greatest("_pid", "_iid").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
     # verify: exact intersection of the CAPPED gram sets (array_intersect,
-    # JVM) — capped sets so brute and prefix variants agree exactly
-    capped = (inv_f.groupBy(id_col)
-              .agg(F.collect_list("g").alias("grams"),
-                   F.count(F.lit(1)).cast("bigint").alias("n_grams")))
-    a = capped.select(F.col(id_col).alias("id_a"),
-                      F.col("grams").alias("_ga"),
-                      F.col("n_grams").alias("na"))
-    b = capped.select(F.col(id_col).alias("id_b"),
-                      F.col("grams").alias("_gb"),
-                      F.col("n_grams").alias("nb"))
+    # JVM), denominators from the FULL sizes — brute semantics exactly
+    a = per_doc.select(F.col(id_col).alias("id_a"),
+                       F.col("_grams").alias("_ga"),
+                       F.col("n_full").alias("na"))
+    b = per_doc.select(F.col(id_col).alias("id_b"),
+                       F.col("_grams").alias("_gb"),
+                       F.col("n_full").alias("nb"))
     inter = F.size(F.array_intersect("_ga", "_gb")).cast("long")
     cont = inter / F.least("na", "nb")
     return (cand.join(a, "id_a").join(b, "id_b")

@@ -252,6 +252,11 @@ def histogram_quantiles(df: DataFrame, value_col: str, qs: list[float],
     <= bins rows, a literal-array explode of qs, a min-bin pick per (group,
     q). The raw values never shuffle.
     """
+    if bins < 1 or not hi > lo:
+        raise ValueError(f"need hi > lo and bins >= 1, got [{lo}, {hi}) x {bins}")
+    bad = [q for q in qs if not 0.0 <= q <= 1.0]
+    if bad:
+        raise ValueError(f"quantiles must be in [0, 1], got {bad}")
     gcols = list(group_cols or [])
     width = (hi - lo) / bins
     cells = histogram_cells(df, value_col, lo, hi, bins, gcols)

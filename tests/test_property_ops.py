@@ -334,16 +334,20 @@ def test_hll_register_model_equivalence(spark, keys):
     assert got == model
 
 
-@given(CORPUS, st.sampled_from([0.5, 0.75, 0.9]))
+@given(CORPUS, st.sampled_from([0.35, 0.5, 0.66, 0.75, 0.9]),
+       st.sampled_from([2, 1000]))
 @PROP
-def test_containment_prefix_filter_equals_brute(spark, texts, t):
+def test_containment_prefix_filter_equals_brute(spark, texts, t, cap):
     """Prefix-filtered containment must return EXACTLY the brute
     inverted-join results (the pigeonhole recall bound is exact, not
-    approximate) on random corpora at several thresholds."""
+    approximate) on random corpora — including rounding-hostile thresholds
+    (0.35, 0.66) and a stop-shingle cap small enough to actually trigger
+    (cap=2 on a 3-letter alphabet drops most grams)."""
     df = _df(spark, texts)
     brute = {(r["id_a"], r["id_b"], r["na"], r["nb"], round(r["containment"], 9))
-             for r in ops.ngram_containment_pairs(df, n=2, threshold=t).collect()}
+             for r in ops.ngram_containment_pairs(
+                 df, n=2, threshold=t, max_shingle_freq=cap).collect()}
     pref = {(r["id_a"], r["id_b"], r["na"], r["nb"], round(r["containment"], 9))
             for r in ops.ngram_containment_pairs_prefix(
-                df, n=2, threshold=t).collect()}
+                df, n=2, threshold=t, max_shingle_freq=cap).collect()}
     assert pref == brute
