@@ -29,9 +29,10 @@ from .pipeline import (chunk_documents, contaminated_ids, curate,
                        split_dataset, dsir_logweights, dsir_sample,
                        perplexity_buckets, curate_urls, weighted_sample,
                        temperature_sample, shard_plan, segment_filter,
-                       mixture_plan)
+                       mixture_plan, boilerplate_filter)
 from .sessions import (sessionize, session_stats, funnel_stats,
-                       cohort_retention, top_paths, event_transitions)
+                       cohort_retention, top_paths, event_transitions,
+                       rfm_segments, count_anomalies)
 from .similarity import (cosine_topk, ivf_cosine_topk,
                          embedding_near_dup_pairs, hyperplane_signatures,
                          lsh_cosine_topk, semantic_dedup, kmeans_assign,
@@ -42,14 +43,15 @@ from .similarity import (cosine_topk, ivf_cosine_topk,
 from .joins import interval_join, salted_join
 from .lm import (lm_log_prob, lm_outliers, linear_text_score,
                  tfidf_keywords, cluster_topics)
-from .profile import profile
+from .profile import profile, basket_pairs
 from .sketches import (cms_cells, heavy_hitters, hll_distinct,
                        histogram_cells, histogram_quantiles)
 from .temporal import asof_join, resample
 from .textstats import (with_token_stats, with_quality_score,
                         with_language_id, with_fingerprint,
                         with_repetition_stats, top_ngrams, bm25_topk,
-                        with_char_entropy, bpe_pair_counts, pmi_top_pairs)
+                        with_char_entropy, bpe_pair_counts, pmi_top_pairs,
+                        with_gopher_quality)
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
@@ -67,7 +69,7 @@ __all__ = [
     "with_fingerprint", "with_repetition_stats", "top_ngrams", "bm25_topk",
     "lm_log_prob", "lm_outliers", "linear_text_score", "tfidf_keywords",
     "cluster_topics",
-    "profile", "asof_join", "resample", "interval_join", "salted_join",
+    "profile", "basket_pairs", "asof_join", "resample", "interval_join", "salted_join",
     "with_media_columns", "extract_features", "frame_sample_plan",
     "phash_near_dup",
     "resize_plan", "audio_chunk_plan",
@@ -79,10 +81,10 @@ __all__ = [
     "percentile_filter", "mixture_sample", "quota_cap", "rrf_fuse",
     "split_dataset", "dsir_logweights", "dsir_sample",
     "perplexity_buckets", "curate_urls", "weighted_sample",
-    "temperature_sample", "with_char_entropy", "shard_plan",
-    "segment_filter", "mixture_plan", "bpe_pair_counts",
+    "temperature_sample", "with_char_entropy", "with_gopher_quality", "shard_plan",
+    "segment_filter", "mixture_plan", "bpe_pair_counts", "boilerplate_filter",
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
-    "top_paths", "event_transitions",
+    "top_paths", "event_transitions", "rfm_segments", "count_anomalies",
     "cms_cells", "heavy_hitters", "hll_distinct",
     "histogram_cells", "histogram_quantiles",
     "ngram_containment_pairs", "ngram_containment_pairs_prefix",

@@ -940,3 +940,70 @@ def mixture_plan(df: DataFrame, group_col: str,
             .select("group", "available_tokens",
                     F.round("_share", 6).alias("share"),
                     "assigned_tokens", "epochs"))
+
+def boilerplate_filter(df: DataFrame, min_docs: int = 2, window: int = 20,
+                       sep: str | None = None, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       joiner: str | None = None) -> DataFrame:
+    """CCNet/Dolma-style boilerplate removal: drop EVERY occurrence of any
+    segment that appears in >= `min_docs` DISTINCT documents, then
+    reassemble the survivors. The complement of `segment_dedup` (dedup.py):
+    dedup keeps one copy of repeated content; this removes repeated content
+    entirely — the right semantics for navigation bars, cookie banners and
+    license headers, where the repeated segment is junk in ALL its hosts.
+
+    Segments split on `sep` (real line/paragraph filtering) or fixed
+    `window`-token spans for corpora without structure. Returns
+    (id, text_filtered, n_segments, n_kept); a document made entirely of
+    boilerplate comes back with empty text and n_kept = 0.
+
+    Shape for 100 TB: segment explode (map-only) -> ONE shuffle counting
+    distinct host docs per segment hash (partial agg; 128-bit md5 keys are
+    uniform, no skew) -> the frequent-segment set is Zipf-SMALL (content
+    repeated across >= min_docs docs is by definition the head of the
+    distribution), so it BROADCASTS into a left-anti probe -> ONE shuffle
+    on id to reassemble. The corpus itself shuffles once.
+    """
+    if min_docs < 2:
+        raise ValueError("boilerplate_filter: min_docs must be >= 2 "
+                         "(1 would drop every segment)")
+    nonempty = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    if sep is not None:
+        segs_expr = F.filter(F.split(F.col(text_col), sep),
+                             lambda s: F.length(F.trim(s)) > 0)
+        segd = nonempty.select(F.col(id_col).alias("id"),
+                               segs_expr.alias("_segs"))
+    else:
+        tokd = nonempty.select(F.col(id_col).alias("id"),
+                               F.split(F.trim(F.col(text_col)), r"\s+")
+                               .alias("_toks"))
+        toks = F.col("_toks")
+        nseg = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+        segd = tokd.select("id", F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice(
+                toks, i * window + 1, window))).alias("_segs"))
+    ex = (segd.select("id", F.posexplode("_segs").alias("seg_idx", "seg"))
+          .withColumn("_h", F.md5(F.col("seg").cast("binary"))))
+    boiler = (ex.groupBy("_h")
+              .agg(F.count_distinct("id").alias("_nd"))
+              .filter(F.col("_nd") >= min_docs)
+              .select("_h"))
+    kept = ex.join(F.broadcast(boiler), "_h", "left_anti")
+    if joiner is None:
+        joiner = " " if sep is None else "\n\n"
+    totals = (segd.select("id",
+                          F.size("_segs").cast("bigint").alias("n_segments"))
+              .filter(F.col("n_segments") > 0))
+    return (totals
+            .join(kept.groupBy("id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                F.concat_ws(joiner, F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s.seg)).alias("text_filtered")), "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("text_filtered", F.lit(""))
+                    .alias("text_filtered"),
+                    "n_segments",
+                    F.coalesce("n_kept", F.lit(0).cast("bigint"))
+                    .alias("n_kept")))

@@ -68,3 +68,61 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             .alias("max_str")))
     return (row.select(F.explode(F.array(*entries)).alias("p"))
             .select("p.*"))
+
+
+def basket_pairs(df: DataFrame, order_col: str = "l_orderkey",
+                 item_col: str = "l_partkey", buckets: int | None = None,
+                 k: int = 25, min_count: int = 1) -> DataFrame:
+    """Market-basket pair mining: for every unordered item pair
+    co-occurring in an order, the co-occurrence count and the lift
+    n_ab * N / (n_a * n_b) (lift > 1 = the items attract). `buckets`
+    optionally coarsens items to `item % buckets` classes — the standard
+    trick when raw SKUs are too sparse for pair statistics.
+
+    Returns the top `k` pairs by (count desc, item_a, item_b):
+    (item_a, item_b, n_orders, lift). Counts are exact integers; lift is
+    one float expression over them, rounded for display.
+
+    Shape for 100 TB: distinct (order, item) + per-order collect_set are
+    ONE shuffle on the order key; pair explosion is map-only and bounded
+    by the per-order basket size SQUARED (baskets are small — cap upstream
+    if a pathological order has thousands of items); pair counting is a
+    partial-aggregated shuffle on the pair; per-item counts and the order
+    total are model-sized broadcasts; the top-k is a TakeOrdered, never a
+    global sort.
+    """
+    if k < 1 or min_count < 1:
+        raise ValueError("basket_pairs: k and min_count must be >= 1")
+    item = F.col(item_col)
+    if buckets is not None:
+        item = item % buckets
+    items = (df.select(F.col(order_col).alias("o"),
+                       item.cast("bigint").alias("i"))
+             .distinct())
+    sets = items.groupBy("o").agg(F.sort_array(F.collect_set("i"))
+                                  .alias("its"))
+    its = F.col("its")
+    pairs = sets.select(F.explode(F.flatten(F.transform(
+        its, lambda a, i: F.transform(
+            F.slice(its, i + 2, F.size(its)),
+            lambda b: F.struct(a.alias("item_a"), b.alias("item_b")))))
+    ).alias("p")).select("p.item_a", "p.item_b")
+    c_ab = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    c_i = items.groupBy("i").agg(F.count(F.lit(1)).cast("bigint")
+                                 .alias("n_i"))
+    n_tot = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    scored = (c_ab
+              .filter(F.col("n_orders") >= min_count)
+              .join(F.broadcast(c_i.withColumnRenamed("i", "item_a")
+                                .withColumnRenamed("n_i", "n_a")), "item_a")
+              .join(F.broadcast(c_i.withColumnRenamed("i", "item_b")
+                                .withColumnRenamed("n_i", "n_b")), "item_b")
+              .crossJoin(F.broadcast(n_tot))
+              .select("item_a", "item_b", "n_orders",
+                      F.round((F.col("n_orders").cast("double")
+                               * F.col("n_baskets"))
+                              / (F.col("n_a").cast("double")
+                                 * F.col("n_b")), 6).alias("lift")))
+    return scored.orderBy(F.col("n_orders").desc(), "item_a",
+                          "item_b").limit(k)

@@ -236,3 +236,99 @@ def event_transitions(df: DataFrame, user_col: str = "user_id",
     return counts.select(
         "src", "dst", "n",
         F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"))
+
+
+def rfm_segments(df: DataFrame, n_tiles: int = 5,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation: per-user
+    days-since-last-event (vs the corpus max date), event count, and exact
+    decimal value sum, each cut into `n_tiles` equal-population tiles
+    (tile 1 = best: most recent / most frequent / highest value).
+
+    Returns (user, recency_days, frequency, monetary, r_tile, f_tile,
+    m_tile, segment) with segment = concatenated tile digits ("111" =
+    champions). Monetary sums as DECIMAL(18,2) so the fold is
+    order-insensitive; ntile ordering ties break on the user id, keeping
+    every tile assignment total and deterministic.
+
+    Shape for 100 TB: ONE partial-aggregated shuffle of events down to the
+    per-user table, a broadcast of the 1-row corpus max date, then ntile
+    windows over the AGGREGATE (orders of magnitude smaller than events).
+    The global ntile sort is the one scale liability — beyond ~10^9 users
+    swap the exact tiles for percentile_approx boundaries broadcast back
+    (percentile_filter's approx shape); at that point tile edges are
+    sketch-approximate, which segmentation tolerates.
+    """
+    if n_tiles < 1:
+        raise ValueError("rfm_segments: n_tiles must be >= 1")
+    per_user = (df.groupBy(F.col(user_col).alias("user"))
+                .agg(F.max(F.to_date(ts_col)).alias("_last"),
+                     F.count(F.lit(1)).cast("bigint").alias("frequency"),
+                     F.sum(F.col(value_col).cast("decimal(18,2)"))
+                     .alias("_mon")))
+    ref = df.agg(F.max(F.to_date(ts_col)).alias("_ref"))
+    base = (per_user.crossJoin(F.broadcast(ref))
+            .select("user",
+                    F.datediff("_ref", "_last").cast("bigint")
+                    .alias("recency_days"),
+                    "frequency",
+                    F.col("_mon").cast("double").alias("monetary")))
+    r_w = Window.orderBy(F.col("recency_days"), F.col("user"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user"))
+    return (base
+            .withColumn("r_tile", F.ntile(n_tiles).over(r_w))
+            .withColumn("f_tile", F.ntile(n_tiles).over(f_w))
+            .withColumn("m_tile", F.ntile(n_tiles).over(m_w))
+            .withColumn("segment", F.concat_ws("", "r_tile", "f_tile",
+                                               "m_tile")))
+
+
+def count_anomalies(df: DataFrame, z: float = 3.0, min_days: int = 3,
+                    user_col: str = "user_id",
+                    ts_col: str = "ts") -> DataFrame:
+    """Per-user daily-volume anomaly detection: flag (user, day) cells
+    whose event count exceeds that user's own mean by more than `z`
+    population standard deviations — the bot-burst / incident detector a
+    100 TB event pipeline runs before training on behavioral data.
+
+    The test is INTEGER-EXACT: with per-user integer sums S1 = sum(c),
+    S2 = sum(c^2) over n days, `c > mean + z*sigma` rearranges to
+    (n*c - S1)^2 > z^2 * (n*S2 - S1^2) with c above the mean — no float
+    accumulation anywhere, so any engine replays the verdict bit-for-bit.
+    The reported zscore is then two IEEE ops on exact integers (one sqrt,
+    one divide), rounded for display.
+
+    Returns anomalous (user, day, c, n_days, zscore) rows only. Shape for
+    100 TB: ONE shuffle to (user, day) counts (partial agg), then
+    user-partitioned windows on the per-user-DAY table (bounded: <= days
+    per user rows each) — no global sort, no second data shuffle (the
+    window reuses the groupBy partitioning on the user prefix).
+    """
+    if min_days < 2:
+        raise ValueError("count_anomalies: min_days must be >= 2 "
+                         "(variance needs at least 2 observations)")
+    daily = (df.groupBy(F.col(user_col).alias("user"),
+                        F.to_date(ts_col).alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    w = Window.partitionBy("user")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("c").over(w)
+    s2 = F.sum(F.col("c") * F.col("c")).over(w)
+    dev = n * F.col("c") - s1                   # n*(c - mean), integer
+    var_n2 = n * s2 - s1 * s1                   # n^2 * variance, integer
+    flagged = (daily
+               .withColumn("n_days", n.cast("bigint"))
+               .withColumn("_dev", dev)
+               .withColumn("_var_n2", var_n2)
+               .filter((F.col("n_days") >= min_days)
+                       & (F.col("_dev") > 0)
+                       & (F.col("_var_n2") > 0)
+                       & (F.col("_dev") * F.col("_dev")
+                          > F.lit(float(z * z)) * F.col("_var_n2"))))
+    return (flagged
+            .withColumn("zscore",
+                        F.round(F.col("_dev")
+                                / F.sqrt(F.col("_var_n2")), 6))
+            .select("user", "day", "c", "n_days", "zscore"))

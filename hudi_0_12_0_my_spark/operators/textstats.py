@@ -418,3 +418,68 @@ def pmi_top_pairs(df: DataFrame, window: int = 3, k: int = 20,
     return (top.withColumn("rank", F.row_number().over(w))  # k rows only
             .select(F.col("rank").cast("int").alias("rank"),
                     "tok_a", "tok_b", "c_ab", "c_a", "c_b", "score"))
+
+# Gopher (Rae'21 App. A1.1) required stop words: a doc must contain >= 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def with_gopher_quality(df: DataFrame, text_col: str = "text",
+                        min_words: int = 50, max_words: int = 100_000,
+                        min_mean_word_len: float = 3.0,
+                        max_mean_word_len: float = 10.0,
+                        max_symbol_ratio: float = 0.1,
+                        min_alpha_word_frac: float = 0.8,
+                        min_stop_hits: int = 2,
+                        max_bullet_line_frac: float = 0.9,
+                        max_ellipsis_line_frac: float = 0.3) -> DataFrame:
+    """Gopher quality rules (Rae'21 Appendix A1.1) as one map-only pass:
+    word-count bounds, mean word length bounds, symbol-to-word ratio
+    (# and ...), fraction of words containing an alphabetic character,
+    required-stop-word hits, and bullet-/ellipsis-line fractions. Adds the
+    measured metrics plus a `pass_gopher` verdict so callers can either
+    filter or audit rule-by-rule.
+
+    All metrics are integer counts until one final IEEE division each
+    (bit-portable across engines). Shape for 100 TB: pure column
+    expressions — a single narrow map stage at scan speed, no shuffle.
+    """
+    c = F.col(text_col)
+    toks = _ws_tokens(c)
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1))
+    # total non-whitespace chars == sum of word lengths, without a HOF fold
+    n_chars = F.length(F.regexp_replace(c, r"\s", ""))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = ((F.length(c) - F.length(F.replace(c, F.lit("..."),
+                                                    F.lit("")))) / 3
+                  ).cast("bigint")
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(toks, stop_arr))
+    lines = F.filter(F.split(c, r"\n"),
+                     lambda s: F.length(F.trim(s)) > 0)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(F.filter(lines, lambda s: F.trim(s).rlike(r"^[-*•]")))
+    n_ell_end = F.size(F.filter(lines, lambda s: F.trim(s).endswith("...")))
+    mean_wl = n_chars / nw
+    sym_ratio = (n_hash + n_ellipsis) / nw
+    alpha_frac = n_alpha_words / nw
+    bullet_frac = n_bullet / n_lines
+    ell_frac = n_ell_end / n_lines
+    passes = ((n_words >= min_words) & (n_words <= max_words)
+              & (mean_wl >= min_mean_word_len)
+              & (mean_wl <= max_mean_word_len)
+              & (sym_ratio <= max_symbol_ratio)
+              & (alpha_frac >= min_alpha_word_frac)
+              & (stop_hits >= min_stop_hits)
+              & (bullet_frac <= max_bullet_line_frac)
+              & (ell_frac <= max_ellipsis_line_frac))
+    return (df
+            .withColumn("n_words", n_words.cast("bigint"))
+            .withColumn("mean_word_len", F.round(mean_wl, 6))
+            .withColumn("symbol_ratio", F.round(sym_ratio, 6))
+            .withColumn("alpha_word_frac", F.round(alpha_frac, 6))
+            .withColumn("stop_hits", stop_hits.cast("bigint"))
+            .withColumn("bullet_line_frac", F.round(bullet_frac, 6))
+            .withColumn("ellipsis_line_frac", F.round(ell_frac, 6))
+            .withColumn("pass_gopher", passes))

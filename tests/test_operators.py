@@ -1422,3 +1422,160 @@ def test_temperature_sample_flattens_mixture(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         temperature_sample(df, "grp", tau=1.5)
+
+
+# ---------------------------------------------------------------- round 4c
+
+
+def test_boilerplate_filter_drops_all_copies(spark):
+    # segment "nav bar" (sep mode) occurs in docs 1,2,3 -> removed from ALL;
+    # unique paragraphs survive; doc 3 (boilerplate-only) empties
+    df = spark.createDataFrame(
+        [(1, "nav bar\n\nunique alpha content"),
+         (2, "nav bar\n\nunique beta content"),
+         (3, "nav bar"),
+         (4, "standalone gamma text")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in ops.boilerplate_filter(
+        df, min_docs=2, sep=r"\n\n+").collect()}
+    assert out[1].text_filtered == "unique alpha content"
+    assert out[2].text_filtered == "unique beta content"
+    assert out[3].text_filtered == "" and out[3].n_kept == 0
+    assert out[4].text_filtered == "standalone gamma text"
+    assert out[1].n_segments == 2 and out[1].n_kept == 1
+
+
+def test_boilerplate_filter_threshold_and_window_mode(spark):
+    # with min_docs=3 a 2-doc repeat SURVIVES; window mode segments by tokens
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in ops.boilerplate_filter(
+        df, min_docs=3, window=2).collect()}
+    assert out[1].n_kept == 2 and out[2].n_kept == 2
+    out2 = {r.doc_id: r for r in ops.boilerplate_filter(
+        df, min_docs=2, window=2).collect()}
+    assert out2[1].n_kept == 0 and out2[3].n_kept == 2
+    with pytest.raises(ValueError):
+        ops.boilerplate_filter(df, min_docs=1)
+
+
+def test_gopher_quality_rules_fire_individually(spark):
+    long_good = ("the good document " * 20).strip()          # 60 words
+    short = "the tiny doc"                                    # word count
+    low_mwl = ("a b c d " * 15).strip()                       # mean len 1
+    symbols = (("#ref " * 30) + "the word with that of").strip()
+    no_stop = ("zebra quagga okapi lemur " * 15).strip()      # 0 stop hits
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, low_mwl), (4, symbols),
+         (5, no_stop)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in ops.with_gopher_quality(
+        df, min_words=50, min_mean_word_len=3.0,
+        min_stop_hits=1).collect()}
+    assert out[1].pass_gopher
+    assert not out[2].pass_gopher and out[2].n_words == 3
+    assert not out[3].pass_gopher and out[3].mean_word_len == 1.0
+    assert not out[4].pass_gopher and out[4].symbol_ratio > 0.1
+    assert not out[5].pass_gopher and out[5].stop_hits == 0
+
+
+def test_gopher_quality_line_rules(spark):
+    bullets = "\n".join(["- item one of the list"] * 9
+                        + ["the closing prose line"])
+    ellipses = "\n".join(["the line trails off..."] * 5
+                         + ["the solid line stays here"] * 5)
+    df = spark.createDataFrame([(1, bullets), (2, ellipses)],
+                               "doc_id long, text string")
+    # relax the word-level rules so only the LINE rules decide the verdict
+    # (bullet dashes drag mean word length down; "..." feeds symbol ratio)
+    relaxed = dict(min_words=5, min_stop_hits=1, min_mean_word_len=1.0,
+                   max_symbol_ratio=1.0)
+    out = {r.doc_id: r for r in ops.with_gopher_quality(
+        df, **relaxed).collect()}
+    assert out[1].bullet_line_frac == 0.9 and out[1].pass_gopher
+    assert out[2].ellipsis_line_frac == 0.5 and not out[2].pass_gopher
+    flipped = {r.doc_id: r for r in ops.with_gopher_quality(
+        df, max_bullet_line_frac=0.8, max_ellipsis_line_frac=0.6,
+        **relaxed).collect()}
+    assert not flipped[1].pass_gopher and flipped[2].pass_gopher
+
+
+def test_rfm_segments_tiles_and_exact_monetary(spark):
+    rows = []
+    for u in range(10):
+        # user u: last event day u, u+1 events, value 0.1 each
+        for k in range(u + 1):
+            rows.append((u * 100 + k, f"2024-01-{u + 1:02d} 10:00:00",
+                         u, "buy", 0.1))
+    df = spark.createDataFrame(rows, "event_id long, ts string, "
+                               "user_id long, event_type string, "
+                               "value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r.user: r for r in ops.rfm_segments(df, n_tiles=5).collect()}
+    assert out[9].recency_days == 0 and out[0].recency_days == 9
+    assert out[9].r_tile == 1 and out[9].f_tile == 1 and out[9].m_tile == 1
+    assert out[0].segment == "555"
+    # 0.1 * 10 sums exactly under decimal accumulation
+    assert out[9].monetary == 1.0
+    with pytest.raises(ValueError):
+        ops.rfm_segments(df, n_tiles=0)
+
+
+def test_count_anomalies_matches_brute_force(spark):
+    import datetime as dt
+    import random
+    rng = random.Random(7)
+    rows, truth = [], {}
+    eid = 0
+    for u in range(20):
+        days = rng.randint(3, 12)
+        counts = [rng.randint(1, 5) for _ in range(days)]
+        if u % 4 == 0:
+            counts[rng.randrange(days)] += rng.randint(8, 20)  # burst
+        truth[u] = counts
+        for d, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, dt.datetime(2024, 1, 1 + d), u))
+                eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                               "user_id long")
+    got = {(r.user, r.day.day): r for r in
+           ops.count_anomalies(df, z=2.5, min_days=3).collect()}
+    expected = set()
+    for u, counts in truth.items():
+        n = len(counts)
+        s1, s2 = sum(counts), sum(c * c for c in counts)
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        for d, c in enumerate(counts):
+            if n >= 3 and var > 0 and c > mean \
+                    and (c - mean) ** 2 > 2.5 ** 2 * var:
+                expected.add((u, d + 1))
+    assert set(got) == expected and expected  # non-vacuous
+    for (u, d), r in got.items():
+        n = len(truth[u])
+        s1 = sum(truth[u])
+        s2 = sum(c * c for c in truth[u])
+        c = truth[u][d - 1]
+        z = (n * c - s1) / ((n * s2 - s1 * s1) ** 0.5)
+        assert abs(r.zscore - z) < 1e-5
+
+
+def test_basket_pairs_counts_and_lift(spark):
+    # orders: {1,2} x3, {1,3} x1, {2,3} x1, {1} alone x1 -> 6 baskets
+    rows = [(o, i) for o, items in enumerate(
+        [[1, 2], [1, 2], [1, 2], [1, 3], [2, 3], [1]]) for i in items]
+    # duplicate lineitems within an order must not double-count
+    rows.append((0, 1))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r.item_a, r.item_b): r for r in
+           ops.basket_pairs(df, k=10).collect()}
+    assert out[(1, 2)].n_orders == 3
+    # lift(1,2) = 3*6/(5*4) = 0.9
+    assert out[(1, 2)].lift == 0.9
+    assert out[(1, 3)].n_orders == 1 and out[(2, 3)].n_orders == 1
+    top = ops.basket_pairs(df, k=1).collect()
+    assert len(top) == 1 and (top[0].item_a, top[0].item_b) == (1, 2)
+    with pytest.raises(ValueError):
+        ops.basket_pairs(df, k=0)

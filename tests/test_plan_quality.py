@@ -765,3 +765,66 @@ def test_pmi_and_heavy_hitters_plan_shapes(spark):
     assert "TakeOrderedAndProject" in plan2
     # probe side: no join operator anywhere — the sketch is literal arrays
     assert "Join" not in plan2
+
+
+def test_boilerplate_filter_broadcasts_frequent_set(spark):
+    """boilerplate_filter: the corpus shuffles once for the distinct-doc
+    count and once for reassembly; the frequent-segment set probes as a
+    BROADCAST anti-join (it is Zipf-small), never a shuffled one; no
+    Python, no pairwise joins."""
+    from hudi_0_12_0_my_spark.operators import boilerplate_filter
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(30)))
+         for i in range(300)], "doc_id long, text string")
+    plan = _plan(boilerplate_filter(docs, min_docs=2, window=10))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the anti probe itself must be the broadcast build, not a shuffled SMJ
+    anti_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti_lines and all("BroadcastHashJoin" in l for l in anti_lines)
+
+
+def test_gopher_quality_is_map_only(spark):
+    """with_gopher_quality: pure column expressions — zero exchanges,
+    zero Python; runs at scan speed."""
+    from hudi_0_12_0_my_spark.operators import with_gopher_quality
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox with that of it") for i in range(100)],
+        "doc_id long, text string")
+    plan = _plan(with_gopher_quality(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_count_anomalies_single_data_shuffle(spark):
+    """count_anomalies: events shuffle ONCE down to (user, day) counts;
+    the per-user stats windows run on the day-grained aggregate reusing
+    the user-prefixed partitioning — no join, no second event-sized
+    exchange, no global sort."""
+    import datetime as dt
+    from hudi_0_12_0_my_spark.operators import count_anomalies
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 25), i % 30)
+            for i in range(800)]
+    ev = spark.createDataFrame(rows,
+                               "event_id long, ts timestamp, user_id long")
+    plan = _plan(count_anomalies(ev))
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_basket_pairs_broadcasts_and_takeordered(spark):
+    """basket_pairs: item counts and the basket total broadcast into the
+    pair table (model-sized), the top-k is a TakeOrdered, and nothing is
+    ever pairwise-joined at the data level."""
+    from hudi_0_12_0_my_spark.operators import basket_pairs
+    rows = [(i % 120, (i * 13) % 25) for i in range(1000)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    plan = _plan(basket_pairs(li, k=10))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
