@@ -2827,6 +2827,42 @@ def q_orders_basket_pairs(spark, sf_dir):
 
 
 
+def q_events_ab_test(spark, sf_dir):
+    """A/B experiment readout (operators/sessions.py ab_test_stats):
+    deterministic portable-hash arm split, per-event metric extracted from
+    the JSON props column ($.k), pooled two-sample t over integer sums.
+    The oracle replays the hash split, the JSON path and the exact t
+    expression tree."""
+    from hudi_0_12_0_my_spark.operators import ab_test_stats
+    ev = _read(spark, sf_dir, "events")
+    return ab_test_stats(ev, metric_path="$.k",
+                         conversion_type="purchase").select(
+        "variant", "n_users", "n_events", "n_conversions",
+        "metric_sum", "metric_mean", "t_stat", "significant")
+
+
+def q_events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per month (operators/sessions.py stickiness):
+    integer distinct counts + one IEEE division. The oracle replays both
+    distinct-count aggregations and the ratio."""
+    from hudi_0_12_0_my_spark.operators import stickiness
+    ev = _read(spark, sf_dir, "events")
+    return stickiness(ev).select("month", "n_days", "dau_sum", "mau",
+                                 "stickiness")
+
+
+def q_docs_readability(spark, sf_dir):
+    """Flesch reading-ease signal (operators/textstats.py
+    with_readability): integer word / sentence-run / vowel-group counts
+    feeding one fixed float expression. The oracle re-derives all three
+    counts (including the no-vowel syllable floor) and the score."""
+    from hudi_0_12_0_my_spark.operators import with_readability
+    docs = _read(spark, sf_dir, "documents")
+    return with_readability(docs).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch")
+
+
+
 # ------------------------------------------------------------------ contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3002,6 +3038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm": q_events_rfm,
         "events_anomaly": q_events_anomaly,
         "orders_basket_pairs": q_orders_basket_pairs,
+        "events_ab_test": q_events_ab_test,
+        "events_stickiness": q_events_stickiness,
+        "docs_readability": q_docs_readability,
     })
 
 
@@ -3029,6 +3068,7 @@ _NEVER_DRIVER_SAMPLED = [
     "hll_sketch_sync", "docs_containment_prefix", "events_value_quantiles",
     "docs_boilerplate", "docs_gopher_quality", "events_rfm",
     "events_anomaly", "orders_basket_pairs",
+    "events_ab_test", "events_stickiness", "docs_readability",
 ]
 
 
@@ -5413,6 +5453,74 @@ SELECT item_a, item_b, n_orders,
 FROM ca JOIN ci x ON ca.item_a = x.i JOIN ci y ON ca.item_b = y.i
 CROSS JOIN nt
 ORDER BY n_orders DESC, item_a, item_b LIMIT 25"""
+    out["events_ab_test"] = """
+WITH ev AS (
+  SELECT ((user_id % 1000000007) * 2654435761 + 42) % 2 AS variant,
+         user_id AS u,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS m,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events),
+arms AS (
+  SELECT variant,
+         CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(conv) AS BIGINT) AS n_conversions,
+         CAST(sum(CASE WHEN conv = 1 THEN m END) AS BIGINT) AS metric_sum,
+         CAST(sum(CASE WHEN conv = 1 THEN m * m END) AS BIGINT) AS q,
+         CAST(sum(conv) AS BIGINT) AS nm
+  FROM ev GROUP BY 1),
+pre AS (
+  SELECT CAST(a.metric_sum * b.nm - b.metric_sum * a.nm AS DOUBLE) AS dmean,
+         CAST((a.nm * a.q - a.metric_sum * a.metric_sum) * b.nm
+              + (b.nm * b.q - b.metric_sum * b.metric_sum) * a.nm
+              AS DOUBLE) AS ssw,
+         a.nm + b.nm AS ntot, a.nm + b.nm - 2 AS dof
+  FROM (SELECT * FROM arms WHERE variant = 0) a
+  CROSS JOIN (SELECT * FROM arms WHERE variant = 1) b),
+t AS (
+  SELECT CASE WHEN ssw > 0
+              THEN round(dmean / sqrt(ssw * ntot / dof), 6) END AS t_stat,
+         CASE WHEN ssw > 0
+              THEN dmean * dmean * dof > 3.8415999999999997 * ssw * ntot
+              ELSE dmean <> 0 END AS significant
+  FROM pre)
+SELECT arms.variant, arms.n_users, arms.n_events, arms.n_conversions,
+       arms.metric_sum,
+       round(arms.metric_sum / CAST(arms.nm AS DOUBLE), 6) AS metric_mean,
+       t.t_stat, t.significant
+FROM arms CROSS JOIN t"""
+    out["events_stickiness"] = """
+WITH dau AS (
+  SELECT strftime(ts, '%Y-%m') AS month, CAST(ts AS DATE) AS d,
+         count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1, 2),
+daily AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(dau) AS BIGINT) AS dau_sum
+  FROM dau GROUP BY 1),
+mau AS (SELECT strftime(ts, '%Y-%m') AS month,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM events GROUP BY 1)
+SELECT month, n_days, dau_sum, mau,
+       round(dau_sum / CAST(n_days * mau AS DOUBLE), 6) AS stickiness
+FROM daily JOIN mau USING (month)"""
+    out["docs_readability"] = """
+WITH t AS (SELECT doc_id, text AS tx,
+                  string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+m AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        greatest(len(toks), 1) AS nw,
+        greatest(len(regexp_extract_all(tx, '[.!?]+')), 1) AS n_sent,
+        len(regexp_extract_all(lower(tx), '[aeiouy]+'))
+          + len(list_filter(toks,
+                w -> NOT regexp_matches(lower(w), '[aeiouy]'))) AS vg
+      FROM t)
+SELECT doc_id, n_words, CAST(n_sent AS BIGINT) AS n_sentences,
+       CAST(greatest(vg, 1) AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (n_words / CAST(n_sent AS DOUBLE))
+             - 84.6 * (greatest(vg, 1) / CAST(nw AS DOUBLE)), 6) AS flesch
+FROM m"""
     # exhaustive-probe IVF-PQ must equal plain PQ exactly: same oracle
     out["emb_ivfpq_topk"] = out["emb_pq_topk"]
     # the prefix-filtered gate must check against the IDENTICAL oracle —

@@ -282,6 +282,25 @@ def main() -> None:
         hll_distinct(ev, "user_id", group_cols=["event_type"], p=8).count()
         pmi_top_pairs(docs, window=3, k=25, min_count=10).count()
 
+    with step("web_curation"):              # boilerplate drop + Gopher rules
+        from hudi_0_12_0_my_spark.operators import (boilerplate_filter,
+                                                    with_gopher_quality)
+        boilerplate_filter(docs, min_docs=2, window=20).count()
+        with_gopher_quality(docs, min_words=40,
+                            min_stop_hits=1).filter("pass_gopher").count()
+
+    with step("user_analytics"):            # RFM + anomaly + basket lift
+        from hudi_0_12_0_my_spark.operators import (ab_test_stats,
+                                                    basket_pairs,
+                                                    count_anomalies,
+                                                    rfm_segments,
+                                                    stickiness)
+        rfm_segments(ev, n_tiles=5).count()
+        count_anomalies(ev, z=2.5, min_days=3).count()
+        basket_pairs(li, buckets=50, k=25).count()
+        ab_test_stats(ev).count()
+        stickiness(ev).count()
+
     with step("ivf_index_sync_search"):     # stream-maintained vector index
         from hudi_0_12_0_my_spark.derived import (ivf_index_search,
                                                   sync_ivf_index)

@@ -32,7 +32,8 @@ from .pipeline import (chunk_documents, contaminated_ids, curate,
                        mixture_plan, boilerplate_filter)
 from .sessions import (sessionize, session_stats, funnel_stats,
                        cohort_retention, top_paths, event_transitions,
-                       rfm_segments, count_anomalies)
+                       rfm_segments, count_anomalies, ab_test_stats,
+                       stickiness)
 from .similarity import (cosine_topk, ivf_cosine_topk,
                          embedding_near_dup_pairs, hyperplane_signatures,
                          lsh_cosine_topk, semantic_dedup, kmeans_assign,
@@ -51,7 +52,7 @@ from .textstats import (with_token_stats, with_quality_score,
                         with_language_id, with_fingerprint,
                         with_repetition_stats, top_ngrams, bm25_topk,
                         with_char_entropy, bpe_pair_counts, pmi_top_pairs,
-                        with_gopher_quality)
+                        with_gopher_quality, with_readability)
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
@@ -85,6 +86,7 @@ __all__ = [
     "segment_filter", "mixture_plan", "bpe_pair_counts", "boilerplate_filter",
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
     "top_paths", "event_transitions", "rfm_segments", "count_anomalies",
+    "ab_test_stats", "stickiness", "with_readability",
     "cms_cells", "heavy_hitters", "hll_distinct",
     "histogram_cells", "histogram_quantiles",
     "ngram_containment_pairs", "ngram_containment_pairs_prefix",

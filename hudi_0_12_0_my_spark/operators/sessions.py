@@ -332,3 +332,119 @@ def count_anomalies(df: DataFrame, z: float = 3.0, min_days: int = 3,
                         F.round(F.col("_dev")
                                 / F.sqrt(F.col("_var_n2")), 6))
             .select("user", "day", "c", "n_days", "zscore"))
+
+
+def ab_test_stats(df: DataFrame, metric_path: str = "$.k",
+                  conversion_type: str = "purchase",
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  props_col: str = "props", variants: int = 2,
+                  t_threshold: float = 1.96) -> DataFrame:
+    """A/B experiment readout over an event stream with a JSON props
+    column: users split into `variants` arms by the engine-portable id
+    hash (deterministic, engine-replayable — the same Knuth-multiply hash
+    the sampling operators use), the per-event metric extracted from
+    `props_col` with a JSON path, and the two-arm comparison scored with a
+    pooled two-sample t statistic.
+
+    The significance VERDICT carries no float ACCUMULATION: t^2 > thr^2
+    cross-multiplies into products of the integer sums (n, S = sum metric,
+    Q = sum metric^2 per arm), evaluated in double with a fixed expression
+    tree — deterministic across engines (identical IEEE ops on identical
+    integers; beyond 2^53 the products round, identically on both sides).
+    Only defined for variants=2 (A/B); the per-arm stats rows generalize
+    to A/B/n but the t column needs exactly two arms.
+
+    Returns one row per arm: (variant, n_users, n_events, n_conversions,
+    metric_sum, metric_mean, t_stat, significant). Shape for 100 TB:
+    metric extraction is map-only; ONE partial-aggregated shuffle down to
+    the per-arm triple; the t math runs on a 2-row aggregate.
+    """
+    if variants != 2:
+        raise ValueError("ab_test_stats: t-test requires exactly 2 "
+                         "variants")
+    uid = F.col(user_col)
+    variant = ((uid % F.lit(1_000_000_007)) * F.lit(2654435761)
+               + F.lit(42)) % variants
+    metric = F.get_json_object(F.col(props_col), metric_path).cast("bigint")
+    ev = df.select(variant.alias("variant"), uid.alias("_u"),
+                   metric.alias("_m"),
+                   (F.col(type_col) == conversion_type).cast("int")
+                   .alias("_conv"))
+    arms = (ev.groupBy("variant")
+            .agg(F.count_distinct("_u").cast("bigint").alias("n_users"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum("_conv").cast("bigint").alias("n_conversions"),
+                 F.sum(F.when(F.col("_conv") == 1, F.col("_m")))
+                 .cast("bigint").alias("metric_sum"),
+                 F.sum(F.when(F.col("_conv") == 1,
+                              F.col("_m") * F.col("_m")))
+                 .cast("bigint").alias("_q"),
+                 F.sum("_conv").cast("bigint").alias("_nm")))
+    a = arms.filter(F.col("variant") == 0).alias("a")
+    b = arms.filter(F.col("variant") == 1).alias("b")
+    n1, s1, q1 = F.col("a._nm"), F.col("a.metric_sum"), F.col("a._q")
+    n2, s2, q2 = F.col("b._nm"), F.col("b.metric_sum"), F.col("b._q")
+    # pooled variance * (n1+n2-2) * n1 * n2, all integer:
+    #   ssw = (n1*Q1 - S1^2)/n1 + (n2*Q2 - S2^2)/n2  (within-group SS)
+    # keep everything over the common denominator n1*n2 to stay integral:
+    ssw_num = (n1 * q1 - s1 * s1) * n2 + (n2 * q2 - s2 * s2) * n1
+    dmean_num = s1 * n2 - s2 * n1          # (m1 - m2) * n1 * n2, integer
+    dof = n1 + n2 - F.lit(2)
+    # t^2 = dmean_num^2 * dof / (ssw_num * (n1 + n2))  -- exact rational.
+    # zero within-arm variance (ssw_num = 0) leaves t undefined: NULL t,
+    # and the difference is significant iff the means differ at all
+    # (guarding also avoids ANSI-mode divide-by-zero, which Spark raises
+    # even for doubles)
+    t_stat = F.when(
+        ssw_num > 0,
+        dmean_num.cast("double")
+        / F.sqrt(ssw_num.cast("double") * (n1 + n2) / dof))
+    thr2 = F.lit(float(t_threshold * t_threshold))
+    # doubles, not longs: the cross-multiplied products overflow int64 at
+    # modest arm sizes, and Spark longs wrap silently where DuckDB's
+    # 128-bit sums would not — double keeps both engines on the same path
+    dmean_d = dmean_num.cast("double")
+    significant = F.when(ssw_num > 0,
+                         dmean_d * dmean_d * dof
+                         > thr2 * ssw_num.cast("double") * (n1 + n2)) \
+                   .otherwise(dmean_num != 0)
+    stats = (a.crossJoin(F.broadcast(b))
+             .select(F.round(t_stat, 6).alias("t_stat"),
+                     significant.alias("significant")))
+    return (arms.crossJoin(F.broadcast(stats))
+            .select("variant", "n_users", "n_events", "n_conversions",
+                    "metric_sum",
+                    F.round(F.col("metric_sum") / F.col("_nm"), 6)
+                    .alias("metric_mean"),
+                    "t_stat", "significant"))
+
+
+def stickiness(df: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts") -> DataFrame:
+    """DAU/MAU engagement stickiness per calendar month: monthly active
+    users, the average daily active users over the month's ACTIVE days,
+    and their ratio (1.0 = every monthly user shows up every day).
+
+    stickiness = sum-of-daily-DAU / (n_days * MAU): integer counts and ONE
+    IEEE division, so the value replays bit-for-bit in any engine.
+
+    Returns (month, n_days, dau_sum, mau, stickiness). Shape for 100 TB:
+    two partial-aggregated distinct-count shuffles (per-day and per-month
+    user sets) whose results are month-sized, then a broadcast-sized join
+    on month — events never shuffle twice at full width because both
+    aggregates reduce map-side.
+    """
+    month = F.date_format(F.col(ts_col), "yyyy-MM")
+    day = F.to_date(F.col(ts_col))
+    dau = (df.groupBy(month.alias("month"), day.alias("_d"))
+           .agg(F.count_distinct(user_col).alias("_dau")))
+    daily = (dau.groupBy("month")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                  F.sum("_dau").cast("bigint").alias("dau_sum")))
+    mau = (df.groupBy(month.alias("month"))
+           .agg(F.count_distinct(user_col).cast("bigint").alias("mau")))
+    return (daily.join(mau, "month")
+            .select("month", "n_days", "dau_sum", "mau",
+                    F.round(F.col("dau_sum")
+                            / (F.col("n_days") * F.col("mau")), 6)
+                    .alias("stickiness")))

@@ -483,3 +483,38 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text",
             .withColumn("bullet_line_frac", F.round(bullet_frac, 6))
             .withColumn("ellipsis_line_frac", F.round(ell_frac, 6))
             .withColumn("pass_gopher", passes))
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease readability signal (the classic quality-stack
+    heuristic): 206.835 - 1.015 * words/sentences - 84.6 * syllables/words,
+    with sentences = terminal-punctuation runs (min 1) and syllables
+    approximated as vowel groups per word (min 1 per word — the standard
+    heuristic floor).
+
+    All three inputs are integer counts; the score is one fixed float
+    expression over them, so any engine replays it exactly. Adds n_words,
+    n_sentences, n_syllables, flesch. Map-only: runs at scan speed with no
+    shuffle.
+    """
+    c = F.col(text_col)
+    toks = _ws_tokens(c)
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1))
+    # vowel groups corpus-wide, floored at one syllable per word:
+    # count(vowel runs) + count(words with NO vowel at all)
+    n_vgroups = F.size(F.regexp_extract_all(F.lower(c),
+                                            F.lit(r"[aeiouy]+"), F.lit(0)))
+    n_novowel = F.size(F.filter(toks,
+                                lambda w: ~F.lower(w).rlike("[aeiouy]")))
+    n_syll = F.greatest(n_vgroups + n_novowel, F.lit(1))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (n_words / n_sent)
+              - F.lit(84.6) * (n_syll / nw))
+    return (df.withColumn("n_words", n_words.cast("bigint"))
+              .withColumn("n_sentences", n_sent.cast("bigint"))
+              .withColumn("n_syllables", n_syll.cast("bigint"))
+              .withColumn("flesch", F.round(flesch, 6)))

@@ -1579,3 +1579,72 @@ def test_basket_pairs_counts_and_lift(spark):
     assert len(top) == 1 and (top[0].item_a, top[0].item_b) == (1, 2)
     with pytest.raises(ValueError):
         ops.basket_pairs(df, k=0)
+
+
+def test_ab_test_stats_detects_real_effect(spark):
+    import json
+    # arm of user u = portable hash parity; build a REAL metric lift in
+    # arm 1 and verify the pooled t flags it while equal arms do not
+    def arm(u):
+        return ((u % 1000000007) * 2654435761 + 42) % 2
+    rows = []
+    eid = 0
+    for u in range(40):
+        for k in range(10):
+            base = 50 + (u * 7 + k * 3) % 11          # shared noise
+            m = base + (25 if arm(u) == 1 else 0)      # arm-1 lift
+            rows.append((eid, u, "purchase", json.dumps({"k": m})))
+            eid += 1
+            rows.append((eid, u, "view", json.dumps({"k": 0})))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, "
+                               "event_type string, props string")
+    out = {r.variant: r for r in ops.ab_test_stats(df).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_users + out[1].n_users == 40
+    assert out[1].metric_mean - out[0].metric_mean > 20
+    assert out[0].significant and out[1].significant
+    assert abs(out[0].t_stat) > 1.96
+    # conversions only: views with k=0 must not pollute the metric sums
+    assert out[0].n_conversions * 2 == out[0].n_events
+    # identical arms -> not significant
+    flat = spark.createDataFrame(
+        [(i, u, "purchase", json.dumps({"k": 50}))
+         for i, u in enumerate(range(40))],
+        "event_id long, user_id long, event_type string, props string")
+    res = ops.ab_test_stats(flat).collect()
+    assert all(not r.significant for r in res)
+    with pytest.raises(ValueError):
+        ops.ab_test_stats(df, variants=3)
+
+
+def test_stickiness_ratio(spark):
+    import datetime as dt
+    rows = []
+    # Jan: user 0 active all 4 tracked days, user 1 one day
+    for d in (1, 2, 3, 4):
+        rows.append((0, dt.datetime(2024, 1, d)))
+    rows.append((1, dt.datetime(2024, 1, 2)))
+    # Feb: both users, one day -> stickiness 1.0
+    rows += [(0, dt.datetime(2024, 2, 5)), (1, dt.datetime(2024, 2, 5))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.month: r for r in ops.stickiness(df).collect()}
+    jan = out["2024-01"]
+    assert jan.n_days == 4 and jan.mau == 2 and jan.dau_sum == 5
+    assert jan.stickiness == round(5 / (4 * 2), 6)
+    assert out["2024-02"].stickiness == 1.0
+
+
+def test_readability_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"),
+         (2, "unpunctuated stream of words"),
+         (3, "xyz zzz")],                    # no vowels -> 1 syll per word
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in ops.with_readability(df).collect()}
+    assert out[1].n_sentences == 2 and out[1].n_words == 6
+    assert out[2].n_sentences == 1            # floor
+    assert out[3].n_syllables == 2             # no-vowel floor per word
+    # flesch formula replay for doc 1: 6 words, 2 sentences, 6 syllables
+    assert out[1].n_syllables == 6
+    assert out[1].flesch == round(206.835 - 1.015 * 3 - 84.6 * 1.0, 6)

@@ -828,3 +828,31 @@ def test_basket_pairs_broadcasts_and_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_ab_and_stickiness_plan_shapes(spark):
+    """ab_test_stats: JSON extraction map-only, ONE event-sized exchange
+    (the arm aggregate); stickiness: both distinct-counts partial-agg.
+    Neither touches Python."""
+    import json
+    from hudi_0_12_0_my_spark.operators import ab_test_stats, stickiness
+    import datetime as dt
+    rows = [(i, dt.datetime(2024, 1 + i % 3, 1 + i % 25), i % 50, "purchase",
+             json.dumps({"k": i % 90})) for i in range(600)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                               "user_id long, event_type string, "
+                               "props string")
+    p1 = _plan(ab_test_stats(ev))
+    assert "BatchEvalPython" not in p1
+    assert "CartesianProduct" not in p1
+    p2 = _plan(stickiness(ev))
+    assert "BatchEvalPython" not in p2
+    assert "partial_count(distinct" in p2 or "partial_count_distinct" in p2
+
+
+def test_readability_is_map_only(spark):
+    from hudi_0_12_0_my_spark.operators import with_readability
+    docs = spark.createDataFrame([(1, "the words flow. more words!")],
+                                 "doc_id long, text string")
+    plan = _plan(with_readability(docs))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

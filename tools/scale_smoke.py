@@ -67,6 +67,26 @@ def build_sf1(spark) -> None:
     eout.repartition(32).write.mode("overwrite").parquet(
         os.path.join(SF1, "embeddings.parquet"))
 
+    # events: replicate users (user_id*R+r) so per-user state stays constant
+    # while the corpus and the user population both grow 10x
+    ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
+    evout = (ev.crossJoin(rep)
+             .select((F.col("event_id") * REPLICAS + F.col("_r"))
+                     .alias("event_id"), "ts",
+                     (F.col("user_id") * REPLICAS + F.col("_r"))
+                     .alias("user_id"), "event_type", "value", "props"))
+    evout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1, "events.parquet"))
+
+    # lineitem: replicate orders (basket contents preserved per replica)
+    li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
+    liout = (li.crossJoin(rep)
+             .withColumn("l_orderkey",
+                         F.col("l_orderkey") * REPLICAS + F.col("_r"))
+             .drop("_r"))
+    liout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1, "lineitem.parquet"))
+
 
 def run_tier(spark, eng, sf_dir: str, tag: str) -> dict:
     import shutil
@@ -74,8 +94,10 @@ def run_tier(spark, eng, sf_dir: str, tag: str) -> dict:
     from pyspark.sql import functions as F
 
     from hudi_0_12_0_my_spark.derived import ivf_index_search, sync_ivf_index
-    from hudi_0_12_0_my_spark.operators import (curate, dsir_sample,
-                                                dup_clusters,
+    from hudi_0_12_0_my_spark.operators import (basket_pairs,
+                                                boilerplate_filter,
+                                                count_anomalies, curate,
+                                                dsir_sample, dup_clusters,
                                                 exact_substring_dedup,
                                                 minhash_lsh_pairs,
                                                 ngram_containment_pairs,
@@ -114,6 +136,14 @@ def run_tier(spark, eng, sf_dir: str, tag: str) -> dict:
         pmi_top_pairs(docs, window=3, k=25, min_count=10).count()
     with step("containment"):         # inverted-index self-join
         ngram_containment_pairs(docs, n=3, threshold=0.5).count()
+    with step("boilerplate"):          # corpus-frequency anti-join
+        boilerplate_filter(docs, min_docs=2, window=20).count()
+    with step("anomalies"):            # (user, day) shuffle + user windows
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        count_anomalies(ev, z=2.5, min_days=3).count()
+    with step("basket_pairs"):         # basket sets + pair-count shuffle
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        basket_pairs(li, buckets=50, k=25).count()
     with step("ivf_index_sync_search"):
         root = os.path.join(BENCH_ROOT, tag)
         shutil.rmtree(root, ignore_errors=True)
@@ -149,7 +179,7 @@ def main() -> None:
              .config("spark.sql.session.timeZone", "UTC").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     if "--rebuild" in sys.argv or not os.path.exists(
-            os.path.join(SF1, "embeddings.parquet")):
+            os.path.join(SF1, "lineitem.parquet")):
         build_sf1(spark)
     eng = Engine(spark)
     run_tier(spark, eng, SF01, "warm")   # discard: JIT/codegen warmup
