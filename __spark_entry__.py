@@ -2863,6 +2863,35 @@ def q_docs_readability(spark, sf_dir):
 
 
 
+def q_events_identity(spark, sf_dir):
+    """Cross-device identity resolution (operators/graph.py
+    identity_clusters): recurring (user, device) pairs (>= 4 events on the
+    same pair; device = $.k from the JSON props) form a bipartite graph;
+    connected components collapse users sharing a recurring device into
+    one identity. 78 recurring edges over 65 users / 54 devices at sf0.01
+    — a sparse multi-component graph, so the clustering is non-vacuous.
+    The oracle replays the edge threshold and the transitive closure with
+    a recursive CTE."""
+    from hudi_0_12_0_my_spark.operators import identity_clusters
+    ev = _read(spark, sf_dir, "events")
+    return identity_clusters(
+        ev, device_expr="CAST(get_json_object(props, '$.k') AS BIGINT)",
+        min_occurrences=4).select(
+        "user", "identity_id", "n_users", "n_devices")
+
+
+def q_orders_basket_rules(spark, sf_dir):
+    """Directed association rules (operators/profile.py basket_rules):
+    both directions of every co-occurring part-class pair with
+    confidence = n_both/n_antecedent and lift, top-25 by support. The
+    oracle replays the shared basket statistics and both divisions."""
+    from hudi_0_12_0_my_spark.operators import basket_rules
+    li = _read(spark, sf_dir, "lineitem")
+    return basket_rules(li, buckets=50, k=25).select(
+        "antecedent", "consequent", "n_both", "confidence", "lift")
+
+
+
 # ------------------------------------------------------------------ contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3041,6 +3070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test": q_events_ab_test,
         "events_stickiness": q_events_stickiness,
         "docs_readability": q_docs_readability,
+        "events_identity": q_events_identity,
+        "orders_basket_rules": q_orders_basket_rules,
     })
 
 
@@ -3069,6 +3100,7 @@ _NEVER_DRIVER_SAMPLED = [
     "docs_boilerplate", "docs_gopher_quality", "events_rfm",
     "events_anomaly", "orders_basket_pairs",
     "events_ab_test", "events_stickiness", "docs_readability",
+    "events_identity", "orders_basket_rules",
 ]
 
 
@@ -5521,6 +5553,43 @@ SELECT doc_id, n_words, CAST(n_sent AS BIGINT) AS n_sentences,
        round(206.835 - 1.015 * (n_words / CAST(n_sent AS DOUBLE))
              - 84.6 * (greatest(vg, 1) / CAST(nw AS DOUBLE)), 6) AS flesch
 FROM m"""
+    out["events_identity"] = """
+WITH RECURSIVE raw AS (
+  SELECT user_id AS u,
+         CAST(json_extract(props, '$.k') AS BIGINT) + 1099511627776 AS d
+  FROM events),
+edges AS (SELECT u, d FROM raw GROUP BY u, d HAVING count(*) >= 4),
+e AS (SELECT u, d AS v FROM edges UNION SELECT d, u FROM edges),
+reach(u, v) AS (SELECT u, v FROM e
+                UNION SELECT r.u, e2.v FROM reach r JOIN e e2
+                      ON r.v = e2.u AND e2.v <> r.u),
+cmp AS (SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u),
+sizes AS (SELECT comp,
+                 CAST(sum(CASE WHEN id < 1099511627776 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_users,
+                 CAST(sum(CASE WHEN id >= 1099511627776 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_devices
+          FROM cmp GROUP BY comp)
+SELECT c.id AS "user", c.comp AS identity_id, s.n_users, s.n_devices
+FROM cmp c JOIN sizes s USING (comp) WHERE c.id < 1099511627776"""
+    out["orders_basket_rules"] = """
+WITH it AS (SELECT DISTINCT l_orderkey AS o,
+                   CAST(l_partkey % 50 AS BIGINT) AS i FROM lineitem),
+ca AS (SELECT a.i AS item_a, b.i AS item_b,
+              CAST(count(*) AS BIGINT) AS n_both
+       FROM it a JOIN it b ON a.o = b.o AND a.i < b.i GROUP BY 1, 2),
+dr AS (SELECT item_a AS antecedent, item_b AS consequent, n_both FROM ca
+       UNION ALL
+       SELECT item_b, item_a, n_both FROM ca),
+ci AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM it GROUP BY 1),
+nt AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM it)
+SELECT antecedent, consequent, n_both,
+       round(n_both / CAST(x.n_i AS DOUBLE), 6) AS confidence,
+       round((CAST(n_both AS DOUBLE) * n_baskets)
+             / (CAST(x.n_i AS DOUBLE) * y.n_i), 6) AS lift
+FROM dr JOIN ci x ON dr.antecedent = x.i JOIN ci y ON dr.consequent = y.i
+CROSS JOIN nt
+ORDER BY n_both DESC, antecedent, consequent LIMIT 25"""
     # exhaustive-probe IVF-PQ must equal plain PQ exactly: same oracle
     out["emb_ivfpq_topk"] = out["emb_pq_topk"]
     # the prefix-filtered gate must check against the IDENTICAL oracle —

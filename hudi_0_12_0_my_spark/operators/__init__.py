@@ -14,7 +14,7 @@ from .dedup import (exact_dedup, minhash_signatures, minhash_lsh_pairs,
                     dedup_against_index, edit_verified_pairs,
                     exact_substring_dedup, ngram_containment_pairs,
                     ngram_containment_pairs_prefix)
-from .graph import (connected_components, dup_clusters,
+from .graph import (connected_components, dup_clusters, identity_clusters,
                     dedup_by_components, select_cluster_representatives,
                     cluster_representatives)
 from .multimodal import (with_media_columns, extract_features,
@@ -44,7 +44,7 @@ from .similarity import (cosine_topk, ivf_cosine_topk,
 from .joins import interval_join, salted_join
 from .lm import (lm_log_prob, lm_outliers, linear_text_score,
                  tfidf_keywords, cluster_topics)
-from .profile import profile, basket_pairs
+from .profile import profile, basket_pairs, basket_rules
 from .sketches import (cms_cells, heavy_hitters, hll_distinct,
                        histogram_cells, histogram_quantiles)
 from .temporal import asof_join, resample
@@ -59,7 +59,7 @@ __all__ = [
     "minhash_lsh_dedup", "simhash", "simhash_near_dup_pairs",
     "ngram_jaccard_pairs", "segment_dedup", "minhash_index_rows",
     "dedup_against_index", "edit_verified_pairs", "exact_substring_dedup",
-    "connected_components", "dup_clusters", "dedup_by_components",
+    "connected_components", "dup_clusters", "identity_clusters", "dedup_by_components",
     "select_cluster_representatives", "cluster_representatives",
     "cosine_topk", "ivf_cosine_topk", "embedding_near_dup_pairs",
     "hyperplane_signatures", "lsh_cosine_topk", "semantic_dedup",
@@ -70,7 +70,7 @@ __all__ = [
     "with_fingerprint", "with_repetition_stats", "top_ngrams", "bm25_topk",
     "lm_log_prob", "lm_outliers", "linear_text_score", "tfidf_keywords",
     "cluster_topics",
-    "profile", "basket_pairs", "asof_join", "resample", "interval_join", "salted_join",
+    "profile", "basket_pairs", "basket_rules", "asof_join", "resample", "interval_join", "salted_join",
     "with_media_columns", "extract_features", "frame_sample_plan",
     "phash_near_dup",
     "resize_plan", "audio_chunk_plan",

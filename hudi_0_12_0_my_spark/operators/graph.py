@@ -27,7 +27,7 @@ two scalar aggregates per round, no driver-side edge materialization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 
@@ -218,3 +218,55 @@ def cluster_representatives(df: DataFrame, pairs: DataFrame,
                  F.max(F.when(F.col("_rn") == 1, F.col("_s")))
                  .alias("rep_score"),
                  F.count(F.lit(1)).cast("bigint").alias("n_members")))
+
+
+# device-node id offset: keeps the bipartite namespaces disjoint while the
+# component label (min node id) stays a USER id — users sit below 2^40
+DEVICE_NODE_OFFSET = 1 << 40
+
+
+def identity_clusters(df: DataFrame, device_expr: Column | str,
+                      user_col: str = "user_id",
+                      min_occurrences: int = 2,
+                      max_iter: int = 50,
+                      small_graph_threshold: int = 500_000) -> DataFrame:
+    """Cross-device identity resolution: users sharing a RECURRING device
+    (>= min_occurrences events on the same (user, device) pair — one-off
+    contacts are noise, recurrence is the identity signal) collapse into
+    one identity via connected components over the bipartite
+    user<->device graph.
+
+    Returns one row per user that belongs to a (shared-device) identity:
+    (user, identity_id, n_users, n_devices) with identity_id = the
+    component's minimum user id. Users with no recurring device are
+    singleton identities and are omitted (anything absent is its own
+    identity — same contract as connected_components).
+
+    Shape for 100 TB: ONE partial-aggregated shuffle to recurring
+    (user, device) edges — the graph is orders of magnitude smaller than
+    the event stream; the components run on edges only
+    (alternating-star rounds, or the count-gated driver union-find for
+    model-sized graphs); per-identity sizes are one groupBy of the
+    node-sized labeling.
+    """
+    if min_occurrences < 1:
+        raise ValueError("identity_clusters: min_occurrences must be >= 1")
+    dev = F.expr(device_expr) if isinstance(device_expr, str) else device_expr
+    edges = (df.groupBy(F.col(user_col).alias("_u"),
+                        dev.cast("bigint").alias("_d"))
+             .agg(F.count(F.lit(1)).alias("_c"))
+             .filter(F.col("_c") >= min_occurrences)
+             .select(F.col("_u").alias("id_a"),
+                     (F.col("_d") + DEVICE_NODE_OFFSET).alias("id_b")))
+    cc = connected_components(edges, max_iter=max_iter,
+                              small_graph_threshold=small_graph_threshold)
+    sizes = (cc.groupBy("comp")
+             .agg(F.sum(F.when(F.col("id") < DEVICE_NODE_OFFSET, 1)
+                        .otherwise(0)).cast("bigint").alias("n_users"),
+                  F.sum(F.when(F.col("id") >= DEVICE_NODE_OFFSET, 1)
+                        .otherwise(0)).cast("bigint").alias("n_devices")))
+    return (cc.filter(F.col("id") < DEVICE_NODE_OFFSET)
+            .join(sizes, "comp")
+            .select(F.col("id").alias("user"),
+                    F.col("comp").alias("identity_id"),
+                    "n_users", "n_devices"))

@@ -70,6 +70,33 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             .select("p.*"))
 
 
+def _basket_counts(df: DataFrame, order_col: str, item_col: str,
+                   buckets: int | None):
+    """Shared basket statistics: unordered pair counts c_ab, per-item
+    basket counts c_i, and the 1-row basket total — the one order-keyed
+    shuffle + one pair-keyed partial-agg shuffle both rule miners share."""
+    item = F.col(item_col)
+    if buckets is not None:
+        item = item % buckets
+    items = (df.select(F.col(order_col).alias("o"),
+                       item.cast("bigint").alias("i"))
+             .distinct())
+    sets = items.groupBy("o").agg(F.sort_array(F.collect_set("i"))
+                                  .alias("its"))
+    its = F.col("its")
+    pairs = sets.select(F.explode(F.flatten(F.transform(
+        its, lambda a, i: F.transform(
+            F.slice(its, i + 2, F.size(its)),
+            lambda b: F.struct(a.alias("item_a"), b.alias("item_b")))))
+    ).alias("p")).select("p.item_a", "p.item_b")
+    c_ab = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    c_i = items.groupBy("i").agg(F.count(F.lit(1)).cast("bigint")
+                                 .alias("n_i"))
+    n_tot = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    return c_ab, c_i, n_tot
+
+
 def basket_pairs(df: DataFrame, order_col: str = "l_orderkey",
                  item_col: str = "l_partkey", buckets: int | None = None,
                  k: int = 25, min_count: int = 1) -> DataFrame:
@@ -93,25 +120,7 @@ def basket_pairs(df: DataFrame, order_col: str = "l_orderkey",
     """
     if k < 1 or min_count < 1:
         raise ValueError("basket_pairs: k and min_count must be >= 1")
-    item = F.col(item_col)
-    if buckets is not None:
-        item = item % buckets
-    items = (df.select(F.col(order_col).alias("o"),
-                       item.cast("bigint").alias("i"))
-             .distinct())
-    sets = items.groupBy("o").agg(F.sort_array(F.collect_set("i"))
-                                  .alias("its"))
-    its = F.col("its")
-    pairs = sets.select(F.explode(F.flatten(F.transform(
-        its, lambda a, i: F.transform(
-            F.slice(its, i + 2, F.size(its)),
-            lambda b: F.struct(a.alias("item_a"), b.alias("item_b")))))
-    ).alias("p")).select("p.item_a", "p.item_b")
-    c_ab = pairs.groupBy("item_a", "item_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-    c_i = items.groupBy("i").agg(F.count(F.lit(1)).cast("bigint")
-                                 .alias("n_i"))
-    n_tot = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    c_ab, c_i, n_tot = _basket_counts(df, order_col, item_col, buckets)
     scored = (c_ab
               .filter(F.col("n_orders") >= min_count)
               .join(F.broadcast(c_i.withColumnRenamed("i", "item_a")
@@ -126,3 +135,51 @@ def basket_pairs(df: DataFrame, order_col: str = "l_orderkey",
                                  * F.col("n_b")), 6).alias("lift")))
     return scored.orderBy(F.col("n_orders").desc(), "item_a",
                           "item_b").limit(k)
+
+
+def basket_rules(df: DataFrame, order_col: str = "l_orderkey",
+                 item_col: str = "l_partkey", buckets: int | None = None,
+                 k: int = 25, min_count: int = 1,
+                 min_confidence: float = 0.0) -> DataFrame:
+    """Directed association rules antecedent -> consequent over the same
+    basket statistics as `basket_pairs`: confidence = n_both/n_antecedent
+    (one IEEE division over exact integers) plus the symmetric lift.
+    Every unordered co-occurrence yields both directions — the two rules
+    of a pair have the same lift but different confidence.
+
+    Returns the top `k` rules by (n_both desc, antecedent, consequent):
+    (antecedent, consequent, n_both, confidence, lift). Same 100 TB shape
+    as basket_pairs (the directed expansion is map-only on the pair
+    aggregate, which is item-vocabulary-sized, not data-sized).
+    """
+    if k < 1 or min_count < 1:
+        raise ValueError("basket_rules: k and min_count must be >= 1")
+    c_ab, c_i, n_tot = _basket_counts(df, order_col, item_col, buckets)
+    pairs = c_ab.filter(F.col("n_orders") >= min_count)
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        F.col("n_orders").alias("n_both")) \
+        .unionByName(pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            F.col("n_orders").alias("n_both")))
+    scored = (directed
+              .join(F.broadcast(c_i.withColumnRenamed("i", "antecedent")
+                                .withColumnRenamed("n_i", "n_ante")),
+                    "antecedent")
+              .join(F.broadcast(c_i.withColumnRenamed("i", "consequent")
+                                .withColumnRenamed("n_i", "n_cons")),
+                    "consequent")
+              .crossJoin(F.broadcast(n_tot))
+              .select("antecedent", "consequent", "n_both",
+                      F.round(F.col("n_both") / F.col("n_ante").cast("double"),
+                              6).alias("confidence"),
+                      F.round((F.col("n_both").cast("double")
+                               * F.col("n_baskets"))
+                              / (F.col("n_ante").cast("double")
+                                 * F.col("n_cons")), 6).alias("lift")))
+    if min_confidence > 0.0:
+        scored = scored.filter(F.col("confidence") >= min_confidence)
+    return scored.orderBy(F.col("n_both").desc(), "antecedent",
+                          "consequent").limit(k)

@@ -1648,3 +1648,42 @@ def test_readability_counts(spark):
     # flesch formula replay for doc 1: 6 words, 2 sentences, 6 syllables
     assert out[1].n_syllables == 6
     assert out[1].flesch == round(206.835 - 1.015 * 3 - 84.6 * 1.0, 6)
+
+
+def test_identity_clusters_bipartite(spark):
+    import json
+    # users 1,2 share device 10 (recurring); user 3 on device 20; user 4's
+    # single touch on device 10 is below the recurrence threshold
+    rows = []
+    eid = 0
+    for u, d, times in [(1, 10, 3), (2, 10, 3), (3, 20, 3), (4, 10, 1),
+                        (2, 30, 3)]:
+        for _ in range(times):
+            rows.append((eid, u, json.dumps({"k": d})))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, "
+                               "props string")
+    out = {r.user: r for r in ops.identity_clusters(
+        df, device_expr="CAST(get_json_object(props, '$.k') AS BIGINT)",
+        min_occurrences=3).collect()}
+    assert set(out) == {1, 2, 3}          # user 4: one-off, omitted
+    assert out[1].identity_id == out[2].identity_id == 1
+    assert out[1].n_users == 2 and out[1].n_devices == 2   # devices 10, 30
+    assert out[3].identity_id == 3 and out[3].n_users == 1
+    with pytest.raises(ValueError):
+        ops.identity_clusters(df, device_expr="user_id", min_occurrences=0)
+
+
+def test_basket_rules_directional_confidence(spark):
+    rows = [(o, i) for o, items in enumerate(
+        [[1, 2], [1, 2], [1, 2], [1, 3], [2, 3], [1]]) for i in items]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r.antecedent, r.consequent): r
+           for r in ops.basket_rules(df, k=10).collect()}
+    # item 1 in 5 baskets, item 2 in 4, both in 3
+    assert out[(1, 2)].confidence == 0.6       # 3/5
+    assert out[(2, 1)].confidence == 0.75      # 3/4
+    assert out[(1, 2)].lift == out[(2, 1)].lift == 0.9
+    filtered = ops.basket_rules(df, k=10, min_confidence=0.7).collect()
+    assert {(r.antecedent, r.consequent) for r in filtered} \
+        >= {(2, 1)} and all(r.confidence >= 0.7 for r in filtered)

@@ -856,3 +856,25 @@ def test_readability_is_map_only(spark):
                                  "doc_id long, text string")
     plan = _plan(with_readability(docs))
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_identity_and_rules_plan_shapes(spark):
+    """identity_clusters: events reduce to recurring edges with ONE
+    partial-agg shuffle before any graph work; basket_rules: the directed
+    expansion stays on the pair aggregate (broadcast item counts, no
+    data-sized join), top-k is TakeOrdered."""
+    import json
+    from hudi_0_12_0_my_spark.operators import basket_rules, identity_clusters
+    ev = spark.createDataFrame(
+        [(i, i % 40, json.dumps({"k": i % 15})) for i in range(600)],
+        "event_id long, user_id long, props string")
+    p1 = _plan(identity_clusters(
+        ev, device_expr="CAST(get_json_object(props, '$.k') AS BIGINT)",
+        min_occurrences=3))
+    assert "BatchEvalPython" not in p1 and "CartesianProduct" not in p1
+    li = spark.createDataFrame([(i % 120, (i * 13) % 25) for i in range(800)],
+                               "l_orderkey long, l_partkey long")
+    p2 = _plan(basket_rules(li, k=10))
+    assert "TakeOrderedAndProject" in p2
+    assert "SortMergeJoin" not in p2
+    assert "BatchEvalPython" not in p2 and "CartesianProduct" not in p2
