@@ -351,3 +351,106 @@ def test_containment_prefix_filter_equals_brute(spark, texts, t, cap):
             for r in ops.ngram_containment_pairs_prefix(
                 df, n=2, threshold=t, max_shingle_freq=cap).collect()}
     assert pref == brute
+
+
+def _model_boilerplate(texts, window, min_docs):
+    segs: dict = {}
+    hosts: dict = {}
+    for i, t in enumerate(texts):
+        ts = t.split()
+        if not ts:
+            continue
+        segs[i] = [" ".join(ts[p:p + window])
+                   for p in range(0, len(ts), window)]
+        for s in set(segs[i]):
+            hosts.setdefault(s, set()).add(i)
+    boiler = {s for s, h in hosts.items() if len(h) >= min_docs}
+    return {i: (" ".join(s for s in ss if s not in boiler), len(ss),
+                sum(1 for s in ss if s not in boiler))
+            for i, ss in segs.items()}
+
+
+@PROP
+@given(texts=CORPUS, window=st.integers(2, 3), min_docs=st.integers(2, 3))
+def test_boilerplate_filter_matches_model(spark, texts, window, min_docs):
+    got = {r.doc_id: (r.text_filtered, r.n_segments, r.n_kept)
+           for r in ops.boilerplate_filter(_df(spark, texts),
+                                           min_docs=min_docs,
+                                           window=window).collect()}
+    assert got == _model_boilerplate(texts, window, min_docs)
+
+
+BASKETS = st.lists(st.lists(st.integers(0, 5), min_size=0, max_size=4),
+                   min_size=1, max_size=8)
+
+
+@PROP
+@given(baskets=BASKETS)
+def test_basket_rules_match_model(spark, baskets):
+    from itertools import combinations
+    rows = [(o, i) for o, items in enumerate(baskets) for i in items]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sets = {o: set(items) for o, items in enumerate(baskets) if items}
+    n = len(sets)
+    c_i: dict = {}
+    c_ab: dict = {}
+    for its in sets.values():
+        for i in its:
+            c_i[i] = c_i.get(i, 0) + 1
+        for a, b in combinations(sorted(its), 2):
+            c_ab[(a, b)] = c_ab.get((a, b), 0) + 1
+    got = {(r.antecedent, r.consequent): r
+           for r in ops.basket_rules(df, k=1000).collect()}
+    expected = {}
+    for (a, b), cab in c_ab.items():
+        expected[(a, b)] = (cab, round(cab / c_i[a], 6),
+                            round(cab * n / (c_i[a] * c_i[b]), 6))
+        expected[(b, a)] = (cab, round(cab / c_i[b], 6),
+                            round(cab * n / (c_i[a] * c_i[b]), 6))
+    assert {k: (r.n_both, r.confidence, r.lift) for k, r in got.items()} \
+        == expected
+
+
+@PROP
+@given(data=st.lists(st.tuples(st.integers(0, 8),       # user
+                               st.integers(1, 6),       # n events that day
+                               st.integers(1, 9)),      # day
+                     min_size=1, max_size=25))
+def test_rfm_tiles_match_model(spark, data):
+    import datetime as dt
+    rows, eid = [], 0
+    for u, c, d in data:
+        for _ in range(c):
+            rows.append((eid, dt.datetime(2024, 1, d), u, 1.5))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                               "user_id long, value double")
+    got = {r.user: r for r in ops.rfm_segments(df, n_tiles=3).collect()}
+    # pure-python model
+    per: dict = {}
+    for u, c, d in data:
+        r, f, m = per.get(u, (0, 0, 0.0))
+        per[u] = (max(r, d), f + c, m + 1.5 * c)
+    ref = max(d for _, _, d in data)
+
+    def ntile(keys, n):
+        sz, rem = divmod(len(keys), n)
+        out, pos = {}, 0
+        for tile in range(1, n + 1):
+            take = sz + (1 if tile <= rem else 0)
+            for k in keys[pos:pos + take]:
+                out[k] = tile
+            pos += take
+        return out
+
+    users = sorted(per)
+    r_t = ntile(sorted(users, key=lambda u: (ref - per[u][0], u)), 3)
+    f_t = ntile(sorted(users, key=lambda u: (-per[u][1], u)), 3)
+    m_t = ntile(sorted(users, key=lambda u: (-per[u][2], u)), 3)
+    for u in users:
+        g = got[u]
+        assert (g.recency_days, g.frequency) == (ref - per[u][0], per[u][1])
+        assert g.monetary == round(per[u][2], 2)
+        assert (g.r_tile, g.f_tile, g.m_tile) == (r_t[u], f_t[u], m_t[u])
