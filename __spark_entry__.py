@@ -5407,8 +5407,11 @@ SELECT t.doc_id, coalesce(a.text_filtered, '') AS text_filtered,
 FROM tot t LEFT JOIN agg a USING (doc_id)"""
     out["docs_gopher_quality"] = """
 WITH t AS (SELECT doc_id, text AS tx,
-                  string_split_regex(trim(text), '\\s+') AS toks
-           FROM documents WHERE length(trim(text)) > 0),
+                  CASE WHEN length(trim(text)) = 0
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(text), '\\s+')
+                  END AS toks
+           FROM documents),
 m AS (SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_words,
         greatest(len(toks), 1) AS nw,
@@ -5420,8 +5423,16 @@ m AS (SELECT doc_id,
           AS n_alpha,
         CAST(len(list_intersect(list_distinct(toks),
              ['the','be','to','of','and','that','have','with']))
-             AS BIGINT) AS stop_hits
-      FROM t)
+             AS BIGINT) AS stop_hits,
+        list_filter(string_split(tx, chr(10)),
+                    s -> length(trim(s)) > 0) AS lines
+      FROM t),
+m2 AS (SELECT *, greatest(len(lines), 1) AS n_lines,
+         len(list_filter(lines,
+             s -> regexp_matches(trim(s), '^[-*\u2022]'))) AS n_bullet,
+         len(list_filter(lines, s -> ends_with(trim(s), '...')))
+           AS n_ell_end
+       FROM m)
 SELECT doc_id, n_words,
        round(n_chars / CAST(nw AS DOUBLE), 6) AS mean_word_len,
        round((n_hash + n_ell) / CAST(nw AS DOUBLE), 6) AS symbol_ratio,
@@ -5432,8 +5443,10 @@ SELECT doc_id, n_words,
         AND n_chars / CAST(nw AS DOUBLE) <= 10.0
         AND (n_hash + n_ell) / CAST(nw AS DOUBLE) <= 0.1
         AND n_alpha / CAST(nw AS DOUBLE) >= 0.8
-        AND stop_hits >= 1) AS pass_gopher
-FROM m"""
+        AND stop_hits >= 1
+        AND n_bullet / CAST(n_lines AS DOUBLE) <= 0.9
+        AND n_ell_end / CAST(n_lines AS DOUBLE) <= 0.3) AS pass_gopher
+FROM m2"""
     out["events_rfm"] = """
 WITH pu AS (SELECT user_id AS "user",
                    max(CAST(ts AS DATE)) AS last_d,
@@ -5469,8 +5482,9 @@ SELECT d."user", d."day", d.c, s.n_days,
 FROM dd d JOIN s USING ("user")
 WHERE s.n_days >= 3 AND (s.n_days * d.c - s.s1) > 0
   AND (s.n_days * s.s2 - s.s1 * s.s1) > 0
-  AND (s.n_days * d.c - s.s1) * (s.n_days * d.c - s.s1)
-      > 6.25 * (s.n_days * s.s2 - s.s1 * s.s1)"""
+  AND CAST(s.n_days * d.c - s.s1 AS DOUBLE)
+      * CAST(s.n_days * d.c - s.s1 AS DOUBLE)
+      > 6.25 * CAST(s.n_days * s.s2 - s.s1 * s.s1 AS DOUBLE)"""
     out["orders_basket_pairs"] = """
 WITH it AS (SELECT DISTINCT l_orderkey AS o,
                    CAST(l_partkey % 50 AS BIGINT) AS i FROM lineitem),
@@ -5497,8 +5511,10 @@ arms AS (
          CAST(count(DISTINCT u) AS BIGINT) AS n_users,
          CAST(count(*) AS BIGINT) AS n_events,
          CAST(sum(conv) AS BIGINT) AS n_conversions,
-         CAST(sum(CASE WHEN conv = 1 THEN m END) AS BIGINT) AS metric_sum,
-         CAST(sum(CASE WHEN conv = 1 THEN m * m END) AS BIGINT) AS q,
+         CAST(coalesce(sum(CASE WHEN conv = 1 THEN m END), 0) AS BIGINT)
+           AS metric_sum,
+         CAST(coalesce(sum(CASE WHEN conv = 1 THEN m * m END), 0)
+              AS BIGINT) AS q,
          CAST(sum(conv) AS BIGINT) AS nm
   FROM ev GROUP BY 1),
 pre AS (
@@ -5518,7 +5534,9 @@ t AS (
   FROM pre)
 SELECT arms.variant, arms.n_users, arms.n_events, arms.n_conversions,
        arms.metric_sum,
-       round(arms.metric_sum / CAST(arms.nm AS DOUBLE), 6) AS metric_mean,
+       CASE WHEN arms.nm > 0
+            THEN round(arms.metric_sum / CAST(arms.nm AS DOUBLE), 6)
+       END AS metric_mean,
        t.t_stat, t.significant
 FROM arms CROSS JOIN t"""
     out["events_stickiness"] = """
@@ -5538,8 +5556,11 @@ SELECT month, n_days, dau_sum, mau,
 FROM daily JOIN mau USING (month)"""
     out["docs_readability"] = """
 WITH t AS (SELECT doc_id, text AS tx,
-                  string_split_regex(trim(text), '\\s+') AS toks
-           FROM documents WHERE length(trim(text)) > 0),
+                  CASE WHEN length(trim(text)) = 0
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(text), '\\s+')
+                  END AS toks
+           FROM documents),
 m AS (SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_words,
         greatest(len(toks), 1) AS nw,

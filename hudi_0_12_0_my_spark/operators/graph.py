@@ -252,12 +252,29 @@ def identity_clusters(df: DataFrame, device_expr: Column | str,
     if min_occurrences < 1:
         raise ValueError("identity_clusters: min_occurrences must be >= 1")
     dev = F.expr(device_expr) if isinstance(device_expr, str) else device_expr
-    edges = (df.groupBy(F.col(user_col).alias("_u"),
-                        dev.cast("bigint").alias("_d"))
-             .agg(F.count(F.lit(1)).alias("_c"))
-             .filter(F.col("_c") >= min_occurrences)
-             .select(F.col("_u").alias("id_a"),
-                     (F.col("_d") + DEVICE_NODE_OFFSET).alias("id_b")))
+    recurring = (df.groupBy(F.col(user_col).alias("_u"),
+                            dev.cast("bigint").alias("_d"))
+                 .agg(F.count(F.lit(1)).alias("_c"))
+                 .filter(F.col("_c") >= min_occurrences)
+                 .persist())   # edge table: reused by the guard below + CC
+    # the namespace offset is only sound for user ids below the offset and
+    # device ids in [0, offset) — a hashed device id (often negative) or a
+    # >= 2^40 user would silently cross namespaces and corrupt clusters,
+    # so refuse loudly and tell the caller to remap
+    bad = recurring.filter((F.col("_u") >= DEVICE_NODE_OFFSET)
+                           | (F.col("_d") < 0)
+                           | (F.col("_d") >= DEVICE_NODE_OFFSET)) \
+                   .limit(1).collect()
+    if bad:
+        recurring.unpersist()
+        raise ValueError(
+            "identity_clusters: user ids must be < 2^40 and device ids in "
+            f"[0, 2^40); got (user={bad[0]['_u']}, device={bad[0]['_d']}). "
+            "Remap hashed/negative device ids (e.g. pmod(hash, 2**39)) "
+            "before clustering.")
+    edges = recurring.select(
+        F.col("_u").alias("id_a"),
+        (F.col("_d") + DEVICE_NODE_OFFSET).alias("id_b"))
     cc = connected_components(edges, max_iter=max_iter,
                               small_graph_threshold=small_graph_threshold)
     sizes = (cc.groupBy("comp")

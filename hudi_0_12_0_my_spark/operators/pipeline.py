@@ -983,6 +983,11 @@ def boilerplate_filter(df: DataFrame, min_docs: int = 2, window: int = 20,
             F.sequence(F.lit(0), nseg - 1),
             lambda i: F.concat_ws(" ", F.slice(
                 toks, i * window + 1, window))).alias("_segs"))
+    # one materialization of the tokenize+segment pass: segd feeds the
+    # frequency count, the anti-join probe AND the per-doc totals — without
+    # the persist Spark re-scans and re-splits the corpus three times
+    # (same fix as dedup.py's per-doc gram index)
+    segd = segd.persist()
     ex = (segd.select("id", F.posexplode("_segs").alias("seg_idx", "seg"))
           .withColumn("_h", F.md5(F.col("seg").cast("binary"))))
     boiler = (ex.groupBy("_h")

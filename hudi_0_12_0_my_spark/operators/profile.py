@@ -78,11 +78,15 @@ def _basket_counts(df: DataFrame, order_col: str, item_col: str,
     item = F.col(item_col)
     if buckets is not None:
         item = item % buckets
+    # items feeds both the basket sets and the per-item counts, and sets
+    # feeds both the pair explosion and the basket total — persist both so
+    # the data-sized distinct shuffle and the order-keyed groupBy each run
+    # once per mining call instead of 2-3x
     items = (df.select(F.col(order_col).alias("o"),
                        item.cast("bigint").alias("i"))
-             .distinct())
+             .distinct().persist())
     sets = items.groupBy("o").agg(F.sort_array(F.collect_set("i"))
-                                  .alias("its"))
+                                  .alias("its")).persist()
     its = F.col("its")
     pairs = sets.select(F.explode(F.flatten(F.transform(
         its, lambda a, i: F.transform(

@@ -293,12 +293,15 @@ def count_anomalies(df: DataFrame, z: float = 3.0, min_days: int = 3,
     population standard deviations — the bot-burst / incident detector a
     100 TB event pipeline runs before training on behavioral data.
 
-    The test is INTEGER-EXACT: with per-user integer sums S1 = sum(c),
-    S2 = sum(c^2) over n days, `c > mean + z*sigma` rearranges to
-    (n*c - S1)^2 > z^2 * (n*S2 - S1^2) with c above the mean — no float
-    accumulation anywhere, so any engine replays the verdict bit-for-bit.
-    The reported zscore is then two IEEE ops on exact integers (one sqrt,
-    one divide), rounded for display.
+    The test carries NO float accumulation: with per-user integer sums
+    S1 = sum(c), S2 = sum(c^2) over n days, `c > mean + z*sigma`
+    rearranges to (n*c - S1)^2 > z^2 * (n*S2 - S1^2) with c above the
+    mean. The squared terms are evaluated in DOUBLE (a fixed expression
+    tree both engines replay identically) because the cross-multiplied
+    products overflow int64 at large per-user volumes, where Spark longs
+    would wrap silently; the integer sums themselves need S1^2 and n*S2
+    inside int64 — sound to ~3e9 events per user. The reported zscore is
+    then two IEEE ops (one sqrt, one divide), rounded for display.
 
     Returns anomalous (user, day, c, n_days, zscore) rows only. Shape for
     100 TB: ONE shuffle to (user, day) counts (partial agg), then
@@ -325,8 +328,10 @@ def count_anomalies(df: DataFrame, z: float = 3.0, min_days: int = 3,
                .filter((F.col("n_days") >= min_days)
                        & (F.col("_dev") > 0)
                        & (F.col("_var_n2") > 0)
-                       & (F.col("_dev") * F.col("_dev")
-                          > F.lit(float(z * z)) * F.col("_var_n2"))))
+                       & (F.col("_dev").cast("double")
+                          * F.col("_dev").cast("double")
+                          > F.lit(float(z * z))
+                          * F.col("_var_n2").cast("double"))))
     return (flagged
             .withColumn("zscore",
                         F.round(F.col("_dev")
@@ -374,16 +379,22 @@ def ab_test_stats(df: DataFrame, metric_path: str = "$.k",
             .agg(F.count_distinct("_u").cast("bigint").alias("n_users"),
                  F.count(F.lit(1)).cast("bigint").alias("n_events"),
                  F.sum("_conv").cast("bigint").alias("n_conversions"),
-                 F.sum(F.when(F.col("_conv") == 1, F.col("_m")))
+                 # zero-conversion arms: sums over an empty WHEN are NULL,
+                 # which would NULL-poison every downstream stat — pin to 0
+                 # so ssw = 0 fires the defined zero-variance fallback
+                 F.coalesce(F.sum(F.when(F.col("_conv") == 1,
+                                         F.col("_m"))), F.lit(0))
                  .cast("bigint").alias("metric_sum"),
-                 F.sum(F.when(F.col("_conv") == 1,
-                              F.col("_m") * F.col("_m")))
-                 .cast("bigint").alias("_q"),
-                 F.sum("_conv").cast("bigint").alias("_nm")))
+                 F.coalesce(F.sum(F.when(F.col("_conv") == 1,
+                                         F.col("_m") * F.col("_m"))),
+                            F.lit(0))
+                 .cast("bigint").alias("_q")))
     a = arms.filter(F.col("variant") == 0).alias("a")
     b = arms.filter(F.col("variant") == 1).alias("b")
-    n1, s1, q1 = F.col("a._nm"), F.col("a.metric_sum"), F.col("a._q")
-    n2, s2, q2 = F.col("b._nm"), F.col("b.metric_sum"), F.col("b._q")
+    n1, s1, q1 = (F.col("a.n_conversions"), F.col("a.metric_sum"),
+                  F.col("a._q"))
+    n2, s2, q2 = (F.col("b.n_conversions"), F.col("b.metric_sum"),
+                  F.col("b._q"))
     # pooled variance * (n1+n2-2) * n1 * n2, all integer:
     #   ssw = (n1*Q1 - S1^2)/n1 + (n2*Q2 - S2^2)/n2  (within-group SS)
     # keep everything over the common denominator n1*n2 to stay integral:
@@ -414,7 +425,9 @@ def ab_test_stats(df: DataFrame, metric_path: str = "$.k",
     return (arms.crossJoin(F.broadcast(stats))
             .select("variant", "n_users", "n_events", "n_conversions",
                     "metric_sum",
-                    F.round(F.col("metric_sum") / F.col("_nm"), 6)
+                    F.when(F.col("n_conversions") > 0,
+                           F.round(F.col("metric_sum")
+                                   / F.col("n_conversions"), 6))
                     .alias("metric_mean"),
                     "t_stat", "significant"))
 

@@ -1687,3 +1687,28 @@ def test_basket_rules_directional_confidence(spark):
     filtered = ops.basket_rules(df, k=10, min_confidence=0.7).collect()
     assert {(r.antecedent, r.consequent) for r in filtered} \
         >= {(2, 1)} and all(r.confidence >= 0.7 for r in filtered)
+
+
+def test_ab_test_stats_empty_arm_is_defined(spark):
+    import json
+    # odd-user arm never converts: stats must come back DEFINED (zero
+    # sums, NULL mean/t, significant=False), never NULL-poisoned
+    rows = [(i, u, "purchase" if u % 2 == 0 else "view",
+             json.dumps({"k": 50 + u}))
+            for i, u in enumerate(list(range(20)) * 3)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, "
+                               "event_type string, props string")
+    out = {r.variant: r for r in ops.ab_test_stats(df).collect()}
+    empty = out[1] if out[1].n_conversions == 0 else out[0]
+    full = out[0] if empty is out[1] else out[1]
+    assert empty.metric_sum == 0 and empty.metric_mean is None
+    assert full.metric_mean is not None
+    assert out[0].significant is False and out[1].significant is False
+    assert out[0].t_stat is None
+
+
+def test_identity_clusters_rejects_namespace_collisions(spark):
+    df = spark.createDataFrame([(i, 1, -5) for i in range(3)],
+                               "event_id long, user_id long, device long")
+    with pytest.raises(ValueError, match="Remap"):
+        ops.identity_clusters(df, device_expr="device", min_occurrences=2)
