@@ -2892,6 +2892,24 @@ def q_orders_basket_rules(spark, sf_dir):
 
 
 
+def q_orders_item_triangles(spark, sf_dir):
+    """Triangle participation counts (operators/graph.py triangle_counts):
+    the cluster-cohesion metric over a pair graph — here the part-class
+    co-occurrence graph thresholded to >= 100 shared orders (160 edges,
+    68 triangles at sf0.01: sparse AND triangle-bearing, so both the triad
+    enumeration and the per-corner crediting are non-vacuous). The oracle
+    replays the edge threshold and the oriented a<b<c triad join."""
+    from hudi_0_12_0_my_spark.operators import triangle_counts
+    from hudi_0_12_0_my_spark.operators.profile import _basket_counts
+    li = _read(spark, sf_dir, "lineitem")
+    c_ab, _, _ = _basket_counts(li, "l_orderkey", "l_partkey", 50)
+    edges = (c_ab.filter(F.col("n_orders") >= 100)
+             .select(F.col("item_a").alias("id_a"),
+                     F.col("item_b").alias("id_b")))
+    return triangle_counts(edges).select("id", "n_triangles")
+
+
+
 # ------------------------------------------------------------------ contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3072,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_readability": q_docs_readability,
         "events_identity": q_events_identity,
         "orders_basket_rules": q_orders_basket_rules,
+        "orders_item_triangles": q_orders_item_triangles,
     })
 
 
@@ -3100,7 +3119,7 @@ _NEVER_DRIVER_SAMPLED = [
     "docs_boilerplate", "docs_gopher_quality", "events_rfm",
     "events_anomaly", "orders_basket_pairs",
     "events_ab_test", "events_stickiness", "docs_readability",
-    "events_identity", "orders_basket_rules",
+    "events_identity", "orders_basket_rules", "orders_item_triangles",
 ]
 
 
@@ -5611,6 +5630,17 @@ SELECT antecedent, consequent, n_both,
 FROM dr JOIN ci x ON dr.antecedent = x.i JOIN ci y ON dr.consequent = y.i
 CROSS JOIN nt
 ORDER BY n_both DESC, antecedent, consequent LIMIT 25"""
+    out["orders_item_triangles"] = """
+WITH it AS (SELECT DISTINCT l_orderkey AS o,
+                   CAST(l_partkey % 50 AS BIGINT) AS i FROM lineitem),
+e AS (SELECT a.i AS x, b.i AS y FROM it a JOIN it b
+      ON a.o = b.o AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= 100),
+tr AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+       FROM e e1 JOIN e e2 ON e1.y = e2.x
+       JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+n AS (SELECT unnest([a, b, c]) AS id FROM tr)
+SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM n GROUP BY 1"""
     # exhaustive-probe IVF-PQ must equal plain PQ exactly: same oracle
     out["emb_ivfpq_topk"] = out["emb_pq_topk"]
     # the prefix-filtered gate must check against the IDENTICAL oracle —

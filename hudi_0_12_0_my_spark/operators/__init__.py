@@ -15,6 +15,7 @@ from .dedup import (exact_dedup, minhash_signatures, minhash_lsh_pairs,
                     exact_substring_dedup, ngram_containment_pairs,
                     ngram_containment_pairs_prefix)
 from .graph import (connected_components, dup_clusters, identity_clusters,
+                    triangle_counts,
                     dedup_by_components, select_cluster_representatives,
                     cluster_representatives)
 from .multimodal import (with_media_columns, extract_features,
@@ -59,7 +60,8 @@ __all__ = [
     "minhash_lsh_dedup", "simhash", "simhash_near_dup_pairs",
     "ngram_jaccard_pairs", "segment_dedup", "minhash_index_rows",
     "dedup_against_index", "edit_verified_pairs", "exact_substring_dedup",
-    "connected_components", "dup_clusters", "identity_clusters", "dedup_by_components",
+    "connected_components", "dup_clusters", "identity_clusters",
+    "triangle_counts", "dedup_by_components",
     "select_cluster_representatives", "cluster_representatives",
     "cosine_topk", "ivf_cosine_topk", "embedding_near_dup_pairs",
     "hyperplane_signatures", "lsh_cosine_topk", "semantic_dedup",

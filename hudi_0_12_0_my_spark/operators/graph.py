@@ -287,3 +287,41 @@ def identity_clusters(df: DataFrame, device_expr: Column | str,
             .select(F.col("id").alias("user"),
                     F.col("comp").alias("identity_id"),
                     "n_users", "n_devices"))
+
+
+def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
+                    id_b: str = "id_b") -> DataFrame:
+    """Per-node triangle participation over an undirected pair graph —
+    the cluster-cohesion metric that separates true duplicate CLIQUES
+    (every member pairs with every other: triangle-dense) from CHAINED
+    false positives (A~B~C where A!~C: triangle-free), the standard
+    post-check on LSH/near-dup candidate graphs before collapsing a
+    component to one representative.
+
+    Returns (id, n_triangles) for every node in at least one triangle.
+    Exact: edges canonicalize to a < b, each triangle a < b < c is
+    enumerated once and credited to all three corners.
+
+    Shape for 100 TB: the pair graph is already Zipf-small relative to
+    the corpus (LSH collapsed it); edges persist once and the triad
+    enumeration is two self-equi-joins on edge endpoints + one membership
+    join — never a cartesian. Heavy-degree hubs are the one skew hazard:
+    orient by (degree, id) instead of raw id before joining if a hub
+    dominates (the standard compact-forward refinement); id orientation
+    keeps the oracle replayable and is right for near-dup graphs, whose
+    components are small by construction.
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    e = (pairs.select(F.least(a, b).alias("a"),
+                      F.greatest(a, b).alias("b"))
+         .filter(F.col("a") < F.col("b"))
+         .distinct().persist())
+    tri = (e.alias("e1")
+           .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+           .join(e.alias("e3"), (F.col("e3.a") == F.col("e1.a"))
+                 & (F.col("e3.b") == F.col("e2.b")))
+           .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                   F.col("e2.b").alias("z")))
+    return (tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))

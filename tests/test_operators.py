@@ -1712,3 +1712,13 @@ def test_identity_clusters_rejects_namespace_collisions(spark):
                                "event_id long, user_id long, device long")
     with pytest.raises(ValueError, match="Remap"):
         ops.identity_clusters(df, device_expr="device", min_occurrences=2)
+
+
+def test_triangle_counts_clique_vs_chain(spark):
+    # clique {1,2,3,4} -> C(3,2)=3 triangles per corner; chain 10-11-12
+    # (open wedge) -> none; duplicate + reversed edges must not double
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    edges = clique + [(10, 11), (11, 12)] + [(2, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.id: r.n_triangles for r in ops.triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}   # chain nodes absent
