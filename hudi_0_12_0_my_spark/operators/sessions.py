@@ -266,8 +266,11 @@ def rfm_segments(df: DataFrame, n_tiles: int = 5,
                 .agg(F.max(F.to_date(ts_col)).alias("_last"),
                      F.count(F.lit(1)).cast("bigint").alias("frequency"),
                      F.sum(F.col(value_col).cast("decimal(18,2)"))
-                     .alias("_mon")))
-    ref = df.agg(F.max(F.to_date(ts_col)).alias("_ref"))
+                     .alias("_mon"))
+                .persist())   # feeds both the corpus-max date and the rows
+    # corpus max date = max of the per-user maxes: derived from the
+    # aggregate, so events scan ONCE for the whole readout
+    ref = per_user.agg(F.max("_last").alias("_ref"))
     base = (per_user.crossJoin(F.broadcast(ref))
             .select("user",
                     F.datediff("_ref", "_last").cast("bigint")
@@ -389,6 +392,9 @@ def ab_test_stats(df: DataFrame, metric_path: str = "$.k",
                                          F.col("_m") * F.col("_m"))),
                             F.lit(0))
                  .cast("bigint").alias("_q")))
+    # the 2-row arm aggregate feeds three consumers (arm a, arm b, the
+    # final per-arm output) — persist it or the event scan runs 3x
+    arms = arms.persist()
     a = arms.filter(F.col("variant") == 0).alias("a")
     b = arms.filter(F.col("variant") == 1).alias("b")
     n1, s1, q1 = (F.col("a.n_conversions"), F.col("a.metric_sum"),
