@@ -2910,6 +2910,22 @@ def q_orders_item_triangles(spark, sf_dir):
 
 
 
+def q_orders_correlation(spark, sf_dir):
+    """Exact-accumulation Pearson correlations (operators/profile.py
+    correlation_matrix): every sum folds in DECIMAL (order-insensitive —
+    float-sum corr() is run-to-run nondeterministic under repartitioning),
+    one fixed float expression per pair at the end. quantity~extendedprice
+    correlates strongly, quantity~discount does not, so the statistic
+    discriminates. The oracle replays the decimal sums and the identical
+    expression tree."""
+    from hudi_0_12_0_my_spark.operators import correlation_matrix
+    li = _read(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]).select(
+        "col_a", "col_b", "n", "r")
+
+
+
 # ------------------------------------------------------------------ contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3091,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_identity": q_events_identity,
         "orders_basket_rules": q_orders_basket_rules,
         "orders_item_triangles": q_orders_item_triangles,
+        "orders_correlation": q_orders_correlation,
     })
 
 
@@ -3119,7 +3136,7 @@ _NEVER_DRIVER_SAMPLED = [
     "docs_boilerplate", "docs_gopher_quality", "events_rfm",
     "events_anomaly", "orders_basket_pairs",
     "events_ab_test", "events_stickiness", "docs_readability",
-    "events_identity", "orders_basket_rules", "orders_item_triangles",
+    "events_identity", "orders_basket_rules", "orders_item_triangles", "orders_correlation",
 ]
 
 
@@ -5641,6 +5658,45 @@ tr AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
        JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
 n AS (SELECT unnest([a, b, c]) AS id FROM tr)
 SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM n GROUP BY 1"""
+    out["orders_correlation"] = """
+WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+  sum(CAST(l_quantity AS DECIMAL(18,2))) AS s_q,
+  sum(CAST(l_quantity AS DECIMAL(18,2))
+      * CAST(l_quantity AS DECIMAL(18,2))) AS q_q,
+  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_e,
+  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      * CAST(l_extendedprice AS DECIMAL(18,2))) AS q_e,
+  sum(CAST(l_discount AS DECIMAL(18,2))) AS s_d,
+  sum(CAST(l_discount AS DECIMAL(18,2))
+      * CAST(l_discount AS DECIMAL(18,2))) AS q_d,
+  sum(CAST(l_quantity AS DECIMAL(18,2))
+      * CAST(l_extendedprice AS DECIMAL(18,2))) AS p_qe,
+  sum(CAST(l_quantity AS DECIMAL(18,2))
+      * CAST(l_discount AS DECIMAL(18,2))) AS p_qd,
+  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      * CAST(l_discount AS DECIMAL(18,2))) AS p_ed
+  FROM lineitem),
+pr AS (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+         CAST(s_q AS DOUBLE) AS sx, CAST(q_q AS DOUBLE) AS qx,
+         CAST(s_e AS DOUBLE) AS sy, CAST(q_e AS DOUBLE) AS qy,
+         CAST(p_qe AS DOUBLE) AS sxy FROM s
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount', n,
+         CAST(s_q AS DOUBLE), CAST(q_q AS DOUBLE),
+         CAST(s_d AS DOUBLE), CAST(q_d AS DOUBLE),
+         CAST(p_qd AS DOUBLE) FROM s
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount', n,
+         CAST(s_e AS DOUBLE), CAST(q_e AS DOUBLE),
+         CAST(s_d AS DOUBLE), CAST(q_d AS DOUBLE),
+         CAST(p_ed AS DOUBLE) FROM s)
+SELECT col_a, col_b, n,
+       CASE WHEN (n * qx - sx * sx) > 0 AND (n * qy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt((n * qx - sx * sx) * (n * qy - sy * sy)), 6)
+       END AS r
+FROM pr"""
     # exhaustive-probe IVF-PQ must equal plain PQ exactly: same oracle
     out["emb_ivfpq_topk"] = out["emb_pq_topk"]
     # the prefix-filtered gate must check against the IDENTICAL oracle —

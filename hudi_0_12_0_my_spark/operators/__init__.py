@@ -45,7 +45,8 @@ from .similarity import (cosine_topk, ivf_cosine_topk,
 from .joins import interval_join, salted_join
 from .lm import (lm_log_prob, lm_outliers, linear_text_score,
                  tfidf_keywords, cluster_topics)
-from .profile import profile, basket_pairs, basket_rules
+from .profile import (profile, basket_pairs, basket_rules,
+                      correlation_matrix)
 from .sketches import (cms_cells, heavy_hitters, hll_distinct,
                        histogram_cells, histogram_quantiles)
 from .temporal import asof_join, resample
@@ -72,7 +73,7 @@ __all__ = [
     "with_fingerprint", "with_repetition_stats", "top_ngrams", "bm25_topk",
     "lm_log_prob", "lm_outliers", "linear_text_score", "tfidf_keywords",
     "cluster_topics",
-    "profile", "basket_pairs", "basket_rules", "asof_join", "resample", "interval_join", "salted_join",
+    "profile", "basket_pairs", "basket_rules", "correlation_matrix", "asof_join", "resample", "interval_join", "salted_join",
     "with_media_columns", "extract_features", "frame_sample_plan",
     "phash_near_dup",
     "resize_plan", "audio_chunk_plan",

@@ -187,3 +187,52 @@ def basket_rules(df: DataFrame, order_col: str = "l_orderkey",
         scored = scored.filter(F.col("confidence") >= min_confidence)
     return scored.orderBy(F.col("n_both").desc(), "antecedent",
                           "consequent").limit(k)
+
+
+def correlation_matrix(df: DataFrame, columns: list[str],
+                       scale: str = "decimal(18,2)") -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns with EXACT
+    accumulation: every sum (x, x^2, x*y) folds in decimal — associative,
+    order-insensitive, so the statistics are identical on any engine and
+    any partitioning — and only the final correlation is one fixed float
+    expression over those exact sums. (Float-sum `corr()` is
+    run-to-run nondeterministic under re-partitioning; this is the
+    replayable profiling variant.)
+
+    Returns (col_a, col_b, n, r) for each unordered pair, r rounded to 6,
+    NULL when either marginal variance is zero. Shape for 100 TB: ONE
+    wide partial-aggregated pass computes every sum (k + k + k(k-1)/2
+    aggregates for k columns); the pair explosion happens on the 1-row
+    result, bounded by k^2, never by data. Decimal width bounds the
+    corpus: sums hold to 10^34 — at quantity-scale values that is ~10^30
+    rows, not a practical limit.
+    """
+    if len(columns) < 2:
+        raise ValueError("correlation_matrix: need at least 2 columns")
+    dec = lambda c: F.col(c).cast(scale)                      # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in columns:
+        aggs += [F.sum(dec(c)).alias(f"__s_{c}"),
+                 F.sum(dec(c) * dec(c)).alias(f"__q_{c}")]
+    pairs = [(a, b) for i, a in enumerate(columns)
+             for b in columns[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(dec(a) * dec(b)).alias(f"__p_{a}_{b}"))
+    row = df.agg(*aggs)
+    n = F.col("__n")
+    entries = []
+    for a, b in pairs:
+        sx, sy = F.col(f"__s_{a}").cast("double"), \
+            F.col(f"__s_{b}").cast("double")
+        qx, qy = F.col(f"__q_{a}").cast("double"), \
+            F.col(f"__q_{b}").cast("double")
+        sxy = F.col(f"__p_{a}_{b}").cast("double")
+        vx = n * qx - sx * sx
+        vy = n * qy - sy * sy
+        r = F.when((vx > 0) & (vy > 0),
+                   F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6))
+        entries.append(F.struct(F.lit(a).alias("col_a"),
+                                F.lit(b).alias("col_b"),
+                                n.alias("n"), r.alias("r")))
+    return (row.select(F.explode(F.array(*entries)).alias("e"))
+            .select("e.*"))

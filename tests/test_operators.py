@@ -1722,3 +1722,19 @@ def test_triangle_counts_clique_vs_chain(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     out = {r.id: r.n_triangles for r in ops.triangle_counts(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}   # chain nodes absent
+
+
+def test_correlation_matrix_exact_and_bounded(spark):
+    rows = [(float(i), float(2 * i + 3), float((-1) ** i), 5.0)
+            for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, "
+                               "c double")
+    out = {(r.col_a, r.col_b): r for r in ops.correlation_matrix(
+        df, ["x", "y", "z", "c"]).collect()}
+    assert out[("x", "y")].r == 1.0            # perfectly linear
+    assert abs(out[("x", "z")].r) < 0.1        # alternating sign ~ 0
+    # constant column: zero variance -> NULL, never a division error
+    assert out[("x", "c")].r is None and out[("z", "c")].r is None
+    assert all(r.n == 40 for r in out.values())
+    with pytest.raises(ValueError):
+        ops.correlation_matrix(df, ["x"])
