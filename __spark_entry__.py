@@ -2926,6 +2926,19 @@ def q_orders_correlation(spark, sf_dir):
 
 
 
+def q_events_forecast_baseline(spark, sf_dir):
+    """Seasonal-naive forecast backtest (operators/sessions.py
+    forecast_baseline): predict each (type, day) count with the count from
+    7 days earlier; MAE + WAPE per type from integer error sums (23
+    scored days per type at sf0.01). The oracle replays the lag self-join
+    and both divisions."""
+    from hudi_0_12_0_my_spark.operators import forecast_baseline
+    ev = _read(spark, sf_dir, "events")
+    return forecast_baseline(ev, season_days=7).select(
+        "event_type", "n_days", "mae", "wape")
+
+
+
 # ------------------------------------------------------------------ contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3108,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_basket_rules": q_orders_basket_rules,
         "orders_item_triangles": q_orders_item_triangles,
         "orders_correlation": q_orders_correlation,
+        "events_forecast_baseline": q_events_forecast_baseline,
     })
 
 
@@ -3136,7 +3150,7 @@ _NEVER_DRIVER_SAMPLED = [
     "docs_boilerplate", "docs_gopher_quality", "events_rfm",
     "events_anomaly", "orders_basket_pairs",
     "events_ab_test", "events_stickiness", "docs_readability",
-    "events_identity", "orders_basket_rules", "orders_item_triangles", "orders_correlation",
+    "events_identity", "orders_basket_rules", "orders_item_triangles", "orders_correlation", "events_forecast_baseline",
 ]
 
 
@@ -5697,6 +5711,17 @@ SELECT col_a, col_b, n,
                        / sqrt((n * qx - sx * sx) * (n * qy - sy * sy)), 6)
        END AS r
 FROM pr"""
+    out["events_forecast_baseline"] = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+j AS (SELECT a.event_type, abs(a.c - b.c) AS ae, a.c AS actual
+      FROM d a JOIN d b ON a.event_type = b.event_type
+                       AND b.dt = a.dt - 7)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       round(sum(ae) / CAST(count(*) AS DOUBLE), 6) AS mae,
+       round(sum(ae) / CAST(sum(actual) AS DOUBLE), 6) AS wape
+FROM j GROUP BY 1"""
     # exhaustive-probe IVF-PQ must equal plain PQ exactly: same oracle
     out["emb_ivfpq_topk"] = out["emb_pq_topk"]
     # the prefix-filtered gate must check against the IDENTICAL oracle —

@@ -34,7 +34,7 @@ from .pipeline import (chunk_documents, contaminated_ids, curate,
 from .sessions import (sessionize, session_stats, funnel_stats,
                        cohort_retention, top_paths, event_transitions,
                        rfm_segments, count_anomalies, ab_test_stats,
-                       stickiness)
+                       stickiness, forecast_baseline)
 from .similarity import (cosine_topk, ivf_cosine_topk,
                          embedding_near_dup_pairs, hyperplane_signatures,
                          lsh_cosine_topk, semantic_dedup, kmeans_assign,
@@ -89,7 +89,7 @@ __all__ = [
     "segment_filter", "mixture_plan", "bpe_pair_counts", "boilerplate_filter",
     "sessionize", "session_stats", "funnel_stats", "cohort_retention",
     "top_paths", "event_transitions", "rfm_segments", "count_anomalies",
-    "ab_test_stats", "stickiness", "with_readability",
+    "ab_test_stats", "stickiness", "with_readability", "forecast_baseline",
     "cms_cells", "heavy_hitters", "hll_distinct",
     "histogram_cells", "histogram_quantiles",
     "ngram_containment_pairs", "ngram_containment_pairs_prefix",

@@ -467,3 +467,41 @@ def stickiness(df: DataFrame, user_col: str = "user_id",
                     F.round(F.col("dau_sum")
                             / (F.col("n_days") * F.col("mau")), 6)
                     .alias("stickiness")))
+
+
+def forecast_baseline(df: DataFrame, season_days: int = 7,
+                      type_col: str = "event_type",
+                      ts_col: str = "ts") -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each (type, day)'s event
+    count with the count from `season_days` earlier and score the
+    prediction — the baseline every volume-forecast monitor must beat
+    before a model earns its keep, and the drift alarm when error jumps.
+
+    Errors fold from integer counts: |c - c_lag| sums exactly, so MAE is
+    one division over two integers. Classic MAPE would sum per-day float
+    ratios — an order-dependent float accumulation no engine replays
+    bit-for-bit — so the percentage error is reported as WAPE
+    (sum|err| / sum(actual)): one division over two integer sums,
+    bit-portable. Returns (event_type, n_days, mae, wape) per type.
+
+    Shape for 100 TB: ONE shuffle to (type, day) counts, a self-join on
+    the lagged day that reuses the same keying, and a type-sized final
+    aggregate.
+    """
+    if season_days < 1:
+        raise ValueError("forecast_baseline: season_days must be >= 1")
+    daily = (df.groupBy(F.col(type_col).alias("event_type"),
+                        F.to_date(ts_col).alias("_d"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+             .persist())   # both sides of the lag self-join
+    lag = daily.select(F.col("event_type"),
+                       F.date_add("_d", season_days).alias("_d"),
+                       F.col("_c").alias("_pred"))
+    scored = (daily.join(lag, ["event_type", "_d"])
+              .select("event_type",
+                      F.abs(F.col("_c") - F.col("_pred")).alias("_ae"),
+                      F.col("_c").alias("_actual")))
+    return (scored.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                 F.round(F.sum("_ae") / F.count(F.lit(1)), 6).alias("mae"),
+                 F.round(F.sum("_ae") / F.sum("_actual"), 6).alias("wape")))

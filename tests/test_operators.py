@@ -1738,3 +1738,26 @@ def test_correlation_matrix_exact_and_bounded(spark):
     assert all(r.n == 40 for r in out.values())
     with pytest.raises(ValueError):
         ops.correlation_matrix(df, ["x"])
+
+
+def test_forecast_baseline_hand_computed(spark):
+    import datetime as dt
+    rows, eid = [], 0
+    # type "a": counts 4,2 on days 1,2; 3,5 on days 8,9 -> AE = 1,3
+    for day, c in [(1, 4), (2, 2), (8, 3), (9, 5)]:
+        for _ in range(c):
+            rows.append((eid, dt.datetime(2024, 1, day), "a"))
+            eid += 1
+    # type "b": only one week -> no scored days, absent from output
+    rows.append((eid, dt.datetime(2024, 1, 1), "b"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                               "event_type string")
+    out = {r.event_type: r for r in ops.forecast_baseline(
+        df, season_days=7).collect()}
+    assert set(out) == {"a"}
+    a = out["a"]
+    assert a.n_days == 2
+    assert a.mae == 2.0                       # (1 + 3) / 2
+    assert a.wape == 0.5                      # 4 / (3 + 5)
+    with pytest.raises(ValueError):
+        ops.forecast_baseline(df, season_days=0)
