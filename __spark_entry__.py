@@ -3091,7 +3091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lsh_edit_verify": q_docs_lsh_edit_verify,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
-        # rows-only checks
+        # historically rows-only; every entry below now has an exact
+        # oracle too (the dict order is just registration history)
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_cluster_best": q_docs_cluster_best,

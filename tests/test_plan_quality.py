@@ -878,3 +878,25 @@ def test_identity_and_rules_plan_shapes(spark):
     assert "TakeOrderedAndProject" in p2
     assert "SortMergeJoin" not in p2
     assert "BatchEvalPython" not in p2 and "CartesianProduct" not in p2
+
+
+def test_correlation_and_forecast_plan_shapes(spark):
+    """correlation_matrix: ONE aggregate pass (no joins, pair explosion on
+    the 1-row result); forecast_baseline: lag self-join stays keyed, no
+    cartesian, no Python."""
+    import datetime as dt
+    from hudi_0_12_0_my_spark.operators import (correlation_matrix,
+                                                forecast_baseline)
+    df = spark.createDataFrame(
+        [(float(i), float(i * 2), float(i % 7)) for i in range(400)],
+        "x double, y double, z double")
+    p1 = _plan(correlation_matrix(df, ["x", "y", "z"]))
+    assert "Join" not in p1 and "BatchEvalPython" not in p1
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i % 28), ["a", "b"][i % 2])
+         for i in range(600)],
+        "event_id long, ts timestamp, event_type string")
+    p2 = _plan(forecast_baseline(ev))
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert "BatchEvalPython" not in p2
