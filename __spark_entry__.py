@@ -2921,8 +2921,8 @@ def q_orders_correlation(spark, sf_dir):
     from hudi_0_12_0_my_spark.operators import correlation_matrix
     li = _read(spark, sf_dir, "lineitem")
     return correlation_matrix(
-        li, ["l_quantity", "l_extendedprice", "l_discount"]).select(
-        "col_a", "col_b", "n", "r")
+        li, ["l_quantity", "l_extendedprice", "l_discount"],
+        scale="decimal(19,4)").select("col_a", "col_b", "n", "r")
 
 
 
@@ -5675,22 +5675,24 @@ n AS (SELECT unnest([a, b, c]) AS id FROM tr)
 SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM n GROUP BY 1"""
     out["orders_correlation"] = """
 WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-  sum(CAST(l_quantity AS DECIMAL(18,2))) AS s_q,
-  sum(CAST(l_quantity AS DECIMAL(18,2))
-      * CAST(l_quantity AS DECIMAL(18,2))) AS q_q,
-  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_e,
-  sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      * CAST(l_extendedprice AS DECIMAL(18,2))) AS q_e,
-  sum(CAST(l_discount AS DECIMAL(18,2))) AS s_d,
-  sum(CAST(l_discount AS DECIMAL(18,2))
-      * CAST(l_discount AS DECIMAL(18,2))) AS q_d,
-  sum(CAST(l_quantity AS DECIMAL(18,2))
-      * CAST(l_extendedprice AS DECIMAL(18,2))) AS p_qe,
-  sum(CAST(l_quantity AS DECIMAL(18,2))
-      * CAST(l_discount AS DECIMAL(18,2))) AS p_qd,
-  sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      * CAST(l_discount AS DECIMAL(18,2))) AS p_ed
-  FROM lineitem),
+  sum(CAST(l_quantity AS DECIMAL(19,4))) AS s_q,
+  sum(CAST(l_quantity AS DECIMAL(19,4))
+      * CAST(l_quantity AS DECIMAL(19,4))) AS q_q,
+  sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS s_e,
+  sum(CAST(l_extendedprice AS DECIMAL(19,4))
+      * CAST(l_extendedprice AS DECIMAL(19,4))) AS q_e,
+  sum(CAST(l_discount AS DECIMAL(19,4))) AS s_d,
+  sum(CAST(l_discount AS DECIMAL(19,4))
+      * CAST(l_discount AS DECIMAL(19,4))) AS q_d,
+  sum(CAST(l_quantity AS DECIMAL(19,4))
+      * CAST(l_extendedprice AS DECIMAL(19,4))) AS p_qe,
+  sum(CAST(l_quantity AS DECIMAL(19,4))
+      * CAST(l_discount AS DECIMAL(19,4))) AS p_qd,
+  sum(CAST(l_extendedprice AS DECIMAL(19,4))
+      * CAST(l_discount AS DECIMAL(19,4))) AS p_ed
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL),
 pr AS (
   SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
          CAST(s_q AS DOUBLE) AS sx, CAST(q_q AS DOUBLE) AS qx,

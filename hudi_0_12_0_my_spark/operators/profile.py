@@ -199,34 +199,56 @@ def correlation_matrix(df: DataFrame, columns: list[str],
     run-to-run nondeterministic under re-partitioning; this is the
     replayable profiling variant.)
 
+    NULL handling is LISTWISE: rows with a NULL in ANY profiled column are
+    excluded before accumulation, so n counts exactly the rows the sums
+    saw — mixing a global count with NULL-skipping sums would silently
+    corrupt r (even flip its sign). `scale` QUANTIZES: values round to the
+    decimal's scale before accumulating, so pass a finer scale (e.g.
+    ``decimal(28,12)``) for small-magnitude columns; the default suits
+    money/quantity data.
+
     Returns (col_a, col_b, n, r) for each unordered pair, r rounded to 6,
     NULL when either marginal variance is zero. Shape for 100 TB: ONE
     wide partial-aggregated pass computes every sum (k + k + k(k-1)/2
     aggregates for k columns); the pair explosion happens on the 1-row
     result, bounded by k^2, never by data. Decimal width bounds the
     corpus: sums hold to 10^34 — at quantity-scale values that is ~10^30
-    rows, not a practical limit.
+    rows, not a practical limit. The aggregate row persists implicitly in
+    the plan; nothing data-sized is cached.
     """
     if len(columns) < 2:
         raise ValueError("correlation_matrix: need at least 2 columns")
+    if len(set(columns)) != len(columns):
+        raise ValueError("correlation_matrix: duplicate columns")
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    bad = [c for c in columns
+           if not isinstance(fields.get(c), _NUMERIC)]
+    if bad:
+        raise ValueError(f"correlation_matrix: non-numeric or unknown "
+                         f"columns {bad}")
     dec = lambda c: F.col(c).cast(scale)                      # noqa: E731
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    complete = df
     for c in columns:
-        aggs += [F.sum(dec(c)).alias(f"__s_{c}"),
-                 F.sum(dec(c) * dec(c)).alias(f"__q_{c}")]
-    pairs = [(a, b) for i, a in enumerate(columns)
-             for b in columns[i + 1:]]
-    for a, b in pairs:
-        aggs.append(F.sum(dec(a) * dec(b)).alias(f"__p_{a}_{b}"))
-    row = df.agg(*aggs)
+        complete = complete.filter(F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i, c in enumerate(columns):
+        aggs += [F.sum(dec(c)).alias(f"__s_{i}"),
+                 F.sum(dec(c) * dec(c)).alias(f"__q_{i}")]
+    pairs = [(i, j) for i in range(len(columns))
+             for j in range(i + 1, len(columns))]
+    for i, j in pairs:
+        aggs.append(F.sum(dec(columns[i]) * dec(columns[j]))
+                    .alias(f"__p_{i}_{j}"))
+    row = complete.agg(*aggs)
     n = F.col("__n")
     entries = []
-    for a, b in pairs:
-        sx, sy = F.col(f"__s_{a}").cast("double"), \
-            F.col(f"__s_{b}").cast("double")
-        qx, qy = F.col(f"__q_{a}").cast("double"), \
-            F.col(f"__q_{b}").cast("double")
-        sxy = F.col(f"__p_{a}_{b}").cast("double")
+    for i, j in pairs:
+        a, b = columns[i], columns[j]
+        sx, sy = F.col(f"__s_{i}").cast("double"), \
+            F.col(f"__s_{j}").cast("double")
+        qx, qy = F.col(f"__q_{i}").cast("double"), \
+            F.col(f"__q_{j}").cast("double")
+        sxy = F.col(f"__p_{i}_{j}").cast("double")
         vx = n * qx - sx * sx
         vy = n * qy - sy * sy
         r = F.when((vx > 0) & (vy > 0),

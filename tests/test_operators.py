@@ -1761,3 +1761,23 @@ def test_forecast_baseline_hand_computed(spark):
     assert a.wape == 0.5                      # 4 / (3 + 5)
     with pytest.raises(ValueError):
         ops.forecast_baseline(df, season_days=0)
+
+
+def test_correlation_matrix_listwise_nulls_and_validation(spark):
+    # y is a perfect linear function of x on complete rows; a NULL x row
+    # must drop ENTIRELY (listwise) or r would come out wrong/sign-flipped
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (None, 100.0)],
+        "x double, y double")
+    out = {(r.col_a, r.col_b): r for r in ops.correlation_matrix(
+        df, ["x", "y"]).collect()}
+    assert out[("x", "y")].r == 1.0 and out[("x", "y")].n == 3
+    with pytest.raises(ValueError, match="duplicate"):
+        ops.correlation_matrix(df, ["x", "x"])
+    with pytest.raises(ValueError, match="non-numeric"):
+        ops.correlation_matrix(df.withColumn("s", F.lit("a")), ["x", "s"])
+    # underscore-bearing names must not collide in the aggregate aliases
+    df2 = spark.createDataFrame([(1.0, 2.0, 3.0, 4.0), (2.0, 1.0, 5.0, 9.0)],
+                                "a double, b_c double, a_b double, c double")
+    rows = ops.correlation_matrix(df2, ["a", "b_c", "a_b", "c"]).collect()
+    assert len(rows) == 6
