@@ -2939,6 +2939,47 @@ def q_events_forecast_baseline(spark, sf_dir):
 
 
 
+def q_join_rollup_incremental(spark, sf_dir):
+    """Incrementally maintained JOIN view (derived.py sync_join_rollup):
+    quantity/revenue per order priority over lineitem JOIN orders, kept
+    current by the delta-join identity dF(x)D2 + F1(x)dD across BOTH lake
+    tables' histories. Three syncs: full initial join; one window folding
+    a fact delta (upsert+delete) AND a dim delta (priority reclassification
+    = group moves) together; one dim-only delete window. The result must
+    equal a from-scratch join rollup of both FINAL states — the oracle
+    replays both mutation histories."""
+    from hudi_0_12_0_my_spark.derived import sync_join_rollup
+    t, commits = _build_cow(spark, sf_dir)
+    key = (sf_dir, "join_rollup")
+    if key not in _BUILT:
+        orders = _read(spark, sf_dir, "orders")
+        dim = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "join_dim")),
+            record_key_fields=["o_orderkey"],
+            precombine_field="o_orderdate", keygen="nonpartitioned")
+        dim.bulk_insert(orders)
+        dim.upsert(orders.filter(F.col("o_orderkey") % 7 == 0)
+                   .withColumn("o_orderpriority", F.lit("9-RECLASS")))
+        dim.delete(dim.snapshot().filter(F.col("o_orderkey") % 50 == 0))
+        dc = [i.time for i in dim.timeline.completed_write_instants()]
+        dst = _eng(spark).create_table(
+            _fresh(_root(sf_dir, "join_dst")),
+            record_key_fields=["o_orderpriority"], keygen="nonpartitioned")
+        args = (t, dim, dst, "l_orderkey", "o_orderkey",
+                ["o_orderpriority"],
+                {"sum_qty": "l_quantity", "sum_price": "l_extendedprice"})
+        sync_join_rollup(*args, end_fact=commits[0], end_dim=dc[0])
+        sync_join_rollup(*args, end_fact=commits[2], end_dim=dc[1])
+        sync_join_rollup(*args)
+        _BUILT[key] = dst
+    dst = _BUILT[key]
+    return dst.snapshot().select(
+        "o_orderpriority",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"), "n_rows")
+
+
+
 # ------------------------------------------------------------------ contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3123,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_item_triangles": q_orders_item_triangles,
         "orders_correlation": q_orders_correlation,
         "events_forecast_baseline": q_events_forecast_baseline,
+        "join_rollup_incremental": q_join_rollup_incremental,
     })
 
 
@@ -3152,6 +3194,7 @@ _NEVER_DRIVER_SAMPLED = [
     "events_anomaly", "orders_basket_pairs",
     "events_ab_test", "events_stickiness", "docs_readability",
     "events_identity", "orders_basket_rules", "orders_item_triangles", "orders_correlation", "events_forecast_baseline",
+    "join_rollup_incremental",
 ]
 
 
@@ -5725,6 +5768,19 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
        round(sum(ae) / CAST(count(*) AS DOUBLE), 6) AS mae,
        round(sum(ae) / CAST(sum(actual) AS DOUBLE), 6) AS wape
 FROM j GROUP BY 1"""
+    out["join_rollup_incremental"] = f"""
+WITH {LI_CTES},
+o_cur AS (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 7 = 0 THEN '9-RECLASS'
+                 ELSE o_orderpriority END AS o_orderpriority
+          FROM orders),
+o_final AS (SELECT * FROM o_cur WHERE o_orderkey % 50 <> 0)
+SELECT o.o_orderpriority,
+       round(sum(CAST(f.l_quantity AS DOUBLE)), 2) AS sum_qty,
+       round(sum(CAST(f.l_extendedprice AS DOUBLE)), 2) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM final f JOIN o_final o ON f.l_orderkey = o.o_orderkey
+GROUP BY 1"""
     # exhaustive-probe IVF-PQ must equal plain PQ exactly: same oracle
     out["emb_ivfpq_topk"] = out["emb_pq_topk"]
     # the prefix-filtered gate must check against the IDENTICAL oracle —

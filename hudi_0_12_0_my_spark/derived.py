@@ -585,3 +585,138 @@ def hll_table_estimate(dst) -> float:
     s = sum(1 << (cap - r["reg"]) for r in rows) \
         + (m - len(rows)) * (1 << cap)
     return round(_alpha(m) * m * m * float(1 << cap) / float(s), 6)
+
+
+_JCKPT = "join_rollup_checkpoint"
+
+
+def join_rollup_checkpoint(dst) -> dict | None:
+    """Two-source checkpoint of a join-maintained view: JSON
+    {"fact": instant, "dim": instant} in the dst commit's extra_metadata —
+    the same atomic checkpoint-with-data pattern as rollup_checkpoint."""
+    import json
+
+    for ins in reversed(dst.timeline.completed_write_instants()):
+        ck = (dst.timeline.metadata(ins).get("extra_metadata") or {}) \
+            .get(_JCKPT)
+        if ck:
+            return json.loads(ck)
+    return None
+
+
+def sync_join_rollup(fact, dim, dst, fact_key: str, dim_key: str,
+                     group_cols: list[str], sum_cols: dict[str, str],
+                     end_fact: str | None = None,
+                     end_dim: str | None = None) -> dict | None:
+    """Incrementally maintain a JOIN view: dst holds
+    group_cols (from `dim`) -> SUM(fact measures) + n_rows over
+    ``fact INNER JOIN dim ON fact_key = dim_key``, advanced to the given
+    source instants WITHOUT recomputing the join. The delta-join identity
+    (DBSP / classic IVM):
+
+        F2 (x) D2 - F1 (x) D1  =  dF (x) D2  +  F1 (x) dD
+
+    so each sync folds the fact CDC diff against the NEW dim snapshot plus
+    the dim CDC diff against the OLD fact snapshot, every row weighted
+    +1 (insert/after) or -1 (delete/before). Group moves (a dim row's
+    group attribute changes) debit the old group and credit the new one
+    through dD's paired before/after rows; fact-side foreign-key changes
+    flow through dF the same way. Groups whose maintained count reaches
+    zero are tombstoned.
+
+    Returns the new checkpoint dict, or None when both sources are
+    already covered. First sync folds the full join as of the ends.
+
+    Scale shape per sync: the dF side reads only touched fact file groups
+    and joins the dim snapshot (keyed; dims broadcast when small); the dD
+    side is the classic IVM asymmetry — a dim change must visit the OLD
+    fact (one keyed join of the fact scan against the BROADCAST dim
+    delta, prunable by join-key stats) — so keep dims slowly-changing,
+    which star schemas are. Nothing view-sized or fact-sized is ever
+    rewritten: the upsert touches |affected groups| rows.
+    """
+    import json
+
+    f_last = fact.timeline.latest_completed_write()
+    d_last = dim.timeline.latest_completed_write()
+    if f_last is None or d_last is None:
+        return None
+    end_fact = end_fact or f_last.time
+    end_dim = end_dim or d_last.time
+    ck = join_rollup_checkpoint(dst)
+    if ck is not None and ck["fact"] >= end_fact and ck["dim"] >= end_dim:
+        return None
+
+    gcols = list(group_cols)
+    measures = list(dict.fromkeys(sum_cols.values()))
+
+    def fact_snap(at):
+        return fact.time_travel(at) if at != f_last.time else fact.snapshot()
+
+    def dim_snap(at):
+        return dim.time_travel(at) if at != d_last.time else dim.snapshot()
+
+    if ck is None:
+        joined = (fact_snap(end_fact)
+                  .join(dim_snap(end_dim),
+                        F.col(fact_key) == F.col(dim_key), "inner"))
+        merged = joined.groupBy(*gcols).agg(
+            *[F.sum(F.col(s).cast("double")).alias(o)
+              for o, s in sum_cols.items()],
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        dst.writer.set_extra_metadata(
+            {_JCKPT: json.dumps({"fact": end_fact, "dim": end_dim})})
+        dst.upsert(merged)
+        return {"fact": end_fact, "dim": end_dim}
+
+    def signed(cdc, cols):
+        minus = (cdc.filter(F.col("op").isin("u", "d"))
+                 .select(F.lit(-1).alias("_w"), F.col("before").alias("_r")))
+        plus = (cdc.filter(F.col("op").isin("i", "u"))
+                .select(F.lit(1).alias("_w"), F.col("after").alias("_r")))
+        return minus.unionByName(plus).select(
+            "_w", *[F.col(f"_r.{c}").alias(c) for c in cols])
+
+    parts = []
+    if ck["fact"] < end_fact:
+        d_f = signed(fact.incremental_cdc(ck["fact"], end_fact),
+                     [fact_key] + measures)
+        parts.append(
+            d_f.join(dim_snap(end_dim).select(dim_key, *gcols),
+                     F.col(fact_key) == F.col(dim_key), "inner")
+            .select("_w", *gcols, *measures))
+    if ck["dim"] < end_dim:
+        d_d = signed(dim.incremental_cdc(ck["dim"], end_dim),
+                     [dim_key] + gcols)
+        parts.append(
+            fact_snap(ck["fact"]).select(fact_key, *measures)
+            .join(F.broadcast(d_d),
+                  F.col(fact_key) == F.col(dim_key), "inner")
+            .select("_w", *gcols, *measures))
+    contrib = parts[0]
+    for p in parts[1:]:
+        contrib = contrib.unionByName(p)
+    deltas = contrib.groupBy(*gcols).agg(
+        *[F.sum(F.col("_w") * F.col(s).cast("double")).alias(o)
+          for o, s in sum_cols.items()],
+        F.sum("_w").cast("bigint").alias("n_rows")).persist()
+    try:
+        cur = dst.snapshot().join(deltas.select(*gcols).distinct(),
+                                  on=gcols, how="left_semi")
+        cur = cur.select(*gcols,
+                         *[F.col(o).alias(f"__old_{o}") for o in sum_cols],
+                         F.col("n_rows").alias("__old_n"))
+        merged = (deltas.join(cur, on=gcols, how="left")
+                  .select(*gcols,
+                          *[(F.coalesce(F.col(f"__old_{o}"), F.lit(0.0))
+                             + F.col(o)).alias(o) for o in sum_cols],
+                          (F.coalesce(F.col("__old_n"), F.lit(0))
+                           + F.col("n_rows")).cast("bigint")
+                          .alias("n_rows"))
+                  .withColumn(meta.DELETE_MARKER, F.col("n_rows") <= 0))
+        dst.writer.set_extra_metadata(
+            {_JCKPT: json.dumps({"fact": end_fact, "dim": end_dim})})
+        dst.upsert(merged)
+    finally:
+        deltas.unpersist()
+    return {"fact": end_fact, "dim": end_dim}

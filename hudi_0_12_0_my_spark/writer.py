@@ -695,14 +695,20 @@ class Writer:
                 lo += weight
                 if existing:
                     packed.add((p, fid))
+        # reserved-prefixed range columns: bare names (p, w, fid, ...) would
+        # be ambiguous against business columns of the same name
         ranges = self.spark.createDataFrame(
-            rows, "p string, w long, lo long, hi long, fid string, existing boolean")
-        h = F.pmod(F.xxhash64(F.col(meta.RECORD_KEY)), F.col("w"))
+            rows, "__pk_p string, __pk_w long, __pk_lo long, __pk_hi long, "
+                  "__pk_fid string, __pk_existing boolean")
+        h = F.pmod(F.xxhash64(F.col(meta.RECORD_KEY)), F.col("__pk_w"))
         assigned = (inserts.join(F.broadcast(ranges),
-                                 (F.col(meta.PARTITION_PATH) == F.col("p"))
-                                 & (h >= F.col("lo")) & (h < F.col("hi")))
-                    .withColumn(meta.TARGET_FILE_ID, F.col("fid"))
-                    .drop("p", "w", "lo", "hi", "fid", "existing"))
+                                 (F.col(meta.PARTITION_PATH)
+                                  == F.col("__pk_p"))
+                                 & (h >= F.col("__pk_lo"))
+                                 & (h < F.col("__pk_hi")))
+                    .withColumn(meta.TARGET_FILE_ID, F.col("__pk_fid"))
+                    .drop("__pk_p", "__pk_w", "__pk_lo", "__pk_hi",
+                          "__pk_fid", "__pk_existing"))
         return assigned, packed
 
     # --------------------------------------------------------------- index
@@ -1206,17 +1212,20 @@ class Writer:
         else:
             # rows whose bucket has a base file -> delta; first write of a
             # bucket -> base file (Flink bucket stream write behavior)
+            # reserved-prefixed lookup columns: tagged carries the user's
+            # business schema, where bare p/f would be ambiguous
             has_base = self.spark.createDataFrame(
                 [(p, f) for p, f in existing] or
-                [("", "")], "p string, f string")
+                [("", "")], "__hb_p string, __hb_f string")
             deltas = tagged.join(
                 F.broadcast(has_base),
-                (F.col(meta.PARTITION_PATH) == F.col("p"))
-                & (F.col(meta.TARGET_FILE_ID) == F.col("f"))).drop("p", "f")
+                (F.col(meta.PARTITION_PATH) == F.col("__hb_p"))
+                & (F.col(meta.TARGET_FILE_ID) == F.col("__hb_f"))) \
+                .drop("__hb_p", "__hb_f")
             news = tagged.join(
                 F.broadcast(has_base),
-                (F.col(meta.PARTITION_PATH) == F.col("p"))
-                & (F.col(meta.TARGET_FILE_ID) == F.col("f")),
+                (F.col(meta.PARTITION_PATH) == F.col("__hb_p"))
+                & (F.col(meta.TARGET_FILE_ID) == F.col("__hb_f")),
                 "left_anti").filter(F.col(meta.OPERATION) != "D")
             replaced = None
             stats = self.stage_write(deltas, instant, "delta")

@@ -444,3 +444,26 @@ def test_schema_evolution_drop_and_move_sql(spark, tmp_table_dir):
     assert "name" not in snap.columns and snap.columns[0] == "price"
     eng.sql("ALTER TABLE h0_dropsql ALTER COLUMN price AFTER id")
     assert t.reload().snapshot().columns[1] == "price"
+
+
+def test_business_columns_shadowing_internal_names(spark, tmp_path):
+    """Business columns named like the writer's internal lookup columns
+    (fid, p, f, w, lo, hi, existing) must not break packing or bucket
+    writes — the internal frames use reserved __pk_/__hb_ prefixes."""
+    from hudi_0_12_0_my_spark import Engine
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "shadow"),
+                         record_key_fields=["fid"],
+                         keygen="nonpartitioned")
+    schema = ("fid string, p long, f long, w long, lo long, hi long, "
+              "existing boolean, v long")
+    t.insert(spark.createDataFrame(
+        [(f"k{i}", i, i, i, i, i, True, i) for i in range(20)], schema))
+    # second insert exercises small-file packing against existing groups
+    t.insert(spark.createDataFrame(
+        [(f"k{i}", i, i, i, i, i, False, i) for i in range(20, 40)], schema))
+    t.upsert(spark.createDataFrame(
+        [("k5", 0, 0, 0, 0, 0, True, 99)], schema))
+    snap = t.snapshot()
+    assert snap.count() == 40
+    assert snap.filter("fid = 'k5'").collect()[0].v == 99

@@ -387,3 +387,65 @@ def test_sketch_sync_checkpoint_atomic_rollback_converges(spark, tmp_path):
     assert rollup_checkpoint(dst) == ck1
     assert sync_cms_sketch(src, dst, "v", depth=3, width=8) == ck2
     assert cells(dst.snapshot().collect()) == want
+
+
+def test_sync_join_rollup_matches_full_recompute(spark, tmp_path):
+    from hudi_0_12_0_my_spark.derived import (join_rollup_checkpoint,
+                                              sync_join_rollup)
+    eng = Engine(spark)
+    fact = eng.create_table(str(tmp_path / "fact"),
+                            record_key_fields=["fid"],
+                            keygen="nonpartitioned")
+    dim = eng.create_table(str(tmp_path / "dim"), record_key_fields=["did"],
+                           keygen="nonpartitioned")
+    dst = eng.create_table(str(tmp_path / "jdst"),
+                           record_key_fields=["grp"],
+                           keygen="nonpartitioned")
+    FS = "fid string, fk long, v long"
+    DS = "did long, grp string"
+    fact.bulk_insert(spark.createDataFrame(
+        [("a", 1, 10), ("b", 1, 20), ("c", 2, 5), ("x", 9, 99)], FS))
+    dim.bulk_insert(spark.createDataFrame(
+        [(1, "g1"), (2, "g2"), (3, "g3")], DS))   # fk=9 dangles: inner-drop
+
+    def expected():
+        return {(r.grp, float(r.sum_v), r.n_rows) for r in
+                fact.snapshot().join(dim.snapshot(),
+                                     F.col("fk") == F.col("did"))
+                .groupBy("grp")
+                .agg(F.sum(F.col("v").cast("double")).alias("sum_v"),
+                     F.count(F.lit(1)).alias("n_rows")).collect()}
+
+    def got():
+        return {(r.grp, float(r.sum_v), r.n_rows)
+                for r in dst.snapshot().collect()}
+
+    def sync():
+        return sync_join_rollup(fact, dim, dst, "fk", "did", ["grp"],
+                                {"sum_v": "v"})
+
+    ck = sync()
+    assert ck == join_rollup_checkpoint(dst)
+    assert got() == expected() == {("g1", 30.0, 2), ("g2", 5.0, 1)}
+    assert sync() is None                        # already current
+
+    # fact-only delta: update measure, move a row to another dim key,
+    # insert a row landing on a previously-empty group
+    fact.upsert(spark.createDataFrame(
+        [("a", 1, 11), ("c", 1, 5), ("d", 3, 7)], FS))
+    assert sync() is not None
+    assert got() == expected() == {("g1", 36.0, 3), ("g3", 7.0, 1)}
+
+    # dim-only delta: GROUP MOVE (key 1: g1 -> g9) + delete key 3
+    # (tombstones g3) + insert key 9 (the dangling fact rows join in)
+    dim.upsert(spark.createDataFrame([(1, "g9"), (9, "gx")], DS))
+    dim.delete(where=F.col("did") == 3)
+    assert sync() is not None
+    assert got() == expected() == {("g9", 36.0, 3), ("gx", 99.0, 1)}
+
+    # both sides move in the same window: the dF (x) D2 + F1 (x) dD split
+    fact.upsert(spark.createDataFrame([("b", 2, 21)], FS))
+    fact.delete(where=F.col("fid") == "x")
+    dim.upsert(spark.createDataFrame([(2, "g2b")], DS))
+    assert sync() is not None
+    assert got() == expected() == {("g9", 16.0, 2), ("g2b", 21.0, 1)}
