@@ -97,6 +97,63 @@ def rollup_checkpoint(dst) -> str | None:
     return st.read_bytes(p).decode().strip() or None
 
 
+def _signed_cdc(cdc, cols: list[str]):
+    """CDC diff as +-1-weighted rows over `cols`: -before for u/d,
+    +after for i/u — the fold every incremental maintainer shares."""
+    minus = (cdc.filter(F.col("op").isin("u", "d"))
+             .select(F.lit(-1).alias("_sign"), F.col("before").alias("_r")))
+    plus = (cdc.filter(F.col("op").isin("i", "u"))
+            .select(F.lit(1).alias("_sign"), F.col("after").alias("_r")))
+    return minus.unionByName(plus).select(
+        "_sign", *[F.col(f"_r.{c}").alias(c) for c in cols])
+
+
+def _merge_group_deltas(dst, deltas, gcols: list[str],
+                        sum_cols: dict[str, str], ckpt: dict) -> None:
+    """Fold an |affected groups|-sized delta aggregate (columns: gcols +
+    sum_cols outputs + n_rows, additively signed) into dst: coalesce
+    against the current rows of affected groups, tombstone groups whose
+    maintained count reaches zero, commit with the checkpoint metadata —
+    the delta-merge every incremental rollup maintainer shares.
+
+    `deltas` lineage is typically the whole CDC diff; persist it here or
+    the diff would be recomputed for the semi-join probe, the merge join,
+    AND the upsert's evaluation."""
+    deltas = deltas.persist()
+    try:
+        cur = dst.snapshot().join(deltas.select(*gcols).distinct(),
+                                  on=gcols, how="left_semi")
+        cur = cur.select(*gcols,
+                         *[F.col(o).alias(f"__old_{o}") for o in sum_cols],
+                         F.col("n_rows").alias("__old_n"))
+        merged = (deltas.join(cur, on=gcols, how="left")
+                  .select(*gcols,
+                          *[(F.coalesce(F.col(f"__old_{o}"), F.lit(0.0))
+                             + F.col(o)).alias(o) for o in sum_cols],
+                          (F.coalesce(F.col("__old_n"), F.lit(0))
+                           + F.col("n_rows")).cast("bigint")
+                          .alias("n_rows"))
+                  .withColumn(meta.DELETE_MARKER, F.col("n_rows") <= 0))
+        dst.writer.set_extra_metadata(ckpt)
+        dst.upsert(merged)
+    finally:
+        deltas.unpersist()
+
+
+def _guard_reconstructable(table, at: str, ctx: str) -> None:
+    """Refuse a time-travel read whose target instant predates the cleaning
+    retention boundary — the view would silently reconstruct EMPTY (the
+    same loud-refusal contract as reader.incremental_cdc)."""
+    from . import timeline as tl
+
+    for ins in table.timeline.completed(actions=(tl.CLEAN,)):
+        er = (table.timeline.metadata(ins) or {})             .get("earliest_retained_instant")
+        if er and er > at:
+            raise ValueError(
+                f"{ctx}: state as-of {at} is no longer reconstructable — "
+                f"cleaning retained only instants >= {er}")
+
+
 def sync_rollup(src, dst, group_cols: list[str], sum_cols: dict[str, str],
                 end: str | None = None) -> str | None:
     """Advance `dst` (record-keyed by group_cols, columns = group_cols +
@@ -128,40 +185,13 @@ def sync_rollup(src, dst, group_cols: list[str], sum_cols: dict[str, str],
               for o, s in sum_cols.items()],
             F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     else:
-        cdc = src.incremental_cdc(begin, end)
-        minus = (cdc.filter(F.col("op").isin("u", "d"))
-                 .select(F.lit(-1).alias("_sign"), F.col("before").alias("_r")))
-        plus = (cdc.filter(F.col("op").isin("i", "u"))
-                .select(F.lit(1).alias("_sign"), F.col("after").alias("_r")))
-        contrib = minus.unionByName(plus).select(
-            "_sign", *[F.col(f"_r.{g}").alias(g) for g in gcols],
-            *[F.col(f"_r.{s}").alias(s) for s in dict.fromkeys(sum_cols.values())])
+        contrib = _signed_cdc(src.incremental_cdc(begin, end),
+                              gcols + list(dict.fromkeys(sum_cols.values())))
         deltas = contrib.groupBy(*gcols).agg(
             *[F.sum(F.col("_sign") * F.col(s).cast("double")).alias(o)
               for o, s in sum_cols.items()],
             F.sum("_sign").cast("bigint").alias("n_rows"))
-        # the delta set is |affected groups| rows but its lineage is the
-        # whole CDC diff; without a persist the diff would be recomputed for
-        # the semi-join probe, the merge join, AND the upsert's evaluation
-        deltas = deltas.persist()
-        try:
-            cur = dst.snapshot().join(deltas.select(*gcols).distinct(),
-                                      on=gcols, how="left_semi")
-            cur = cur.select(*gcols,
-                             *[F.col(o).alias(f"__old_{o}") for o in sum_cols],
-                             F.col("n_rows").alias("__old_n"))
-            merged = (deltas.join(cur, on=gcols, how="left")
-                      .select(*gcols,
-                              *[(F.coalesce(F.col(f"__old_{o}"), F.lit(0.0))
-                                 + F.col(o)).alias(o) for o in sum_cols],
-                              (F.coalesce(F.col("__old_n"), F.lit(0))
-                               + F.col("n_rows")).cast("bigint")
-                              .alias("n_rows"))
-                      .withColumn(meta.DELETE_MARKER, F.col("n_rows") <= 0))
-            dst.writer.set_extra_metadata({_CKPT: end})
-            dst.upsert(merged)
-        finally:
-            deltas.unpersist()
+        _merge_group_deltas(dst, deltas, gcols, sum_cols, {_CKPT: end})
         return end
     dst.writer.set_extra_metadata({_CKPT: end})
     dst.upsert(merged)
@@ -637,6 +667,18 @@ def sync_join_rollup(fact, dim, dst, fact_key: str, dim_key: str,
     """
     import json
 
+    gcols = list(group_cols)
+    measures = list(dict.fromkeys(sum_cols.values()))
+    # the fold references fact columns and dim columns in ONE unqualified
+    # namespace — overlapping names (incl. fact_key == dim_key) would be
+    # ambiguous in every join leg; refuse with guidance instead
+    overlap = set([fact_key] + measures) & set([dim_key] + gcols)
+    if overlap:
+        raise ValueError(
+            f"sync_join_rollup: fact columns and dim columns must be "
+            f"disjoint; rename/alias before syncing (overlap: "
+            f"{sorted(overlap)})")
+
     f_last = fact.timeline.latest_completed_write()
     d_last = dim.timeline.latest_completed_write()
     if f_last is None or d_last is None:
@@ -644,38 +686,44 @@ def sync_join_rollup(fact, dim, dst, fact_key: str, dim_key: str,
     end_fact = end_fact or f_last.time
     end_dim = end_dim or d_last.time
     ck = join_rollup_checkpoint(dst)
-    if ck is not None and ck["fact"] >= end_fact and ck["dim"] >= end_dim:
-        return None
-
-    gcols = list(group_cols)
-    measures = list(dict.fromkeys(sum_cols.values()))
+    if ck is not None:
+        # an explicit end older than the stored checkpoint on one axis
+        # (while the other advances) would REGRESS that axis — the next
+        # default sync would then re-fold and double-apply the window the
+        # view already contains, and the dF leg would join a dim state
+        # older than the view's. Checkpoints are monotone: clamp.
+        end_fact = max(end_fact, ck["fact"])
+        end_dim = max(end_dim, ck["dim"])
+        if ck["fact"] >= end_fact and ck["dim"] >= end_dim:
+            return None
 
     def fact_snap(at):
-        return fact.time_travel(at) if at != f_last.time else fact.snapshot()
+        if at != f_last.time:
+            _guard_reconstructable(fact, at, "sync_join_rollup(fact)")
+            return fact.time_travel(at)
+        return fact.snapshot()
 
     def dim_snap(at):
-        return dim.time_travel(at) if at != d_last.time else dim.snapshot()
+        if at != d_last.time:
+            _guard_reconstructable(dim, at, "sync_join_rollup(dim)")
+            return dim.time_travel(at)
+        return dim.snapshot()
 
+    ckpt_md = {_JCKPT: json.dumps({"fact": end_fact, "dim": end_dim})}
     if ck is None:
-        joined = (fact_snap(end_fact)
-                  .join(dim_snap(end_dim),
+        joined = (fact_snap(end_fact).select(fact_key, *measures)
+                  .join(dim_snap(end_dim).select(dim_key, *gcols),
                         F.col(fact_key) == F.col(dim_key), "inner"))
         merged = joined.groupBy(*gcols).agg(
             *[F.sum(F.col(s).cast("double")).alias(o)
               for o, s in sum_cols.items()],
             F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-        dst.writer.set_extra_metadata(
-            {_JCKPT: json.dumps({"fact": end_fact, "dim": end_dim})})
+        dst.writer.set_extra_metadata(ckpt_md)
         dst.upsert(merged)
         return {"fact": end_fact, "dim": end_dim}
 
     def signed(cdc, cols):
-        minus = (cdc.filter(F.col("op").isin("u", "d"))
-                 .select(F.lit(-1).alias("_w"), F.col("before").alias("_r")))
-        plus = (cdc.filter(F.col("op").isin("i", "u"))
-                .select(F.lit(1).alias("_w"), F.col("after").alias("_r")))
-        return minus.unionByName(plus).select(
-            "_w", *[F.col(f"_r.{c}").alias(c) for c in cols])
+        return _signed_cdc(cdc, cols).withColumnRenamed("_sign", "_w")
 
     parts = []
     if ck["fact"] < end_fact:
@@ -699,24 +747,6 @@ def sync_join_rollup(fact, dim, dst, fact_key: str, dim_key: str,
     deltas = contrib.groupBy(*gcols).agg(
         *[F.sum(F.col("_w") * F.col(s).cast("double")).alias(o)
           for o, s in sum_cols.items()],
-        F.sum("_w").cast("bigint").alias("n_rows")).persist()
-    try:
-        cur = dst.snapshot().join(deltas.select(*gcols).distinct(),
-                                  on=gcols, how="left_semi")
-        cur = cur.select(*gcols,
-                         *[F.col(o).alias(f"__old_{o}") for o in sum_cols],
-                         F.col("n_rows").alias("__old_n"))
-        merged = (deltas.join(cur, on=gcols, how="left")
-                  .select(*gcols,
-                          *[(F.coalesce(F.col(f"__old_{o}"), F.lit(0.0))
-                             + F.col(o)).alias(o) for o in sum_cols],
-                          (F.coalesce(F.col("__old_n"), F.lit(0))
-                           + F.col("n_rows")).cast("bigint")
-                          .alias("n_rows"))
-                  .withColumn(meta.DELETE_MARKER, F.col("n_rows") <= 0))
-        dst.writer.set_extra_metadata(
-            {_JCKPT: json.dumps({"fact": end_fact, "dim": end_dim})})
-        dst.upsert(merged)
-    finally:
-        deltas.unpersist()
+        F.sum("_w").cast("bigint").alias("n_rows"))
+    _merge_group_deltas(dst, deltas, gcols, sum_cols, ckpt_md)
     return {"fact": end_fact, "dim": end_dim}

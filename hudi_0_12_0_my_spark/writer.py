@@ -458,6 +458,19 @@ class Writer:
         cfg = self.cfg
         df = df.drop(*[c for c in meta.META_COLS + [meta.TARGET_FILE_ID] if c in df.columns])
 
+        # enforce the reserved namespaces, not just use them: "_hoodie_"
+        # belongs to the meta columns and "__" to internal lookup frames
+        # (__pk_/__hb_/__loc_...) and footer-stat exclusions — a business
+        # column there would resurface the ambiguous-reference failures the
+        # prefixes exist to prevent, or silently lose its column stats
+        reserved = [c for c in df.columns
+                    if (c.startswith("_hoodie_") or c.startswith("__"))
+                    and c != meta.DELETE_MARKER]
+        if reserved:
+            raise ValueError(
+                f"column names starting with '_hoodie_' or '__' are "
+                f"reserved for engine internals: {sorted(reserved)}")
+
         marker_is_business = False
         if cfg.schema_json is None:
             fields = [f for f in df.schema.fields]

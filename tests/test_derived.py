@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hudi_0_12_0_my_spark import Engine
@@ -449,3 +451,56 @@ def test_sync_join_rollup_matches_full_recompute(spark, tmp_path):
     dim.upsert(spark.createDataFrame([(2, "g2b")], DS))
     assert sync() is not None
     assert got() == expected() == {("g9", 16.0, 2), ("g2b", 21.0, 1)}
+
+
+def test_sync_join_rollup_guards(spark, tmp_path):
+    from hudi_0_12_0_my_spark.derived import (join_rollup_checkpoint,
+                                              sync_join_rollup)
+    eng = Engine(spark)
+    fact = eng.create_table(str(tmp_path / "gf"), record_key_fields=["rid"],
+                            keygen="nonpartitioned")
+    dim = eng.create_table(str(tmp_path / "gd"), record_key_fields=["did"],
+                           keygen="nonpartitioned")
+    dst = eng.create_table(str(tmp_path / "gv"), record_key_fields=["grp"],
+                           keygen="nonpartitioned")
+    fact.bulk_insert(spark.createDataFrame([("a", 1, 10)],
+                                           "rid string, fk long, v long"))
+    dim.bulk_insert(spark.createDataFrame([(1, "g1")], "did long, grp string"))
+
+    # overlapping fact/dim column names refuse loudly
+    with pytest.raises(ValueError, match="disjoint"):
+        sync_join_rollup(fact, dim, dst, "fk", "fk", ["grp"], {"sum_v": "v"})
+
+    args = (fact, dim, dst, "fk", "did", ["grp"], {"sum_v": "v"})
+    ck1 = sync_join_rollup(*args)
+
+    # advance the fact twice; sync only the dim axis with a STALE explicit
+    # end_fact — the checkpoint must clamp (never regress) so the next
+    # default sync cannot double-apply the already-folded fact window
+    fact.upsert(spark.createDataFrame([("b", 1, 5)],
+                                      "rid string, fk long, v long"))
+    ck2 = sync_join_rollup(*args)
+    dim.upsert(spark.createDataFrame([(2, "g2")], "did long, grp string"))
+    ck3 = sync_join_rollup(*args, end_fact=ck1["fact"])
+    assert ck3["fact"] == ck2["fact"]          # clamped, not regressed
+    assert join_rollup_checkpoint(dst)["fact"] == ck2["fact"]
+    assert sync_join_rollup(*args) is None     # nothing left to double-fold
+    got = {(r.grp, float(r.sum_v), r.n_rows)
+           for r in dst.snapshot().collect()}
+    assert got == {("g1", 15.0, 2)}
+
+
+def test_write_rejects_reserved_prefix_columns(spark, tmp_path):
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "rsv"), record_key_fields=["id"],
+                         keygen="nonpartitioned")
+    with pytest.raises(ValueError, match="reserved"):
+        t.insert(spark.createDataFrame([("a", 1)],
+                                       "id string, __pk_p long"))
+    with pytest.raises(ValueError, match="reserved"):
+        t.insert(spark.createDataFrame([("a", 1)],
+                                       "id string, _hoodie_custom long"))
+    # the user-facing tombstone marker stays allowed
+    t.insert(spark.createDataFrame(
+        [("a", 1, False)], "id string, v long, _hoodie_is_deleted boolean"))
+    assert t.snapshot().count() == 1
