@@ -17,6 +17,17 @@ META_COLS = [COMMIT_TIME, COMMIT_SEQNO, RECORD_KEY, PARTITION_PATH, FILE_NAME]
 # internal write-path column: target file group of each row
 TARGET_FILE_ID = "_target_file_id"
 
+# every "__"-prefixed scratch-column namespace the engine stamps on user
+# frames (lookup joins, heartbeat/location tags, stats, clustering curves).
+# prepare() rejects ONLY these (plus the "_hoodie_" meta namespace) so a
+# pre-existing business column like "__my_col" keeps working — the reference
+# likewise reserves only the _hoodie_ namespace (HoodieRecord.java:37-54).
+# New internal scratch columns MUST use one of these prefixes (or extend the
+# tuple), never a bare "__name".
+INTERNAL_PREFIXES = ("__pk_", "__hb_", "__loc_", "__old_", "__bs_",
+                     "__curve_", "__main_", "__mn_", "__mx_", "__null_",
+                     "__q_", "__root_", "__sc_")
+
 
 def file_id_from_name(col=FILE_NAME):
     """fileId prefix of ``<fileid>_<instant>...parquet`` (fileId is uuid-hex,

@@ -261,17 +261,25 @@ def identity_clusters(df: DataFrame, device_expr: Column | str,
     # device ids in [0, offset) — a hashed device id (often negative) or a
     # >= 2^40 user would silently cross namespaces and corrupt clusters,
     # so refuse loudly and tell the caller to remap
-    bad = recurring.filter((F.col("_u") >= DEVICE_NODE_OFFSET)
+    # NULLs must be in the bad-row filter explicitly: a NULL device id
+    # (failed bigint cast / JSON extract from a misconfigured device_expr)
+    # fails all three range comparisons, and connected_components would
+    # then silently drop the NULL edges — partial clusters instead of the
+    # loud refusal this guard promises.
+    bad = recurring.filter(F.col("_u").isNull() | F.col("_d").isNull()
+                           | (F.col("_u") >= DEVICE_NODE_OFFSET)
                            | (F.col("_d") < 0)
                            | (F.col("_d") >= DEVICE_NODE_OFFSET)) \
                    .limit(1).collect()
     if bad:
         recurring.unpersist()
         raise ValueError(
-            "identity_clusters: user ids must be < 2^40 and device ids in "
-            f"[0, 2^40); got (user={bad[0]['_u']}, device={bad[0]['_d']}). "
-            "Remap hashed/negative device ids (e.g. pmod(hash, 2**39)) "
-            "before clustering.")
+            "identity_clusters: user ids must be non-NULL and < 2^40, "
+            "device ids non-NULL in [0, 2^40); got "
+            f"(user={bad[0]['_u']}, device={bad[0]['_d']}). "
+            "A NULL device usually means device_expr's cast/JSON extract "
+            "failed. Remap hashed/negative device ids (e.g. "
+            "pmod(hash, 2**39)) before clustering.")
     edges = recurring.select(
         F.col("_u").alias("id_a"),
         (F.col("_d") + DEVICE_NODE_OFFSET).alias("id_b"))

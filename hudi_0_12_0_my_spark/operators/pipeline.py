@@ -953,9 +953,12 @@ def boilerplate_filter(df: DataFrame, min_docs: int = 2, window: int = 20,
     license headers, where the repeated segment is junk in ALL its hosts.
 
     Segments split on `sep` (real line/paragraph filtering) or fixed
-    `window`-token spans for corpora without structure. Returns
-    (id, text_filtered, n_segments, n_kept); a document made entirely of
-    boilerplate comes back with empty text and n_kept = 0.
+    `window`-token spans for corpora without structure. Returns EVERY
+    input document, exactly once: a document made entirely of boilerplate
+    comes back with empty text and n_kept = 0, and a document with no
+    segments at all (empty/whitespace/NULL text, or sep-mode text whose
+    segments all trim empty) comes back with n_segments = 0, n_kept = 0
+    and empty text — callers re-joining on the id never lose rows.
 
     Shape for 100 TB: segment explode (map-only) -> ONE shuffle counting
     distinct host docs per segment hash (partial agg; 128-bit md5 keys are
@@ -967,22 +970,29 @@ def boilerplate_filter(df: DataFrame, min_docs: int = 2, window: int = 20,
     if min_docs < 2:
         raise ValueError("boilerplate_filter: min_docs must be >= 2 "
                          "(1 would drop every segment)")
-    nonempty = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    # segment ALL docs (empty/NULL text -> empty segment array) so the
+    # output keeps one row per input document; the guards below stop
+    # split("") from minting a phantom [""] token
     if sep is not None:
-        segs_expr = F.filter(F.split(F.col(text_col), sep),
+        segs_expr = F.filter(F.split(F.coalesce(F.col(text_col),
+                                                F.lit("")), sep),
                              lambda s: F.length(F.trim(s)) > 0)
-        segd = nonempty.select(F.col(id_col).alias("id"),
-                               segs_expr.alias("_segs"))
+        segd = df.select(F.col(id_col).alias("id"),
+                         segs_expr.alias("_segs"))
     else:
-        tokd = nonempty.select(F.col(id_col).alias("id"),
-                               F.split(F.trim(F.col(text_col)), r"\s+")
-                               .alias("_toks"))
+        toks_expr = F.when(
+            F.length(F.trim(F.col(text_col))) > 0,
+            F.split(F.trim(F.col(text_col)), r"\s+")) \
+            .otherwise(F.array().cast("array<string>"))
+        tokd = df.select(F.col(id_col).alias("id"),
+                         toks_expr.alias("_toks"))
         toks = F.col("_toks")
         nseg = F.ceil(F.size(toks) / F.lit(window)).cast("int")
-        segd = tokd.select("id", F.transform(
+        segd = tokd.select("id", F.when(nseg > 0, F.transform(
             F.sequence(F.lit(0), nseg - 1),
             lambda i: F.concat_ws(" ", F.slice(
-                toks, i * window + 1, window))).alias("_segs"))
+                toks, i * window + 1, window))))
+            .otherwise(F.array().cast("array<string>")).alias("_segs"))
     # one materialization of the tokenize+segment pass: segd feeds the
     # frequency count, the anti-join probe AND the per-doc totals — without
     # the persist Spark re-scans and re-splits the corpus three times
@@ -997,9 +1007,8 @@ def boilerplate_filter(df: DataFrame, min_docs: int = 2, window: int = 20,
     kept = ex.join(F.broadcast(boiler), "_h", "left_anti")
     if joiner is None:
         joiner = " " if sep is None else "\n\n"
-    totals = (segd.select("id",
-                          F.size("_segs").cast("bigint").alias("n_segments"))
-              .filter(F.col("n_segments") > 0))
+    totals = segd.select(
+        "id", F.size("_segs").cast("bigint").alias("n_segments"))
     return (totals
             .join(kept.groupBy("id").agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_kept"),

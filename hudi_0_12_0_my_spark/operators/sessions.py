@@ -371,8 +371,12 @@ def ab_test_stats(df: DataFrame, metric_path: str = "$.k",
         raise ValueError("ab_test_stats: t-test requires exactly 2 "
                          "variants")
     uid = F.col(user_col)
-    variant = ((uid % F.lit(1_000_000_007)) * F.lit(2654435761)
-               + F.lit(42)) % variants
+    # pmod at BOTH reduction steps (mirrors _sample_bucket in pipeline.py):
+    # signed % would map negative user ids (hashed ids are routinely
+    # negative) to variant -1 — a third arm silently excluded from the
+    # t statistic. pmod keeps every id in [0, variants).
+    variant = F.pmod(F.pmod(uid.cast("long"), F.lit(1_000_000_007))
+                     * F.lit(2654435761) + F.lit(42), F.lit(variants))
     metric = F.get_json_object(F.col(props_col), metric_path).cast("bigint")
     ev = df.select(variant.alias("variant"), uid.alias("_u"),
                    metric.alias("_m"),

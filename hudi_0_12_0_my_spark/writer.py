@@ -459,17 +459,24 @@ class Writer:
         df = df.drop(*[c for c in meta.META_COLS + [meta.TARGET_FILE_ID] if c in df.columns])
 
         # enforce the reserved namespaces, not just use them: "_hoodie_"
-        # belongs to the meta columns and "__" to internal lookup frames
-        # (__pk_/__hb_/__loc_...) and footer-stat exclusions — a business
+        # belongs to the meta columns and the enumerated INTERNAL_PREFIXES
+        # to internal lookup frames and footer-stat exclusions — a business
         # column there would resurface the ambiguous-reference failures the
-        # prefixes exist to prevent, or silently lose its column stats
+        # prefixes exist to prevent, or silently lose its column stats.
+        # Deliberately NOT a blanket "__" ban: the reference reserves only
+        # the _hoodie_ namespace, and a table written by an earlier version
+        # with e.g. a "__source" business column must stay writable.
         reserved = [c for c in df.columns
-                    if (c.startswith("_hoodie_") or c.startswith("__"))
+                    if (c.startswith("_hoodie_")
+                        or c.startswith(meta.INTERNAL_PREFIXES))
                     and c != meta.DELETE_MARKER]
         if reserved:
             raise ValueError(
-                f"column names starting with '_hoodie_' or '__' are "
-                f"reserved for engine internals: {sorted(reserved)}")
+                f"column names in the '_hoodie_' namespace or with an "
+                f"engine-internal prefix {meta.INTERNAL_PREFIXES} are "
+                f"reserved: {sorted(reserved)}. Migration path: rename the "
+                f"column before writing (ALTER TABLE ... RENAME COLUMN via "
+                f"table.rename_column, then upsert under the new name).")
 
         marker_is_business = False
         if cfg.schema_json is None:

@@ -504,3 +504,10 @@ def test_write_rejects_reserved_prefix_columns(spark, tmp_path):
     t.insert(spark.createDataFrame(
         [("a", 1, False)], "id string, v long, _hoodie_is_deleted boolean"))
     assert t.snapshot().count() == 1
+    # a "__"-prefixed BUSINESS column outside the enumerated internal
+    # namespaces stays writable (backward compat: only _hoodie_ and the
+    # actual internal prefixes are reserved, mirroring the reference)
+    t2 = eng.create_table(str(tmp_path / "biz"), record_key_fields=["id"],
+                          keygen="nonpartitioned")
+    t2.insert(spark.createDataFrame([("a", 7)], "id string, __source long"))
+    assert t2.snapshot().select("__source").collect()[0][0] == 7

@@ -1714,6 +1714,28 @@ def test_identity_clusters_rejects_namespace_collisions(spark):
         ops.identity_clusters(df, device_expr="device", min_occurrences=2)
 
 
+def test_identity_clusters_rejects_null_devices(spark):
+    # a misconfigured device_expr (failed cast / JSON extract) yields NULL
+    # device ids; the guard must refuse loudly, not silently drop edges
+    df = spark.createDataFrame([(i, 1, "not-a-number") for i in range(3)],
+                               "event_id long, user_id long, device string")
+    with pytest.raises(ValueError, match="NULL"):
+        ops.identity_clusters(df, device_expr="try_cast(device AS bigint)",
+                              min_occurrences=2)
+
+
+def test_ab_test_stats_negative_user_ids_get_valid_arms(spark):
+    import json
+    # hashed (negative) user ids must land in variant {0,1} — the signed-%
+    # regression put them in a phantom arm -1 excluded from the t stat
+    rows = [(i, u, "purchase", json.dumps({"k": 10}))
+            for i, u in enumerate(list(range(-20, 0)) * 2)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, "
+                               "event_type string, props string")
+    out = {r.variant for r in ops.ab_test_stats(df).collect()}
+    assert out <= {0, 1} and len(out) == 2
+
+
 def test_triangle_counts_clique_vs_chain(spark):
     # clique {1,2,3,4} -> C(3,2)=3 triangles per corner; chain 10-11-12
     # (open wedge) -> none; duplicate + reversed edges must not double

@@ -354,12 +354,11 @@ def test_containment_prefix_filter_equals_brute(spark, texts, t, cap):
 
 
 def _model_boilerplate(texts, window, min_docs):
+    # every input doc returns; segment-free docs as ("", 0, 0)
     segs: dict = {}
     hosts: dict = {}
     for i, t in enumerate(texts):
         ts = t.split()
-        if not ts:
-            continue
         segs[i] = [" ".join(ts[p:p + window])
                    for p in range(0, len(ts), window)]
         for s in set(segs[i]):
