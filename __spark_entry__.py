@@ -2802,6 +2802,23 @@ def q_events_rfm(spark, sf_dir):
         "r_tile", "f_tile", "m_tile", "segment")
 
 
+def q_events_rfm_approx(spark, sf_dir):
+    """RFM segmentation, approx-tile mode (operators/sessions.py
+    rfm_segments mode='approx'): tile boundaries come from the fixed-width
+    histogram sketch (64 integer cells per metric, ONE map-side-combined
+    shuffle each) interpolated with a fixed IEEE expression tree, then a
+    MAP-ONLY assignment against literal boundary arrays — no global ntile
+    sort anywhere (plan-pinned), the 100x-scale replacement for the exact
+    mode. The oracle replays cells, interpolation and assignment
+    bit-for-bit."""
+    from hudi_0_12_0_my_spark.operators import rfm_segments
+    ev = _read(spark, sf_dir, "events")
+    return rfm_segments(ev, n_tiles=5, mode="approx",
+                        approx_bins=64).select(
+        "user", "recency_days", "frequency", "monetary",
+        "r_tile", "f_tile", "m_tile", "segment")
+
+
 def q_events_anomaly(spark, sf_dir):
     """Per-user daily-volume anomaly detection (operators/sessions.py
     count_anomalies): integer-exact z-test on (user, day) counts —
@@ -3154,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_boilerplate": q_docs_boilerplate,
         "docs_gopher_quality": q_docs_gopher_quality,
         "events_rfm": q_events_rfm,
+        "events_rfm_approx": q_events_rfm_approx,
         "events_anomaly": q_events_anomaly,
         "orders_basket_pairs": q_orders_basket_pairs,
         "events_ab_test": q_events_ab_test,
@@ -5554,6 +5572,69 @@ SELECT "user", recency_days, frequency, monetary,
        || CAST(ntile(5) OVER (ORDER BY frequency DESC, "user") AS VARCHAR)
        || CAST(ntile(5) OVER (ORDER BY monetary DESC, "user") AS VARCHAR)
          AS segment
+FROM b"""
+    # approx mode: the tile engine is the fixed-width histogram sketch —
+    # integer cells, then a fixed IEEE double expression tree for the
+    # boundary interpolation (width = (hi-lo)/64, target = q*n,
+    # est = lo + (bin + (target-cum_before)/cnt)*width) that mirrors
+    # _histogram_tile_edges op for op, so the replay is bit-for-bit
+    out["events_rfm_approx"] = """
+WITH pu AS (SELECT user_id AS "user",
+                   max(CAST(ts AS DATE)) AS last_d,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   sum(CAST(value AS DECIMAL(18,2))) AS mon
+            FROM events GROUP BY 1),
+r AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events),
+b AS (SELECT "user",
+             CAST(date_diff('day', last_d, ref) AS BIGINT) AS recency_days,
+             frequency, CAST(mon AS DOUBLE) AS monetary
+      FROM pu CROSS JOIN r),
+vals AS (SELECT 'r' AS m, CAST(recency_days AS DOUBLE) AS v FROM b
+         UNION ALL SELECT 'f', CAST(frequency AS DOUBLE) FROM b
+         UNION ALL SELECT 'm', monetary FROM b),
+mdef AS (SELECT m, min(v) AS lo,
+                CASE WHEN max(v) > min(v) THEN max(v) ELSE min(v) + 1 END
+                  AS hi
+         FROM vals GROUP BY m),
+cells AS (SELECT v.m,
+                 greatest(0, least(63, CAST(floor(
+                   (v.v - d.lo) / ((d.hi - d.lo) / 64)) AS INT))) AS bin,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM vals v JOIN mdef d USING (m)
+          WHERE v.v IS NOT NULL GROUP BY 1, 2),
+cum AS (SELECT m, bin, cnt,
+               sum(cnt) OVER (PARTITION BY m ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY m) AS n
+        FROM cells),
+qq AS (SELECT CAST(k AS DOUBLE) / CAST(5 AS DOUBLE) AS q
+       FROM range(1, 5) t(k)),
+probe AS (SELECT c.m, q.q, c.bin, c.cnt, c.cum,
+                 q.q * CAST(c.n AS DOUBLE) AS target
+          FROM cum c CROSS JOIN qq q
+          WHERE CAST(c.cum AS DOUBLE) >= q.q * CAST(c.n AS DOUBLE)),
+fst AS (SELECT m, q, min(bin) AS bin FROM probe GROUP BY 1, 2),
+edges AS (SELECT p.m, p.q,
+                 d.lo + (CAST(p.bin AS DOUBLE)
+                         + (p.target - CAST(p.cum - p.cnt AS DOUBLE))
+                           / CAST(p.cnt AS DOUBLE))
+                        * ((d.hi - d.lo) / 64) AS est
+          FROM fst f JOIN probe p USING (m, q, bin)
+          JOIN mdef d ON d.m = p.m)
+SELECT b."user", b.recency_days, b.frequency, b.monetary,
+       CAST(1 + (SELECT count(*) FROM edges e WHERE e.m = 'r'
+                 AND CAST(b.recency_days AS DOUBLE) > e.est) AS INT)
+         AS r_tile,
+       CAST(5 - (SELECT count(*) FROM edges e WHERE e.m = 'f'
+                 AND CAST(b.frequency AS DOUBLE) > e.est) AS INT)
+         AS f_tile,
+       CAST(5 - (SELECT count(*) FROM edges e WHERE e.m = 'm'
+                 AND b.monetary > e.est) AS INT) AS m_tile,
+       CAST(1 + (SELECT count(*) FROM edges e WHERE e.m = 'r'
+                 AND CAST(b.recency_days AS DOUBLE) > e.est) AS VARCHAR)
+       || CAST(5 - (SELECT count(*) FROM edges e WHERE e.m = 'f'
+                    AND CAST(b.frequency AS DOUBLE) > e.est) AS VARCHAR)
+       || CAST(5 - (SELECT count(*) FROM edges e WHERE e.m = 'm'
+                    AND b.monetary > e.est) AS VARCHAR) AS segment
 FROM b"""
     out["events_anomaly"] = """
 WITH dd AS (SELECT user_id AS "user", CAST(ts AS DATE) AS "day",

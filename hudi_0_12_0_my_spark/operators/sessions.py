@@ -238,9 +238,45 @@ def event_transitions(df: DataFrame, user_col: str = "user_id",
         F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"))
 
 
+def _histogram_tile_edges(base: DataFrame, col: str, lo: float, hi: float,
+                          bins: int, qs: list[float]) -> list[float]:
+    """Tile boundaries for one metric from the fixed-width histogram sketch
+    (the engine-portable quantile member of the sketch trio — see
+    operators/sketches.py histogram_quantiles): ONE map-side-combined
+    shuffle of <= `bins` integer cells, collected (model-sized) and
+    interpolated driver-side.
+
+    The interpolation op ORDER deliberately mirrors the SQL oracle's
+    expression tree — width = (hi-lo)/bins, target = q*n,
+    est = lo + (bin + (target-cum_before)/cnt) * width — every step a
+    single correctly-rounded IEEE double op, so any SQL engine replays the
+    boundaries bit-for-bit from the same integer cells.
+    """
+    from .sketches import histogram_cells
+    if not hi > lo:          # degenerate (constant metric): one fat bin
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+    cells = sorted((r["bin"], r["cnt"]) for r in
+                   histogram_cells(base, col, lo, hi, bins).collect())
+    n = sum(c for _, c in cells)
+    edges = []
+    for q in qs:
+        target = q * float(n)
+        cum = 0
+        for b, cnt in cells:
+            cum += cnt
+            if float(cum) >= target:
+                edges.append(lo + (float(b) + (target - float(cum - cnt))
+                                   / float(cnt)) * width)
+                break
+    return edges
+
+
 def rfm_segments(df: DataFrame, n_tiles: int = 5,
                  user_col: str = "user_id", ts_col: str = "ts",
-                 value_col: str = "value") -> DataFrame:
+                 value_col: str = "value", mode: str = "auto",
+                 approx_bins: int = 4096,
+                 exact_max_users: int = 50_000_000) -> DataFrame:
     """RFM (recency / frequency / monetary) user segmentation: per-user
     days-since-last-event (vs the corpus max date), event count, and exact
     decimal value sum, each cut into `n_tiles` equal-population tiles
@@ -249,19 +285,36 @@ def rfm_segments(df: DataFrame, n_tiles: int = 5,
     Returns (user, recency_days, frequency, monetary, r_tile, f_tile,
     m_tile, segment) with segment = concatenated tile digits ("111" =
     champions). Monetary sums as DECIMAL(18,2) so the fold is
-    order-insensitive; ntile ordering ties break on the user id, keeping
-    every tile assignment total and deterministic.
+    order-insensitive.
+
+    Two tile engines, selected by `mode`:
+
+    - "exact": ntile windows over the per-user aggregate, ties broken on
+      the user id (total, deterministic). The global ntile sort serializes
+      all users through ONE task — correct and fine to ~10^7-10^8 users,
+      the textbook bottleneck beyond.
+    - "approx": tile boundaries from the fixed-width HISTOGRAM sketch
+      (ONE map-side-combined shuffle of <= `approx_bins` integer cells per
+      metric over the persisted aggregate; boundaries interpolated
+      driver-side from the model-sized cells, error <= one bin width),
+      then a MAP-ONLY assignment against the literal boundary arrays — no
+      global sort anywhere, flat at any user count. Semantics shift:
+      users are cut by VALUE boundaries, so ties share a tile instead of
+      being split to even populations.
+    - "auto" (default): exact when the aggregate has <= `exact_max_users`
+      rows (one count on the already-persisted aggregate), else approx.
 
     Shape for 100 TB: ONE partial-aggregated shuffle of events down to the
-    per-user table, a broadcast of the 1-row corpus max date, then ntile
-    windows over the AGGREGATE (orders of magnitude smaller than events).
-    The global ntile sort is the one scale liability — beyond ~10^9 users
-    swap the exact tiles for percentile_approx boundaries broadcast back
-    (percentile_filter's approx shape); at that point tile edges are
-    sketch-approximate, which segmentation tolerates.
+    per-user table, a broadcast of the 1-row corpus max date, then either
+    tile engine over the AGGREGATE (orders of magnitude smaller than
+    events); in approx mode nothing after the per-user aggregate shuffles
+    more than `approx_bins` rows.
     """
     if n_tiles < 1:
         raise ValueError("rfm_segments: n_tiles must be >= 1")
+    if mode not in ("auto", "exact", "approx"):
+        raise ValueError(f"rfm_segments: unknown mode {mode!r} "
+                         "(auto | exact | approx)")
     per_user = (df.groupBy(F.col(user_col).alias("user"))
                 .agg(F.max(F.to_date(ts_col)).alias("_last"),
                      F.count(F.lit(1)).cast("bigint").alias("frequency"),
@@ -277,13 +330,39 @@ def rfm_segments(df: DataFrame, n_tiles: int = 5,
                     .alias("recency_days"),
                     "frequency",
                     F.col("_mon").cast("double").alias("monetary")))
-    r_w = Window.orderBy(F.col("recency_days"), F.col("user"))
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user"))
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user"))
+    if mode == "auto":
+        mode = "exact" if per_user.count() <= exact_max_users else "approx"
+    if mode == "exact":
+        r_w = Window.orderBy(F.col("recency_days"), F.col("user"))
+        f_w = Window.orderBy(F.col("frequency").desc(), F.col("user"))
+        m_w = Window.orderBy(F.col("monetary").desc(), F.col("user"))
+        return (base
+                .withColumn("r_tile", F.ntile(n_tiles).over(r_w))
+                .withColumn("f_tile", F.ntile(n_tiles).over(f_w))
+                .withColumn("m_tile", F.ntile(n_tiles).over(m_w))
+                .withColumn("segment", F.concat_ws("", "r_tile", "f_tile",
+                                                   "m_tile")))
+    # approx: histogram-sketch boundaries + map-only assignment
+    base = base.persist()    # three sketch passes + the final projection
+    qs = [k / n_tiles for k in range(1, n_tiles)]
+    bounds = base.agg(*[f(c).cast("double").alias(f"{a}_{c}")
+                        for c in ("recency_days", "frequency", "monetary")
+                        for a, f in (("lo", F.min), ("hi", F.max))]) \
+                 .collect()[0]
+    def tile(col: str, ascending: bool):
+        lo, hi = bounds[f"lo_{col}"], bounds[f"hi_{col}"]
+        if lo is None:                       # empty input: tile is moot
+            return F.lit(1)
+        edges = _histogram_tile_edges(base, col, lo, hi, approx_bins, qs)
+        above = F.size(F.filter(
+            F.array(*[F.lit(float(e)) for e in edges]),
+            lambda b: F.col(col).cast("double") > b))
+        t = (F.lit(1) + above) if ascending else (F.lit(n_tiles) - above)
+        return t.cast("int")
     return (base
-            .withColumn("r_tile", F.ntile(n_tiles).over(r_w))
-            .withColumn("f_tile", F.ntile(n_tiles).over(f_w))
-            .withColumn("m_tile", F.ntile(n_tiles).over(m_w))
+            .withColumn("r_tile", tile("recency_days", True))
+            .withColumn("f_tile", tile("frequency", False))
+            .withColumn("m_tile", tile("monetary", False))
             .withColumn("segment", F.concat_ws("", "r_tile", "f_tile",
                                                "m_tile")))
 

@@ -1520,6 +1520,37 @@ def test_rfm_segments_tiles_and_exact_monetary(spark):
     assert out[9].monetary == 1.0
     with pytest.raises(ValueError):
         ops.rfm_segments(df, n_tiles=0)
+    with pytest.raises(ValueError):
+        ops.rfm_segments(df, mode="bogus")
+
+
+def test_rfm_segments_approx_agrees_with_exact(spark):
+    import datetime as dt
+    # tie-free fixture: distinct recency, frequency and monetary per user
+    # -> the histogram-boundary tiles must agree with exact ntile on every
+    # user (approx only diverges on tie GROUPS, which ntile splits)
+    rows = []
+    for u in range(60):
+        for k in range(u + 1):
+            rows.append((u * 1000 + k,
+                         dt.datetime(2024, 6, 1) - dt.timedelta(days=u),
+                         u, "e", 1.5 * u + 0.25))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                               "user_id long, event_type string, "
+                               "value double")
+    ex = {r.user: (r.r_tile, r.f_tile, r.m_tile, r.segment)
+          for r in ops.rfm_segments(df, mode="exact").collect()}
+    ap = {r.user: (r.r_tile, r.f_tile, r.m_tile, r.segment)
+          for r in ops.rfm_segments(df, mode="approx").collect()}
+    assert ex == ap
+    # auto picks exact below the threshold, approx above it
+    auto_small = {r.user: (r.r_tile, r.f_tile, r.m_tile)
+                  for r in ops.rfm_segments(df, mode="auto").collect()}
+    assert auto_small == {u: v[:3] for u, v in ex.items()}
+    auto_big = {r.user: (r.r_tile, r.f_tile, r.m_tile)
+                for r in ops.rfm_segments(df, mode="auto",
+                                          exact_max_users=10).collect()}
+    assert auto_big == {u: v[:3] for u, v in ap.items()}
 
 
 def test_count_anomalies_matches_brute_force(spark):

@@ -900,3 +900,22 @@ def test_correlation_and_forecast_plan_shapes(spark):
     assert "CartesianProduct" not in p2
     assert "BroadcastNestedLoopJoin" not in p2
     assert "BatchEvalPython" not in p2
+
+
+def test_rfm_approx_mode_has_no_global_sort(spark):
+    """rfm_segments approx mode: the returned plan must carry NO window
+    function at all (the histogram boundary jobs run eagerly and are
+    <= bins rows) — in particular no ntile and no single-partition global
+    sort, the exact mode's documented 100x-scale liability."""
+    import datetime as dt
+    from hudi_0_12_0_my_spark.operators import rfm_segments
+    rows = [(u * 10 + k, dt.datetime(2024, 3, 1) - dt.timedelta(days=u),
+             u, 2.0 * u)
+            for u in range(40) for k in range(u % 5 + 1)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                               "user_id long, value double")
+    approx = _plan(rfm_segments(df, mode="approx"))
+    assert "ntile" not in approx and "Window" not in approx
+    assert "BatchEvalPython" not in approx
+    exact = _plan(rfm_segments(df, mode="exact"))
+    assert "ntile" in exact        # sanity: the pin distinguishes modes
