@@ -2015,6 +2015,22 @@ def q_docs_containment(spark, sf_dir):
     return ngram_containment_pairs(docs, n=3, threshold=0.5)
 
 
+def q_docs_containment_lsh(spark, sf_dir):
+    """LSH-candidates-first containment (operators/dedup.py
+    ngram_containment_pairs_lsh) — the corpus-scale generate-then-verify
+    composition: MinHash band buckets generate candidates (volume set by
+    band collision probability, not corpus pair density), then the SAME
+    exact array_intersect verify stage the prefix path uses. On this
+    corpus every qualifying pair is a near-identical duplicate (jaccard
+    >= ~0.95), so the output equals brute containment exactly — same
+    oracle as docs_containment. The honest recall caveat (high-containment
+    / low-jaccard pairs are invisible to jaccard-driven banding) is
+    documented on the operator."""
+    from hudi_0_12_0_my_spark.operators import ngram_containment_pairs_lsh
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_containment_pairs_lsh(docs, n=3, threshold=0.5)
+
+
 def q_docs_containment_prefix(spark, sf_dir):
     """Prefix-filtered containment (operators/dedup.py
     ngram_containment_pairs_prefix, PPJoin pigeonhole bound): must return
@@ -3091,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_containment": q_docs_containment,
         "docs_containment_prefix": q_docs_containment_prefix,
+        "docs_containment_lsh": q_docs_containment_lsh,
         "docs_pmi_pairs": q_docs_pmi_pairs,
         "events_heavy_hitters": q_events_heavy_hitters,
         "events_hll_distinct": q_events_hll_distinct,
@@ -5861,4 +5878,9 @@ GROUP BY 1"""
     # the prefix-filtered gate must check against the IDENTICAL oracle —
     # structural aliasing, not a second copy of the SQL text
     out["docs_containment_prefix"] = out["docs_containment"]
+    # the LSH-candidates-first composition must also equal brute on this
+    # corpus (every qualifying pair here is a near-identical duplicate,
+    # jaccard >= ~0.95, so band recall is total — the caveat where the
+    # paths diverge is documented on the operator)
+    out["docs_containment_lsh"] = out["docs_containment"]
     return out

@@ -13,7 +13,8 @@ from .dedup import (exact_dedup, minhash_signatures, minhash_lsh_pairs,
                     ngram_jaccard_pairs, segment_dedup, minhash_index_rows,
                     dedup_against_index, edit_verified_pairs,
                     exact_substring_dedup, ngram_containment_pairs,
-                    ngram_containment_pairs_prefix)
+                    ngram_containment_pairs_prefix,
+                    ngram_containment_pairs_lsh)
 from .graph import (connected_components, dup_clusters, identity_clusters,
                     triangle_counts,
                     dedup_by_components, select_cluster_representatives,
@@ -93,5 +94,6 @@ __all__ = [
     "cms_cells", "heavy_hitters", "hll_distinct",
     "histogram_cells", "histogram_quantiles",
     "ngram_containment_pairs", "ngram_containment_pairs_prefix",
+    "ngram_containment_pairs_lsh",
     "pmi_top_pairs",
 ]

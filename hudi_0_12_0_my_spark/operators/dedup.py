@@ -708,18 +708,8 @@ def ngram_containment_pairs_prefix(df: DataFrame, text_col: str = "text",
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    inv_f = _capped_gram_index(df, text_col, id_col, n, max_shingle_freq)
-    # ONE per-doc materialization all three stages reuse: capped grams
-    # sorted frequency-ascending, plus the FULL set size for the
-    # denominator (one corpus pass instead of three)
-    per_doc = (inv_f.groupBy(id_col)
-               .agg(F.sort_array(F.collect_list(
-                        F.struct(F.col("_freq").alias("f"), F.col("g"))))
-                    .alias("_gf"),
-                    F.first("n_grams").cast("bigint").alias("n_full"))
-               .withColumn("_grams",
-                           F.transform("_gf", lambda x: x["g"])))
-    per_doc = per_doc.persist()
+    per_doc = _containment_per_doc(df, text_col, id_col, n,
+                                   max_shingle_freq)
     # pigeonhole prefix over the CAPPED set, required overlap from the FULL
     # size; +1 slack gram absorbs any float rounding in ceil(t * n_full)
     probe_k = (F.size("_gf")
@@ -738,8 +728,36 @@ def ngram_containment_pairs_prefix(df: DataFrame, text_col: str = "text",
             .select(F.least("_pid", "_iid").alias("id_a"),
                     F.greatest("_pid", "_iid").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    # verify: exact intersection of the CAPPED gram sets (array_intersect,
-    # JVM), denominators from the FULL sizes — brute semantics exactly
+    return _containment_verify(per_doc, cand, id_col, threshold)
+
+
+def _containment_per_doc(df: DataFrame, text_col: str, id_col: str, n: int,
+                         max_shingle_freq: int) -> DataFrame:
+    """ONE persisted per-doc materialization the candidate-then-verify
+    containment paths share: capped grams sorted frequency-ascending
+    (`_gf`, the prefix filter ranks by it), the plain gram array
+    (`_grams`), and the FULL pre-cap set size (`n_full`) for the
+    denominator — one corpus pass instead of three. At true corpus scale
+    materialize this to a table instead (the `minhash_index_rows`
+    pattern) rather than caching it."""
+    inv_f = _capped_gram_index(df, text_col, id_col, n, max_shingle_freq)
+    per_doc = (inv_f.groupBy(id_col)
+               .agg(F.sort_array(F.collect_list(
+                        F.struct(F.col("_freq").alias("f"), F.col("g"))))
+                    .alias("_gf"),
+                    F.first("n_grams").cast("bigint").alias("n_full"))
+               .withColumn("_grams",
+                           F.transform("_gf", lambda x: x["g"])))
+    return per_doc.persist()
+
+
+def _containment_verify(per_doc: DataFrame, cand: DataFrame, id_col: str,
+                        threshold: float) -> DataFrame:
+    """Exact containment verification of (id_a, id_b) candidates: one JVM
+    `array_intersect` of the CAPPED gram sets per pair, denominators from
+    the FULL sizes — brute `ngram_containment_pairs` semantics exactly.
+    Both generate-then-verify paths (pigeonhole prefix, MinHash-LSH) end
+    here, so their outputs can never drift from each other."""
     a = per_doc.select(F.col(id_col).alias("id_a"),
                        F.col("_grams").alias("_ga"),
                        F.col("n_full").alias("na"))
@@ -752,3 +770,58 @@ def ngram_containment_pairs_prefix(df: DataFrame, text_col: str = "text",
             .withColumn("containment", cont)
             .filter(F.col("containment") >= threshold)
             .select("id_a", "id_b", "na", "nb", "containment"))
+
+
+def ngram_containment_pairs_lsh(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 3,
+                                threshold: float = 0.9,
+                                max_shingle_freq: int = 1000,
+                                num_hashes: int = 32, bands: int = 16,
+                                shingle_k: int = 5,
+                                hash_fn: str = "xxhash64",
+                                max_bucket_size: int | None = None
+                                ) -> DataFrame:
+    """Containment with MinHash-LSH CANDIDATE GENERATION — the documented
+    corpus-scale DEFAULT entry point for containment dedup: candidates
+    come from the banded MinHash buckets (map-only signatures, one
+    bounded bucket shuffle — the same stage minhash_lsh_pairs uses), and
+    only those pairs pay the exact `array_intersect` verification. The
+    exact paths are pair-density-bound — every pair sharing one uncapped
+    gram is scored, which at sf1 already made brute containment the most
+    expensive operator in the suite (61s, ROUND4_NOTES) — while this
+    path's candidate volume is controlled by the band collision
+    probability, independent of corpus pair density.
+
+    RECALL CAVEAT (the trade, stated honestly): a qualifying pair is
+    generated only if some band collides — probability
+    1 - (1 - j^r)^bands in the pair's JACCARD j (r = num_hashes/bands),
+    NOT its containment. Doc-IN-doc pairs with high containment but tiny
+    Jaccard (a snippet inside a huge page) are exactly the pairs LSH is
+    blind to; raise `bands` (r=1 gives 1-(1-j)^bands) or fall back to
+    `ngram_containment_pairs_prefix` (exact, pigeonhole-pruned) when such
+    asymmetric pairs matter. Verification itself never loses a generated
+    pair: it shares `_containment_verify` with the exact paths, so every
+    emitted row matches brute bit-for-bit.
+
+    Output contract: (id_a, id_b, na, nb, containment) with id_a < id_b —
+    a SUBSET of ngram_containment_pairs (equal whenever LSH recall is
+    total, as on near-identical duplicates with j >= ~0.5 at the default
+    16 bands of r=2).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
+                              hash_fn)
+    band_entries = sigs.select(
+        id_col, "sig",
+        F.posexplode(F.array(*[
+            _combine_hash(hash_fn,
+                          [F.col("sig")[b * r + j] for j in range(r)])
+            for b in range(bands)])).alias("band", "bucket"))
+    cand = (_bucket_pairs(band_entries, id_col, "sig", max_bucket_size)
+            .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
+    per_doc = _containment_per_doc(df, text_col, id_col, n,
+                                   max_shingle_freq)
+    return _containment_verify(per_doc, cand, id_col, threshold)

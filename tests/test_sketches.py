@@ -232,3 +232,38 @@ def test_histogram_quantiles_grouped_monotone(spark):
     assert got[("hi", 0.5)] > got[("lo", 0.5)] + 70
     for g in ("lo", "hi"):                     # monotone in q
         assert got[(g, 0.1)] <= got[(g, 0.5)] <= got[(g, 0.9)]
+
+
+def test_containment_lsh_equals_brute_on_near_dups(spark):
+    """The LSH-candidates-first composition returns exactly the brute
+    pairs when recall is total (near-identical duplicates), and always a
+    value-faithful SUBSET otherwise — the verify stage is shared, so an
+    emitted row can never disagree with brute."""
+    base = [" ".join(f"t{i}_{d}" for i in range(30)) for d in range(8)]
+    dups = [t + " extra tail" for t in base[:4]]          # 4 near-dup pairs
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(base + dups)])
+    brute = {(r.id_a, r.id_b, r.na, r.nb, round(r.containment, 9))
+             for r in ops.ngram_containment_pairs(
+                 df, n=3, threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b, r.na, r.nb, round(r.containment, 9))
+           for r in ops.ngram_containment_pairs_lsh(
+               df, n=3, threshold=0.5).collect()}
+    assert len(brute) >= 4
+    assert lsh == brute
+
+
+def test_containment_lsh_recall_caveat_is_real(spark):
+    """Document the trade the docstring states: a high-containment /
+    low-jaccard doc-IN-doc pair is exactly what jaccard-driven banding can
+    miss at few bands — while the exact paths always find it."""
+    big = " ".join(f"w{i}" for i in range(400))
+    small = " ".join(f"w{i}" for i in range(40, 60))
+    df = spark.createDataFrame([Row(doc_id=1, text=big),
+                                Row(doc_id=2, text=small)])
+    exact = ops.ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    assert len(exact) == 1 and exact[0]["containment"] == 1.0
+    lsh = ops.ngram_containment_pairs_lsh(
+        df, n=3, threshold=0.9, num_hashes=4, bands=2).collect()
+    brute_set = {(r.id_a, r.id_b) for r in exact}
+    assert {(r.id_a, r.id_b) for r in lsh} <= brute_set   # never extra rows
