@@ -72,6 +72,10 @@ class TableConfig:
     # post-commit notification (HoodieWriteCommitCallback):
     # "module:function" | "file:/path" | "http(s)://url" — see callbacks.py
     commit_callback: str | None = None
+    # per-commit metrics reporter (HoodieMetrics / MetricsReporterType):
+    # "console" | "json:/path" | "module:function" | a metrics.register()ed
+    # name; None disables reporting (counters still land in commit metadata)
+    metrics_reporter: str | None = None
     # pre-commit validators (HoodiePreCommitValidatorConfig.java:43-71):
     # list of {"kind": equality|inequality|single_value, "queries": "sql[;sql]"}
     # run against before/after states of touched partitions; failure aborts

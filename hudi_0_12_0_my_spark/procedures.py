@@ -52,6 +52,36 @@ def show_commits_metadata(engine, **kw):
     return _df(engine, rows, "commit_time string, action string, metadata string")
 
 
+def show_commit_metrics(engine, **kw):
+    """Typed per-commit counters (HoodieMetrics surface): the metrics block
+    metrics.fold() stamps into every write/compact/clean/cluster commit."""
+    t = _t(engine, kw)
+    limit = int(kw.get("limit", 50))
+    rows = []
+    for ins in t.timeline.completed():
+        m = (t.timeline.metadata(ins) or {}).get("metrics")
+        if m is None:
+            continue
+        rows.append(Row(
+            commit_time=ins.time, action=ins.action,
+            duration_ms=(float(m["duration_ms"])
+                         if m.get("duration_ms") is not None else None),
+            total_partitions_written=m.get("total_partitions_written"),
+            total_files_written=m.get("total_files_written"),
+            total_base_files_written=m.get("total_base_files_written"),
+            total_log_files_written=m.get("total_log_files_written"),
+            total_records_written=m.get("total_records_written"),
+            total_bytes_written=m.get("total_bytes_written"),
+            total_files_deleted=m.get("total_files_deleted"),
+            total_file_groups_replaced=m.get("total_file_groups_replaced")))
+    return _df(engine, rows[-limit:],
+               "commit_time string, action string, duration_ms double, "
+               "total_partitions_written long, total_files_written long, "
+               "total_base_files_written long, total_log_files_written long, "
+               "total_records_written long, total_bytes_written long, "
+               "total_files_deleted long, total_file_groups_replaced long")
+
+
 def show_archived_commits(engine, **kw):
     t = _t(engine, kw)
     rows = [Row(commit_time=i.time, action=i.action)
@@ -733,6 +763,7 @@ def show_fsview_latest(engine, **kw):
 PROCEDURES = {
     "show_commits": show_commits,
     "show_commits_metadata": show_commits_metadata,
+    "show_commit_metrics": show_commit_metrics,
     "show_archived_commits": show_archived_commits,
     "commits_compare": commits_compare,
     "export_instants": export_instants,

@@ -22,11 +22,15 @@ def _execute_plan(table, instant: str, md: dict) -> None:
     """Delete the planned files, then complete the clean instant. Idempotent
     (unlink tolerates already-gone files), so a crashed execution replays
     safely (HoodieCleanActionExecutor.runPendingClean)."""
+    from .. import metrics as _metrics
+    started = _metrics.now()
     for paths in (md.get("removed_files") or {}).values():
         for rel in paths:
             p = table.abs(rel)
             get_storage(p).unlink(p)
+    _metrics.fold(md, tl.CLEAN, started)
     table.timeline.save_completed(instant, tl.CLEAN, md)
+    _metrics.report(table.cfg, table.base_path, instant, tl.CLEAN, md)
 
 
 def finish_pending_cleans(table) -> int:

@@ -142,6 +142,8 @@ def run_clustering(table, sort_cols: list | None = None,
                    on_rewrite_start=None) -> str | None:
     cfg = table.cfg
     _check_bucket(cfg)
+    from .. import metrics as _metrics
+    _started = _metrics.now()
     if plan is None:
         pending = [i for i in table.timeline.pending()
                    if i.action == tl.REPLACECOMMIT
@@ -247,9 +249,12 @@ def run_clustering(table, sort_cols: list | None = None,
             md = table.writer._commit_md("cluster", stats, replaced,
                                          consume_extra=False)
             md["layout"] = layout
+            _metrics.fold(md, "cluster", _started)
             table.timeline.save_completed(instant, tl.REPLACECOMMIT, md)
             table.writer._maybe_index_blooms(instant, md)
             table.writer._remove_marker(instant)
+            _metrics.report(table.cfg, table.base_path, instant,
+                            tl.REPLACECOMMIT, md)
     finally:
         hb_stop.set()
         hb.join()

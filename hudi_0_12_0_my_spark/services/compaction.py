@@ -142,6 +142,8 @@ def run_compaction(table, strategy: str = "log_file_size",
                                        reference_date=reference_date)
     if plan is None:
         return None
+    from .. import metrics as _metrics
+    _started = _metrics.now()
     instant = plan["instant"]
     selected = {(g["partition"], g["file_id"]) for g in plan["groups"]}
     lock = table.writer._lock()
@@ -216,9 +218,11 @@ def run_compaction(table, strategy: str = "log_file_size",
                                          consume_extra=False)
             md["compacted_groups"] = sorted(f"{p}/{fid}"
                                             for p, fid in selected)
+            _metrics.fold(md, "compact", _started)
             table.timeline.save_completed(instant, tl.COMMIT, md)
             table.writer._maybe_index_blooms(instant, md)
             table.writer._remove_marker(instant)
+            _metrics.report(cfg, table.base_path, instant, tl.COMMIT, md)
     finally:
         hb_stop.set()
         hb.join()

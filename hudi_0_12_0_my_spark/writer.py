@@ -346,6 +346,12 @@ class Writer:
         except pv.PreCommitValidationError:
             self._abort_staged(instant)
             raise
+        # fold the HoodieMetrics counter set into the metadata BEFORE the
+        # instant file lands: durable, archived with the timeline, exposed
+        # by CALL show_commit_metrics (metrics.py)
+        from . import metrics as _metrics
+        _metrics.fold(md, action,
+                      getattr(self, "_op_start", {}).pop(instant, None))
         if self.cfg.concurrency_mode != "occ":
             self.t.timeline.save_completed(instant, action, md)
             self._maybe_index_blooms(instant, md)
@@ -388,11 +394,13 @@ class Writer:
         self._fire_callbacks(instant, action, md)
 
     def _fire_callbacks(self, instant: str, action: str, md: dict) -> None:
-        """Post-commit notifications (HoodieWriteCommitCallback); failures
-        log, never unwind a durable commit."""
-        from . import callbacks
+        """Post-commit notifications (HoodieWriteCommitCallback) and the
+        metrics reporter (HoodieMetrics); failures log, never unwind a
+        durable commit."""
+        from . import callbacks, metrics
         callbacks.fire(self.cfg, self.base, instant, action, md,
                        extra=getattr(self.t, "_commit_listeners", ()))
+        metrics.report(self.cfg, self.base, instant, action, md)
 
     def _maybe_index_blooms(self, instant: str, md: dict) -> None:
         """Synchronous bloom_filters maintenance on commit
@@ -1003,6 +1011,11 @@ class Writer:
         pending instant's owner is still alive (HoodieHeartbeatClient.start;
         hoodie.cleaner.policy.failed.writes=LAZY)."""
         instant = self.t.timeline.new_instant()
+        # commit timer starts at mint (HoodieMetrics.getCommitCtx shape)
+        from . import metrics as _metrics
+        if not hasattr(self, "_op_start"):
+            self._op_start = {}
+        self._op_start[instant] = _metrics.now()
         if self.cfg.concurrency_mode == "occ":
             # stamp BEFORE the requested file lands: a cleaner must never
             # observe a pending instant without its liveness marker
