@@ -12,6 +12,16 @@ HoodieBootstrapRelation.scala:55 + HoodieBootstrapRDD.scala.
   equivalent of Hudi's skeleton-file join.
 - FULL_RECORD: one bulk_insert pass over the source (full rewrite with meta
   columns materialized).
+
+HFile decision (HoodieFileFormat.java lists PARQUET/ORC/HFILE): HFile is
+NOT adopted, by design. The reference uses HFile only for the metadata
+table (and as an exotic base format via HBase's reader); this engine's
+metadata design is manifest-Parquet, and every metadata partition
+(files/col-stats/bloom) is DERIVABLE from the data files — so when the
+bootstrap source is itself a Hudi table, its ``.hoodie`` tree (HFile or
+otherwise) is skipped and the equivalent metadata is rebuilt from the
+adopted parquet. HFile DATA files cannot be read without HBase and are
+refused loudly with the migration path (see ``_refuse_hfile_bases``).
 """
 
 from __future__ import annotations
@@ -20,6 +30,20 @@ import os
 
 from . import timeline as tl
 from .table import LakeTable
+
+
+def _refuse_hfile_bases(path: str) -> None:
+    """Loud, documented refusal of HFile DATA files (HoodieFileFormat.HFILE):
+    reading them needs HBase's HFile reader, which this pure-PySpark engine
+    deliberately does not carry. Migration path: materialize the source
+    through an engine that can read it, then adopt the parquet."""
+    raise NotImplementedError(
+        f"HFile base files are not supported ({path}). Migration: run a "
+        "snapshot read of the source table with Spark+Hudi (or compact the "
+        "source to parquet), write plain parquet, then bootstrap that "
+        "directory — METADATA_ONLY adoption and FULL_RECORD rewrite both "
+        "work from parquet. Metadata-table HFiles need no migration: the "
+        "equivalent files/col-stats/bloom metadata is rebuilt from data.")
 
 
 def bootstrap_table(spark, base_path: str, source_dir: str,
@@ -47,7 +71,12 @@ def bootstrap_table(spark, base_path: str, source_dir: str,
     found: list[tuple[str, str]] = []
     if os.path.isfile(source_dir):
         found.append(("", source_dir))
-    for root, _dirs, files in os.walk(source_dir):
+    for root, dirs, files in os.walk(source_dir):
+        # a source that is itself a Hudi table: never adopt its internal
+        # tree — timeline files are meaningless here and metadata-table
+        # partitions (parquet or HFILE) are derivable, rebuilt from data
+        if ".hoodie" in dirs:
+            dirs.remove(".hoodie")
         rel = os.path.relpath(root, source_dir)
         partition = "" if rel == "." else rel
         if not partition_from_dirs:
@@ -55,6 +84,8 @@ def bootstrap_table(spark, base_path: str, source_dir: str,
         for f in sorted(files):
             if f.endswith(".parquet"):
                 found.append((partition, os.path.join(root, f)))
+            elif f.endswith(".hfile"):
+                _refuse_hfile_bases(os.path.join(root, f))
     if not found:
         raise FileNotFoundError(f"no parquet files under {source_dir}")
 

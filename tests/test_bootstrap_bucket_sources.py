@@ -274,3 +274,35 @@ def test_bootstrap_detected_after_archival(spark, tmp_path):
     assert 0 not in ids and 2 not in ids and 4 in ids
     tt_ids = {r.id for r in t.time_travel(tt_instant).select("id").collect()}
     assert 0 not in tt_ids and 2 not in tt_ids and 500 not in tt_ids
+
+
+def test_bootstrap_skips_hoodie_tree_and_refuses_hfile(spark, tmp_path):
+    """A bootstrap source that is itself a Hudi table: its .hoodie tree
+    (timeline + metadata-table partitions, parquet or HFILE) must never be
+    adopted as data; HFile DATA files are refused with the migration
+    message (HoodieFileFormat.HFILE — decision documented in bootstrap.py:
+    metadata HFiles are derivable, data HFiles need an external rewrite)."""
+    import pytest
+    src = tmp_path / "src"
+    (src / "p=1").mkdir(parents=True)
+    spark.createDataFrame([(1, 10.0)], "id long, v double") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "p=1" / "d"))
+    # flatten: one real parquet data file under the partition dir
+    import glob, shutil, os
+    f = glob.glob(str(src / "p=1" / "d" / "*.parquet"))[0]
+    shutil.move(f, str(src / "p=1" / "data.parquet"))
+    shutil.rmtree(str(src / "p=1" / "d"))
+    meta_dir = src / ".hoodie" / "metadata" / "column_stats"
+    meta_dir.mkdir(parents=True)
+    (meta_dir / "stats.hfile").write_bytes(b"HFILEBLOCK")   # would poison
+    (meta_dir / "stats.parquet").write_bytes(b"not-a-real-parquet")
+    eng = Engine(spark)
+    t = eng.bootstrap(str(tmp_path / "tbl"), str(src),
+                      record_key_fields=["id"])
+    got = t.snapshot().select("id", "v").collect()
+    assert [(r.id, r.v) for r in got] == [(1, 10.0)]        # only real data
+    # an HFile BASE file outside .hoodie refuses loudly
+    (src / "p=1" / "base.hfile").write_bytes(b"HFILEBLOCK")
+    with pytest.raises(NotImplementedError, match="Migration"):
+        eng.bootstrap(str(tmp_path / "tbl2"), str(src),
+                      record_key_fields=["id"])
