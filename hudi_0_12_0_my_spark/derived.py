@@ -634,6 +634,33 @@ def join_rollup_checkpoint(dst) -> dict | None:
     return None
 
 
+_DIM_LEG_PRUNE_MAX_KEYS = 10_000
+
+
+def _join_rollup_dim_leg(fact_df, d_d, fact_key: str, dim_key: str,
+                         gcols: list, measures: list):
+    """The dD leg of the delta-join identity: OLD fact ⋈ broadcast dim
+    delta. The classic IVM asymmetry is that a dim change must visit the
+    fact side — so the visit must PRUNE: the delta's key set (model-sized
+    by the slowly-changing-dim assumption, it is being broadcast anyway)
+    is collected and pushed as an explicit fact_key IN (...) predicate,
+    which reaches the parquet scan (PushedFilters, plan-pinned) and lets
+    row-group/file key stats skip every fact file whose key range misses
+    all changed dims. Above _DIM_LEG_PRUNE_MAX_KEYS changed keys the
+    filter is skipped — at that churn the scan is broad anyway and a
+    million-literal predicate would bloat the plan."""
+    keys = [r[0] for r in d_d.select(dim_key).distinct()
+            .limit(_DIM_LEG_PRUNE_MAX_KEYS + 1).collect() if r[0] is not None]
+    leg = fact_df.select(fact_key, *measures)
+    if len(keys) <= _DIM_LEG_PRUNE_MAX_KEYS:
+        # empty delta -> isin([]) is constant-false: correct (no dim rows
+        # can join) and the scan short-circuits
+        leg = leg.filter(F.col(fact_key).isin(keys))
+    return (leg.join(F.broadcast(d_d),
+                     F.col(fact_key) == F.col(dim_key), "inner")
+            .select("_w", *gcols, *measures))
+
+
 def sync_join_rollup(fact, dim, dst, fact_key: str, dim_key: str,
                      group_cols: list[str], sum_cols: dict[str, str],
                      end_fact: str | None = None,
@@ -736,11 +763,8 @@ def sync_join_rollup(fact, dim, dst, fact_key: str, dim_key: str,
     if ck["dim"] < end_dim:
         d_d = signed(dim.incremental_cdc(ck["dim"], end_dim),
                      [dim_key] + gcols)
-        parts.append(
-            fact_snap(ck["fact"]).select(fact_key, *measures)
-            .join(F.broadcast(d_d),
-                  F.col(fact_key) == F.col(dim_key), "inner")
-            .select("_w", *gcols, *measures))
+        parts.append(_join_rollup_dim_leg(
+            fact_snap(ck["fact"]), d_d, fact_key, dim_key, gcols, measures))
     contrib = parts[0]
     for p in parts[1:]:
         contrib = contrib.unionByName(p)

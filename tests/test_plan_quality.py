@@ -919,3 +919,44 @@ def test_rfm_approx_mode_has_no_global_sort(spark):
     assert "BatchEvalPython" not in approx
     exact = _plan(rfm_segments(df, mode="exact"))
     assert "ntile" in exact        # sanity: the pin distinguishes modes
+
+
+def test_join_rollup_dim_leg_prunes_fact_scan_by_join_keys(spark, tmp_path):
+    """sync_join_rollup's dD leg (the classic IVM asymmetry: a dim change
+    visits the OLD fact) must (a) broadcast the dim delta and (b) push the
+    delta's key set into the fact scan as an IN predicate, so parquet
+    row-group/file key stats prune fact files no changed dim key can hit."""
+    from hudi_0_12_0_my_spark import Engine
+    from hudi_0_12_0_my_spark.derived import (_join_rollup_dim_leg,
+                                              _signed_cdc,
+                                              sync_join_rollup)
+    eng = Engine(spark)
+    fact = eng.create_table(str(tmp_path / "f"), record_key_fields=["fid"],
+                            keygen="nonpartitioned")
+    dim = eng.create_table(str(tmp_path / "d"), record_key_fields=["did"],
+                           keygen="nonpartitioned")
+    dst = eng.create_table(str(tmp_path / "v"), record_key_fields=["grp"],
+                           keygen="nonpartitioned")
+    fact.bulk_insert(spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20)], "fid string, fk long, v long"))
+    dim.bulk_insert(spark.createDataFrame(
+        [(1, "g1"), (2, "g2")], "did long, grp string"))
+    ck = sync_join_rollup(fact, dim, dst, "fk", "did", ["grp"],
+                          {"sum_v": "v"})
+    dim.upsert(spark.createDataFrame([(1, "g9"), (2, "g2b")],
+                                     "did long, grp string"))
+    d_d = _signed_cdc(
+        dim.incremental_cdc(ck["dim"],
+                            dim.timeline.latest_completed_write().time),
+        ["did", "grp"]).withColumnRenamed("_sign", "_w")
+    leg = _join_rollup_dim_leg(fact.snapshot(), d_d, "fk", "did",
+                               ["grp"], ["v"])
+    plan = _plan(leg)
+    assert "BroadcastHashJoin" in plan          # delta is the build side
+    # the key-set predicate reaches the parquet scan (single changed key
+    # simplifies to EqualTo; multiple keys push an In)
+    assert "In(fk, [1,2])" in plan or "In(fk,[1,2])" in plan
+    # and the leg itself is correct: both keys' old fact rows, both signs
+    rows = {(r._w, r.grp, r.v) for r in leg.collect()}
+    assert rows == {(1, "g9", 10), (-1, "g1", 10),
+                    (1, "g2b", 20), (-1, "g2", 20)}
