@@ -93,15 +93,21 @@ def run_tier(spark, eng, sf_dir: str, tag: str) -> dict:
 
     from pyspark.sql import functions as F
 
-    from hudi_0_12_0_my_spark.derived import ivf_index_search, sync_ivf_index
+    from hudi_0_12_0_my_spark.derived import (ivf_index_search,
+                                              sync_ivf_index,
+                                              sync_join_rollup)
     from hudi_0_12_0_my_spark.operators import (basket_pairs,
                                                 boilerplate_filter,
                                                 count_anomalies, curate,
                                                 dsir_sample, dup_clusters,
                                                 exact_substring_dedup,
+                                                identity_clusters,
                                                 minhash_lsh_pairs,
                                                 ngram_containment_pairs,
-                                                pmi_top_pairs)
+                                                ngram_containment_pairs_lsh,
+                                                pmi_top_pairs, rfm_segments,
+                                                triangle_counts)
+    from hudi_0_12_0_my_spark.operators.profile import _basket_counts
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -136,6 +142,8 @@ def run_tier(spark, eng, sf_dir: str, tag: str) -> dict:
         pmi_top_pairs(docs, window=3, k=25, min_count=10).count()
     with step("containment"):         # inverted-index self-join
         ngram_containment_pairs(docs, n=3, threshold=0.5).count()
+    with step("containment_lsh"):      # candidates-first composition
+        ngram_containment_pairs_lsh(docs, n=3, threshold=0.5).count()
     with step("boilerplate"):          # corpus-frequency anti-join
         boilerplate_filter(docs, min_docs=2, window=20).count()
     with step("anomalies"):            # (user, day) shuffle + user windows
@@ -144,6 +152,51 @@ def run_tier(spark, eng, sf_dir: str, tag: str) -> dict:
     with step("basket_pairs"):         # basket sets + pair-count shuffle
         li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         basket_pairs(li, buckets=50, k=25).count()
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.persist().count()
+    with step("rfm_exact"):            # global ntile: the documented hazard
+        rfm_segments(ev, mode="exact").count()
+    with step("rfm_approx"):           # histogram tiles: must stay ~flat
+        rfm_segments(ev, mode="approx").count()
+    with step("identity_clusters"):    # recurring edges + CC
+        identity_clusters(
+            ev, device_expr="CAST(get_json_object(props, '$.k') AS BIGINT)",
+            min_occurrences=4).count()
+    ev.unpersist()
+    with step("triangle_counts"):      # oriented triad join over edges
+        c_ab, _, _ = _basket_counts(li, "l_orderkey", "l_partkey", 50)
+        edges = (c_ab.filter(F.col("n_orders") >= 100)
+                 .select(F.col("item_a").alias("id_a"),
+                         F.col("item_b").alias("id_b")))
+        triangle_counts(edges).count()
+    # join-IVM: setup (tables + full first sync) outside the timer; the
+    # timed step is the INCREMENTAL sync after a 10% fact delta + one dim
+    # group move — the per-sync cost a deployment actually pays
+    root = os.path.join(BENCH_ROOT, tag + "_jr")
+    shutil.rmtree(root, ignore_errors=True)
+    part = spark.read.parquet(os.path.join(SF01, "part.parquet")) \
+        .select("p_partkey", "p_brand")   # dims stay slowly-changing: same size both tiers
+    fct = eng.create_table(os.path.join(root, "fact"),
+                           record_key_fields=["l_orderkey", "l_linenumber"],
+                           precombine_field="l_extendedprice",
+                           keygen="nonpartitioned")
+    dmt = eng.create_table(os.path.join(root, "dim"),
+                           record_key_fields=["p_partkey"],
+                           keygen="nonpartitioned")
+    jdst = eng.create_table(os.path.join(root, "view"),
+                            record_key_fields=["p_brand"],
+                            keygen="nonpartitioned")
+    li_d = li.dropDuplicates(["l_orderkey", "l_linenumber"])
+    fct.bulk_insert(li_d)
+    dmt.bulk_insert(part)
+    args_jr = (fct, dmt, jdst, "l_partkey", "p_partkey", ["p_brand"],
+               {"sum_qty": "l_quantity"})
+    sync_join_rollup(*args_jr)
+    fct.upsert(li_d.filter("l_orderkey % 10 = 0")
+               .withColumn("l_quantity", F.col("l_quantity") + 1))
+    dmt.upsert(part.limit(1).withColumn("p_brand", F.lit("Brand#XX")))
+    with step("join_rollup_sync"):
+        sync_join_rollup(*args_jr)
     with step("ivf_index_sync_search"):
         root = os.path.join(BENCH_ROOT, tag)
         shutil.rmtree(root, ignore_errors=True)
