@@ -814,13 +814,18 @@ def ngram_containment_pairs_lsh(df: DataFrame, text_col: str = "text",
     r = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
                               hash_fn)
+    # unlike minhash_lsh_pairs, the verify stage never reads the
+    # signature — carry a zero-byte payload through the bucket grouping
+    # so a hot bucket's pair structs hold ids only, not 2x32 longs
+    # (the difference between a big task and an OOM on template-heavy
+    # corpora where low-r bands collide entire duplicate cliques)
     band_entries = sigs.select(
-        id_col, "sig",
+        id_col, F.lit(False).alias("_z"),
         F.posexplode(F.array(*[
             _combine_hash(hash_fn,
                           [F.col("sig")[b * r + j] for j in range(r)])
             for b in range(bands)])).alias("band", "bucket"))
-    cand = (_bucket_pairs(band_entries, id_col, "sig", max_bucket_size)
+    cand = (_bucket_pairs(band_entries, id_col, "_z", max_bucket_size)
             .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
     per_doc = _containment_per_doc(df, text_col, id_col, n,
                                    max_shingle_freq)

@@ -143,7 +143,14 @@ def run_tier(spark, eng, sf_dir: str, tag: str) -> dict:
     with step("containment"):         # inverted-index self-join
         ngram_containment_pairs(docs, n=3, threshold=0.5).count()
     with step("containment_lsh"):      # candidates-first composition
-        ngram_containment_pairs_lsh(docs, n=3, threshold=0.5).count()
+        # the sf1 fixture's word-reordered replicas are near-identical in
+        # char-shingle space (every base doc becomes a 10-clique), so use
+        # the production recipe for duplicate-heavy corpora: r=4 bands
+        # (same collision regime the minhash_lsh step runs) + a bucket cap
+        # — mega-buckets are exact-dup territory, not containment's job
+        ngram_containment_pairs_lsh(docs, n=3, threshold=0.5,
+                                    num_hashes=32, bands=8,
+                                    max_bucket_size=1000).count()
     with step("boilerplate"):          # corpus-frequency anti-join
         boilerplate_filter(docs, min_docs=2, window=20).count()
     with step("anomalies"):            # (user, day) shuffle + user windows
