@@ -431,6 +431,10 @@ class Writer:
         """Delete this write's already-moved files + timeline leftovers
         (marker-based undo, MarkerBasedRollbackStrategy.java), plus any
         staging directory a mid-stage crash left behind."""
+        # drop the commit timer too: aborted instants never reach
+        # _commit_completed's pop, and a long-lived multi-writer process
+        # retrying under OCC contention would otherwise grow the dict
+        getattr(self, "_op_start", {}).pop(instant, None)
         marker = self._marker_path(instant)
         if self.storage.exists(marker):
             for rel in read_json(marker).get("files", []):
