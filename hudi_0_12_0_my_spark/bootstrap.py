@@ -70,6 +70,8 @@ def bootstrap_table(spark, base_path: str, source_dir: str,
     # one-file unpartitioned dataset
     found: list[tuple[str, str]] = []
     if os.path.isfile(source_dir):
+        if source_dir.endswith(".hfile"):   # same refusal as the dir walk
+            _refuse_hfile_bases(source_dir)
         found.append(("", source_dir))
     for root, dirs, files in os.walk(source_dir):
         # a source that is itself a Hudi table: never adopt its internal

@@ -649,8 +649,13 @@ def _join_rollup_dim_leg(fact_df, d_d, fact_key: str, dim_key: str,
     all changed dims. Above _DIM_LEG_PRUNE_MAX_KEYS changed keys the
     filter is skipped — at that churn the scan is broad anyway and a
     million-literal predicate would bloat the plan."""
-    keys = [r[0] for r in d_d.select(dim_key).distinct()
-            .limit(_DIM_LEG_PRUNE_MAX_KEYS + 1).collect() if r[0] is not None]
+    # NULL keys are excluded BEFORE the limit: a NULL inside the budget
+    # window could otherwise displace a real key and make the isin filter
+    # silently drop that key's fact contributions (NULLs never survive the
+    # inner join anyway)
+    keys = [r[0] for r in d_d.select(dim_key)
+            .filter(F.col(dim_key).isNotNull()).distinct()
+            .limit(_DIM_LEG_PRUNE_MAX_KEYS + 1).collect()]
     leg = fact_df.select(fact_key, *measures)
     if len(keys) <= _DIM_LEG_PRUNE_MAX_KEYS:
         # empty delta -> isin([]) is constant-false: correct (no dim rows

@@ -26,7 +26,16 @@ TARGET_FILE_ID = "_target_file_id"
 # tuple), never a bare "__name".
 INTERNAL_PREFIXES = ("__pk_", "__hb_", "__loc_", "__old_", "__bs_",
                      "__curve_", "__main_", "__mn_", "__mx_", "__null_",
-                     "__q_", "__root_", "__sc_")
+                     "__q_", "__root_", "__sc_",
+                     # exact scratch names the write path stamps on user
+                     # frames (stage_write partition/file-group keys, the
+                     # bucket index, bloom tag probes, the bootstrap-meta
+                     # reader join, consistent-hash rings, derived-table
+                     # folds) — admitting a business column with one of
+                     # these names would silently overwrite its values or
+                     # make the write fail with an ambiguous reference
+                     "__pp", "__fid", "__bucket", "__bf", "__bk", "__bm",
+                     "__bs", "__fp", "__old", "__ring", "__rn", "__wm")
 
 
 def file_id_from_name(col=FILE_NAME):

@@ -779,7 +779,7 @@ def ngram_containment_pairs_lsh(df: DataFrame, text_col: str = "text",
                                 num_hashes: int = 32, bands: int = 16,
                                 shingle_k: int = 5,
                                 hash_fn: str = "xxhash64",
-                                max_bucket_size: int | None = None
+                                max_bucket_size: int | None = 1000
                                 ) -> DataFrame:
     """Containment with MinHash-LSH CANDIDATE GENERATION — the documented
     corpus-scale DEFAULT entry point for containment dedup: candidates
@@ -807,6 +807,14 @@ def ngram_containment_pairs_lsh(df: DataFrame, text_col: str = "text",
     a SUBSET of ngram_containment_pairs (equal whenever LSH recall is
     total, as on near-identical duplicates with j >= ~0.5 at the default
     16 bands of r=2).
+
+    `max_bucket_size` defaults BOUNDED (1000): this is the corpus-scale
+    default entry point, and on template-heavy corpora an unbounded hot
+    bucket (thousands of docs colliding on one band value) generates
+    O(B^2) pairs in one task — measured as an executor OOM at the sf1
+    scale smoke before the cap. Members of a mega-bucket are
+    exact-dup-territory anyway (collapse them with exact_dedup first);
+    pass None to disable when completeness over such cliques matters.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")

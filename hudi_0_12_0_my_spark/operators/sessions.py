@@ -342,8 +342,11 @@ def rfm_segments(df: DataFrame, n_tiles: int = 5,
                 .withColumn("m_tile", F.ntile(n_tiles).over(m_w))
                 .withColumn("segment", F.concat_ws("", "r_tile", "f_tile",
                                                    "m_tile")))
-    # approx: histogram-sketch boundaries + map-only assignment
-    base = base.persist()    # three sketch passes + the final projection
+    # approx: histogram-sketch boundaries + map-only assignment. base is
+    # NOT persisted: it is a cheap projection over the already-persisted
+    # per_user aggregate, so the eager bounds/sketch jobs and the returned
+    # plan all re-derive it from that one cache — no second cache pinned
+    # for the session lifetime
     qs = [k / n_tiles for k in range(1, n_tiles)]
     bounds = base.agg(*[f(c).cast("double").alias(f"{a}_{c}")
                         for c in ("recency_days", "frequency", "monetary")
@@ -351,8 +354,12 @@ def rfm_segments(df: DataFrame, n_tiles: int = 5,
                  .collect()[0]
     def tile(col: str, ascending: bool):
         lo, hi = bounds[f"lo_{col}"], bounds[f"hi_{col}"]
-        if lo is None:                       # empty input: tile is moot
-            return F.lit(1)
+        if lo is None:
+            # empty input or all-NULL metric: no boundaries exist, so
+            # mirror the assignment formula at above=0 (1 ascending,
+            # n_tiles descending) — also what the SQL oracle's correlated
+            # count yields with zero edge rows
+            return F.lit(1 if ascending else n_tiles).cast("int")
         edges = _histogram_tile_edges(base, col, lo, hi, approx_bins, qs)
         above = F.size(F.filter(
             F.array(*[F.lit(float(e)) for e in edges]),

@@ -1498,7 +1498,9 @@ def _orc_file_stats(path: str, stats_cols: list[str] | None) -> dict:
                    else st_backend.fs.open(path, "rb"))
     names = [n for n in f.schema.names
              if n == meta.RECORD_KEY
-             or (not n.startswith(("_hoodie_", "__"))
+             # same reservation scope as prepare(): a "__"-named BUSINESS
+             # column the writer admits must also get column stats
+             or (not n.startswith(("_hoodie_",) + meta.INTERNAL_PREFIXES)
                  and (stats_cols is None or n in stats_cols))]
     tbl = f.read(columns=names)
     out = {"records": tbl.num_rows, "bytes": st_backend.size(path),
@@ -1543,7 +1545,9 @@ def _parquet_footer_stats(path: str, stats_cols: list[str] | None) -> dict:
             # any probe); collected regardless of the stats-column config
             names[i] = name
             continue
-        if name.startswith(("_hoodie_", "__")):
+        # same reservation scope as prepare(): a "__"-named BUSINESS column
+        # the writer admits must also get column stats
+        if name.startswith(("_hoodie_",) + meta.INTERNAL_PREFIXES):
             continue
         if stats_cols is not None and name not in stats_cols:
             continue

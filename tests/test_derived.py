@@ -504,6 +504,12 @@ def test_write_rejects_reserved_prefix_columns(spark, tmp_path):
     t.insert(spark.createDataFrame(
         [("a", 1, False)], "id string, v long, _hoodie_is_deleted boolean"))
     assert t.snapshot().count() == 1
+    # the write path's own scratch names are reserved too — a "__pp"
+    # business column would be silently overwritten by stage_write
+    for bad in ("__pp", "__fid", "__bucket", "__ring"):
+        with pytest.raises(ValueError, match="reserved"):
+            t.insert(spark.createDataFrame([("a", 1)],
+                                           f"id string, `{bad}` long"))
     # a "__"-prefixed BUSINESS column outside the enumerated internal
     # namespaces stays writable (backward compat: only _hoodie_ and the
     # actual internal prefixes are reserved, mirroring the reference)
@@ -511,3 +517,22 @@ def test_write_rejects_reserved_prefix_columns(spark, tmp_path):
                           keygen="nonpartitioned")
     t2.insert(spark.createDataFrame([("a", 7)], "id string, __source long"))
     assert t2.snapshot().select("__source").collect()[0][0] == 7
+    # ...and it gets column stats like any other business column (the old
+    # blanket "__" skip in the footer-stats collectors starved it)
+    ins = t2.timeline.completed_write_instants()[-1]
+    sts = t2.timeline.metadata(ins)["partition_to_write_stats"]
+    st = next(iter(sts.values()))[0]
+    assert st["col_stats"]["__source"]["min"] == 7
+
+
+def test_join_rollup_dim_leg_null_keys_never_eat_prune_budget(spark):
+    from hudi_0_12_0_my_spark.derived import _join_rollup_dim_leg
+    fact_df = spark.createDataFrame([(1, 10), (2, 20)], "fk long, v long")
+    # a NULL join key in the delta must be ignored by the prune filter
+    # (it can never survive the inner join) — not displace a real key
+    d_d = spark.createDataFrame([(None, "gx", 1), (2, "g2", 1)],
+                                "did long, grp string, _w int")
+    rows = {(r._w, r.grp, r.v)
+            for r in _join_rollup_dim_leg(fact_df, d_d, "fk", "did",
+                                          ["grp"], ["v"]).collect()}
+    assert rows == {(1, "g2", 20)}

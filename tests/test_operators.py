@@ -1834,3 +1834,18 @@ def test_correlation_matrix_listwise_nulls_and_validation(spark):
                                 "a double, b_c double, a_b double, c double")
     rows = ops.correlation_matrix(df2, ["a", "b_c", "a_b", "c"]).collect()
     assert len(rows) == 6
+
+
+def test_rfm_approx_all_null_metric_matches_descending_formula(spark):
+    import datetime as dt
+    # all-NULL monetary: no boundaries exist — descending metrics must
+    # land on tile n_tiles (above=0), mirroring the oracle's correlated
+    # count over zero edge rows, not a flat 1
+    rows = [(u, dt.datetime(2024, 1, 1) + dt.timedelta(days=u), u, None)
+            for u in range(12)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                               "user_id long, value double")
+    out = {r.user: (r.r_tile, r.m_tile)
+           for r in ops.rfm_segments(df, mode="approx").collect()}
+    assert all(m == 5 for _r, m in out.values())
+    assert {r for r, _m in out.values()} == {1, 2, 3, 4, 5}  # recency real
