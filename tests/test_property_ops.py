@@ -453,3 +453,99 @@ def test_rfm_tiles_match_model(spark, data):
         assert (g.recency_days, g.frequency) == (ref - per[u][0], per[u][1])
         assert g.monetary == round(per[u][2], 2)
         assert (g.r_tile, g.f_tile, g.m_tile) == (r_t[u], f_t[u], m_t[u])
+
+
+# ------------------------------------------------- rfm approx tile model
+def _model_rfm_approx(per_user, n_tiles, bins):
+    """Pure-Python replay of the histogram tile engine: cells ->
+    interpolated boundaries -> value-threshold assignment, same IEEE op
+    order as _histogram_tile_edges."""
+    def edges(vals, asc):
+        vs = [v for v in vals if v is not None]
+        lo, hi = float(min(vs)), float(max(vs))
+        if not hi > lo:
+            hi = lo + 1.0
+        import math
+        width = (hi - lo) / bins
+        cells: dict = {}
+        for v in vs:
+            # mirror Spark exactly: one IEEE division, then floor
+            b = math.floor((float(v) - lo) / width)
+            b = max(0, min(bins - 1, b))
+            cells[b] = cells.get(b, 0) + 1
+        n = len(vs)
+        out = []
+        for k in range(1, n_tiles):
+            target = (k / n_tiles) * float(n)
+            cum = 0
+            for b in sorted(cells):
+                cum += cells[b]
+                if float(cum) >= target:
+                    out.append(lo + (float(b) + (target - float(cum - cells[b]))
+                                     / float(cells[b])) * width)
+                    break
+        return out
+
+    def assign(v, es, asc):
+        above = sum(1 for e in es if v is not None and float(v) > e)
+        return 1 + above if asc else n_tiles - above
+
+    er = edges([r[0] for r in per_user], True)
+    ef = edges([r[1] for r in per_user], False)
+    em = edges([r[2] for r in per_user], False)
+    return {i: (assign(r[0], er, True), assign(r[1], ef, False),
+                assign(r[2], em, False))
+            for i, r in enumerate(per_user)}
+
+
+@PROP
+@given(st.lists(st.tuples(st.integers(0, 30),      # recency days
+                          st.integers(1, 20),      # frequency
+                          st.integers(-50, 50)),   # integer value PER EVENT
+                min_size=1, max_size=15))
+def test_rfm_approx_matches_model(spark, users):
+    """The approx tile engine (histogram cells + driver interpolation +
+    map-only assignment) must equal the pure-Python model on random
+    per-user shapes — ties, negatives, constant metrics, single user.
+    Per-event values are integers so the DECIMAL(18,2) fold is exact and
+    the model's monetary (per_event * freq) is the same double."""
+    import datetime as dt
+    bins = 16
+    rows = []
+    for u, (rec, freq, mon) in enumerate(users):
+        for k in range(freq):
+            rows.append((u * 1000 + k,
+                         dt.datetime(2024, 3, 31) - dt.timedelta(days=rec),
+                         u, float(mon)))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                               "user_id long, value double")
+    got = {r.user: (r.r_tile, r.f_tile, r.m_tile)
+           for r in ops.rfm_segments(df, mode="approx",
+                                     approx_bins=bins).collect()}
+    # the engine's per-user table: recency vs corpus max date, decimal sum
+    ref = min(rec for rec, _f, _m in users)   # most recent user -> day 0
+    per_user = [(float(rec - ref), float(freq), float(mon * freq))
+                for rec, freq, mon in users]
+    want = _model_rfm_approx(per_user, 5, bins)
+    assert got == want
+
+
+@PROP
+@given(texts=CORPUS, t=st.sampled_from([0.5, 0.8, 1.0]))
+def test_containment_lsh_is_value_faithful_subset(spark, texts, t):
+    """The LSH composition may MISS pairs (band recall) but every emitted
+    row must carry exactly the brute path's values — the shared verify
+    stage makes disagreement impossible, and hypothesis walks tie-heavy
+    tiny corpora where bucket grouping and dedup edge paths live."""
+    brute = {(r["id_a"], r["id_b"]):
+             (r["na"], r["nb"], round(r["containment"], 9))
+             for r in ops.ngram_containment_pairs(
+                 _df(spark, texts), n=2, threshold=t).collect()}
+    lsh = {(r["id_a"], r["id_b"]):
+           (r["na"], r["nb"], round(r["containment"], 9))
+           for r in ops.ngram_containment_pairs_lsh(
+               _df(spark, texts), n=2, threshold=t,
+               num_hashes=8, bands=8, shingle_k=2).collect()}
+    assert set(lsh) <= set(brute)
+    for k, v in lsh.items():
+        assert brute[k] == v
