@@ -758,6 +758,7 @@ def sync_join_rollup(fact, dim, dst, fact_key: str, dim_key: str,
         return _signed_cdc(cdc, cols).withColumnRenamed("_sign", "_w")
 
     parts = []
+    d_d = None
     if ck["fact"] < end_fact:
         d_f = signed(fact.incremental_cdc(ck["fact"], end_fact),
                      [fact_key] + measures)
@@ -766,16 +767,24 @@ def sync_join_rollup(fact, dim, dst, fact_key: str, dim_key: str,
                      F.col(fact_key) == F.col(dim_key), "inner")
             .select("_w", *gcols, *measures))
     if ck["dim"] < end_dim:
+        # persisted: the dim-leg prune collects the delta's key set (one
+        # eager job) and the leg joins the same delta — without the cache
+        # the dim-CDC plan (two time-travel scans + before/after join)
+        # would evaluate twice
         d_d = signed(dim.incremental_cdc(ck["dim"], end_dim),
-                     [dim_key] + gcols)
+                     [dim_key] + gcols).persist()
         parts.append(_join_rollup_dim_leg(
             fact_snap(ck["fact"]), d_d, fact_key, dim_key, gcols, measures))
-    contrib = parts[0]
-    for p in parts[1:]:
-        contrib = contrib.unionByName(p)
-    deltas = contrib.groupBy(*gcols).agg(
-        *[F.sum(F.col("_w") * F.col(s).cast("double")).alias(o)
-          for o, s in sum_cols.items()],
-        F.sum("_w").cast("bigint").alias("n_rows"))
-    _merge_group_deltas(dst, deltas, gcols, sum_cols, ckpt_md)
+    try:
+        contrib = parts[0]
+        for p in parts[1:]:
+            contrib = contrib.unionByName(p)
+        deltas = contrib.groupBy(*gcols).agg(
+            *[F.sum(F.col("_w") * F.col(s).cast("double")).alias(o)
+              for o, s in sum_cols.items()],
+            F.sum("_w").cast("bigint").alias("n_rows"))
+        _merge_group_deltas(dst, deltas, gcols, sum_cols, ckpt_md)
+    finally:
+        if d_d is not None:
+            d_d.unpersist()
     return {"fact": end_fact, "dim": end_dim}
