@@ -71,6 +71,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         aliases = {
             "commits": ("show_commits", {}),
+            "metrics": ("show_commit_metrics", {}),
             "commit-files": ("show_commit_files", {}),
             "partitions": ("show_partitions", {}),
             "fsview": ("show_fsview_all", {}),

@@ -30,6 +30,11 @@ def test_cli_commands(spark, tmp_path, capsys):
     tl = run("timeline")
     assert [r["state"] for r in tl] == ["completed", "completed"]
 
+    mets = run("metrics")
+    assert len(mets) == 2
+    assert all(m["duration_ms"] > 0 and m["total_files_written"] >= 1
+               for m in mets)
+
     parts = run("partitions")
     assert sorted(p["partition"] for p in parts) == ["a", "b"]
 
