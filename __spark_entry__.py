@@ -232,6 +232,30 @@ def q_mor_snapshot(spark, sf_dir):
             .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
 
 
+def q_format_hudi_snapshot(spark, sf_dir):
+    """spark.read.format('hudi') batch COW snapshot (datasource.py, the
+    reference quickstart surface: DefaultSource.scala / Python Data Source
+    API): the standalone timeline fold + pyarrow read must see exactly the
+    library reader's table state after bulk_insert -> upsert -> delete —
+    same oracle as cow_snapshot, so any slice-selection or tombstone drift
+    fails the hash."""
+    t, _ = _build_cow(spark, sf_dir)
+    df = spark.read.format("hudi").load(t.base_path)
+    return (df.groupBy("l_returnflag", "l_linestatus")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty"),
+                 _dec_sum("l_extendedprice", "sum_price")))
+
+
+def q_format_hudi_mor_snapshot(spark, sf_dir):
+    """format('hudi') MOR snapshot: the executor-side arrow merge (sort by
+    ordering fields desc + group-boundary mask) must replay the contested
+    base+delta key resolution bit-for-bit — same oracle as mor_snapshot."""
+    t, _ = _build_mor(spark, sf_dir, compact=False)
+    df = spark.read.format("hudi").load(t.base_path)
+    return (df.groupBy("l_returnflag", "l_linestatus")
+            .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
+
+
 def q_mor_read_optimized(spark, sf_dir):
     t, _ = _build_mor(spark, sf_dir, compact=False)
     return (t.read_optimized().groupBy("l_returnflag")
@@ -3031,6 +3055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cow_time_travel": q_cow_time_travel,
         "cow_point_lookup": q_cow_point_lookup,
         "mor_snapshot": q_mor_snapshot,
+        "format_hudi_snapshot": q_format_hudi_snapshot,
+        "format_hudi_mor_snapshot": q_format_hudi_mor_snapshot,
         "mor_read_optimized": q_mor_read_optimized,
         "mor_read_optimized_filtered": q_mor_read_optimized_filtered,
         "mor_incremental": q_mor_incremental,
@@ -3220,6 +3246,7 @@ _NEVER_DRIVER_SAMPLED = [
     "events_forecast_baseline", "join_rollup_incremental",
     # gates new in round 5 (registered below; no row can exist yet):
     "docs_containment_lsh", "events_rfm_approx",
+    "format_hudi_snapshot", "format_hudi_mor_snapshot",
 ]
 
 
@@ -5878,6 +5905,8 @@ GROUP BY 1"""
     # the prefix-filtered gate must check against the IDENTICAL oracle —
     # structural aliasing, not a second copy of the SQL text
     out["docs_containment_prefix"] = out["docs_containment"]
+    out["format_hudi_snapshot"] = out["cow_snapshot"]
+    out["format_hudi_mor_snapshot"] = out["mor_snapshot"]
     # the LSH-candidates-first composition must also equal brute on this
     # corpus (every qualifying pair here is a near-identical duplicate,
     # jaccard >= ~0.95, so band recall is total — the caveat where the

@@ -20,6 +20,15 @@ class Engine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.catalog: dict[str, str] = {}   # table name -> base_path
+        # quickstart parity: constructing the engine registers
+        # spark.read.format("hudi") and readStream format("hudi_stream")
+        # (re-registration overwrites, so this is idempotent); guarded for
+        # Spark builds without the Python Data Source API
+        if hasattr(spark, "dataSource"):
+            from .datasource import register_hudi_format
+            from .streaming.source import register_stream_source
+            register_hudi_format(spark)
+            register_stream_source(spark)
 
     def create_table(self, base_path: str, name: str | None = None,
                      df: DataFrame | None = None, **cfg_kwargs) -> LakeTable:
