@@ -349,6 +349,19 @@ class HudiDataSource(DataSource):
     def reader(self, schema: StructType):
         return HudiBatchReader(schema, dict(self.options))
 
+    def writer(self, schema: StructType, overwrite: bool):
+        # a Python Data Source writer would route every row through Python
+        # workers and could not run the engine's tag/commit machinery from
+        # the planner process — writes stay on the JVM-side option layer
+        raise NotImplementedError(
+            "df.write.format('hudi') is not routed through the Python Data "
+            "Source (it would serialize rows through Python workers). Use "
+            "the option-compatible writer instead — same option strings, "
+            "JVM-side plan:\n"
+            "  from hudi_0_12_0_my_spark.compat import HudiWriteBuilder\n"
+            "  HudiWriteBuilder(df).options(**opts).mode('append')"
+            ".save(path)")
+
 
 def register_hudi_format(spark) -> None:
     """Register ``format("hudi")`` and ship this module by value so the

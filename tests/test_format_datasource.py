@@ -97,3 +97,10 @@ def test_format_error_paths(spark, tmp_path):
         spark.read.format("hudi") \
             .option("hoodie.datasource.query.type", "bogus") \
             .load(base2).collect()
+
+
+def test_format_write_points_at_compat_builder(spark, tmp_path):
+    Engine(spark)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(Exception, match="HudiWriteBuilder"):
+        df.write.format("hudi").mode("append").save(str(tmp_path / "w"))
