@@ -335,6 +335,9 @@ class HudiDataSource(DataSource):
 
     def schema(self):
         base_path = self.options.get("path")
+        if not base_path:
+            raise ValueError("hudi format requires .load(<table dir>) or "
+                             ".option('path', <table dir>)")
         cfg = _read_cfg(base_path)
         if not cfg.get("schema_json"):
             raise ValueError(f"table at {base_path} has no committed "
