@@ -98,6 +98,7 @@ class _Slice:
     base_instant: str
     base: str | None = None              # relative path
     deltas: list = field(default_factory=list)   # [(instant, rel_path)]
+    base_stats: dict = field(default_factory=dict)  # {col: {min,max,nulls}}
 
 
 @dataclass
@@ -131,7 +132,9 @@ def _fold(entries, as_of: str | None):
                 for st in stats:
                     g = grp(p, st["file_id"])
                     if st.get("kind", "base") == "base":
-                        g.slices.append(_Slice(instant, st["path"]))
+                        g.slices.append(_Slice(instant, st["path"],
+                                               base_stats=st.get("col_stats")
+                                               or {}))
                         g.slices.sort(key=lambda s: s.base_instant)
                     else:
                         target = None
@@ -215,6 +218,55 @@ class HudiBatchReader(DataSourceReader):
     def _abs(self, rel: str) -> str:
         return os.path.join(self.base_path, rel)
 
+    def pushFilters(self, filters):
+        """Data skipping from the commit-metadata column stats (the same
+        min/max/null footer stats the library's HoodieFileIndex-equivalent
+        uses): supported predicates prune whole FILES in partitions() —
+        but only for delta-free slices, because a delta row may carry
+        values outside its base file's range AND pruning a newer version's
+        file could promote a stale row past the merge. ALL filters are
+        returned as unhandled, so Spark still applies them row-level —
+        pruning can only skip files, never change results."""
+        from pyspark.sql import datasource as dsf
+        preds = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:      # nested paths: ignore
+                continue
+            col = attr[0]
+            if isinstance(f, dsf.EqualTo):
+                preds.append((col, "ge", f.value))
+                preds.append((col, "le", f.value))
+            elif isinstance(f, (dsf.GreaterThan, dsf.GreaterThanOrEqual)):
+                preds.append((col, "ge", f.value))
+            elif isinstance(f, (dsf.LessThan, dsf.LessThanOrEqual)):
+                preds.append((col, "le", f.value))
+            elif isinstance(f, dsf.In):
+                vs = list(f.value)
+                if vs:
+                    preds.append((col, "ge", min(vs)))
+                    preds.append((col, "le", max(vs)))
+        self._stat_preds = preds
+        return filters                           # Spark re-applies everything
+
+    def _stats_exclude(self, stats: dict) -> bool:
+        """True when the column stats PROVE no row of the file can satisfy
+        the pushed predicates. Conservative: any missing stat, type
+        mismatch, or failed comparison keeps the file."""
+        for col, op, v in getattr(self, "_stat_preds", ()):
+            cs = stats.get(col)
+            if not cs:
+                continue
+            lo, hi = cs.get("min"), cs.get("max")
+            try:
+                if op == "ge" and hi is not None and hi < v:
+                    return True      # need value >= v but max < v
+                if op == "le" and lo is not None and lo > v:
+                    return True
+            except TypeError:        # json-safe stat vs python literal
+                continue
+        return False
+
     def partitions(self):
         entries = _timeline_entries(self.base_path)
         out = []
@@ -248,10 +300,16 @@ class HudiBatchReader(DataSourceReader):
                         f"time-travel to {self.as_of}: base file {s.base} "
                         "was cleaned; the requested version is gone")
                 if self.qtype == "read_optimized":
+                    if self._stats_exclude(s.base_stats):
+                        continue
                     out.append(_SlicePartition(base, [], False))
                 else:
                     deltas = [self._abs(d) for i, d in s.deltas
                               if self.as_of is None or i <= self.as_of]
+                    # stats skipping only for delta-free slices (see
+                    # pushFilters): a delta may exceed the base's range
+                    if not deltas and self._stats_exclude(s.base_stats):
+                        continue
                     out.append(_SlicePartition(base, deltas, bool(deltas)))
         else:
             raise ValueError(
@@ -369,11 +427,16 @@ class HudiDataSource(DataSource):
 def register_hudi_format(spark) -> None:
     """Register ``format("hudi")`` and ship this module by value so the
     planner python worker and executors need no package install (same
-    mechanism as streaming.register_stream_source)."""
+    mechanism as streaming.register_stream_source). Also enables
+    ``spark.sql.python.filterPushdown.enabled``: the reader implements
+    pushFilters for stats-based file skipping, and Spark refuses to plan a
+    pushdown-capable Python reader while the flag is off (register through
+    this helper — or set the conf — before reading)."""
     import sys
     try:
         from pyspark import cloudpickle
         cloudpickle.register_pickle_by_value(sys.modules[__name__])
     except Exception:  # noqa: BLE001 — fall back to by-reference pickling
         pass
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(HudiDataSource)

@@ -104,3 +104,47 @@ def test_format_write_points_at_compat_builder(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "id long, v string")
     with pytest.raises(Exception, match="HudiWriteBuilder"):
         df.write.format("hudi").mode("append").save(str(tmp_path / "w"))
+
+
+def test_format_pushed_filters_prune_files_safely(spark, tmp_path):
+    """Stats pruning through pushFilters: delta-free files whose min/max
+    exclude the predicate are skipped at planning; files WITH deltas are
+    never pruned (a delta can exceed the base range / carry the newer
+    version), and results always equal the library reader's filtered
+    snapshot because Spark re-applies every filter row-level."""
+    from hudi_0_12_0_my_spark.datasource import HudiBatchReader
+    from pyspark.sql import datasource as dsf
+
+    eng = Engine(spark)
+    base = str(tmp_path / "pf")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         table_type="mor", small_file_limit_bytes=0)
+    # two disjoint-range file groups per partition
+    t.insert(spark.createDataFrame(
+        [(i, "ab"[i % 2], i, 1) for i in range(0, 20)], S))
+    t.insert(spark.createDataFrame(
+        [(i, "ab"[i % 2], i, 1) for i in range(1000, 1020)], S))
+    # delta on ONE low-range group moves a key into the high range
+    t.upsert(spark.createDataFrame([(0, "a", 5000, 2)], S))
+
+    fmt = spark.read.format("hudi").load(base).filter("v >= 1000")
+    lib = t.snapshot().filter("v >= 1000")
+    assert sorted((r.id, r.v) for r in fmt.select("id", "v").collect()) \
+        == sorted((r.id, r.v) for r in lib.select("id", "v").collect())
+    # the moved key (v=5000, in a low-range base + delta) is present:
+    assert (0, 5000) in {(r.id, r.v) for r in fmt.select("id", "v")
+                         .collect()}
+
+    # white-box: planner prunes delta-free low-range files only
+    rd = HudiBatchReader(
+        spark.read.format("hudi").load(base).schema,
+        {"path": base})
+    all_parts = [p for p in rd.partitions() if p.base]
+    rd.pushFilters([dsf.GreaterThanOrEqual(("v",), 1000)])
+    kept = [p for p in rd.partitions() if p.base]
+    assert len(kept) < len(all_parts)            # something was pruned
+    assert all(p.deltas or not rd._stats_exclude({"v": {"min": 0, "max": 19}})
+               is False for p in kept)           # sanity on the helper
+    # every kept-with-delta partition survived regardless of stats
+    assert any(p.deltas for p in kept)
