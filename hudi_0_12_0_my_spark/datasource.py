@@ -23,6 +23,18 @@ with an arrow-native sort + group-boundary mask that replays
 payloads.resolve's ordering exactly (ordering fields desc, nulls last,
 COMMIT_SEQNO string tiebreak).
 
+IO shape (100 TB posture): every file scan projects to the columns the
+plan actually needs (``columns=`` into pyarrow — old files carrying
+since-dropped columns don't pay for them), and merge-free slices stream
+row-group batches instead of materializing whole files; only slices that
+genuinely merge (base+deltas / commit-time windows) materialize, bounded
+by file-group size. Planned files that are MISSING at execution raise
+loudly (a clean/rollback raced the plan) — never a silently short result;
+the incremental planner additionally detects cleaned in-range files UP
+FRONT and falls back to the snapshot-as-of-end + commit-window plan, the
+same fallback the library reader uses (reader.py:347-374,
+IncrementalRelation.scala:199-254).
+
 Scope, stated honestly:
 - Payloads with per-row resolution semantics a worker can replay
   (overwrite_latest / default / event_time / validate_dup). column-merge,
@@ -33,8 +45,16 @@ Scope, stated honestly:
   surface NULLs for the new name); use the library reader on tables with
   rename evolution. Type widening and added/dropped columns work (each
   file casts to the evolved schema).
-- MOR snapshot merges base + delta per file group; bootstrap bases get
-  NULL meta columns (single-version groups, so resolution is unaffected).
+- MOR snapshot merges base + delta per file group. Bootstrap bases carry
+  NULL meta columns; a bootstrap slice WITH deltas (or a bootstrap base
+  inside an incremental window) would need the library's
+  fill_bootstrap_meta key reconstruction (reader.py:51) to merge
+  correctly, so those reads refuse loudly instead of resolving wrong.
+- Bucket-index point lookups prune at the planner: an EqualTo/In on the
+  single record-key field of a simple-bucket table addresses file groups
+  directly via pmod(xxhash64(key), num_buckets) — the planner replays
+  Spark's XXH64 (seed 42) in pure python, byte-verified against
+  F.xxhash64 — mirroring BucketIdentifier.java's bucketId addressing.
 """
 
 from __future__ import annotations
@@ -62,6 +82,13 @@ WRITE_ACTIONS = ("commit", "deltacommit", "replacecommit")
 _EVENT_TIME_ORDERED = {"default", "event_time"}
 _SIMPLE = {"overwrite_latest", "validate_dup"} | _EVENT_TIME_ORDERED
 
+# keygens whose record key for a SINGLE key field is the field value cast
+# to string (keygen.record_key_expr's default branch) — the set the bucket
+# point-lookup pruner can address planner-side. complex/global_delete
+# build "f:v" composites, uuid is random, register()ed customs are
+# arbitrary python the standalone planner cannot see.
+_IDENTITY_KEYGENS = {"simple", "nonpartitioned", "timestamp", "custom"}
+
 
 def _read_cfg(base_path: str) -> dict:
     with open(os.path.join(base_path, ".hoodie", "table_config.json")) as fh:
@@ -70,27 +97,120 @@ def _read_cfg(base_path: str) -> dict:
 
 def _timeline_entries(base_path: str) -> list[tuple[str, str, dict]]:
     """(instant, action, metadata) for every completed instant, archived
-    first, sorted by instant — the stream the fold consumes."""
+    first, sorted by instant — the stream the fold consumes. Mirrors the
+    library's _write_history hygiene (reader.py:207): an instant present in
+    BOTH the archive batch and the active dir (crash mid-archival) counts
+    once, and write commits targeted by a PENDING rollback plan are dead —
+    their files may be half-deleted already."""
     out = []
+    seen: set = set()
+    rolled: set = set()
     adir = os.path.join(base_path, ".hoodie", "archived")
     if os.path.isdir(adir):
         for f in os.listdir(adir):
             if f.endswith(".json"):
                 with open(os.path.join(adir, f)) as fh:
                     for e in json.load(fh):
-                        out.append((e["time"], e.get("action", ""),
-                                    e.get("metadata") or {}))
+                        k = (e["time"], e.get("action", ""))
+                        if k not in seen:
+                            seen.add(k)
+                            out.append((e["time"], e.get("action", ""),
+                                        e.get("metadata") or {}))
     tdir = os.path.join(base_path, ".hoodie", "timeline")
     if os.path.isdir(tdir):
-        for f in os.listdir(tdir):
+        completed = set()
+        names = os.listdir(tdir)
+        for f in names:
             parts = f.split(".")
+            if len(parts) == 2:
+                completed.add(parts[0])
+        for f in names:
+            parts = f.split(".")
+            if len(parts) == 3 and parts[1] == "rollback" \
+                    and parts[0] not in completed:
+                try:
+                    with open(os.path.join(tdir, f)) as fh:
+                        tgt = (json.load(fh) or {}).get(
+                            "rolled_back_instant")
+                    if tgt:
+                        rolled.add(tgt)
+                except (OSError, ValueError):
+                    continue
             if len(parts) != 2:          # requested/inflight: not completed
+                continue
+            if (parts[0], parts[1]) in seen:
                 continue
             with open(os.path.join(tdir, f)) as fh:
                 md = json.load(fh)
             out.append((parts[0], parts[1], md))
+    if rolled:
+        out = [(i, a, md) for i, a, md in out
+               if not (a in WRITE_ACTIONS and i in rolled)]
     out.sort(key=lambda x: x[0])
     return out
+
+
+# --------------------------------------------------------------- xxhash64
+# Spark-compatible XXH64 (seed 42) so the planner can address simple-bucket
+# file groups exactly like F.pmod(F.xxhash64(key), num_buckets)
+# (writer._tag_bucket / BucketIdentifier.java). Byte-verified against
+# F.xxhash64 in tests/test_format_datasource.py.
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxhash64(data: bytes, seed: int = 42) -> int:
+    """Signed-64 XXH64 of ``data`` — identical to Spark's xxhash64()."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v = [(seed + _P1 + _P2) & _M64, (seed + _P2) & _M64,
+             seed & _M64, (seed - _P1) & _M64]
+        while i <= n - 32:
+            for k in range(4):
+                lane = int.from_bytes(data[i:i + 8], "little")
+                v[k] = (_rotl((v[k] + lane * _P2) & _M64, 31) * _P1) & _M64
+                i += 8
+        h = (_rotl(v[0], 1) + _rotl(v[1], 7)
+             + _rotl(v[2], 12) + _rotl(v[3], 18)) & _M64
+        for vk in v:
+            h ^= (_rotl((vk * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        h ^= (_rotl((lane * _P2) & _M64, 31) * _P1) & _M64
+        h = ((_rotl(h, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = ((_rotl(h, 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _bucket_of(key: str, num_buckets: int) -> int:
+    # python's % on a signed int == Spark's pmod for positive modulus
+    return _xxhash64(key.encode("utf-8")) % num_buckets
 
 
 @dataclass
@@ -99,6 +219,7 @@ class _Slice:
     base: str | None = None              # relative path
     deltas: list = field(default_factory=list)   # [(instant, rel_path)]
     base_stats: dict = field(default_factory=dict)  # {col: {min,max,nulls}}
+    bootstrap: bool = False              # base bytes live outside the table
 
 
 @dataclass
@@ -134,7 +255,9 @@ def _fold(entries, as_of: str | None):
                     if st.get("kind", "base") == "base":
                         g.slices.append(_Slice(instant, st["path"],
                                                base_stats=st.get("col_stats")
-                                               or {}))
+                                               or {},
+                                               bootstrap=bool(
+                                                   st.get("bootstrap"))))
                         g.slices.sort(key=lambda s: s.base_instant)
                     else:
                         target = None
@@ -177,6 +300,10 @@ class _SlicePartition(InputPartition):
     merge: bool
     lo: str | None = None               # incremental: commit_time range
     hi: str | None = None
+    # snapshot-fallback incremental (cleaned in-range file): resolve the
+    # latest version per key FIRST, then window-filter — the inverse order
+    # of the file-list plan, matching reader.incremental's fallback
+    resolve_then_window: bool = False
 
 
 class HudiBatchReader(DataSourceReader):
@@ -205,6 +332,14 @@ class HudiBatchReader(DataSourceReader):
         self.ordering = ordering + [COMMIT_SEQNO]
         self.key_fields = [RECORD_KEY] if cfg.get("global_index") \
             else [PARTITION_PATH, RECORD_KEY]
+        # bucket point-lookup addressing (simple pmod buckets only; the
+        # consistent-hash ring rotates fids on resize, out of planner scope)
+        kf = cfg.get("record_key_fields") or []
+        self._bucket_addressable = (
+            cfg.get("index_type") == "bucket" and len(kf) == 1
+            and cfg.get("keygen", "simple") in _IDENTITY_KEYGENS)
+        self._key_field = kf[0] if len(kf) == 1 else None
+        self._num_buckets = int(cfg.get("num_buckets") or 0)
         # executor-side cast/concat target: output schema + the merge
         # machinery columns (ordering extras + tombstone markers)
         extra = StructType(self._schema.fields.copy())
@@ -224,29 +359,59 @@ class HudiBatchReader(DataSourceReader):
         uses): supported predicates prune whole FILES in partitions() —
         but only for delta-free slices, because a delta row may carry
         values outside its base file's range AND pruning a newer version's
-        file could promote a stale row past the merge. ALL filters are
-        returned as unhandled, so Spark still applies them row-level —
-        pruning can only skip files, never change results."""
+        file could promote a stale row past the merge. An EqualTo/In on a
+        simple-bucket table's record-key field additionally prunes to the
+        addressed BUCKET's file groups (safe with deltas: a key lives only
+        in its bucket's group). ALL filters are returned as unhandled, so
+        Spark still applies them row-level — pruning can only skip files,
+        never change results. Per-filter extraction is exception-guarded:
+        a NULL or mixed-type value list skips that filter (pruning is an
+        optimization — on any doubt, keep the files), never fails the read."""
         from pyspark.sql import datasource as dsf
         preds = []
+        key_values: list | None = None
         for f in filters:
-            attr = getattr(f, "attribute", None)
-            if not attr or len(attr) != 1:      # nested paths: ignore
-                continue
-            col = attr[0]
-            if isinstance(f, dsf.EqualTo):
-                preds.append((col, "ge", f.value))
-                preds.append((col, "le", f.value))
-            elif isinstance(f, (dsf.GreaterThan, dsf.GreaterThanOrEqual)):
-                preds.append((col, "ge", f.value))
-            elif isinstance(f, (dsf.LessThan, dsf.LessThanOrEqual)):
-                preds.append((col, "le", f.value))
-            elif isinstance(f, dsf.In):
-                vs = list(f.value)
-                if vs:
-                    preds.append((col, "ge", min(vs)))
-                    preds.append((col, "le", max(vs)))
+            try:
+                attr = getattr(f, "attribute", None)
+                if not attr or len(attr) != 1:      # nested paths: ignore
+                    continue
+                col = attr[0]
+                if isinstance(f, dsf.EqualTo):
+                    if f.value is None:
+                        continue
+                    preds.append((col, "ge", f.value))
+                    preds.append((col, "le", f.value))
+                    if col == self._key_field:
+                        key_values = [f.value]
+                elif isinstance(f, (dsf.GreaterThan, dsf.GreaterThanOrEqual)):
+                    if f.value is not None:
+                        preds.append((col, "ge", f.value))
+                elif isinstance(f, (dsf.LessThan, dsf.LessThanOrEqual)):
+                    if f.value is not None:
+                        preds.append((col, "le", f.value))
+                elif isinstance(f, dsf.In):
+                    vs = [v for v in f.value if v is not None]
+                    if vs:
+                        preds.append((col, "ge", min(vs)))
+                        preds.append((col, "le", max(vs)))
+                        if col == self._key_field:
+                            key_values = vs
+            except (TypeError, ValueError):
+                continue        # keep-the-file-on-doubt, per _stats_exclude
         self._stat_preds = preds
+        self._buckets_wanted = None
+        if key_values is not None and self._bucket_addressable \
+                and self._num_buckets > 0:
+            try:
+                # key string = str(value), the single-field identity-keygen
+                # record key; only int/str survive the cast loss-free
+                if all(isinstance(v, (int, str)) and not isinstance(v, bool)
+                       for v in key_values):
+                    self._buckets_wanted = {
+                        "%08d" % _bucket_of(str(v), self._num_buckets)
+                        for v in key_values}
+            except (TypeError, ValueError):
+                pass
         return filters                           # Spark re-applies everything
 
     def _stats_exclude(self, stats: dict) -> bool:
@@ -267,6 +432,61 @@ class HudiBatchReader(DataSourceReader):
                 continue
         return False
 
+    def _bucket_exclude(self, fid: str) -> bool:
+        """True when bucket addressing PROVES the pushed record-key
+        equality cannot match this file group (file_id prefix is the
+        8-digit bucket number — writer._tag_bucket's fid convention)."""
+        wanted = getattr(self, "_buckets_wanted", None)
+        return wanted is not None and fid[:8] not in wanted
+
+    # ------------------------------------------------------------ planning
+    def _snapshot_partitions(self, entries, as_of, lo=None, hi=None):
+        """File-slice partitions for snapshot semantics as of ``as_of``;
+        with lo/hi set they become the incremental snapshot-fallback
+        (resolve, then commit-window)."""
+        out = []
+        groups = _fold(entries, as_of)
+        for (p, fid), g in sorted(groups.items()):
+            if g.replaced_at is not None and \
+                    (as_of is None or g.replaced_at <= as_of):
+                continue
+            s = g.latest(as_of)
+            if s is None:
+                continue
+            if self._bucket_exclude(fid):
+                continue
+            base = self._abs(s.base)
+            if as_of is not None and not os.path.exists(base):
+                raise ValueError(
+                    f"time-travel to {as_of}: base file {s.base} "
+                    "was cleaned; the requested version is gone")
+            if self.qtype == "read_optimized":
+                if self._stats_exclude(s.base_stats):
+                    continue
+                out.append(_SlicePartition(base, [], False))
+                continue
+            deltas = [self._abs(d) for i, d in s.deltas
+                      if as_of is None or i <= as_of]
+            if s.bootstrap and deltas:
+                # bootstrap bases carry no meta columns; merging them
+                # against deltas needs fill_bootstrap_meta's keygen replay
+                # (reader.py:51) — refuse rather than resolve wrong.
+                # ValueError, not NotImplementedError: the Python Data
+                # Source API treats NotImplementedError from partitions()
+                # as "no partitioning support" and silently reads on
+                raise ValueError(
+                    "format('hudi') cannot merge deltas onto a bootstrap "
+                    "base (meta columns must be reconstructed); read "
+                    "through the library API instead")
+            # stats skipping only for delta-free slices (see pushFilters):
+            # a delta may exceed the base's range
+            if not deltas and self._stats_exclude(s.base_stats):
+                continue
+            out.append(_SlicePartition(
+                base, deltas, bool(deltas), lo=lo, hi=hi,
+                resolve_then_window=lo is not None))
+        return out
+
     def partitions(self):
         entries = _timeline_entries(self.base_path)
         out = []
@@ -274,43 +494,82 @@ class HudiBatchReader(DataSourceReader):
             lo = self.begin or ""
             hi = self.end or (max((i for i, a, _m in entries
                                    if a in WRITE_ACTIONS), default=""))
-            per_group: dict = {}
+            # file groups replaced at-or-before `hi` (insert_overwrite /
+            # delete_partition / clustering): their rows are not part of
+            # the latest state as of `hi`, so in-range files belonging to
+            # them must NOT resurrect — the replacing commit's own files
+            # carry any surviving rows (reader.incremental's replaced set,
+            # IncrementalRelation's replace-aware listing)
+            replaced: set = set()
+            for instant, action, md in entries:
+                if action not in WRITE_ACTIONS or instant > hi:
+                    continue
+                for p, fids in (md.get("replaced_file_groups")
+                                or {}).items():
+                    replaced.update((p, f) for f in fids)
+            # per file group: only the NEWEST in-range base participates
+            # (a COW rewrite carries every surviving row forward with its
+            # original commit time — an older in-range base would
+            # resurrect rows the rewrite dropped); deltas all participate
+            # (their rows resolve by version) — reader.py:325-346
+            base_latest: dict = {}   # (p,fid) -> (instant, abs_path, boot)
+            delta_paths: dict = {}   # (p,fid) -> [abs_path]
             for instant, action, md in entries:
                 if action not in WRITE_ACTIONS or not lo < instant <= hi:
                     continue
                 for p, stats in (md.get("partition_to_write_stats")
                                  or {}).items():
                     for st in stats:
-                        per_group.setdefault((p, st["file_id"]), []).append(
-                            self._abs(st["path"]))
-            for paths in per_group.values():
-                out.append(_SlicePartition(None, paths, True, lo, hi))
+                        gk = (p, st["file_id"])
+                        if gk in replaced or self._bucket_exclude(
+                                st["file_id"]):
+                            continue
+                        if st.get("kind", "base") == "base":
+                            prev = base_latest.get(gk)
+                            if prev is None or instant > prev[0]:
+                                base_latest[gk] = (
+                                    instant, self._abs(st["path"]),
+                                    bool(st.get("bootstrap")))
+                        else:
+                            delta_paths.setdefault(gk, []).append(
+                                self._abs(st["path"]))
+            if any(boot for _i, _p, boot in base_latest.values()):
+                # ValueError for the same API reason as the bootstrap-delta
+                # refusal above
+                raise ValueError(
+                    "format('hudi') incremental over a bootstrap commit: "
+                    "bootstrap bases carry no _hoodie_commit_time, so the "
+                    "commit window cannot be applied executor-side; read "
+                    "through the library API (Table.incremental) instead")
+            planned = {gk: ([base_latest[gk][1]] if gk in base_latest
+                            else []) + sorted(set(delta_paths.get(gk, [])))
+                       for gk in set(base_latest) | set(delta_paths)}
+            missing = any(not os.path.exists(f)
+                          for fs in planned.values() for f in fs)
+            if missing:
+                # an in-range file was cleaned: a row whose latest in-range
+                # version lived in it would silently VANISH from the
+                # file-list plan. Fall back to snapshot-as-of-`hi` +
+                # commit-window — always correct, each surviving row
+                # carries the commit time of its latest version <= hi
+                # (reader.py:356-374, IncrementalRelation.scala:199-254);
+                # if cleaning also removed pre-`hi` history, the LATEST
+                # snapshot + window (rows updated after `hi` drop out).
+                try:
+                    return self._snapshot_partitions(
+                        entries, hi, lo=lo, hi=hi) \
+                        or [_SlicePartition(None, [], False)]
+                except ValueError:
+                    return self._snapshot_partitions(
+                        entries, None, lo=lo, hi=hi) \
+                        or [_SlicePartition(None, [], False)]
+            for gk in sorted(planned):
+                base = base_latest.get(gk)
+                out.append(_SlicePartition(
+                    base[1] if base else None,
+                    sorted(set(delta_paths.get(gk, []))), True, lo, hi))
         elif self.qtype in ("snapshot", "read_optimized"):
-            groups = _fold(entries, self.as_of)
-            for (p, fid), g in sorted(groups.items()):
-                if g.replaced_at is not None and \
-                        (self.as_of is None or g.replaced_at <= self.as_of):
-                    continue
-                s = g.latest(self.as_of)
-                if s is None:
-                    continue
-                base = self._abs(s.base)
-                if self.as_of is not None and not os.path.exists(base):
-                    raise ValueError(
-                        f"time-travel to {self.as_of}: base file {s.base} "
-                        "was cleaned; the requested version is gone")
-                if self.qtype == "read_optimized":
-                    if self._stats_exclude(s.base_stats):
-                        continue
-                    out.append(_SlicePartition(base, [], False))
-                else:
-                    deltas = [self._abs(d) for i, d in s.deltas
-                              if self.as_of is None or i <= self.as_of]
-                    # stats skipping only for delta-free slices (see
-                    # pushFilters): a delta may exceed the base's range
-                    if not deltas and self._stats_exclude(s.base_stats):
-                        continue
-                    out.append(_SlicePartition(base, deltas, bool(deltas)))
+            out = self._snapshot_partitions(entries, self.as_of)
         else:
             raise ValueError(
                 f"unknown hoodie.datasource.query.type {self.qtype!r} "
@@ -319,42 +578,91 @@ class HudiBatchReader(DataSourceReader):
         return out or [_SlicePartition(None, [], False)]
 
     # ------------------------------------------------ executor side (pyarrow)
+    def _load_file(self, pq, pa, path, target):
+        """One file -> arrow table projected+cast to the extended schema.
+        Only the target columns PRESENT in the file are read (files from
+        before a DROP COLUMN carry columns the plan doesn't need — don't
+        pay their IO); absent target columns surface as NULLs."""
+        pf = pq.ParquetFile(path)
+        have = set(pf.schema_arrow.names)
+        cols = [n for n in target.names if n in have]
+        self._last_columns = cols       # in-process observability for tests
+        tbl = pf.read(columns=cols)
+        for f in target:
+            if f.name not in have:
+                tbl = tbl.append_column(
+                    f.name, pa.nulls(len(tbl), type=f.type))
+        return tbl.select(target.names).cast(target)
+
     def read(self, partition: _SlicePartition):
         import pyarrow as pa
         import pyarrow.compute as pc
+        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self.extended)
-        tables = []
+        out = to_arrow_schema(self._schema)
         paths = ([partition.base] if partition.base else []) + \
             list(partition.deltas)
-        for path in paths:
-            if not os.path.exists(path):    # rolled back / cleaned after plan
-                continue
-            import pyarrow.parquet as pq
-            tbl = pq.read_table(path)
-            for f in target:
-                if f.name not in tbl.column_names:
-                    tbl = tbl.append_column(
-                        f.name, pa.nulls(len(tbl), type=f.type))
-            tables.append(tbl.select(target.names).cast(target))
-        if not tables:
+        gone = [p for p in paths if not os.path.exists(p)]
+        if gone:
+            # a planned file vanished between planning and execution
+            # (concurrent clean/rollback): silent skipping would return a
+            # silently SHORT result — fail loudly, like the library
+            # reader's time-travel guard; re-running re-plans correctly
+            raise FileNotFoundError(
+                f"hudi format: planned file(s) {gone} disappeared during "
+                "the read (concurrent clean/rollback?) — re-run the query")
+        if not paths:
             return
-        tbl = pa.concat_tables(tables)
-        if partition.lo is not None:        # incremental commit-time window
-            tbl = tbl.filter(pc.and_(
-                pc.greater(tbl[COMMIT_TIME], partition.lo),
-                pc.less_equal(tbl[COMMIT_TIME], partition.hi)))
-        if partition.merge or partition.lo is not None:
+
+        def alive_mask(tbl):
+            # drop tombstone winners (payloads.is_tombstone): COW business
+            # marker and/or the MOR delta op column
+            m = pc.invert(pc.fill_null(
+                pc.cast(tbl[DELETE_MARKER], pa.bool_()), False))
+            return pc.and_(m, pc.fill_null(
+                pc.not_equal(tbl[OPERATION], "D"), True))
+
+        if not partition.merge and partition.lo is None:
+            # merge-free slice: stream row-group batches, never
+            # materialize the file (single-version groups dominate a
+            # mostly-insert table — this is the hot path at scale)
+            for path in paths:
+                pf = pq.ParquetFile(path)
+                have = set(pf.schema_arrow.names)
+                cols = [n for n in target.names if n in have]
+                self._last_columns = cols
+                for batch in pf.iter_batches(columns=cols):
+                    tbl = pa.Table.from_batches([batch])
+                    for f in target:
+                        if f.name not in have:
+                            tbl = tbl.append_column(
+                                f.name, pa.nulls(len(tbl), type=f.type))
+                    tbl = tbl.select(target.names).cast(target)
+                    tbl = tbl.filter(alive_mask(tbl))
+                    yield from tbl.select(out.names).cast(out).to_batches()
+            return
+        tbl = pa.concat_tables(
+            [self._load_file(pq, pa, p, target) for p in paths])
+
+        def window(t):
+            return t.filter(pc.and_(
+                pc.greater(t[COMMIT_TIME], partition.lo),
+                pc.less_equal(t[COMMIT_TIME], partition.hi)))
+
+        if partition.resolve_then_window:
+            # snapshot-fallback incremental: latest version per key FIRST
+            # (snapshot semantics), tombstones out, THEN the commit window
             tbl = _latest_per_key(tbl, self.key_fields, self.ordering)
-        # drop tombstone winners (payloads.is_tombstone): COW business
-        # marker and/or the MOR delta op column
-        alive = pc.invert(pc.fill_null(
-            pc.cast(tbl[DELETE_MARKER], pa.bool_()), False))
-        alive = pc.and_(alive, pc.fill_null(
-            pc.not_equal(tbl[OPERATION], "D"), True))
-        tbl = tbl.filter(alive)
-        out = to_arrow_schema(self._schema)
+            tbl = tbl.filter(alive_mask(tbl))
+            tbl = window(tbl)
+        else:
+            if partition.lo is not None:    # incremental commit-time window
+                tbl = window(tbl)
+            if partition.merge or partition.lo is not None:
+                tbl = _latest_per_key(tbl, self.key_fields, self.ordering)
+            tbl = tbl.filter(alive_mask(tbl))
         yield from tbl.select(out.names).cast(out).to_batches()
 
 

@@ -144,7 +144,238 @@ def test_format_pushed_filters_prune_files_safely(spark, tmp_path):
     rd.pushFilters([dsf.GreaterThanOrEqual(("v",), 1000)])
     kept = [p for p in rd.partitions() if p.base]
     assert len(kept) < len(all_parts)            # something was pruned
-    assert all(p.deltas or not rd._stats_exclude({"v": {"min": 0, "max": 19}})
-               is False for p in kept)           # sanity on the helper
-    # every kept-with-delta partition survived regardless of stats
-    assert any(p.deltas for p in kept)
+    # delta-bearing slices are NEVER pruned: every partition that had
+    # deltas in the unfiltered plan is still present after pushFilters
+    with_deltas_all = {(p.base, tuple(p.deltas))
+                       for p in all_parts if p.deltas}
+    with_deltas_kept = {(p.base, tuple(p.deltas))
+                        for p in kept if p.deltas}
+    assert with_deltas_all and with_deltas_all == with_deltas_kept
+    # and the stats helper itself proves exclusion on a miss-range file
+    assert rd._stats_exclude({"v": {"min": 0, "max": 19}}) is True
+
+
+def test_format_pushed_filters_null_and_mixed_values_are_safe(spark, tmp_path):
+    """pushFilters must never fail the read at planning (pruning is only an
+    optimization): NULL EqualTo values, NULL-bearing and mixed-type In
+    value lists are skipped per-filter, not raised."""
+    from hudi_0_12_0_my_spark.datasource import HudiBatchReader
+    from pyspark.sql import datasource as dsf
+
+    eng = Engine(spark)
+    base = str(tmp_path / "nulls")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", keygen="nonpartitioned")
+    t.insert(spark.createDataFrame([(i, "g", i, 1) for i in range(5)], S))
+    rd = HudiBatchReader(spark.read.format("hudi").load(base).schema,
+                         {"path": base})
+    rd.pushFilters([dsf.EqualTo(("v",), None),
+                    dsf.In(("v",), (None, 1)),
+                    dsf.In(("v",), ("a", 2)),       # mixed-type min/max
+                    dsf.GreaterThan(("v",), None)])
+    parts = rd.partitions()                          # planning still works
+    assert parts
+    # and the whole-read path agrees with the library under a real filter
+    got = sorted(r.id for r in spark.read.format("hudi").load(base)
+                 .filter("v >= 2").select("id").collect())
+    assert got == [2, 3, 4]
+
+
+def test_format_incremental_mirrors_library_on_rewrites_and_replaces(
+        spark, tmp_path):
+    """The two resurrection bugs: (1) a row inserted in-window then deleted
+    in-window on COW lives only in the OLDER in-range base (the delete
+    rewrote the base without it) — only the NEWEST in-range base per group
+    may be scanned; (2) rows in groups retired by an in-window
+    delete_partition replacecommit must not reappear from the group's
+    in-range files (reader.incremental's replaced-set / newest-base rules)."""
+    eng = Engine(spark)
+    base = str(tmp_path / "incsem")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    t.bulk_insert(spark.createDataFrame(
+        [(i, "ab"[i % 2], i, 1) for i in range(10)], S))
+    begin = t.timeline.latest_completed_write().time
+    # in-window: insert fresh rows into both partitions...
+    t.upsert(spark.createDataFrame(
+        [(100 + i, "ab"[i % 2], 100 + i, 2) for i in range(6)], S))
+    # ...then delete two of them (COW rewrite drops the rows from the base)
+    t.delete(where=F.col("id").isin(100, 101))
+    # ...and retire partition 'b' wholesale (replacecommit)
+    t.delete_partition("b")
+
+    fmt = (spark.read.format("hudi")
+           .option("hoodie.datasource.query.type", "incremental")
+           .option("hoodie.datasource.read.begin.instanttime", begin)
+           .load(base))
+    lib = t.incremental(begin)
+    assert _rows(fmt) == _rows(lib)
+    ids = {r.id for r in fmt.select("id").collect()}
+    assert 100 not in ids and 101 not in ids      # no resurrection
+    assert not any(i % 2 == 1 for i in ids if i >= 100)  # partition b gone
+
+
+def test_format_incremental_cleaned_file_falls_back_to_snapshot(
+        spark, tmp_path):
+    """A cleaned in-range file must trigger the snapshot-as-of-end +
+    commit-window fallback (reader.py:356-374) — never a silently short
+    file-list result."""
+    eng = Engine(spark)
+    base = str(tmp_path / "incclean")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", keygen="nonpartitioned",
+                         cleaner_retain_commits=1)
+    t.bulk_insert(spark.createDataFrame(
+        [(i, "g", i, 1) for i in range(10)], S))
+    commits = [t.timeline.latest_completed_write().time]
+    t.upsert(spark.createDataFrame(
+        [(i, "g", 100 + i, 2) for i in range(0, 10, 2)], S))
+    commits.append(t.timeline.latest_completed_write().time)
+    t.upsert(spark.createDataFrame(
+        [(i, "g", 200 + i, 3) for i in range(0, 10, 2)], S))
+    commits.append(t.timeline.latest_completed_write().time)
+    t.clean()                       # removes the middle file version
+    fmt = (spark.read.format("hudi")
+           .option("hoodie.datasource.query.type", "incremental")
+           .option("hoodie.datasource.read.begin.instanttime", commits[0])
+           .option("hoodie.datasource.read.end.instanttime", commits[1])
+           .load(base))
+    lib = t.incremental(begin=commits[0], end=commits[1])
+    assert _rows(fmt) == _rows(lib)
+
+
+def test_format_read_missing_planned_file_raises(spark, tmp_path):
+    """A planned file that vanishes before execution (concurrent
+    clean/rollback) raises loudly — silent skipping would return a short
+    result."""
+    import os
+
+    from hudi_0_12_0_my_spark.datasource import HudiBatchReader
+
+    eng = Engine(spark)
+    base = str(tmp_path / "gone")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", keygen="nonpartitioned")
+    t.insert(spark.createDataFrame([(i, "g", i, 1) for i in range(5)], S))
+    rd = HudiBatchReader(spark.read.format("hudi").load(base).schema,
+                         {"path": base})
+    parts = [p for p in rd.partitions() if p.base]
+    os.remove(parts[0].base)
+    with pytest.raises(FileNotFoundError, match="disappeared"):
+        list(rd.read(parts[0]))
+
+
+def test_format_bootstrap_base_with_deltas_refuses(spark, tmp_path):
+    """A deltacommit attached to a METADATA_ONLY bootstrap slice cannot be
+    merged executor-side (bootstrap bases carry no meta columns; each NULL
+    key row would become its own group) — loud refusal, not double rows."""
+    df = spark.createDataFrame(
+        [(i, float(i), "2024-01-01") for i in range(10)],
+        "id long, val double, ts string")
+    src = str(tmp_path / "legacy")
+    df.write.parquet(src)
+    eng = Engine(spark)
+    t = eng.bootstrap(str(tmp_path / "bootmor"), src, mode="METADATA_ONLY",
+                      record_key_fields=["id"], precombine_field="ts",
+                      table_type="mor")
+    t.upsert(spark.createDataFrame([(1, 999.0, "2024-02-01")],
+                                   "id long, val double, ts string"))
+    with pytest.raises(Exception, match="library API"):
+        spark.read.format("hudi").load(t.base_path).collect()
+    # and an incremental window over the bootstrap commit refuses too
+    with pytest.raises(Exception, match="library API|Table.incremental"):
+        (spark.read.format("hudi")
+         .option("hoodie.datasource.query.type", "incremental")
+         .load(t.base_path).collect())
+
+
+def test_format_xxhash64_matches_spark():
+    """The planner-side XXH64 must equal Spark's xxhash64 (seed 42) byte
+    for byte — it addresses bucket file groups."""
+    from hudi_0_12_0_my_spark.datasource import _xxhash64
+    # expected values computed with F.xxhash64 on this exact list (pinned
+    # so the test needs no SparkSession; see tools notes r6)
+    import pyspark.sql.functions as F  # noqa: F401  (provenance)
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    samples = ["", "a", "5", "123", "hello world", "x" * 7, "y" * 8,
+               "z" * 31, "w" * 32, "q" * 33, "long-string-" * 10,
+               "1000042", "f1:v1,f2:v2", "é中文", "0", "-17"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    import pyspark.sql.functions as Fn
+    for r in df.select("s", Fn.xxhash64("s").alias("h"),
+                       Fn.pmod(Fn.xxhash64("s"), Fn.lit(8)).alias("b")) \
+               .collect():
+        assert _xxhash64(r.s.encode("utf-8")) == r.h
+        assert _xxhash64(r.s.encode("utf-8")) % 8 == r.b
+
+
+def test_format_bucket_point_lookup_prunes_to_one_group(spark, tmp_path):
+    """EqualTo on a simple-bucket table's record-key field addresses the
+    bucket planner-side (pmod(xxhash64(key), n), BucketIdentifier.java):
+    exactly the addressed bucket's file groups survive planning, and the
+    values equal the library path."""
+    from hudi_0_12_0_my_spark.datasource import HudiBatchReader, _bucket_of
+    from pyspark.sql import datasource as dsf
+
+    eng = Engine(spark)
+    base = str(tmp_path / "bkt")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", keygen="nonpartitioned",
+                         index_type="bucket", num_buckets=8)
+    t.insert(spark.createDataFrame(
+        [(i, "g", i, 1) for i in range(64)], S))
+    rd = HudiBatchReader(spark.read.format("hudi").load(base).schema,
+                         {"path": base})
+    all_parts = [p for p in rd.partitions() if p.base]
+    assert len(all_parts) > 1
+    rd.pushFilters([dsf.EqualTo(("id",), 7)])
+    kept = [p for p in rd.partitions() if p.base]
+    assert len(kept) == 1
+    want = "%08d" % _bucket_of("7", 8)
+    import os
+    assert os.path.basename(kept[0].base).startswith(want)
+    # black-box equality with the library reader
+    got = sorted((r.id, r.v) for r in spark.read.format("hudi").load(base)
+                 .filter("id = 7").select("id", "v").collect())
+    lib = sorted((r.id, r.v) for r in t.snapshot().filter("id = 7")
+                 .select("id", "v").collect())
+    assert got == lib == [(7, 7)]
+    # In-lists address the union of buckets
+    rd.pushFilters([dsf.In(("id",), (7, 13))])
+    kept_in = [p for p in rd.partitions() if p.base]
+    assert 1 <= len(kept_in) <= 2
+    # non-addressable shapes (float value) never bucket-address — only
+    # regular min/max stats pruning may still apply
+    rd.pushFilters([dsf.EqualTo(("id",), 7.5)])
+    assert rd._buckets_wanted is None
+
+
+def test_format_scan_projects_only_needed_columns(spark, tmp_path):
+    """Files written before a DROP COLUMN carry the dropped column; the
+    scan must not pay its IO — pyarrow is asked only for the extended
+    plan columns that exist in each file."""
+    import pyarrow.parquet as pq
+
+    from hudi_0_12_0_my_spark.datasource import HudiBatchReader
+
+    eng = Engine(spark)
+    base = str(tmp_path / "proj")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", keygen="nonpartitioned")
+    t.insert(spark.createDataFrame(
+        [(i, "g", i, 1, f"blob{i}") for i in range(10)],
+        S + ", extra string"))
+    t.drop_column("extra")
+    rd = HudiBatchReader(spark.read.format("hudi").load(base).schema,
+                         {"path": base})
+    parts = [p for p in rd.partitions() if p.base]
+    # the physical file still carries the dropped column...
+    assert "extra" in pq.ParquetFile(parts[0].base).schema_arrow.names
+    rows = [b for p in parts for b in rd.read(p)]
+    assert rows
+    # ...but the scan never requested it
+    assert "extra" not in rd._last_columns
+    assert set(rd._last_columns) <= set(rd.extended.fieldNames())
+    # and the full read equals the library's post-drop snapshot
+    assert _rows(spark.read.format("hudi").load(base)) == _rows(t.snapshot())
