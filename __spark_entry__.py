@@ -256,6 +256,29 @@ def q_format_hudi_mor_snapshot(spark, sf_dir):
             .agg(_n(), _dec_sum("l_quantity", "sum_qty")))
 
 
+def q_format_hudi_incremental(spark, sf_dir):
+    """format('hudi') incremental query type (datasource.py planner:
+    newest-in-range-base-per-group + replaced-group exclusion, the
+    reader.incremental rules): same commit window and oracle as
+    cow_incremental, so any file-list or window drift fails the hash."""
+    t, commits = _build_cow(spark, sf_dir)
+    df = (spark.read.format("hudi")
+          .option("hoodie.datasource.query.type", "incremental")
+          .option("hoodie.datasource.read.begin.instanttime", commits[0])
+          .option("hoodie.datasource.read.end.instanttime", commits[1])
+          .load(t.base_path))
+    return df.groupBy("l_returnflag").agg(_n(), _dec_sum("l_quantity", "sum_qty"))
+
+
+def q_format_hudi_time_travel(spark, sf_dir):
+    """format('hudi') as.of.instant time travel (datasource.py fold at
+    as_of): same oracle as cow_time_travel."""
+    t, commits = _build_cow(spark, sf_dir)
+    df = spark.read.format("hudi").option("as.of.instant", commits[0]) \
+        .load(t.base_path)
+    return df.groupBy("l_returnflag").agg(_n(), _dec_sum("l_quantity", "sum_qty"))
+
+
 def q_mor_read_optimized(spark, sf_dir):
     t, _ = _build_mor(spark, sf_dir, compact=False)
     return (t.read_optimized().groupBy("l_returnflag")
@@ -3057,6 +3080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_snapshot": q_mor_snapshot,
         "format_hudi_snapshot": q_format_hudi_snapshot,
         "format_hudi_mor_snapshot": q_format_hudi_mor_snapshot,
+        "format_hudi_incremental": q_format_hudi_incremental,
+        "format_hudi_time_travel": q_format_hudi_time_travel,
         "mor_read_optimized": q_mor_read_optimized,
         "mor_read_optimized_filtered": q_mor_read_optimized_filtered,
         "mor_incremental": q_mor_incremental,
@@ -3229,30 +3254,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     })
 
 
-# Queries the driver never sampled in CORRECTNESS_r01/r02 (it takes a prefix
-# when it can't afford the full suite): surface them FIRST so every
-# registered query accumulates an official green row across rounds. The
-# judge's full local replay (tools/check_correctness.py) covers the rest.
-_NEVER_DRIVER_SAMPLED = [
-    # After r1-r4, exactly 12 gates lack an official green CORRECTNESS row.
-    # First the 4 whose ONLY rows are r1-era failures (since fixed: the
-    # oracles were made exact in r2, the multimodal oracle-harness crash
-    # fixed in r2) — they look "sampled" but their rows are red, so they
-    # must be re-queued:
-    "docs_minhash_lsh", "docs_simhash", "emb_ivf_topk", "multimodal_features",
-    # then the 8 r4 gates the driver never reached:
-    "events_stickiness", "docs_readability", "events_identity",
-    "orders_basket_rules", "orders_item_triangles", "orders_correlation",
-    "events_forecast_baseline", "join_rollup_incremental",
-    # gates new in round 5 (registered below; no row can exist yet):
-    "docs_containment_lsh", "events_rfm_approx",
-    "format_hudi_snapshot", "format_hudi_mor_snapshot",
-]
+def _last_green_round() -> dict:
+    """gate -> newest round whose official CORRECTNESS_r<N>.json row is
+    fully green (rows+schema+hash). The driver samples a PREFIX of the
+    queries() dict when it can't afford the full suite, so ordering is the
+    sampling policy."""
+    import glob
+    import json as _json
+    import re
+
+    out: dict = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for k, v in (data or {}).items():
+            if isinstance(v, dict) and v.get("rows_match") \
+                    and v.get("schema_match") and v.get("hash_match"):
+                out[k] = max(out.get(k, 0), rnd)
+    return out
 
 
 def _sample_priority_order(q: dict) -> dict:
-    head = {k: q[k] for k in _NEVER_DRIVER_SAMPLED if k in q}
-    return head | {k: v for k, v in q.items() if k not in head}
+    """Oldest-official-green-first rotation (r5 VERDICT item 8): gates with
+    NO green official row yet come first (new this round / historically
+    red), then gates whose last green row is stalest — so the driver's
+    prefix sample re-confirms the whole trail over rounds instead of
+    re-hitting the same head. Cheap insurance against silent drift."""
+    greens = _last_green_round()
+    order = sorted(q, key=lambda k: (greens.get(k, -1), k))
+    return {k: q[k] for k in order}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5907,6 +5943,10 @@ GROUP BY 1"""
     out["docs_containment_prefix"] = out["docs_containment"]
     out["format_hudi_snapshot"] = out["cow_snapshot"]
     out["format_hudi_mor_snapshot"] = out["mor_snapshot"]
+    # the format reader's incremental / time-travel query types must equal
+    # the library paths bit-for-bit: identical oracles, aliased structurally
+    out["format_hudi_incremental"] = out["cow_incremental"]
+    out["format_hudi_time_travel"] = out["cow_time_travel"]
     # the LSH-candidates-first composition must also equal brute on this
     # corpus (every qualifying pair here is a near-identical duplicate,
     # jaccard >= ~0.95, so band recall is total — the caveat where the
