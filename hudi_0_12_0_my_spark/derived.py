@@ -635,10 +635,14 @@ def join_rollup_checkpoint(dst) -> dict | None:
 
 
 _DIM_LEG_PRUNE_MAX_KEYS = 10_000
+# below this many live fact files the key prune cannot skip enough IO to
+# repay its extra collect job (~0.5s measured at sf0.1's 9 fact files —
+# the r5 A/B): the leg scans the fact unpruned and stays plan-only
+_DIM_LEG_PRUNE_MIN_FILES = 16
 
 
 def _join_rollup_dim_leg(fact_df, d_d, fact_key: str, dim_key: str,
-                         gcols: list, measures: list):
+                         gcols: list, measures: list, prune: bool = True):
     """The dD leg of the delta-join identity: OLD fact ⋈ broadcast dim
     delta. The classic IVM asymmetry is that a dim change must visit the
     fact side — so the visit must PRUNE: the delta's key set (model-sized
@@ -648,19 +652,23 @@ def _join_rollup_dim_leg(fact_df, d_d, fact_key: str, dim_key: str,
     row-group/file key stats skip every fact file whose key range misses
     all changed dims. Above _DIM_LEG_PRUNE_MAX_KEYS changed keys the
     filter is skipped — at that churn the scan is broad anyway and a
-    million-literal predicate would bloat the plan."""
-    # NULL keys are excluded BEFORE the limit: a NULL inside the budget
-    # window could otherwise displace a real key and make the isin filter
-    # silently drop that key's fact contributions (NULLs never survive the
-    # inner join anyway)
-    keys = [r[0] for r in d_d.select(dim_key)
-            .filter(F.col(dim_key).isNotNull()).distinct()
-            .limit(_DIM_LEG_PRUNE_MAX_KEYS + 1).collect()]
+    million-literal predicate would bloat the plan. ``prune=False`` skips
+    the collect entirely (the caller gates on the fact's live file count:
+    with few files there is nothing to skip and the collect is pure
+    overhead)."""
     leg = fact_df.select(fact_key, *measures)
-    if len(keys) <= _DIM_LEG_PRUNE_MAX_KEYS:
-        # empty delta -> isin([]) is constant-false: correct (no dim rows
-        # can join) and the scan short-circuits
-        leg = leg.filter(F.col(fact_key).isin(keys))
+    if prune:
+        # NULL keys are excluded BEFORE the limit: a NULL inside the
+        # budget window could otherwise displace a real key and make the
+        # isin filter silently drop that key's fact contributions (NULLs
+        # never survive the inner join anyway)
+        keys = [r[0] for r in d_d.select(dim_key)
+                .filter(F.col(dim_key).isNotNull()).distinct()
+                .limit(_DIM_LEG_PRUNE_MAX_KEYS + 1).collect()]
+        if len(keys) <= _DIM_LEG_PRUNE_MAX_KEYS:
+            # empty delta -> isin([]) is constant-false: correct (no dim
+            # rows can join) and the scan short-circuits
+            leg = leg.filter(F.col(fact_key).isin(keys))
     return (leg.join(F.broadcast(d_d),
                      F.col(fact_key) == F.col(dim_key), "inner")
             .select("_w", *gcols, *measures))
@@ -773,8 +781,14 @@ def sync_join_rollup(fact, dim, dst, fact_key: str, dim_key: str,
         # would evaluate twice
         d_d = signed(dim.incremental_cdc(ck["dim"], end_dim),
                      [dim_key] + gcols).persist()
+        # prune only when the fact has enough live files for stats
+        # skipping to repay the key-collect job (one metadata fold,
+        # driver-side, no data read)
+        n_fact_files = sum(
+            1 for _g, _s in fact.view(as_of=ck["fact"]).live_slices())
         parts.append(_join_rollup_dim_leg(
-            fact_snap(ck["fact"]), d_d, fact_key, dim_key, gcols, measures))
+            fact_snap(ck["fact"]), d_d, fact_key, dim_key, gcols, measures,
+            prune=n_fact_files >= _DIM_LEG_PRUNE_MIN_FILES))
     try:
         contrib = parts[0]
         for p in parts[1:]:
