@@ -8,10 +8,13 @@ Convention (SURVEY.md §2.11): media rides in the table as an opaque
                        duration_ms:bigint, sample_rate:int, n_frames:int>
 
 The Spark-side plumbing — schema, partition-preserving mapInPandas, Arrow
-batch shape — is real and tested; the actual byte decode is stubbed because
-image/audio libraries are not in this container: `decode_media` raises
-NotImplementedError unless `fake=True`, which produces a deterministic
-hash-derived feature vector (so downstream operators are testable).
+batch shape — is real and tested. Byte decode has two modes: ``mode="fake"``
+(default) produces deterministic hash-derived features so downstream
+operators are testable with no media libraries at all, and ``mode="real"``
+decodes the actual payloads inside the SAME plan — WAV audio via the stdlib
+``wave`` module (zero dependencies, tested in-container), images via pillow
+(optional; a clear ImportError inside the executor when absent). The plan
+shape is identical in both modes, which is the 100 TB-relevant part.
 """
 
 from __future__ import annotations
@@ -56,14 +59,27 @@ def with_media_columns(df: DataFrame, payload_col, media_type: str,
 
 
 def extract_features(df: DataFrame, dim: int = 16, fake: bool = True,
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     mode: str | None = None) -> DataFrame:
     """media -> feature vector via mapInPandas (Arrow-batched, schema-typed).
 
-    The real decode (PIL/torchaudio/av) is not available in this container:
-    with fake=False this raises NotImplementedError *inside the executor* on
-    first batch, proving the plumbing end-to-end. fake=True yields
-    deterministic hash-features so joins/ANN over media features are testable.
+    ``mode`` (overrides the legacy ``fake`` flag):
+    - ``"fake"`` (default): deterministic hash-features, so joins/ANN over
+      media features are testable with no media libraries at all. This is
+      the mode the correctness gate's oracle pins.
+    - ``"real"``: decode the actual bytes inside the same mapInPandas plan.
+      Audio (``media_type == "audio"``, WAV payloads) decodes with the
+      stdlib ``wave`` module — per-window RMS energy over ``dim`` equal
+      windows, no external dependency. Images decode with pillow
+      (grayscale thumbnail intensities) and raise ImportError inside the
+      executor when pillow is absent — the Spark plan (schema,
+      partitioning, Arrow batch shape) is identical either way, which is
+      the part that matters at 100 TB.
     """
+    if mode is None:
+        mode = "fake" if fake else "real"
+    if mode not in ("fake", "real"):
+        raise ValueError(f"extract_features: unknown mode {mode!r}")
     out_schema = StructType([
         StructField(id_col, LongType()),
         StructField("media_type", StringType()),
@@ -82,16 +98,61 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True,
                 out.extend(x / 255.0 for x in h)
             return [float(x) for x in out[:d]]
 
-        for pdf in batches:
-            if not fake:
+        def wav_features(payload, d):
+            # stdlib decode: mono-fold, split into d equal windows, RMS
+            # energy per window normalized to the sample width
+            import io
+            import wave as wv
+
+            import numpy as np
+            with wv.open(io.BytesIO(payload)) as w:
+                frames = w.readframes(w.getnframes())
+                width, ch = w.getsampwidth(), w.getnchannels()
+            dt = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
+            if dt is None:
                 raise NotImplementedError(
-                    "real media decode requires image/audio libs not present "
-                    "in this environment; use fake=True for the deterministic "
-                    "stand-in")
-            feats = [fake_features(p, dim) for p in pdf["media"]]
+                    f"unsupported WAV sample width {width}")
+            x = np.frombuffer(frames, dtype=dt).astype(np.float64)
+            if ch > 1:
+                x = x.reshape(-1, ch).mean(axis=1)
+            if x.size == 0:
+                return [0.0] * d
+            scale = float(np.iinfo(dt).max)
+            return [float(np.sqrt(np.mean((s / scale) ** 2)))
+                    if s.size else 0.0 for s in np.array_split(x, d)]
+
+        def image_features(payload, d):
+            import io
+            try:
+                from PIL import Image
+            except ImportError as exc:      # loud, executor-side
+                raise ImportError(
+                    "extract_features(mode='real') on images requires "
+                    "pillow; install it or use mode='fake'") from exc
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            return [p / 255.0 for p in img.resize((d, 1)).getdata()]
+
+        def real_features(payload, mtype, d):
+            if payload is None:
+                return [0.0] * d
+            if mtype == "audio":
+                return wav_features(bytes(payload), d)
+            if mtype == "image":
+                return image_features(bytes(payload), d)
+            raise NotImplementedError(
+                f"extract_features(mode='real'): no decoder for "
+                f"media_type {mtype!r} (audio=wav/stdlib, image=pillow)")
+
+        for pdf in batches:
+            mtypes = [m["media_type"] for m in pdf["media_meta"]]
+            if mode == "real":
+                feats = [real_features(p, mt, dim)
+                         for p, mt in zip(pdf["media"], mtypes)]
+            else:
+                feats = [fake_features(p, dim) for p in pdf["media"]]
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                "media_type": [m["media_type"] for m in pdf["media_meta"]],
+                "media_type": mtypes,
                 "features": feats,
             })
 
@@ -148,16 +209,20 @@ def phash_near_dup(df: DataFrame, id_col: str = "doc_id",
 
 
 def resize_plan(df: DataFrame, max_side: int = 256,
-                id_col: str = "doc_id", fake: bool = True) -> DataFrame:
+                id_col: str = "doc_id", fake: bool = True,
+                mode: str | None = None) -> DataFrame:
     """Image resize via mapInPandas: emit (id, out_width, out_height, media).
 
     Target dimensions (aspect-preserving, longest side = max_side, never
     upscaled) are computed JVM-side from media_meta so Catalyst can prune
     no-op rows BEFORE bytes reach Python — at 100 TB most images are already
-    small and the binary column for them is never shipped through Arrow. The
-    pixel resample itself is stubbed like decode (fake=True passes bytes
-    through; fake=False raises inside the executor).
+    small and the binary column for them is never shipped through Arrow.
+    ``mode="fake"`` (default, = legacy fake=True) passes bytes through;
+    ``mode="real"`` resamples with pillow and re-encodes PNG, raising
+    ImportError inside the executor when pillow is absent.
     """
+    if mode is None:
+        mode = "fake" if fake else "real"
     w, h = F.col("media_meta.width"), F.col("media_meta.height")
     scale = F.lit(max_side) / F.greatest(w, h)
     need = F.greatest(w, h) > max_side
@@ -171,11 +236,25 @@ def resize_plan(df: DataFrame, max_side: int = 256,
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def resample(payload, tw_, th_):
+            import io
+            try:
+                from PIL import Image
+            except ImportError as exc:
+                raise ImportError(
+                    "resize_plan(mode='real') requires pillow; install it "
+                    "or use mode='fake' for the pass-through") from exc
+            img = Image.open(io.BytesIO(bytes(payload)))
+            buf = io.BytesIO()
+            img.resize((int(tw_), int(th_))).save(buf, format="PNG")
+            return buf.getvalue()
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resampling requires PIL/opencv, not present "
-                    "in this environment; use fake=True for the pass-through")
+            if mode == "real":
+                pdf = pdf.copy()
+                pdf["media"] = [
+                    resample(p, tw_, th_) for p, tw_, th_ in
+                    zip(pdf["media"], pdf["out_width"], pdf["out_height"])]
             yield pdf[[id_col, "out_width", "out_height", "media"]]
 
     todo = (df.filter(F.col("media_meta.media_type") == "image")

@@ -209,8 +209,72 @@ def test_multimodal_plumbing(docs, spark):
     by_id = {r.doc_id: r.features for r in feats}
     assert by_id[1] == by_id[2]         # deterministic across identical payloads
     assert len(by_id[1]) == 4
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
+    # real image decode needs pillow: absent here -> loud executor-side
+    # ImportError (present -> these bytes aren't a real PNG -> decode error)
+    with pytest.raises(Exception, match="pillow|decode|image"):
         ops.extract_features(mm, dim=4, fake=False).collect()
+
+
+def test_multimodal_real_wav_decode(docs, spark):
+    """mode='real' on audio decodes WAV bytes with the stdlib wave module —
+    per-window RMS energy: a clip that is silent then loud must yield
+    near-zero early features and large late ones, same Arrow plan as fake."""
+    import io
+    import struct
+    import wave as wv
+
+    def make_wav(samples):
+        buf = io.BytesIO()
+        with wv.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    quiet_then_loud = make_wav([0] * 4000 + [20000, -20000] * 2000)
+    silent = make_wav([0] * 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(quiet_then_loud)), (2, bytearray(silent))],
+        "doc_id long, payload binary")
+    mm = ops.with_media_columns(df, "payload", "audio", "audio/wav",
+                                sample_rate=8000, duration_ms=1000)
+    feats = {r.doc_id: r.features
+             for r in ops.extract_features(mm, dim=4, mode="real").collect()}
+    q = feats[1]
+    assert len(q) == 4
+    assert q[0] < 0.01 and q[1] < 0.01          # silent first half
+    assert q[2] > 0.3 and q[3] > 0.3            # loud second half
+    assert feats[2] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_multimodal_real_image_decode(docs, spark):
+    """mode='real' on images uses pillow when present; skips cleanly when
+    the lib is absent (it is not baked into this container)."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (16, 16), color=128).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "doc_id long, payload binary")
+    mm = ops.with_media_columns(df, "payload", "image", "image/png",
+                                width=16, height=16)
+    feats = ops.extract_features(mm, dim=4, mode="real").collect()
+    assert len(feats[0].features) == 4
+    assert all(abs(x - 128 / 255) < 0.02 for x in feats[0].features)
+    # and the real resize re-encodes at the JVM-computed target dims
+    big = io.BytesIO()
+    Image.new("L", (512, 256), color=10).save(big, format="PNG")
+    df2 = spark.createDataFrame([(2, bytearray(big.getvalue()))],
+                                "doc_id long, payload binary")
+    mm2 = ops.with_media_columns(df2, "payload", "image", "image/png",
+                                 width=512, height=256)
+    out = ops.resize_plan(mm2, max_side=256, mode="real").collect()
+    img = Image.open(io.BytesIO(bytes(out[0].media)))
+    assert img.size == (out[0].out_width, out[0].out_height) == (256, 128)
 
 
 def test_frame_sample_plan(docs):
