@@ -143,6 +143,15 @@ def main() -> None:
         m.upsert(mut)
     with step("mor_snapshot_merge"):        # base+delta window merge read
         m.snapshot().agg(F.sum("l_quantity")).collect()
+    # compat path: the registered Python Data Source (datasource.py) —
+    # zero-import reads must have regression visibility too, priced
+    # against the library JVM path above
+    with step("format_snapshot_cow"):       # pyarrow scan, stream batches
+        (spark.read.format("hudi").load(t.base_path)
+         .agg(F.sum("l_quantity")).collect())
+    with step("format_snapshot_mor"):       # executor-side arrow merge
+        (spark.read.format("hudi").load(m.base_path)
+         .agg(F.sum("l_quantity")).collect())
     with step("mor_compaction"):
         m.compact()
 

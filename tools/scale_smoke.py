@@ -17,6 +17,14 @@ Fixture build is cached at /tmp/spark_graft_sf1 and excluded from timings.
 
 Usage:  python tools/scale_smoke.py [--rebuild]
 Prints one JSON line {"op": {"sf0.1": s, "sf1": s, "ratio": r}, ...}.
+
+--sf10 runs the SECOND decade (r5 VERDICT item 5): the headline dedup/ANN
+trio (minhash_lsh, containment_lsh, dsir_select) at sf10 (500k docs,
+derived from sf1 with a second word-reorder replica pass under a
+different hash salt, so sf10 replicas are not near-duplicates of their
+sf1 parents either). One 10x step can hide a super-linear knee that only
+bends at the next decade; two decades bound the 100 TB extrapolation.
+Prints {"op": {"sf1": s, "sf10": s, "ratio": r}, ...}.
 """
 
 from __future__ import annotations
@@ -30,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/spark_graft_sf1"
+SF10 = "/tmp/spark_graft_sf10"
 BENCH_ROOT = "/tmp/spark_graft_scale_smoke"
 REPLICAS = 10
 
@@ -86,6 +95,69 @@ def build_sf1(spark) -> None:
              .drop("_r"))
     liout.repartition(32).write.mode("overwrite").parquet(
         os.path.join(SF1, "lineitem.parquet"))
+
+
+def build_sf10(spark) -> None:
+    """Second replica decade, derived from sf1: same deterministic
+    word-reorder but salted differently (xxhash64(w, i, _r + 1000)) so a
+    doc's sf10 replicas are near-duplicates of NEITHER each other NOR the
+    sf1 tier's replicas — LSH bucket densities stay realistic at 100x."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF1, "documents.parquet"))
+    rep = spark.range(REPLICAS).select(F.col("id").alias("_r"))
+    exploded = (docs.crossJoin(rep)
+                .select((F.col("doc_id") * REPLICAS + F.col("_r"))
+                        .alias("doc_id"),
+                        "_r", "text", "lang", "source", "n_chars"))
+    shuffled = F.array_join(
+        F.expr("transform(array_sort(transform(split(text, ' '), (w, i) -> "
+               "struct(xxhash64(w, i, _r + 1000) as h, w as w))), "
+               "s -> s.w)"), " ")
+    out = exploded.select(
+        "doc_id",
+        F.when(F.col("_r") == 0, F.col("text")).otherwise(shuffled)
+        .alias("text"),
+        "lang", "source", "n_chars")
+    out.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(SF10, "documents.parquet"))
+
+
+def run_trio(spark, sf_dir: str) -> dict:
+    """The headline dedup/selection trio only — the operators whose
+    shuffle volume is corpus-shaped (band buckets / hashed grams), i.e.
+    the ones a second decade could expose."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hudi_0_12_0_my_spark.operators import (dsir_sample,
+                                                minhash_lsh_pairs,
+                                                ngram_containment_pairs_lsh)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.persist().count()
+    t: dict = {}
+
+    def step(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *a):
+                t[name] = round(time.perf_counter() - self.t0, 3)
+        return _T()
+
+    with step("minhash_lsh"):
+        minhash_lsh_pairs(docs, num_hashes=32, bands=8,
+                          jaccard_threshold=0.4).count()
+    with step("containment_lsh"):
+        ngram_containment_pairs_lsh(docs, n=3, threshold=0.5,
+                                    num_hashes=32, bands=8,
+                                    max_bucket_size=1000).count()
+    with step("dsir_select"):
+        dsir_sample(docs, docs.filter("lang = 'en'"), 0.3,
+                    num_buckets=8192).count()
+    docs.unpersist()
+    return t
 
 
 def run_tier(spark, eng, sf_dir: str, tag: str) -> dict:
@@ -241,6 +313,18 @@ def main() -> None:
     if "--rebuild" in sys.argv or not os.path.exists(
             os.path.join(SF1, "lineitem.parquet")):
         build_sf1(spark)
+    if "--sf10" in sys.argv:
+        if "--rebuild" in sys.argv or not os.path.exists(
+                os.path.join(SF10, "documents.parquet")):
+            build_sf10(spark)
+        run_trio(spark, SF1)             # discard: JIT/codegen warmup
+        mid = run_trio(spark, SF1)
+        big = run_trio(spark, SF10)
+        out = {op: {"sf1": mid[op], "sf10": big[op],
+                    "ratio": round(big[op] / max(mid[op], 1e-9), 2)}
+               for op in mid}
+        print(json.dumps(out))
+        return
     eng = Engine(spark)
     run_tier(spark, eng, SF01, "warm")   # discard: JIT/codegen warmup
     small = run_tier(spark, eng, SF01, "sf01")
