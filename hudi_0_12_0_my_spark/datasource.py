@@ -340,6 +340,25 @@ class HudiBatchReader(DataSourceReader):
             and cfg.get("keygen", "simple") in _IDENTITY_KEYGENS)
         self._key_field = kf[0] if len(kf) == 1 else None
         self._num_buckets = int(cfg.get("num_buckets") or 0)
+        # partition-path addressing: a single value-style partition field's
+        # path is coalesce(cast(field as string), 'default') (+ optional
+        # hive k=v prefix) — keygen.partition_path_expr — so an EqualTo/In
+        # on that column prunes whole PARTITIONS at the planner, the same
+        # partition pruning Catalyst does for native tables. Excluded:
+        # global index (an update routed to a key's ORIGINAL partition can
+        # leave a row whose column value differs from its storage
+        # partition), urlencoded paths, timestamp-formatted styles, and
+        # multi-field specs — those keep every partition.
+        pf = cfg.get("partition_field")
+        self._part_prunable = (
+            cfg.get("partition_style", "value") == "value"
+            and not cfg.get("global_index")
+            and not cfg.get("partition_urlencode")
+            and cfg.get("keygen", "simple") in ("simple", "complex")
+            and isinstance(pf, str) and bool(pf)
+            and ":" not in pf and "," not in pf)
+        self._part_field = pf
+        self._hive_style = bool(cfg.get("hive_style_partitioning"))
         # executor-side cast/concat target: output schema + the merge
         # machinery columns (ordering extras + tombstone markers)
         extra = StructType(self._schema.fields.copy())
@@ -368,8 +387,16 @@ class HudiBatchReader(DataSourceReader):
         a NULL or mixed-type value list skips that filter (pruning is an
         optimization — on any doubt, keep the files), never fails the read."""
         from pyspark.sql import datasource as dsf
+
+        def addressable(vals):
+            # str(value) must equal Spark's cast-to-string: ints and
+            # strings only (bool excluded: str(True) != 'true')
+            return all(isinstance(v, (int, str)) and not isinstance(v, bool)
+                       for v in vals)
+
         preds = []
         key_values: list | None = None
+        part_values: list | None = None
         for f in filters:
             try:
                 attr = getattr(f, "attribute", None)
@@ -383,6 +410,8 @@ class HudiBatchReader(DataSourceReader):
                     preds.append((col, "le", f.value))
                     if col == self._key_field:
                         key_values = [f.value]
+                    if col == self._part_field:
+                        part_values = [f.value]
                 elif isinstance(f, (dsf.GreaterThan, dsf.GreaterThanOrEqual)):
                     if f.value is not None:
                         preds.append((col, "ge", f.value))
@@ -396,22 +425,25 @@ class HudiBatchReader(DataSourceReader):
                         preds.append((col, "le", max(vs)))
                         if col == self._key_field:
                             key_values = vs
+                        if col == self._part_field:
+                            part_values = vs
             except (TypeError, ValueError):
                 continue        # keep-the-file-on-doubt, per _stats_exclude
         self._stat_preds = preds
         self._buckets_wanted = None
         if key_values is not None and self._bucket_addressable \
-                and self._num_buckets > 0:
-            try:
-                # key string = str(value), the single-field identity-keygen
-                # record key; only int/str survive the cast loss-free
-                if all(isinstance(v, (int, str)) and not isinstance(v, bool)
-                       for v in key_values):
-                    self._buckets_wanted = {
-                        "%08d" % _bucket_of(str(v), self._num_buckets)
-                        for v in key_values}
-            except (TypeError, ValueError):
-                pass
+                and self._num_buckets > 0 and addressable(key_values):
+            self._buckets_wanted = {
+                "%08d" % _bucket_of(str(v), self._num_buckets)
+                for v in key_values}
+        self._parts_wanted = None
+        if part_values is not None and self._part_prunable \
+                and addressable(part_values):
+            # NULL partition values land in 'default'; a non-null EqualTo
+            # can never match them, so pruning 'default' is safe
+            self._parts_wanted = {
+                f"{self._part_field}={v}" if self._hive_style else str(v)
+                for v in part_values}
         return filters                           # Spark re-applies everything
 
     def _stats_exclude(self, stats: dict) -> bool:
@@ -439,6 +471,12 @@ class HudiBatchReader(DataSourceReader):
         wanted = getattr(self, "_buckets_wanted", None)
         return wanted is not None and fid[:8] not in wanted
 
+    def _partition_exclude(self, p: str) -> bool:
+        """True when the pushed partition-column equality PROVES no row of
+        partition ``p`` can match (value-style path == str(value))."""
+        wanted = getattr(self, "_parts_wanted", None)
+        return wanted is not None and p not in wanted
+
     # ------------------------------------------------------------ planning
     def _snapshot_partitions(self, entries, as_of, lo=None, hi=None):
         """File-slice partitions for snapshot semantics as of ``as_of``;
@@ -453,7 +491,7 @@ class HudiBatchReader(DataSourceReader):
             s = g.latest(as_of)
             if s is None:
                 continue
-            if self._bucket_exclude(fid):
+            if self._bucket_exclude(fid) or self._partition_exclude(p):
                 continue
             base = self._abs(s.base)
             if as_of is not None and not os.path.exists(base):
@@ -522,7 +560,7 @@ class HudiBatchReader(DataSourceReader):
                     for st in stats:
                         gk = (p, st["file_id"])
                         if gk in replaced or self._bucket_exclude(
-                                st["file_id"]):
+                                st["file_id"]) or self._partition_exclude(p):
                             continue
                         if st.get("kind", "base") == "base":
                             prev = base_latest.get(gk)

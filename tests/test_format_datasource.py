@@ -379,3 +379,59 @@ def test_format_scan_projects_only_needed_columns(spark, tmp_path):
     assert set(rd._last_columns) <= set(rd.extended.fieldNames())
     # and the full read equals the library's post-drop snapshot
     assert _rows(spark.read.format("hudi").load(base)) == _rows(t.snapshot())
+
+
+def test_format_partition_pruning_from_pushed_filters(spark, tmp_path):
+    """EqualTo/In on a value-style partition source column prunes whole
+    partitions at the planner (path == str(value), keygen
+    partition_path_expr) — results still equal the library's filtered
+    snapshot because Spark re-applies every filter row-level."""
+    from hudi_0_12_0_my_spark.datasource import HudiBatchReader
+    from pyspark.sql import datasource as dsf
+
+    eng = Engine(spark)
+    base = str(tmp_path / "ppr")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    t.insert(spark.createDataFrame(
+        [(i, "abc"[i % 3], i, 1) for i in range(30)], S))
+    rd = HudiBatchReader(spark.read.format("hudi").load(base).schema,
+                         {"path": base})
+    all_parts = [p for p in rd.partitions() if p.base]
+    rd.pushFilters([dsf.EqualTo(("grp",), "a")])
+    kept = [p for p in rd.partitions() if p.base]
+    assert 0 < len(kept) < len(all_parts)
+    rd.pushFilters([dsf.In(("grp",), ("a", "c"))])
+    kept2 = [p for p in rd.partitions() if p.base]
+    assert len(kept) < len(kept2) < len(all_parts)
+    got = sorted(r.id for r in spark.read.format("hudi").load(base)
+                 .filter("grp = 'a'").select("id").collect())
+    lib = sorted(r.id for r in t.snapshot().filter("grp = 'a'")
+                 .select("id").collect())
+    assert got == lib and got
+    # hive-style paths address with the k=v prefix
+    base2 = str(tmp_path / "pprh")
+    t2 = eng.create_table(base2, record_key_fields=["id"],
+                          precombine_field="seq", partition_field="grp",
+                          hive_style_partitioning=True)
+    t2.insert(spark.createDataFrame(
+        [(i, "ab"[i % 2], i, 1) for i in range(10)], S))
+    rd2 = HudiBatchReader(spark.read.format("hudi").load(base2).schema,
+                          {"path": base2})
+    rd2.pushFilters([dsf.EqualTo(("grp",), "a")])
+    assert rd2._parts_wanted == {"grp=a"}
+    got2 = sorted(r.id for r in spark.read.format("hudi").load(base2)
+                  .filter("grp = 'a'").select("id").collect())
+    assert got2 == sorted(r.id for r in t2.snapshot().filter("grp = 'a'")
+                          .select("id").collect())
+    # GLOBAL index tables never partition-prune (an update routed to the
+    # key's original partition can leave value != storage partition)
+    base3 = str(tmp_path / "pprg")
+    t3 = eng.create_table(base3, record_key_fields=["id"],
+                          precombine_field="seq", partition_field="grp",
+                          global_index=True)
+    t3.insert(spark.createDataFrame([(1, "a", 1, 1)], S))
+    rd3 = HudiBatchReader(spark.read.format("hudi").load(base3).schema,
+                          {"path": base3})
+    rd3.pushFilters([dsf.EqualTo(("grp",), "a")])
+    assert rd3._parts_wanted is None
