@@ -279,6 +279,16 @@ def q_format_hudi_time_travel(spark, sf_dir):
     return df.groupBy("l_returnflag").agg(_n(), _dec_sum("l_quantity", "sum_qty"))
 
 
+def q_format_hudi_read_optimized(spark, sf_dir):
+    """format('hudi') read_optimized query type (bases only, deltas
+    ignored): same oracle as mor_read_optimized."""
+    t, _ = _build_mor(spark, sf_dir, compact=False)
+    df = (spark.read.format("hudi")
+          .option("hoodie.datasource.query.type", "read_optimized")
+          .load(t.base_path))
+    return df.groupBy("l_returnflag").agg(_n(), _dec_sum("l_quantity", "sum_qty"))
+
+
 def q_mor_read_optimized(spark, sf_dir):
     t, _ = _build_mor(spark, sf_dir, compact=False)
     return (t.read_optimized().groupBy("l_returnflag")
@@ -3082,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_hudi_mor_snapshot": q_format_hudi_mor_snapshot,
         "format_hudi_incremental": q_format_hudi_incremental,
         "format_hudi_time_travel": q_format_hudi_time_travel,
+        "format_hudi_read_optimized": q_format_hudi_read_optimized,
         "mor_read_optimized": q_mor_read_optimized,
         "mor_read_optimized_filtered": q_mor_read_optimized_filtered,
         "mor_incremental": q_mor_incremental,
@@ -5947,6 +5958,7 @@ GROUP BY 1"""
     # the library paths bit-for-bit: identical oracles, aliased structurally
     out["format_hudi_incremental"] = out["cow_incremental"]
     out["format_hudi_time_travel"] = out["cow_time_travel"]
+    out["format_hudi_read_optimized"] = out["mor_read_optimized"]
     # the LSH-candidates-first composition must also equal brute on this
     # corpus (every qualifying pair here is a near-identical duplicate,
     # jaccard >= ~0.95, so band recall is total — the caveat where the

@@ -254,6 +254,14 @@ def _bucket_pairs(band_entries: DataFrame, id_col: str,
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("ms") <= max_bucket_size)
     n = F.size("ms")
+    # single flattened pair array + ONE explode. The tempting "two chained
+    # generators" rewrite (explode anchor index, then explode the tail
+    # slice) was tried in r6 and is strictly WORSE: nested Generate stages
+    # buffer a whole bucket's B^2 output rows in the BufferedRowIterator
+    # before the next pipeline stage drains them (it OOMed sf1 where this
+    # shape completes in seconds). The flatten array is bounded by
+    # max_bucket_size^2 per row — the documented cap is the memory
+    # contract; degenerate buckets are exact-dup territory anyway.
     pairs = F.flatten(F.transform(
         F.sequence(F.lit(1), n - 1),
         lambda i: F.transform(
@@ -352,14 +360,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         F.posexplode(F.array(*[
             _combine_hash(hash_fn, [F.col("sig")[b * r + j] for j in range(r)])
             for b in range(bands)])).alias("band", "bucket"))
-    cand = _bucket_pairs(band_entries, id_col, "sig", max_bucket_size) \
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _bucket_pairs(band_entries, id_col, "sig", max_bucket_size)
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                       lambda x, y: x == y), lambda v: v))
            / F.lit(float(num_hashes)))
+    # estimate + threshold BEFORE the dedup shuffle: est_jaccard is
+    # deterministic per pair, so duplicates (a pair colliding in several
+    # bands) agree — deduping first would shuffle EVERY candidate pair
+    # still carrying both full signatures (~550B/row; at 500k docs that is
+    # an ~80GB exchange that OOMed the sf10 smoke), while filtering first
+    # ships only qualifying pairs as three narrow columns
     return (cand.withColumn("est_jaccard", est)
                 .filter(F.col("est_jaccard") >= jaccard_threshold)
-                .select("id_a", "id_b", "est_jaccard"))
+                .select("id_a", "id_b", "est_jaccard")
+                .dropDuplicates(["id_a", "id_b"]))
 
 
 def edit_verified_pairs(df: DataFrame, text_col: str = "text",
@@ -484,13 +498,16 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     cand = (_bucket_pairs(bands.withColumnRenamed("chunk", "bucket"),
                           id_col, "simhash", max_bucket_size)
             .withColumnRenamed("simhash_a", "sh_a")
-            .withColumnRenamed("simhash_b", "sh_b")
-            .dropDuplicates(["id_a", "id_b"]))
+            .withColumnRenamed("simhash_b", "sh_b"))
     x = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     ham = F.bit_count(x)
+    # hamming + threshold BEFORE the dedup shuffle (deterministic per
+    # pair, so band-duplicate candidates agree) — only qualifying pairs
+    # reach the exchange, same shape rationale as minhash_lsh_pairs
     return (cand.withColumn("hamming", ham)
                 .filter(F.col("hamming") <= max_hamming)
-                .select("id_a", "id_b", "hamming"))
+                .select("id_a", "id_b", "hamming")
+                .dropDuplicates(["id_a", "id_b"]))
 
 
 # ------------------------------------------------------------ n-gram jaccard

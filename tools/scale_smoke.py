@@ -20,10 +20,12 @@ Prints one JSON line {"op": {"sf0.1": s, "sf1": s, "ratio": r}, ...}.
 
 --sf10 runs the SECOND decade (r5 VERDICT item 5): the headline dedup/ANN
 trio (minhash_lsh, containment_lsh, dsir_select) at sf10 (500k docs,
-derived from sf1 with a second word-reorder replica pass under a
-different hash salt, so sf10 replicas are not near-duplicates of their
-sf1 parents either). One 10x step can hide a super-linear knee that only
+derived from sf1 by a length-preserving per-replica vocabulary rename —
+see build_sf10's docstring for why reorder-again and fixed-width renames
+are both wrong). One 10x step can hide a super-linear knee that only
 bends at the next decade; two decades bound the 100 TB extrapolation.
+Needs SPARK_GRAFT_DRIVER_MEM=32g (local-mode single heap) and scales
+shuffle partitions with the tier (cpus*8 at sf10).
 Prints {"op": {"sf1": s, "sf10": s, "ratio": r}, ...}.
 """
 
@@ -98,10 +100,23 @@ def build_sf1(spark) -> None:
 
 
 def build_sf10(spark) -> None:
-    """Second replica decade, derived from sf1: same deterministic
-    word-reorder but salted differently (xxhash64(w, i, _r + 1000)) so a
-    doc's sf10 replicas are near-duplicates of NEITHER each other NOR the
-    sf1 tier's replicas — LSH bucket densities stay realistic at 100x."""
+    """Second replica decade, derived from sf1 with CONSTANT duplicate
+    density (the property a real 10x corpus has: new data is mostly new
+    content). Word-REORDER — the sf1 recipe — is not enough here: minhash
+    shingles CHARACTERS, and reordering words preserves most 5-char
+    shingles, so every base doc would become a 100-deep near-dup clique
+    and the TRUE pair output would grow ~100x per decade — a fixture
+    artifact (quadratic in clique depth), not an operator property, and
+    exactly the density collapse the sf1 fixture was designed to avoid.
+    Instead each replica r>0 hash-RENAMES every word — a per-replica
+    vocabulary, so replicas share almost no shingles with each other or
+    with sf1, while docs WITHIN a replica keep their relative near-dup
+    structure (same word->token map). The rename is LENGTH-PRESERVING
+    (token = first len(w) chars of the word's hash hex): a fixed-width
+    hex rename was tried first and inflated every stopword from ~3 chars
+    to 16, multiplying the shared-shingle mass between UNRELATED docs
+    ~100x (204M qualifying pairs where ~2M are expected). Duplicate
+    density per doc stays ~sf1-level as the corpus grows 10x."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(os.path.join(SF1, "documents.parquet"))
@@ -110,29 +125,40 @@ def build_sf10(spark) -> None:
                 .select((F.col("doc_id") * REPLICAS + F.col("_r"))
                         .alias("doc_id"),
                         "_r", "text", "lang", "source", "n_chars"))
-    shuffled = F.array_join(
-        F.expr("transform(array_sort(transform(split(text, ' '), (w, i) -> "
-               "struct(xxhash64(w, i, _r + 1000) as h, w as w))), "
-               "s -> s.w)"), " ")
+    renamed = F.array_join(
+        F.expr("transform(split(text, ' '), w -> substring(concat("
+               "hex(xxhash64(w, _r)), hex(xxhash64(w, _r + 500))), "
+               "1, greatest(length(w), 1)))"),
+        " ")
     out = exploded.select(
         "doc_id",
-        F.when(F.col("_r") == 0, F.col("text")).otherwise(shuffled)
+        F.when(F.col("_r") == 0, F.col("text")).otherwise(renamed)
         .alias("text"),
         "lang", "source", "n_chars")
     out.repartition(64).write.mode("overwrite").parquet(
         os.path.join(SF10, "documents.parquet"))
 
 
-def run_trio(spark, sf_dir: str) -> dict:
+def run_trio(spark, sf_dir: str, shuffle_partitions: int | None = None) -> dict:
     """The headline dedup/selection trio only — the operators whose
     shuffle volume is corpus-shaped (band buckets / hashed grams), i.e.
-    the ones a second decade could expose."""
+    the ones a second decade could expose.
+
+    ``shuffle_partitions``: partition count must scale WITH the data — a
+    10x corpus on a fixed count makes every sort partition 10x bigger and
+    OOMs the per-task sorter long before the heap is actually exhausted
+    (observed: sf10 on 32 partitions dies in the containment verify sort
+    even at 32g). This is exactly the knob a real cluster job tunes; AQE
+    coalesces the excess at the small tier."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from hudi_0_12_0_my_spark.operators import (dsir_sample,
                                                 minhash_lsh_pairs,
                                                 ngram_containment_pairs_lsh)
 
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(shuffle_partitions))
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     docs.persist().count()
     t: dict = {}
@@ -147,8 +173,15 @@ def run_trio(spark, sf_dir: str) -> dict:
         return _T()
 
     with step("minhash_lsh"):
+        # max_bucket_size is the documented mega-bucket cap (the same
+        # production recipe the containment step uses): the hex-token
+        # fixture's common words collapse whole replicas into single band
+        # buckets (top bucket ~21k members at sf10), and an uncapped
+        # bucket's pair array is quadratic in its size. Applied at BOTH
+        # tiers so the ratio compares like with like.
         minhash_lsh_pairs(docs, num_hashes=32, bands=8,
-                          jaccard_threshold=0.4).count()
+                          jaccard_threshold=0.4,
+                          max_bucket_size=1000).count()
     with step("containment_lsh"):
         ngram_containment_pairs_lsh(docs, n=3, threshold=0.5,
                                     num_hashes=32, bands=8,
@@ -317,9 +350,10 @@ def main() -> None:
         if "--rebuild" in sys.argv or not os.path.exists(
                 os.path.join(SF10, "documents.parquet")):
             build_sf10(spark)
-        run_trio(spark, SF1)             # discard: JIT/codegen warmup
-        mid = run_trio(spark, SF1)
-        big = run_trio(spark, SF10)
+        cpus_n = int(cpus)
+        run_trio(spark, SF1, cpus_n)     # discard: JIT/codegen warmup
+        mid = run_trio(spark, SF1, cpus_n)
+        big = run_trio(spark, SF10, cpus_n * 8)
         out = {op: {"sf1": mid[op], "sf10": big[op],
                     "ratio": round(big[op] / max(mid[op], 1e-9), 2)}
                for op in mid}
