@@ -435,3 +435,63 @@ def test_format_partition_pruning_from_pushed_filters(spark, tmp_path):
                           {"path": base3})
     rd3.pushFilters([dsf.EqualTo(("grp",), "a")])
     assert rd3._parts_wanted is None
+
+
+def test_format_hides_pending_rollback_target(spark, tmp_path):
+    """A write commit targeted by a PENDING rollback plan is dead (its
+    files may be half-deleted): the format fold must exclude it, exactly
+    like the library's fsview/_write_history (reader.py:207,
+    fsview.py:95)."""
+    import json
+    import os
+
+    eng = Engine(spark)
+    base = str(tmp_path / "prb")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", keygen="nonpartitioned")
+    t.insert(spark.createDataFrame([(i, "g", i, 1) for i in range(5)], S))
+    t.upsert(spark.createDataFrame([(1, "g", 999, 2)], S))
+    victim = t.timeline.latest_completed_write().time
+    tdir = os.path.join(base, ".hoodie", "timeline")
+    with open(os.path.join(tdir, f"{victim}z.rollback.requested"),
+              "w") as fh:
+        json.dump({"rolled_back_instant": victim}, fh)
+    lib = t.snapshot()
+    fmt = spark.read.format("hudi").load(base)
+    assert _rows(fmt) == _rows(lib)
+    # the upsert is hidden on both paths
+    assert {r.v for r in fmt.filter("id = 1").select("v").collect()} == {1}
+
+
+def test_format_dedups_crash_mid_archival_instant(spark, tmp_path):
+    """An instant present in BOTH the archive batch and the active dir
+    (crash between batch write and active delete) must count once — the
+    library dedups by (time, action) (reader.py:210); without the fold's
+    dedup, incremental reads double every row the instant wrote."""
+    import json
+    import os
+
+    eng = Engine(spark)
+    base = str(tmp_path / "arch")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", keygen="nonpartitioned")
+    for s in range(6):
+        t.upsert(spark.createDataFrame(
+            [(i, "g", 100 * s + i, s + 1) for i in range(4)], S))
+    commits = [i.time for i in t.timeline.completed_write_instants()]
+    assert t.archive(retain_active=2)["archived"] > 0
+    # resurrect one archived instant's active file (simulated crash)
+    adir = os.path.join(base, ".hoodie", "archived")
+    batch = json.load(open(os.path.join(adir, sorted(os.listdir(adir))[0])))
+    e = next(x for x in batch if x.get("action") in
+             ("commit", "deltacommit", "replacecommit"))
+    tdir = os.path.join(base, ".hoodie", "timeline")
+    with open(os.path.join(tdir, f"{e['time']}.{e['action']}"), "w") as fh:
+        json.dump(e.get("metadata") or {}, fh)
+    fmt_inc = (spark.read.format("hudi")
+               .option("hoodie.datasource.query.type", "incremental")
+               .load(base))
+    lib_inc = t.incremental()
+    assert _rows(fmt_inc) == _rows(lib_inc)
+    assert fmt_inc.count() == fmt_inc.select("id").distinct().count()
+    assert _rows(spark.read.format("hudi").load(base)) == _rows(t.snapshot())
