@@ -280,6 +280,31 @@ def run_dag(spark, base_path, table_type, index_type, global_index,
     model = pinned
     _check("restore")
 
+    # the zero-import format('hudi') path must agree with the library on
+    # the DAG's final state: the standalone timeline fold (datasource.py)
+    # vs fsview parity under this run's random mix of writes, compaction,
+    # clustering, cleaning, archival, rollback and restore. (Bootstrap
+    # DAGs excluded: bootstrap bases carry no meta columns and the format
+    # documents its refusal surface for them.)
+    if not bootstrap:
+        fmt = spark.read.format("hudi").load(base_path) \
+            .select("id", "grp", "val", "seq")
+        assert _fold(fmt) == _want(), "format snapshot diverged from model"
+        wr = t.timeline.completed_write_instants()
+        if len(wr) >= 2:
+            lo_i, hi_i = wr[-2].time, wr[-1].time
+            fmt_inc = (spark.read.format("hudi")
+                       .option("hoodie.datasource.query.type", "incremental")
+                       .option("hoodie.datasource.read.begin.instanttime",
+                               lo_i)
+                       .option("hoodie.datasource.read.end.instanttime",
+                               hi_i)
+                       .load(base_path).select("id", "grp", "val", "seq"))
+            lib_inc = t.incremental(begin=lo_i, end=hi_i) \
+                .select("id", "grp", "val", "seq")
+            assert _fold(fmt_inc) == _fold(lib_inc), \
+                "format incremental diverged from library"
+
 
 @pytest.mark.parametrize("table_type,index_type,global_index", [
     ("cow", "simple", False), ("cow", "simple", True),
