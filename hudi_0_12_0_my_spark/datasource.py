@@ -397,6 +397,7 @@ class HudiBatchReader(DataSourceReader):
         preds = []
         key_values: list | None = None
         part_values: list | None = None
+        meta_part_values: list | None = None
         for f in filters:
             try:
                 attr = getattr(f, "attribute", None)
@@ -412,6 +413,10 @@ class HudiBatchReader(DataSourceReader):
                         key_values = [f.value]
                     if col == self._part_field:
                         part_values = [f.value]
+                    if col == PARTITION_PATH and isinstance(f.value, str):
+                        # the meta column IS the fold key: exact pruning,
+                        # valid for every index type and keygen
+                        meta_part_values = [f.value]
                 elif isinstance(f, (dsf.GreaterThan, dsf.GreaterThanOrEqual)):
                     if f.value is not None:
                         preds.append((col, "ge", f.value))
@@ -427,6 +432,9 @@ class HudiBatchReader(DataSourceReader):
                             key_values = vs
                         if col == self._part_field:
                             part_values = vs
+                        if col == PARTITION_PATH and \
+                                all(isinstance(v, str) for v in vs):
+                            meta_part_values = vs
             except (TypeError, ValueError):
                 continue        # keep-the-file-on-doubt, per _stats_exclude
         self._stat_preds = preds
@@ -444,6 +452,10 @@ class HudiBatchReader(DataSourceReader):
             self._parts_wanted = {
                 f"{self._part_field}={v}" if self._hive_style else str(v)
                 for v in part_values}
+        if meta_part_values is not None:
+            wanted = set(meta_part_values)
+            self._parts_wanted = wanted if self._parts_wanted is None \
+                else self._parts_wanted & wanted
         return filters                           # Spark re-applies everything
 
     def _stats_exclude(self, stats: dict) -> bool:

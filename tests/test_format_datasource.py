@@ -495,3 +495,32 @@ def test_format_dedups_crash_mid_archival_instant(spark, tmp_path):
     assert _rows(fmt_inc) == _rows(lib_inc)
     assert fmt_inc.count() == fmt_inc.select("id").distinct().count()
     assert _rows(spark.read.format("hudi").load(base)) == _rows(t.snapshot())
+
+
+def test_format_meta_partition_path_filter_prunes(spark, tmp_path):
+    """A filter on _hoodie_partition_path itself prunes exactly (the meta
+    column IS the fold key) — valid for every index type, including
+    global index where business-column pruning is disabled."""
+    from hudi_0_12_0_my_spark.datasource import HudiBatchReader
+    from pyspark.sql import datasource as dsf
+
+    eng = Engine(spark)
+    base = str(tmp_path / "mpp")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         global_index=True)
+    t.insert(spark.createDataFrame(
+        [(i, "abc"[i % 3], i, 1) for i in range(30)], S))
+    rd = HudiBatchReader(spark.read.format("hudi").load(base).schema,
+                         {"path": base})
+    all_parts = [p for p in rd.partitions() if p.base]
+    rd.pushFilters([dsf.EqualTo(("_hoodie_partition_path",), "b")])
+    kept = [p for p in rd.partitions() if p.base]
+    assert 0 < len(kept) < len(all_parts)
+    got = sorted(r.id for r in spark.read.format("hudi").load(base)
+                 .filter("_hoodie_partition_path = 'b'")
+                 .select("id").collect())
+    lib = sorted(r.id for r in t.snapshot(keep_meta=True)
+                 .filter("_hoodie_partition_path = 'b'")
+                 .select("id").collect())
+    assert got == lib and got
