@@ -156,10 +156,37 @@ def hoodie_properties(cfg: TableConfig) -> str:
 
 
 def save_config(base_path: str, cfg: TableConfig) -> None:
-    atomic_write_json(config_path(base_path), cfg.to_dict())
+    from . import keygen as kg
+    d = cfg.to_dict()
+    # Effective keygen SEMANTICS recorded at write time, not just the name:
+    # keygen.register() can shadow a builtin name, making the format
+    # planner's str(value) bucket/partition addressing silently wrong —
+    # datasource.py gates its pruning on these flags (ADVICE r6). Computed
+    # fields, not dataclass fields: recomputed on every save, so a stale
+    # value can't survive a registration change (see refresh_keygen_flags).
+    d["identity_record_key"] = kg.is_identity_record_key(cfg)
+    d["identity_partition_source"] = kg.is_identity_partition_source(cfg)
+    atomic_write_json(config_path(base_path), d)
     storage = get_storage(base_path)
     storage.atomic_put(os.path.join(base_path, ".hoodie", "hoodie.properties"),
                        hoodie_properties(cfg).encode())
+
+
+def refresh_keygen_flags(base_path: str, cfg: TableConfig) -> None:
+    """Re-persist the identity-semantics flags when they changed since the
+    last save — keygen.register() may shadow a builtin name AFTER table
+    creation but before a write; the write path calls this so the
+    persisted flags always reflect the keygen that actually built the
+    keys (writer.prepare)."""
+    from . import keygen as kg
+    try:
+        d = read_json(config_path(base_path))
+    except Exception:  # noqa: BLE001 — no config yet; first save covers it
+        return
+    if (d.get("identity_record_key"), d.get("identity_partition_source")) \
+            != (kg.is_identity_record_key(cfg),
+                kg.is_identity_partition_source(cfg)):
+        save_config(base_path, cfg)
 
 
 def load_config(base_path: str) -> TableConfig:

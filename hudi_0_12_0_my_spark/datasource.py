@@ -41,10 +41,14 @@ Scope, stated honestly:
   always-delete and register()ed custom payloads raise with a pointer to
   the library API, which is also the FAST path (JVM parquet scan +
   Catalyst merge) — this format trades throughput for zero-import compat.
-- Column RENAME history is not replayed (files written before a rename
-  surface NULLs for the new name); use the library reader on tables with
-  rename evolution. Type widening and added/dropped columns work (each
-  file casts to the evolved schema).
+- Column RENAME history IS replayed (writer.rename_chains parity,
+  AlterHoodieTableChangeColumnCommand / TableChanges rename): the
+  planner collapses cfg["column_renames"] into final->older-names
+  chains, and each file scan resolves a target column absent from the
+  file to its newest pre-rename physical name — so files of every era
+  surface their values under the current name, exactly like the
+  library reader. Type widening and added/dropped columns work too
+  (each file casts to the evolved schema).
 - MOR snapshot merges base + delta per file group. Bootstrap bases carry
   NULL meta columns; a bootstrap slice WITH deltas (or a bootstrap base
   inside an incremental window) would need the library's
@@ -66,6 +70,18 @@ from dataclasses import dataclass, field
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     InputPartition)
 from pyspark.sql.types import StringType, StructField, StructType
+
+# Streaming under the SAME "hudi" name (the reference registers one name
+# for batch and stream — HoodieStreamSource.scala:50): delegate to the
+# stream-source machinery. Guarded import so this module still unpickles
+# by value in package-less workers; register_hudi_format registers the
+# streaming module by value too, so the zero-import property holds for
+# the stream path as well.
+try:
+    from hudi_0_12_0_my_spark.streaming.source import (
+        HudiStreamReader as _HudiStreamReader)
+except Exception:  # noqa: BLE001 — package not importable here
+    _HudiStreamReader = None
 
 COMMIT_TIME = "_hoodie_commit_time"
 COMMIT_SEQNO = "_hoodie_commit_seqno"
@@ -93,6 +109,49 @@ _IDENTITY_KEYGENS = {"simple", "nonpartitioned", "timestamp", "custom"}
 def _read_cfg(base_path: str) -> dict:
     with open(os.path.join(base_path, ".hoodie", "table_config.json")) as fh:
         return json.load(fh)
+
+
+def _rename_chains(renames: list) -> dict:
+    """final_name -> [older physical names, newest first] — standalone
+    replay of writer.rename_chains (writer.py:103): chronological
+    {"from","to"} entries collapse chains (a->b->c) so files of every era
+    resolve to the current name at read."""
+    chains: dict = {}
+    for r in renames or []:
+        olds = chains.pop(r["from"], [])
+        chains[r["to"]] = [r["from"]] + olds
+    return chains
+
+
+def _resolve_columns(have: set, wanted: list, chains: dict) -> dict:
+    """target name -> physical column present in the file. A target absent
+    from the file resolves to its newest pre-rename physical name (rename
+    replay); still-absent targets are simply not in the mapping (NULL
+    fill). A file carrying the target itself always uses it directly —
+    rows in that file were written post-rename."""
+    out = {}
+    for n in wanted:
+        if n in have:
+            out[n] = n
+            continue
+        for old in chains.get(n, ()):
+            if old in have:
+                out[n] = old
+                break
+    return out
+
+
+def _assemble(pa, tbl, phys: dict, target):
+    """Physical-name arrow table -> the target schema: each target column
+    pulls its resolved physical column (renaming replayed pre-rename
+    names), absent targets fill with typed NULLs, then one cast to the
+    target schema (covers type widening)."""
+    arrays = []
+    for f in target:
+        p = phys.get(f.name)
+        arrays.append(tbl[p] if p is not None
+                      else pa.nulls(tbl.num_rows, type=f.type))
+    return pa.Table.from_arrays(arrays, names=list(target.names)).cast(target)
 
 
 def _timeline_entries(base_path: str) -> list[tuple[str, str, dict]]:
@@ -321,6 +380,7 @@ class HudiBatchReader(DataSourceReader):
                 "(Table.snapshot / incremental) instead")
         self.qtype = options.get("hoodie.datasource.query.type", "snapshot")
         self.as_of = options.get("as.of.instant")
+        self._renames = _rename_chains(cfg.get("column_renames"))
         self.begin = options.get("hoodie.datasource.read.begin.instanttime")
         self.end = options.get("hoodie.datasource.read.end.instanttime")
         self._schema = schema
@@ -335,9 +395,16 @@ class HudiBatchReader(DataSourceReader):
         # bucket point-lookup addressing (simple pmod buckets only; the
         # consistent-hash ring rotates fids on resize, out of planner scope)
         kf = cfg.get("record_key_fields") or []
+        # the identity_record_key flag records the EFFECTIVE keygen
+        # semantics at write time (keygen.is_identity_record_key): a
+        # register()ed shadow of a builtin name stores arbitrary keys, so
+        # the name heuristic alone would prune the wrong file group. Flag
+        # absent (pre-r7 table): fall back to the name check.
+        idk = cfg.get("identity_record_key")
         self._bucket_addressable = (
             cfg.get("index_type") == "bucket" and len(kf) == 1
-            and cfg.get("keygen", "simple") in _IDENTITY_KEYGENS)
+            and (idk if idk is not None
+                 else cfg.get("keygen", "simple") in _IDENTITY_KEYGENS))
         self._key_field = kf[0] if len(kf) == 1 else None
         self._num_buckets = int(cfg.get("num_buckets") or 0)
         # partition-path addressing: a single value-style partition field's
@@ -350,13 +417,17 @@ class HudiBatchReader(DataSourceReader):
         # partition), urlencoded paths, timestamp-formatted styles, and
         # multi-field specs — those keep every partition.
         pf = cfg.get("partition_field")
+        ipp = cfg.get("identity_partition_source")   # write-time semantics
+        keygen_ok = ipp if ipp is not None else (
+            cfg.get("keygen", "simple") in ("simple", "complex")
+            and isinstance(pf, str) and bool(pf)
+            and ":" not in pf and "," not in pf)
         self._part_prunable = (
             cfg.get("partition_style", "value") == "value"
             and not cfg.get("global_index")
             and not cfg.get("partition_urlencode")
-            and cfg.get("keygen", "simple") in ("simple", "complex")
-            and isinstance(pf, str) and bool(pf)
-            and ":" not in pf and "," not in pf)
+            and bool(keygen_ok)
+            and isinstance(pf, str) and bool(pf))
         self._part_field = pf
         self._hive_style = bool(cfg.get("hive_style_partitioning"))
         # executor-side cast/concat target: output schema + the merge
@@ -464,6 +535,14 @@ class HudiBatchReader(DataSourceReader):
         mismatch, or failed comparison keeps the file."""
         for col, op, v in getattr(self, "_stat_preds", ()):
             cs = stats.get(col)
+            if not cs:
+                # files written pre-rename carry stats under the old
+                # physical name — same logical column, so pruning on
+                # them is exact
+                for old in self._renames.get(col, ()):
+                    cs = stats.get(old)
+                    if cs:
+                        break
             if not cs:
                 continue
             lo, hi = cs.get("min"), cs.get("max")
@@ -630,19 +709,17 @@ class HudiBatchReader(DataSourceReader):
     # ------------------------------------------------ executor side (pyarrow)
     def _load_file(self, pq, pa, path, target):
         """One file -> arrow table projected+cast to the extended schema.
-        Only the target columns PRESENT in the file are read (files from
+        Only the physical columns the plan needs are read (files from
         before a DROP COLUMN carry columns the plan doesn't need — don't
-        pay their IO); absent target columns surface as NULLs."""
+        pay their IO); a target absent under its current name reads its
+        newest pre-rename physical column (rename replay); still-absent
+        target columns surface as NULLs."""
         pf = pq.ParquetFile(path)
         have = set(pf.schema_arrow.names)
-        cols = [n for n in target.names if n in have]
+        phys = _resolve_columns(have, list(target.names), self._renames)
+        cols = list(dict.fromkeys(phys.values()))
         self._last_columns = cols       # in-process observability for tests
-        tbl = pf.read(columns=cols)
-        for f in target:
-            if f.name not in have:
-                tbl = tbl.append_column(
-                    f.name, pa.nulls(len(tbl), type=f.type))
-        return tbl.select(target.names).cast(target)
+        return _assemble(pa, pf.read(columns=cols), phys, target)
 
     def read(self, partition: _SlicePartition):
         import pyarrow as pa
@@ -681,15 +758,13 @@ class HudiBatchReader(DataSourceReader):
             for path in paths:
                 pf = pq.ParquetFile(path)
                 have = set(pf.schema_arrow.names)
-                cols = [n for n in target.names if n in have]
+                phys = _resolve_columns(have, list(target.names),
+                                        self._renames)
+                cols = list(dict.fromkeys(phys.values()))
                 self._last_columns = cols
                 for batch in pf.iter_batches(columns=cols):
-                    tbl = pa.Table.from_batches([batch])
-                    for f in target:
-                        if f.name not in have:
-                            tbl = tbl.append_column(
-                                f.name, pa.nulls(len(tbl), type=f.type))
-                    tbl = tbl.select(target.names).cast(target)
+                    tbl = _assemble(pa, pa.Table.from_batches([batch]),
+                                    phys, target)
                     tbl = tbl.filter(alive_mask(tbl))
                     yield from tbl.select(out.names).cast(out).to_batches()
             return
@@ -768,6 +843,20 @@ class HudiDataSource(DataSource):
     def reader(self, schema: StructType):
         return HudiBatchReader(schema, dict(self.options))
 
+    def streamReader(self, schema: StructType):
+        """``spark.readStream.format("hudi")`` — one name serves batch AND
+        stream, matching the reference (HoodieStreamSource.scala:50;
+        "hudi_stream" stays as an alias). Offsets are commit instants;
+        each micro-batch is the raw change pull over (start, end] — see
+        streaming/source.py."""
+        if _HudiStreamReader is None:
+            raise ImportError(
+                "streaming format('hudi') needs the hudi_0_12_0_my_spark "
+                "package importable where the source was registered; "
+                "alternatively register format('hudi_stream') via "
+                "streaming.source.register_stream_source")
+        return _HudiStreamReader(schema, dict(self.options))
+
     def writer(self, schema: StructType, overwrite: bool):
         # a Python Data Source writer would route every row through Python
         # workers and could not run the engine's tag/commit machinery from
@@ -794,6 +883,10 @@ def register_hudi_format(spark) -> None:
     try:
         from pyspark import cloudpickle
         cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        # the stream path (HudiDataSource.streamReader) lives in
+        # streaming/source.py — ship it by value too
+        from hudi_0_12_0_my_spark.streaming import source as _stream_src
+        cloudpickle.register_pickle_by_value(_stream_src)
     except Exception:  # noqa: BLE001 — fall back to by-reference pickling
         pass
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")

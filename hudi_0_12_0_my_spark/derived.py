@@ -635,10 +635,15 @@ def join_rollup_checkpoint(dst) -> dict | None:
 
 
 _DIM_LEG_PRUNE_MAX_KEYS = 10_000
-# below this many live fact files the key prune cannot skip enough IO to
-# repay its extra collect job (~0.5s measured at sf0.1's 9 fact files —
-# the r5 A/B): the leg scans the fact unpruned and stays plan-only
+# below these thresholds the key prune cannot skip enough IO to repay its
+# extra collect job (~0.5s measured at sf0.1's 9 small fact files — the
+# r5 A/B): the leg scans the fact unpruned and stays plan-only. Gated on
+# file count OR total live base bytes: a fact with few but LARGE files
+# still repays the collect through row-group-level stats skipping
+# (ADVICE r6) — both numbers come from the same driver-side metadata
+# fold, no data read.
 _DIM_LEG_PRUNE_MIN_FILES = 16
+_DIM_LEG_PRUNE_MIN_BYTES = 256 * 1024 * 1024
 
 
 def _join_rollup_dim_leg(fact_df, d_d, fact_key: str, dim_key: str,
@@ -781,14 +786,15 @@ def sync_join_rollup(fact, dim, dst, fact_key: str, dim_key: str,
         # would evaluate twice
         d_d = signed(dim.incremental_cdc(ck["dim"], end_dim),
                      [dim_key] + gcols).persist()
-        # prune only when the fact has enough live files for stats
-        # skipping to repay the key-collect job (one metadata fold,
+        # prune only when the fact has enough live files OR bytes for
+        # stats skipping to repay the key-collect job (one metadata fold,
         # driver-side, no data read)
-        n_fact_files = sum(
-            1 for _g, _s in fact.view(as_of=ck["fact"]).live_slices())
+        live = fact.view(as_of=ck["fact"]).live_slices()
+        fact_bytes = sum(s.base_file.bytes for _g, s in live)
         parts.append(_join_rollup_dim_leg(
             fact_snap(ck["fact"]), d_d, fact_key, dim_key, gcols, measures,
-            prune=n_fact_files >= _DIM_LEG_PRUNE_MIN_FILES))
+            prune=(len(live) >= _DIM_LEG_PRUNE_MIN_FILES
+                   or fact_bytes >= _DIM_LEG_PRUNE_MIN_BYTES)))
     try:
         contrib = parts[0]
         for p in parts[1:]:

@@ -62,6 +62,33 @@ def register(name: str, key_expr_fn, partition_expr_fn=None) -> None:
     _CUSTOM_KEYGENS[name] = (key_expr_fn, partition_expr_fn)
 
 
+def is_identity_record_key(cfg) -> bool:
+    """True when record_key_expr for this cfg is EXACTLY str(value) of the
+    single key field (the default branch below). This is the semantics the
+    format('hudi') planner's bucket point-lookup addressing assumes, so it
+    is persisted in table_config at write time — gating pruning on the
+    keygen NAME alone would silently prune wrong files when register()
+    shadows a builtin name with arbitrary python the standalone planner
+    cannot see (ADVICE r6)."""
+    return (cfg.keygen not in _CUSTOM_KEYGENS
+            and cfg.keygen in ("simple", "nonpartitioned", "timestamp",
+                               "custom")
+            and len(cfg.record_key_fields) == 1)
+
+
+def is_identity_partition_source(cfg) -> bool:
+    """True when partition_path_expr for a single value-style partition
+    field is coalesce(cast(field as string), 'default') (+ optional hive
+    k=v prefix) — what the format('hudi') partition pruner assumes. Only
+    covers the keygen-semantics half; style/urlencode/global-index gates
+    are separate persisted fields the planner already reads."""
+    pf = cfg.partition_field
+    return (cfg.keygen not in _CUSTOM_KEYGENS
+            and cfg.keygen in ("simple", "complex")
+            and isinstance(pf, str) and bool(pf)
+            and ":" not in pf and "," not in pf)
+
+
 def record_key_expr(cfg) -> Column:
     if cfg.keygen in _CUSTOM_KEYGENS:
         return _CUSTOM_KEYGENS[cfg.keygen][0](cfg)

@@ -58,6 +58,114 @@ def with_media_columns(df: DataFrame, payload_col, media_type: str,
               .withColumn("media_meta", F.struct(*fields)))
 
 
+def _png_codec():
+    """Pure-stdlib PNG decode/encode (struct + zlib), returned as NESTED
+    functions so cloudpickle ships them by value inside the mapInPandas
+    closures — executors never need this package importable.
+
+    Scope: 8-bit non-interlaced gray / gray+alpha / RGB / RGBA, all five
+    scanline filters (the PNG spec's mandatory baseline minus palette and
+    16-bit). It exists so ``mode="real"`` image paths WORK — and are CI-
+    exercised — in environments without pillow; pillow, when present, is
+    preferred (faster C loops, every format)."""
+
+    def decode(payload):
+        """PNG bytes -> uint8 ndarray (h, w, channels)."""
+        import struct
+        import zlib
+
+        import numpy as np
+        b = bytes(payload)
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("stdlib PNG decode: not a PNG payload")
+        pos, idat = 8, []
+        w = h = depth = ctype = interlace = None
+        while pos + 8 <= len(b):
+            ln, typ = struct.unpack(">I4s", b[pos:pos + 8])
+            data = b[pos + 8:pos + 8 + ln]
+            pos += 12 + ln
+            if typ == b"IHDR":
+                w, h, depth, ctype, _c, _f, interlace = struct.unpack(
+                    ">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+        if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+            raise NotImplementedError(
+                f"stdlib PNG decode handles 8-bit non-interlaced "
+                f"gray/RGB(+alpha) only (depth={depth} color={ctype} "
+                f"interlace={interlace}); install pillow for the rest")
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        stride, bpp = w * nch, nch
+        raw = zlib.decompress(b"".join(idat))
+        out = bytearray()
+        prev = bytearray(stride)
+        rpos = 0
+        for _y in range(h):
+            flt = raw[rpos]
+            cur = bytearray(raw[rpos + 1:rpos + 1 + stride])
+            rpos += 1 + stride
+            if flt == 1:                                  # Sub
+                for i in range(bpp, stride):
+                    cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+            elif flt == 2:                                # Up
+                for i in range(stride):
+                    cur[i] = (cur[i] + prev[i]) & 0xFF
+            elif flt == 3:                                # Average
+                for i in range(stride):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif flt == 4:                                # Paeth
+                for i in range(stride):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    up = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    cur[i] = (cur[i] + (
+                        a if pa <= pb and pa <= pc
+                        else (up if pb <= pc else c))) & 0xFF
+            out += cur
+            prev = cur
+        return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, nch)
+
+    def encode(arr):
+        """uint8 ndarray (h, w[, channels]) -> PNG bytes (filter 0)."""
+        import struct
+        import zlib
+
+        import numpy as np
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, nch = arr.shape
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype,
+                                             0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    def gray(arr):
+        """Decoded array -> float64 (h, w) luma in [0, 255] (ITU-R 601,
+        the same weights PIL's convert('L') uses)."""
+        import numpy as np
+        a = arr.astype(np.float64)
+        if a.shape[2] >= 3:
+            return (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+                    + 0.114 * a[:, :, 2])
+        return a[:, :, 0]
+
+    return decode, encode, gray
+
+
 def extract_features(df: DataFrame, dim: int = 16, fake: bool = True,
                      id_col: str = "doc_id",
                      mode: str | None = None) -> DataFrame:
@@ -85,9 +193,11 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True,
         StructField("media_type", StringType()),
         StructField("features", ArrayType(FloatType())),
     ])
+    png_decode, _png_encode, png_gray = _png_codec()
 
     # self-contained closure: no references to this module, so executors
-    # never need the package importable (cloudpickle ships it by value)
+    # never need the package importable (cloudpickle ships it by value;
+    # the png codec functions are nested, so they ship by value too)
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -108,27 +218,37 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True,
             with wv.open(io.BytesIO(payload)) as w:
                 frames = w.readframes(w.getnframes())
                 width, ch = w.getsampwidth(), w.getnchannels()
-            dt = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
-            if dt is None:
+            if width == 1:
+                # 8-bit WAV PCM is UNSIGNED (0-255, midpoint 128) per the
+                # RIFF spec — int8 would decode silence as -128 (RMS ~1.0)
+                x = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+                x = (x - 128.0) / 127.0
+            elif width in (2, 4):
+                dt = np.int16 if width == 2 else np.int32
+                x = np.frombuffer(frames, dtype=dt).astype(np.float64)
+                x = x / float(np.iinfo(dt).max)
+            else:
                 raise NotImplementedError(
                     f"unsupported WAV sample width {width}")
-            x = np.frombuffer(frames, dtype=dt).astype(np.float64)
             if ch > 1:
                 x = x.reshape(-1, ch).mean(axis=1)
             if x.size == 0:
                 return [0.0] * d
-            scale = float(np.iinfo(dt).max)
-            return [float(np.sqrt(np.mean((s / scale) ** 2)))
+            return [float(np.sqrt(np.mean(s ** 2)))
                     if s.size else 0.0 for s in np.array_split(x, d)]
 
         def image_features(payload, d):
             import io
             try:
                 from PIL import Image
-            except ImportError as exc:      # loud, executor-side
-                raise ImportError(
-                    "extract_features(mode='real') on images requires "
-                    "pillow; install it or use mode='fake'") from exc
+            except ImportError:
+                # stdlib fallback (PNG only): per-strip mean luma over d
+                # vertical strips — same feature semantics as the pillow
+                # (d, 1) thumbnail, zero dependencies
+                import numpy as np
+                cols = png_gray(png_decode(payload)).mean(axis=0)
+                return [float(s.mean()) / 255.0
+                        for s in np.array_split(cols, d)]
             img = Image.open(io.BytesIO(payload)).convert("L")
             return [p / 255.0 for p in img.resize((d, 1)).getdata()]
 
@@ -235,15 +355,22 @@ def resize_plan(df: DataFrame, max_side: int = 256,
         StructField("media", BinaryType()),
     ])
 
+    png_decode, png_encode, _png_gray = _png_codec()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def resample(payload, tw_, th_):
             import io
             try:
                 from PIL import Image
-            except ImportError as exc:
-                raise ImportError(
-                    "resize_plan(mode='real') requires pillow; install it "
-                    "or use mode='fake' for the pass-through") from exc
+            except ImportError:
+                # stdlib fallback (PNG only): nearest-neighbor index
+                # sampling + filter-0 PNG re-encode
+                import numpy as np
+                arr = png_decode(bytes(payload))
+                h0, w0 = arr.shape[:2]
+                yi = np.minimum(np.arange(int(th_)) * h0 // int(th_), h0 - 1)
+                xi = np.minimum(np.arange(int(tw_)) * w0 // int(tw_), w0 - 1)
+                return png_encode(arr[yi][:, xi])
             img = Image.open(io.BytesIO(bytes(payload)))
             buf = io.BytesIO()
             img.resize((int(tw_), int(th_))).save(buf, format="PNG")

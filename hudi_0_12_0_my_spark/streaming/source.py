@@ -77,6 +77,25 @@ def _instant_metadata(base_path: str, instant: str) -> dict:
     return {}
 
 
+def _rename_map(base_path: str) -> dict:
+    """final_name -> [older physical names, newest first] from the table
+    config's column_renames (writer.rename_chains parity, duplicated here
+    because this module deliberately has no package-internal imports):
+    files written before an ALTER TABLE RENAME must surface their values
+    under the CURRENT name in change batches, not NULLs."""
+    try:
+        p = os.path.join(base_path, ".hoodie", "table_config.json")
+        with open(p) as fh:
+            renames = (json.load(fh) or {}).get("column_renames") or []
+    except (OSError, ValueError):
+        return {}
+    chains: dict = {}
+    for r in renames:
+        olds = chains.pop(r["from"], [])
+        chains[r["to"]] = [r["from"]] + olds
+    return chains
+
+
 @dataclass
 class _FilesPartition(InputPartition):
     paths: list
@@ -92,6 +111,7 @@ class HudiStreamReader(DataSourceStreamReader):
         self.start_instant = options.get("startinstant", "")
         self._schema = schema
         self.files_per_partition = int(options.get("filesperpartition", "4"))
+        self._renames = _rename_map(self.base_path)
 
     def initialOffset(self) -> dict:
         return {"instant": self.start_instant}
@@ -106,13 +126,14 @@ class HudiStreamReader(DataSourceStreamReader):
                                  self.files_per_partition)
 
     def read(self, partition: _FilesPartition):
-        yield from _change_batches(self._schema, partition)
+        yield from _change_batches(self._schema, partition, self._renames)
 
     def commit(self, end: dict) -> None:
         pass
 
 
-def _change_batches(schema: StructType, partition: _FilesPartition):
+def _change_batches(schema: StructType, partition: _FilesPartition,
+                    renames: dict | None = None):
     """Arrow batches of change rows for one file-list partition (shared by
     the stream reader and the batch reader; runs in the Python worker, so
     pyarrow only — no SparkSession exists executor-side)."""
@@ -147,7 +168,12 @@ def _change_batches(schema: StructType, partition: _FilesPartition):
         if missing:
             import pyarrow as pa
             for c in missing:
-                tbl = tbl.append_column(c, pa.nulls(len(tbl)))
+                # rename replay: a file written pre-rename carries the
+                # value under the old physical name
+                src = next((o for o in (renames or {}).get(c, ())
+                            if o in tbl.column_names), None)
+                tbl = tbl.append_column(c, tbl[src]) if src else \
+                    tbl.append_column(c, pa.nulls(len(tbl)))
         tbl = tbl.select(want)
         # exact arrow schema Spark expects (parquet may differ in
         # timestamp tz flavor / nullability -> ArrowInvalid otherwise)
@@ -193,6 +219,7 @@ class HudiBatchChangesReader(DataSourceReader):
             (instants[-1] if instants else "")
         self._schema = schema
         self.files_per_partition = int(options.get("filesperpartition", "4"))
+        self._renames = _rename_map(self.base_path)
 
     def partitions(self):
         parts = _range_partitions(self.base_path, self.begin, self.end,
@@ -202,7 +229,7 @@ class HudiBatchChangesReader(DataSourceReader):
         return parts or [_FilesPartition([], self.begin, self.end)]
 
     def read(self, partition: _FilesPartition):
-        yield from _change_batches(self._schema, partition)
+        yield from _change_batches(self._schema, partition, self._renames)
 
 
 class HudiStreamDataSource(DataSource):

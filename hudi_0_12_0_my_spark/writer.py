@@ -468,6 +468,10 @@ class Writer:
         via keygen expressions, stamp meta columns, normalize tombstones into
         the internal _hoodie_operation column."""
         cfg = self.cfg
+        # keep the persisted keygen-semantics flags honest: a register()ed
+        # shadow of a builtin name between table creation and this write
+        # changes what the keys below actually are (config.py, ADVICE r6)
+        cfgmod.refresh_keygen_flags(self.base, cfg)
         df = df.drop(*[c for c in meta.META_COLS + [meta.TARGET_FILE_ID] if c in df.columns])
 
         # enforce the reserved namespaces, not just use them: "_hoodie_"

@@ -79,6 +79,51 @@ def test_format_sees_through_clustering_and_evolution(spark, tmp_path):
     assert got == want and got[0] == "x" and got[1] is None
 
 
+@pytest.mark.parametrize("tt", ["cow", "mor"])
+def test_format_replays_rename_evolution(spark, tmp_path, tt):
+    """Files written before an ALTER TABLE RENAME (even a chained one,
+    v -> val -> value) must surface their values under the CURRENT name
+    through format('hudi') — equal to the library reader, never NULLs.
+    Covers the merge path (MOR delta with the new name on a base with the
+    old), the merge-free streaming path, and incremental."""
+    eng = Engine(spark)
+    base = str(tmp_path / f"ren{tt}")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", keygen="nonpartitioned",
+                         table_type=tt, small_file_limit_bytes=0)
+    t.insert(spark.createDataFrame(
+        [(i, "g", 10 + i, 1) for i in range(6)], S))      # physical: v
+    first = t.timeline.latest_completed_write().time
+    t.rename_column("v", "val")
+    t.upsert(spark.createDataFrame(
+        [(0, "g", 100, 2)], "id long, grp string, val long, seq long"))
+    t.rename_column("val", "value")
+    t.insert(spark.createDataFrame(
+        [(50, "g", 500, 1)], "id long, grp string, value long, seq long"))
+
+    def vals(df):
+        return sorted((r.id, r.value)
+                      for r in df.select("id", "value").collect())
+
+    fmt = spark.read.format("hudi").load(base)
+    assert vals(fmt) == vals(t.snapshot())
+    # pre-rename rows carry their values, not NULLs
+    got = dict(vals(fmt))
+    assert got[1] == 11 and got[0] == 100 and got[50] == 500
+    assert None not in got.values()
+    inc = (spark.read.format("hudi")
+           .option("hoodie.datasource.query.type", "incremental")
+           .option("hoodie.datasource.read.begin.instanttime", first)
+           .load(base))
+    assert vals(inc) == vals(t.incremental(first))
+    # stats pruning consults pre-rename physical stats (same logical col)
+    from hudi_0_12_0_my_spark.datasource import HudiBatchReader
+    rd = HudiBatchReader(fmt.schema, {"path": base})
+    rd._stat_preds = [("value", "ge", 1000)]
+    assert rd._stats_exclude({"v": {"min": 10, "max": 15}}) is True
+    assert rd._stats_exclude({"v": {"min": 10, "max": 2000}}) is False
+
+
 def test_format_error_paths(spark, tmp_path):
     eng = Engine(spark)
     base = str(tmp_path / "pp")
@@ -289,15 +334,12 @@ def test_format_bootstrap_base_with_deltas_refuses(spark, tmp_path):
          .load(t.base_path).collect())
 
 
-def test_format_xxhash64_matches_spark():
+def test_format_xxhash64_matches_spark(spark):
     """The planner-side XXH64 must equal Spark's xxhash64 (seed 42) byte
-    for byte — it addresses bucket file groups."""
+    for byte — it addresses bucket file groups, so a mismatch means
+    silently pruned rows. Takes the session fixture so it runs standalone
+    (pytest -k xxhash / xdist), not only after a session-creating test."""
     from hudi_0_12_0_my_spark.datasource import _xxhash64
-    # expected values computed with F.xxhash64 on this exact list (pinned
-    # so the test needs no SparkSession; see tools notes r6)
-    import pyspark.sql.functions as F  # noqa: F401  (provenance)
-    from pyspark.sql import SparkSession
-    spark = SparkSession.getActiveSession()
     samples = ["", "a", "5", "123", "hello world", "x" * 7, "y" * 8,
                "z" * 31, "w" * 32, "q" * 33, "long-string-" * 10,
                "1000042", "f1:v1,f2:v2", "é中文", "0", "-17"]
@@ -349,6 +391,51 @@ def test_format_bucket_point_lookup_prunes_to_one_group(spark, tmp_path):
     # regular min/max stats pruning may still apply
     rd.pushFilters([dsf.EqualTo(("id",), 7.5)])
     assert rd._buckets_wanted is None
+
+
+def test_format_shadowed_keygen_disables_pruning(spark, tmp_path):
+    """keygen.register() shadowing a builtin name stores keys the
+    standalone planner cannot reproduce: the write-time
+    identity_record_key flag must gate OFF bucket point-lookup pruning
+    (the name heuristic would prune the file group that actually holds
+    the key — silent row loss), and partition pruning likewise. Results
+    stay correct because pruning is simply skipped."""
+    from hudi_0_12_0_my_spark import keygen
+    from hudi_0_12_0_my_spark.datasource import HudiBatchReader, _read_cfg
+    from pyspark.sql import datasource as dsf
+
+    eng = Engine(spark)
+    base = str(tmp_path / "shadow")
+    keygen.register(
+        "custom", lambda cfg: (F.col("id") + 1000).cast("string"), None)
+    try:
+        t = eng.create_table(base, record_key_fields=["id"],
+                             precombine_field="seq", keygen="custom",
+                             index_type="bucket", num_buckets=8)
+        t.insert(spark.createDataFrame(
+            [(i, "g", i, 1) for i in range(32)], S))
+        assert _read_cfg(base)["identity_record_key"] is False
+        rd = HudiBatchReader(spark.read.format("hudi").load(base).schema,
+                             {"path": base})
+        assert rd._bucket_addressable is False
+        rd.pushFilters([dsf.EqualTo(("id",), 7)])
+        # no BUCKET addressing happened (min/max stats pruning on the
+        # business column is still exact and allowed)
+        assert rd._buckets_wanted is None
+        got = sorted(r.id for r in spark.read.format("hudi").load(base)
+                     .filter("id = 7").select("id").collect())
+        assert got == [7]
+    finally:
+        keygen._CUSTOM_KEYGENS.pop("custom", None)
+    # the builtin 'custom' name WITHOUT a shadow still records identity
+    base2 = str(tmp_path / "noshadow")
+    t2 = eng.create_table(base2, record_key_fields=["id"],
+                          precombine_field="seq", keygen="simple",
+                          partition_field="grp")
+    t2.insert(spark.createDataFrame([(1, "a", 1, 1)], S))
+    cfg2 = _read_cfg(base2)
+    assert cfg2["identity_record_key"] is True
+    assert cfg2["identity_partition_source"] is True
 
 
 def test_format_scan_projects_only_needed_columns(spark, tmp_path):

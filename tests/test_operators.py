@@ -247,34 +247,120 @@ def test_multimodal_real_wav_decode(docs, spark):
     assert q[2] > 0.3 and q[3] > 0.3            # loud second half
     assert feats[2] == [0.0, 0.0, 0.0, 0.0]
 
+    # 8-bit WAV PCM is UNSIGNED (midpoint 128): a silent 8-bit clip must
+    # decode to ~0 RMS, a full-swing one to ~1 (int8 would give ~1 / garbage)
+    def make_wav8(samples):
+        buf = io.BytesIO()
+        with wv.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(bytes(samples))
+        return buf.getvalue()
+
+    df8 = spark.createDataFrame(
+        [(3, bytearray(make_wav8([128] * 4000))),
+         (4, bytearray(make_wav8([255, 1] * 2000)))],
+        "doc_id long, payload binary")
+    mm8 = ops.with_media_columns(df8, "payload", "audio", "audio/wav",
+                                 sample_rate=8000, duration_ms=500)
+    f8 = {r.doc_id: r.features
+          for r in ops.extract_features(mm8, dim=2, mode="real").collect()}
+    assert all(v < 0.01 for v in f8[3])          # silence ~0, not ~1
+    assert all(v > 0.9 for v in f8[4])           # full swing ~1
+
 
 def test_multimodal_real_image_decode(docs, spark):
-    """mode='real' on images uses pillow when present; skips cleanly when
-    the lib is absent (it is not baked into this container)."""
-    PIL = pytest.importorskip("PIL")  # noqa: F841
-    import io
+    """mode='real' on images decodes executor-side in every environment:
+    pillow when present, the stdlib PNG codec otherwise — so this runs
+    (not skips) in the pillow-less container. Fixtures are stdlib PNGs;
+    a bright-left/dark-right image must discriminate in its strip
+    features, and the real resize re-encodes at the JVM-computed dims."""
+    import numpy as np
 
-    from PIL import Image
+    from hudi_0_12_0_my_spark.operators.multimodal import _png_codec
 
-    buf = io.BytesIO()
-    Image.new("L", (16, 16), color=128).save(buf, format="PNG")
-    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
-                               "doc_id long, payload binary")
+    png_decode, png_encode, png_gray = _png_codec()
+    flat = png_encode(np.full((16, 16), 128, dtype=np.uint8))
+    half = np.zeros((16, 16), dtype=np.uint8)
+    half[:, :8] = 255                      # bright left, dark right
+    df = spark.createDataFrame(
+        [(1, bytearray(flat)), (2, bytearray(png_encode(half)))],
+        "doc_id long, payload binary")
     mm = ops.with_media_columns(df, "payload", "image", "image/png",
                                 width=16, height=16)
-    feats = ops.extract_features(mm, dim=4, mode="real").collect()
-    assert len(feats[0].features) == 4
-    assert all(abs(x - 128 / 255) < 0.02 for x in feats[0].features)
+    feats = {r.doc_id: r.features
+             for r in ops.extract_features(mm, dim=4, mode="real").collect()}
+    assert all(abs(x - 128 / 255) < 0.02 for x in feats[1])
+    assert feats[2][0] > 0.9 and feats[2][3] < 0.1      # discriminates
     # and the real resize re-encodes at the JVM-computed target dims
-    big = io.BytesIO()
-    Image.new("L", (512, 256), color=10).save(big, format="PNG")
-    df2 = spark.createDataFrame([(2, bytearray(big.getvalue()))],
+    big = png_encode(np.full((256, 512, 3), 10, dtype=np.uint8))  # (h, w)
+    df2 = spark.createDataFrame([(3, bytearray(big))],
                                 "doc_id long, payload binary")
     mm2 = ops.with_media_columns(df2, "payload", "image", "image/png",
                                  width=512, height=256)
     out = ops.resize_plan(mm2, max_side=256, mode="real").collect()
-    img = Image.open(io.BytesIO(bytes(out[0].media)))
-    assert img.size == (out[0].out_width, out[0].out_height) == (256, 128)
+    arr = png_decode(bytes(out[0].media))
+    assert (out[0].out_width, out[0].out_height) == (256, 128)
+    assert arr.shape[:2] == (128, 256)
+    assert int(arr.mean()) == 10
+
+
+def test_png_codec_roundtrip_and_filters():
+    """The stdlib PNG codec: encode->decode round-trips exactly, and the
+    decoder unfilters Sub/Up/Average/Paeth scanlines (the filters real
+    encoders emit) — pinned with a hand-built filtered PNG."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hudi_0_12_0_my_spark.operators.multimodal import _png_codec
+
+    png_decode, png_encode, png_gray = _png_codec()
+    rng = np.random.default_rng(7)
+    for shape in [(5, 9), (4, 3, 3), (6, 2, 4), (3, 3, 2)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = png_decode(png_encode(arr))
+        want = arr[:, :, None] if arr.ndim == 2 else arr
+        assert (got == want).all()
+    # hand-built grayscale PNG exercising filters 1..4 (one per scanline)
+    rows = rng.integers(0, 256, size=(5, 8), dtype=np.uint8)
+    raw = bytearray(b"\x00" + rows[0].tobytes())          # row 0: None
+    prev = rows[0].astype(int)
+    for y, flt in zip(range(1, 5), (1, 2, 3, 4)):
+        cur = rows[y].astype(int)
+        line = bytearray([flt])
+        for i in range(8):
+            a = cur[i - 1] if i else 0
+            b, c = prev[i], (prev[i - 1] if i else 0)
+            if flt == 1:
+                pred = a
+            elif flt == 2:
+                pred = b
+            elif flt == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line.append((cur[i] - pred) & 0xFF)
+        raw += line
+        prev = cur
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 5, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert (png_decode(png)[:, :, 0] == rows).all()
+    # luma weights match PIL convert('L') (ITU-R 601)
+    rgb = np.zeros((1, 1, 3), dtype=np.uint8)
+    rgb[0, 0] = (255, 0, 0)
+    assert abs(png_gray(rgb)[0, 0] - 0.299 * 255) < 1e-9
 
 
 def test_frame_sample_plan(docs):

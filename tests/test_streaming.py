@@ -197,6 +197,38 @@ def test_hudi_stream_source_mor_deletes(spark, tmp_path):
     assert rows == {(1, 1.0), (2, 2.0)}   # the delete row itself is NOT emitted
 
 
+def test_format_hudi_serves_streaming_too(spark, tmp_path):
+    """spark.readStream.format('hudi') — the reference registers ONE name
+    for batch and stream (HoodieStreamSource.scala:50), so the batch
+    format must serve streamReader() too ("hudi_stream" stays an alias).
+    Change batches replay column renames: rows from pre-rename files
+    surface values under the CURRENT name, not NULLs."""
+    eng = Engine(spark)          # registers format("hudi") + the alias
+    path = str(tmp_path / "fmt_stream_tbl")
+    t = eng.create_table(path, record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "a", 1.0, 1), (2, "b", 2.0, 1)],
+        "id long, grp string, val double, seq long"))
+    t.rename_column("val", "value")
+    t.upsert(spark.createDataFrame(
+        [(3, "a", 3.0, 1)],
+        "id long, grp string, value double, seq long"))
+
+    out = str(tmp_path / "fmt_stream_out")
+    stream = (spark.readStream.format("hudi").option("path", path).load())
+    q = (stream.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "fmt_stream_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    rows = {(r.id, r.value) for r in got.collect()}
+    assert rows == {(1, 1.0), (2, 2.0), (3, 3.0)}    # no NULLed renames
+    # format("hudi")'s schema carries the meta columns (reference parity)
+    assert got.filter("_hoodie_record_key IS NULL").count() == 0
+
+
 def test_hudi_batch_changes_reader(spark, tmp_path):
     """spark.read.format('hudi_stream') (batch flavor): raw change rows in
     (begininstant, endinstant], defaulting to everything; tombstone rows are
