@@ -289,6 +289,47 @@ def q_format_hudi_read_optimized(spark, sf_dir):
     return df.groupBy("l_returnflag").agg(_n(), _dec_sum("l_quantity", "sum_qty"))
 
 
+def q_format_hudi_mor_incremental(spark, sf_dir):
+    """format('hudi') incremental over a MOR delta window (datasource.py's
+    delta-window merge branch — the trickier path: log rows resolve by
+    version inside the window, no base rewrite to lean on): same commit
+    window and oracle as mor_incremental."""
+    t, commits = _build_mor(spark, sf_dir, compact=False)
+    df = (spark.read.format("hudi")
+          .option("hoodie.datasource.query.type", "incremental")
+          .option("hoodie.datasource.read.begin.instanttime", commits[0])
+          .option("hoodie.datasource.read.end.instanttime", commits[1])
+          .load(t.base_path))
+    return df.groupBy("l_returnflag").agg(_n(), _dec_sum("l_quantity",
+                                                         "sum_qty"))
+
+
+def q_format_hudi_write_insert(spark, sf_dir):
+    """df.write.format('hudi') — the reference quickstart WRITE line
+    (HoodieSparkSqlWriter.scala:68) through the Python Data Source writer
+    (HudiFormatWriter: per-task parquet writes, driver-side commit fold):
+    mode('overwrite') with the default operation (upsert degenerating to
+    insert on the fresh table), read back through the format reader. The
+    write must be lossless — oracle is insert_packing's plain aggregate
+    over raw orders."""
+    _eng(spark)                      # registers format("hudi")
+    key = (sf_dir, "fmt_write")
+    if key not in _BUILT:
+        orders = _read(spark, sf_dir, "orders")
+        base = _fresh(_root(sf_dir, "fmt_write"))
+        (orders.write.format("hudi")
+         .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+         .option("hoodie.datasource.write.partitionpath.field",
+                 "o_orderpriority")
+         .option("hoodie.datasource.write.precombine.field", "o_orderdate")
+         .option("hoodie.table.name", "fmt_write")
+         .mode("overwrite").save(base))
+        _BUILT[key] = base
+    df = spark.read.format("hudi").load(_BUILT[key])
+    return (df.groupBy("o_orderpriority")
+            .agg(_n(), _dec_sum("o_totalprice", "sum_price")))
+
+
 def q_mor_read_optimized(spark, sf_dir):
     t, _ = _build_mor(spark, sf_dir, compact=False)
     return (t.read_optimized().groupBy("l_returnflag")
@@ -3093,6 +3134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_hudi_incremental": q_format_hudi_incremental,
         "format_hudi_time_travel": q_format_hudi_time_travel,
         "format_hudi_read_optimized": q_format_hudi_read_optimized,
+        "format_hudi_mor_incremental": q_format_hudi_mor_incremental,
+        "format_hudi_write_insert": q_format_hudi_write_insert,
         "mor_read_optimized": q_mor_read_optimized,
         "mor_read_optimized_filtered": q_mor_read_optimized_filtered,
         "mor_incremental": q_mor_incremental,
@@ -5959,6 +6002,11 @@ GROUP BY 1"""
     out["format_hudi_incremental"] = out["cow_incremental"]
     out["format_hudi_time_travel"] = out["cow_time_travel"]
     out["format_hudi_read_optimized"] = out["mor_read_optimized"]
+    out["format_hudi_mor_incremental"] = out["mor_incremental"]
+    # the format WRITE path must be lossless: reading back what
+    # df.write.format('hudi') wrote equals the plain aggregate over the
+    # raw source rows — insert_packing's oracle, aliased structurally
+    out["format_hudi_write_insert"] = out["insert_packing"]
     # the LSH-candidates-first composition must also equal brute on this
     # corpus (every qualifying pair here is a near-identical duplicate,
     # jaccard >= ~0.95, so band recall is total — the caveat where the

@@ -1,4 +1,4 @@
-"""``spark.read.format("hudi")`` — the reference quickstart surface.
+"""``spark.read/write.format("hudi")`` — the reference quickstart surface.
 
 Re-expression of the batch read side of hudi-spark-datasource
 (DefaultSource.scala / DataSourceReadOptions: ``hoodie.datasource.query.type``
@@ -13,6 +13,13 @@ package:
            .option("hoodie.datasource.query.type", "incremental")
            .option("hoodie.datasource.read.begin.instanttime", t0)
            .load(table_base_path))
+
+The WRITE side covers the quickstart's insert-shaped writes
+(HoodieSparkSqlWriter.scala:68 dispatch, insert/bulk_insert + the
+mode("overwrite") first write) with per-task parquet writes and a
+driver-side commit fold; tag-requiring operations refuse with a pointer
+to the option-compatible library writer — see HudiFormatWriter. Streaming
+reads serve under the same name (streamReader -> streaming/source.py).
 
 Architecture: the planner side folds the timeline into file slices with a
 STANDALONE re-implementation of fsview._fold (this module deliberately has
@@ -67,8 +74,9 @@ import json
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader, InputPartition,
+                                    WriterCommitMessage)
 from pyspark.sql.types import StringType, StructField, StructType
 
 # Streaming under the SAME "hudi" name (the reference registers one name
@@ -817,6 +825,456 @@ def _latest_per_key(tbl, key_fields: list, ordering: list):
     return srt.filter(mask)
 
 
+# ------------------------------------------------------------- write path
+# df.write.format("hudi") for INSERT-SHAPED writes — the reference
+# quickstart's write line (HoodieSparkSqlWriter.scala:68). Scope, stated
+# honestly: insert / bulk_insert need no index tagging, so they fit the
+# Python Data Source writer model exactly (per-task parquet file writes,
+# commit fold + timeline JSON in the driver-side commit() from the
+# WriterCommitMessages). upsert is accepted only when it degenerates to
+# insert (mode("overwrite"), or a table with no live file groups — which
+# makes the LITERAL quickstart first write work); everything that needs
+# tag/merge/delete machinery refuses loudly, pointing at the
+# option-compatible library writer. No OCC lock and no inline table
+# services run on this path (single external writer at a time; services
+# via the library/CALL procedures) — configs that REQUIRE them
+# (concurrency_mode=occ, pre-commit validators, bucket indexes) refuse.
+# Crash-safety model: file visibility is commit-manifest-only (a crashed
+# write leaves orphan data files no reader ever lists; the commit JSON
+# lands atomically), the same manifest-gated visibility the read side
+# already relies on.
+_OPT_OPERATION = "hoodie.datasource.write.operation"
+_OPT_TABLE_NAME = "hoodie.table.name"
+_OPT_TABLE_TYPE = "hoodie.datasource.write.table.type"
+_OPT_RECORDKEY = "hoodie.datasource.write.recordkey.field"
+_OPT_PARTITIONPATH = "hoodie.datasource.write.partitionpath.field"
+_OPT_PRECOMBINE = "hoodie.datasource.write.precombine.field"
+_OPT_HIVE_STYLE = "hoodie.datasource.write.hive_style_partitioning"
+
+_KEYABLE_TYPES = ("string", "long", "integer", "short", "byte")
+
+
+def _new_instant(base_path: str) -> str:
+    """Monotonic yyyyMMddHHmmssSSS instant (HoodieInstantTimeGenerator
+    format), bumping the same .hoodie/.last_instant watermark the
+    library's Timeline.new_instant uses so interleaved library writes
+    never mint a colliding instant."""
+    import time
+    hdir = os.path.join(base_path, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    marker = os.path.join(hdir, ".last_instant")
+    last = 0
+    try:
+        with open(marker) as fh:
+            last = int(fh.read().strip() or 0)
+    except (OSError, ValueError):
+        pass
+    ms = max(int(time.time() * 1000), last + 1)
+    tmp = marker + ".fmtw.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(ms))
+    os.replace(tmp, marker)
+    t = time.gmtime(ms / 1000.0)
+    return time.strftime("%Y%m%d%H%M%S", t) + f"{ms % 1000:03d}"
+
+
+def _atomic_json(path: str, obj) -> None:
+    tmp = path + ".fmtw.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
+
+
+def _all_nullable_json(struct_json: dict) -> dict:
+    """Schema registration makes every level nullable (writer.nullable_type
+    parity): a later library write carrying NULLs (tombstone union,
+    outer-join fill) must not die in the cast to the registered type."""
+    if isinstance(struct_json, dict):
+        return {k: (True if k in ("nullable", "containsNull",
+                                  "valueContainsNull")
+                    else _all_nullable_json(v))
+                for k, v in struct_json.items()}
+    if isinstance(struct_json, list):
+        return [_all_nullable_json(x) for x in struct_json]
+    return struct_json
+
+
+def _json_safe_stat(v):
+    """Footer-stat value -> JSON-safe (writer._json_safe parity)."""
+    import datetime
+    import decimal
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, bytes):
+        return None
+    return v
+
+
+def _footer_stats(path: str, stats_cols) -> dict:
+    """records/bytes/col_stats from the written file's parquet footer —
+    the same {col: {min,max,nulls}} shape writer._parquet_footer_stats
+    records, so the library's stats-skipping reads them identically."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    out = {"records": md.num_rows, "bytes": os.path.getsize(path),
+           "col_stats": {}}
+    acc: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name or name.startswith("_hoodie_"):
+                continue                     # nested / meta: no stats
+            if stats_cols is not None and name not in stats_cols:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn = _json_safe_stat(st.min)
+            mx = _json_safe_stat(st.max)
+            if mn is None or mx is None:
+                continue
+            cur = acc.get(name)
+            if cur is None:
+                acc[name] = {"min": mn, "max": mx,
+                             "nulls": st.null_count or 0}
+            else:
+                cur["min"] = min(cur["min"], mn)
+                cur["max"] = max(cur["max"], mx)
+                cur["nulls"] += st.null_count or 0
+    out["col_stats"] = acc
+    return out
+
+
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    files: list                  # stage_write-shaped stat dicts + partition
+
+
+class HudiFormatWriter(DataSourceArrowWriter):
+    """Executor side: stream arrow batches into one parquet file per
+    (task, partition path), stamping the meta columns with vectorized
+    arrow compute; driver side: fold the per-file stats into one commit.
+    File count = upstream partitions x partition paths (size files by
+    repartitioning before the write, exactly like bulk_insert NONE)."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.base_path = options.get("path")
+        if not self.base_path:
+            raise ValueError("hudi format write requires .save(<table dir>)")
+        self.overwrite = overwrite
+        reserved = [f.name for f in schema.fields
+                    if f.name.startswith("_hoodie_")]
+        if reserved:
+            raise ValueError(
+                f"'_hoodie_' column namespace is reserved: {reserved}; "
+                "rename before writing (writer.prepare contract)")
+        self.op = str(options.get(_OPT_OPERATION, "upsert")).lower()
+        cfg = None
+        if os.path.exists(os.path.join(self.base_path, ".hoodie",
+                                       "table_config.json")):
+            cfg = _read_cfg(self.base_path)
+        self._existing_live = []
+        if cfg is not None:
+            self._init_existing(cfg)
+        else:
+            cfg = self._init_new(schema, options)
+        self.cfg = cfg
+        self.table_type = cfg.get("table_type", "cow")
+        if self.op in ("insert", "bulk_insert"):
+            pass
+        elif self.op == "upsert":
+            # upsert == insert when there is nothing to update against:
+            # mode("overwrite") (the literal quickstart first write) or an
+            # empty table. Anything else needs index tagging.
+            if not self.overwrite and self._existing_live:
+                raise NotImplementedError(
+                    "df.write.format('hudi') supports insert-shaped writes "
+                    "only (insert / bulk_insert / first write / "
+                    "mode('overwrite')); upsert against existing data "
+                    "needs index tagging — use the option-compatible "
+                    "writer:\n"
+                    "  from hudi_0_12_0_my_spark.compat import "
+                    "HudiWriteBuilder\n"
+                    "  HudiWriteBuilder(df).options(**opts)"
+                    ".mode('append').save(path)")
+        else:
+            raise NotImplementedError(
+                f"df.write.format('hudi') cannot run operation "
+                f"{self.op!r}; use HudiWriteBuilder "
+                "(hudi_0_12_0_my_spark.compat) for the full surface")
+        # key/partition generation the executor replays EXACTLY like
+        # keygen.record_key_expr / partition_path_expr's identity branch
+        kf = cfg.get("record_key_fields") or []
+        idk = cfg.get("identity_record_key")
+        if idk is None:
+            idk = (cfg.get("keygen", "simple") in _IDENTITY_KEYGENS
+                   and len(kf) == 1)
+        if len(kf) != 1 or not idk:
+            raise NotImplementedError(
+                "df.write.format('hudi') generates keys for single-field "
+                "identity keygens only (str(value) keys); composite/"
+                "custom keygens need HudiWriteBuilder")
+        self.key_field = kf[0]
+        self.part_field = cfg.get("partition_field") or None
+        if self.part_field is not None:
+            ipp = cfg.get("identity_partition_source")
+            if ipp is None:
+                ipp = (cfg.get("keygen", "simple") in ("simple", "complex")
+                       and ":" not in self.part_field
+                       and "," not in self.part_field)
+            if (not ipp or cfg.get("partition_style", "value") != "value"
+                    or cfg.get("partition_urlencode")):
+                raise NotImplementedError(
+                    "df.write.format('hudi') writes value-style single-"
+                    "field partition paths only; timestamp/custom/"
+                    "urlencoded partitioning needs HudiWriteBuilder")
+        self.hive_style = bool(cfg.get("hive_style_partitioning"))
+        by_name = {f.name: f for f in schema.fields}
+        kf_field = by_name.get(self.key_field)
+        if kf_field is None:
+            raise ValueError(f"record key field {self.key_field!r} missing "
+                             "from the written DataFrame")
+        if kf_field.dataType.typeName() not in _KEYABLE_TYPES:
+            raise NotImplementedError(
+                f"record key type {kf_field.dataType.simpleString()} would "
+                "need Spark's cast-to-string semantics replayed; key on a "
+                "string/integral column or use HudiWriteBuilder")
+        if self.part_field is not None:
+            pfld = by_name.get(self.part_field)
+            if pfld is None:
+                raise ValueError(f"partition field {self.part_field!r} "
+                                 "missing from the written DataFrame")
+            if pfld.dataType.typeName() not in _KEYABLE_TYPES:
+                raise NotImplementedError(
+                    f"partition type {pfld.dataType.simpleString()} would "
+                    "need cast-to-string replay; use HudiWriteBuilder")
+        # business columns actually written: incoming minus dropped names
+        # (dropped values are discarded on write, writer.prepare parity)
+        dropped = set(cfg.get("dropped_columns") or [])
+        self.business = [f.name for f in schema.fields
+                         if f.name not in dropped]
+        self._incoming_schema_json = json.dumps(schema.jsonValue())
+        if cfg.get("schema_json"):
+            reg_fields = {f["name"]: f for f in
+                          json.loads(cfg["schema_json"])["fields"]}
+            for f in schema.fields:
+                rf = reg_fields.get(f.name)
+                if rf is not None and _all_nullable_json(rf["type"]) != \
+                        _all_nullable_json(f.jsonValue()["type"]):
+                    raise ValueError(
+                        f"column {f.name!r}: incoming type "
+                        f"{f.dataType.simpleString()} differs from the "
+                        "registered schema; type promotion/casting is the "
+                        "library writer's job (HudiWriteBuilder)")
+        self.instant = _new_instant(self.base_path)
+        self.action = "commit" if self.table_type == "cow" else "deltacommit"
+        self.stats_cols = cfg.get("stats_columns")
+
+    # ---------------------------------------------------- driver-side setup
+    def _init_existing(self, cfg: dict) -> None:
+        if cfg.get("concurrency_mode") == "occ":
+            raise NotImplementedError(
+                "df.write.format('hudi') takes no OCC lock; multi-writer "
+                "tables need HudiWriteBuilder")
+        if cfg.get("precommit_validators"):
+            raise NotImplementedError(
+                "df.write.format('hudi') does not run pre-commit "
+                "validators; this table configures them — use "
+                "HudiWriteBuilder")
+        if cfg.get("index_type") in ("bucket", "bucket_consistent"):
+            raise NotImplementedError(
+                "df.write.format('hudi') cannot route rows into bucket "
+                "file groups; bucket-index tables need HudiWriteBuilder")
+        groups = _fold(_timeline_entries(self.base_path), None)
+        self._existing_live = [
+            (p, fid) for (p, fid), g in groups.items()
+            if g.replaced_at is None and g.latest(None) is not None]
+
+    def _init_new(self, schema: StructType, options: dict) -> dict:
+        rk = options.get(_OPT_RECORDKEY)
+        if not rk:
+            raise ValueError(
+                "creating a table through df.write.format('hudi') needs "
+                f"option {_OPT_RECORDKEY!r}")
+        rkf = [c.strip() for c in str(rk).split(",") if c.strip()]
+        if len(rkf) != 1:
+            raise NotImplementedError(
+                "df.write.format('hudi') creates single-field-key tables "
+                "only; composite keys need HudiWriteBuilder")
+        ttype = str(options.get(_OPT_TABLE_TYPE, "COPY_ON_WRITE")).upper()
+        if ttype in ("COPY_ON_WRITE", "COW"):
+            tt = "cow"
+        elif ttype in ("MERGE_ON_READ", "MOR"):
+            tt = "mor"
+        else:
+            raise ValueError(f"unknown {_OPT_TABLE_TYPE}={ttype!r}")
+        pf = options.get(_OPT_PARTITIONPATH) or None
+        if pf is not None and (":" in pf or "," in pf):
+            raise NotImplementedError(
+                "df.write.format('hudi') creates value-style single-field "
+                "partitioning only; CustomKeyGenerator specs need "
+                "HudiWriteBuilder")
+        hive = str(options.get(_OPT_HIVE_STYLE, "false")).lower() \
+            in ("true", "1", "yes")
+        return {
+            "name": options.get(_OPT_TABLE_NAME)
+            or os.path.basename(self.base_path.rstrip("/")),
+            "table_type": tt,
+            "record_key_fields": rkf,
+            "precombine_field": options.get(_OPT_PRECOMBINE),
+            "partition_field": pf,
+            "keygen": "simple" if pf else "nonpartitioned",
+            "partition_style": "value",
+            "hive_style_partitioning": hive,
+            "payload": "overwrite_latest",
+            "index_type": "simple",
+            "identity_record_key": True,
+            "identity_partition_source": bool(pf),
+            "schema_json": None,
+        }
+
+    # -------------------------------------------------------- executor side
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        ctx = TaskContext.get()
+        tid = ctx.partitionId() if ctx is not None else 0
+        meta_schema = pa.schema([(m, pa.string()) for m in META5])
+        writers: dict = {}   # partition_path -> [fid, abs, rel, pq.Writer]
+        rownum = 0
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            if tbl.num_rows == 0:
+                continue
+            keys = pc.cast(tbl[self.key_field], pa.string())
+            if keys.null_count or pc.any(
+                    pc.equal(keys, "")).as_py() is True:
+                raise ValueError(
+                    f"record key field {self.key_field!r} is null/empty "
+                    "(HoodieKeyException)")
+            if self.part_field is not None:
+                pstr = pc.fill_null(
+                    pc.cast(tbl[self.part_field], pa.string()), "default")
+                parts = pc.unique(pstr.combine_chunks()).to_pylist()
+            else:
+                pstr, parts = None, [""]
+            for pval in parts:
+                if pstr is None:
+                    sub, skeys = tbl, keys
+                else:
+                    mask = pc.equal(pstr, pval)
+                    sub = tbl.filter(mask)
+                    skeys = keys.filter(mask)
+                ppath = "" if pstr is None else (
+                    f"{self.part_field}={pval}" if self.hive_style
+                    else str(pval))
+                w = writers.get(ppath)
+                if w is None:
+                    fid = uuid.uuid4().hex
+                    fname = f"{fid}_{self.instant}.parquet"
+                    rel = os.path.join(ppath, fname) if ppath else fname
+                    absp = os.path.join(self.base_path, rel)
+                    os.makedirs(os.path.dirname(absp), exist_ok=True)
+                    cols = [f for f in self.business
+                            if f in set(sub.schema.names)]
+                    out_schema = pa.schema(
+                        list(meta_schema)
+                        + [sub.schema.field(c) for c in cols])
+                    w = writers[ppath] = [
+                        fid, absp, rel, pq.ParquetWriter(absp, out_schema),
+                        cols, out_schema]
+                fid, absp, rel, pqw, cols, out_schema = w
+                m = sub.num_rows
+                arrays = [
+                    pa.array([self.instant] * m),
+                    pa.array([f"{self.instant}_{tid}-{rownum + i}"
+                              for i in range(m)]),
+                    skeys.combine_chunks(),
+                    pa.array([ppath] * m),
+                    pa.array([os.path.basename(rel)] * m),
+                ] + [sub[c] for c in cols]
+                rownum += m
+                pqw.write_table(
+                    pa.Table.from_arrays(
+                        [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                         else a for a in arrays],
+                        schema=out_schema))
+        files = []
+        for ppath, (fid, absp, rel, pqw, _c, _s) in writers.items():
+            pqw.close()
+            st = _footer_stats(absp, self.stats_cols)
+            st.update({"file_id": fid, "file_name": os.path.basename(rel),
+                       "path": rel, "kind": "base"})
+            st["partition"] = ppath
+            files.append(st)
+        return _WriteMessage(files=files)
+
+    # ---------------------------------------------------------- driver side
+    def commit(self, messages) -> None:
+        stats_by_partition: dict = {}
+        for msg in messages:
+            if msg is None:
+                continue
+            for st in msg.files:
+                p = st.pop("partition")
+                stats_by_partition.setdefault(p, []).append(st)
+        cfg = dict(self.cfg)
+        schema_struct = {"type": "struct", "fields": []}
+        if cfg.get("schema_json"):
+            schema_struct = json.loads(cfg["schema_json"])
+        reg_names = {f["name"] for f in schema_struct["fields"]}
+        incoming = json.loads(self._incoming_schema_json)
+        for f in incoming["fields"]:
+            if f["name"] in self.business and f["name"] not in reg_names:
+                schema_struct["fields"].append(f)
+        cfg["schema_json"] = json.dumps(_all_nullable_json(schema_struct))
+        replaced: dict = {}
+        operation = self.op if self.op != "upsert" else "insert"
+        if self.overwrite and self._existing_live:
+            # mode("overwrite") on an existing table: the new files ARE the
+            # table — retire every pre-existing live group via the same
+            # replacecommit semantics insert_overwrite_table uses
+            for p, fid in self._existing_live:
+                replaced.setdefault(p, []).append(fid)
+            operation = "insert_overwrite_table"
+        total_records = sum(s.get("records", 0)
+                            for sts in stats_by_partition.values()
+                            for s in sts)
+        total_bytes = sum(s.get("bytes", 0)
+                          for sts in stats_by_partition.values()
+                          for s in sts)
+        md = {"operation": operation, "schema": cfg["schema_json"],
+              "partition_to_write_stats": stats_by_partition,
+              "replaced_file_groups": replaced,
+              "total_records": total_records, "total_bytes": total_bytes}
+        action = self.action if not replaced else "replacecommit"
+        tdir = os.path.join(self.base_path, ".hoodie", "timeline")
+        os.makedirs(tdir, exist_ok=True)
+        _atomic_json(os.path.join(self.base_path, ".hoodie",
+                                  "table_config.json"), cfg)
+        _atomic_json(os.path.join(tdir, f"{self.instant}.{action}"), md)
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is None:
+                continue
+            for st in msg.files:
+                try:
+                    os.unlink(os.path.join(self.base_path, st["path"]))
+                except OSError:
+                    pass
+
+
 class HudiDataSource(DataSource):
     """spark.read.format("hudi").load(path) — see module docstring."""
 
@@ -858,17 +1316,12 @@ class HudiDataSource(DataSource):
         return _HudiStreamReader(schema, dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool):
-        # a Python Data Source writer would route every row through Python
-        # workers and could not run the engine's tag/commit machinery from
-        # the planner process — writes stay on the JVM-side option layer
-        raise NotImplementedError(
-            "df.write.format('hudi') is not routed through the Python Data "
-            "Source (it would serialize rows through Python workers). Use "
-            "the option-compatible writer instead — same option strings, "
-            "JVM-side plan:\n"
-            "  from hudi_0_12_0_my_spark.compat import HudiWriteBuilder\n"
-            "  HudiWriteBuilder(df).options(**opts).mode('append')"
-            ".save(path)")
+        """INSERT-shaped writes through the Python Data Source (scope and
+        crash-safety model in the write-path comment above
+        HudiFormatWriter); operations that need index tagging or service
+        machinery refuse with a pointer to the option-compatible
+        HudiWriteBuilder (compat.py), which runs the full JVM-side plan."""
+        return HudiFormatWriter(schema, dict(self.options), overwrite)
 
 
 def register_hudi_format(spark) -> None:

@@ -144,11 +144,97 @@ def test_format_error_paths(spark, tmp_path):
             .load(base2).collect()
 
 
-def test_format_write_points_at_compat_builder(spark, tmp_path):
-    Engine(spark)
-    df = spark.createDataFrame([(1, "a")], "id long, v string")
+def test_format_write_quickstart_roundtrip(spark, tmp_path):
+    """The reference quickstart's write-then-read lines verbatim
+    (HoodieSparkSqlWriter.scala:68): mode('overwrite') first write with
+    the default operation (upsert degenerating to insert on a fresh
+    table), then read back through BOTH the format and the library —
+    and the library can upsert the format-created table."""
+    eng = Engine(spark)
+    base = str(tmp_path / "qs")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i), 1) for i in range(20)],
+        "id long, grp string, val double, seq long")
+    (df.write.format("hudi")
+       .option("hoodie.datasource.write.recordkey.field", "id")
+       .option("hoodie.datasource.write.partitionpath.field", "grp")
+       .option("hoodie.datasource.write.precombine.field", "seq")
+       .option("hoodie.table.name", "qs")
+       .mode("overwrite").save(base))
+    fmt = spark.read.format("hudi").load(base)
+    t = eng.load_table(base)
+    got = sorted((r.id, r.grp, r.val) for r in
+                 fmt.select("id", "grp", "val").collect())
+    assert got == sorted((r.id, r.grp, r.val) for r in
+                         t.snapshot().select("id", "grp", "val").collect())
+    assert len(got) == 20
+    # meta columns are real (key = str(id), partition path = grp value)
+    m = fmt.filter("id = 7").select("_hoodie_record_key",
+                                    "_hoodie_partition_path").collect()[0]
+    assert m[0] == "7" and m[1] == "b"
+
+    # append-mode insert lands a second commit
+    (spark.createDataFrame([(100, "c", 1.0, 1)],
+                           "id long, grp string, val double, seq long")
+     .write.format("hudi")
+     .option("hoodie.datasource.write.operation", "insert")
+     .mode("append").save(base))
+    t = eng.load_table(base)
+    assert t.snapshot().count() == 21
+    # full interop: the LIBRARY writer upserts the format-created table
+    t.upsert(spark.createDataFrame(
+        [(0, "a", 999.0, 2)], "id long, grp string, val double, seq long"))
+    assert t.snapshot().filter("id = 0").collect()[0].val == 999.0
+    assert spark.read.format("hudi").load(base) \
+        .filter("id = 0").collect()[0].val == 999.0
+
+    # mode('overwrite') on the now-nonempty table = insert_overwrite_table
+    (spark.createDataFrame([(500, "z", 5.0, 1)],
+                           "id long, grp string, val double, seq long")
+     .write.format("hudi").mode("overwrite").save(base))
+    assert {r.id for r in eng.load_table(base).snapshot().collect()} == {500}
+    assert spark.read.format("hudi").load(base).count() == 1
+
+
+def test_format_write_refusals(spark, tmp_path):
+    """Everything that needs tag/merge/service machinery refuses loudly
+    with the HudiWriteBuilder pointer — never a wrong write."""
+    eng = Engine(spark)
+    df = spark.createDataFrame([(1, "a", 1.0, 1)],
+                               "id long, grp string, val double, seq long")
+    # upsert against existing data
+    base = str(tmp_path / "ref1")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", keygen="nonpartitioned")
+    t.insert(spark.createDataFrame([(5, "g", 5.0, 1)],
+                                   "id long, grp string, val double, seq long"))
     with pytest.raises(Exception, match="HudiWriteBuilder"):
-        df.write.format("hudi").mode("append").save(str(tmp_path / "w"))
+        df.write.format("hudi").mode("append").save(base)
+    # delete operation
+    with pytest.raises(Exception, match="HudiWriteBuilder"):
+        (df.write.format("hudi")
+         .option("hoodie.datasource.write.operation", "delete")
+         .mode("append").save(base))
+    # bucket-index table
+    base2 = str(tmp_path / "ref2")
+    eng.create_table(base2, record_key_fields=["id"],
+                     precombine_field="seq", keygen="nonpartitioned",
+                     index_type="bucket", num_buckets=4)
+    with pytest.raises(Exception, match="HudiWriteBuilder"):
+        (df.write.format("hudi")
+         .option("hoodie.datasource.write.operation", "insert")
+         .mode("append").save(base2))
+    # new table without a record key option
+    with pytest.raises(Exception, match="recordkey"):
+        df.write.format("hudi").mode("overwrite") \
+            .save(str(tmp_path / "ref3"))
+    # registered-type mismatch refuses instead of silently casting
+    with pytest.raises(Exception, match="registered schema"):
+        (spark.createDataFrame([(9, "g", 9, 1)],
+                               "id long, grp string, val long, seq long")
+         .write.format("hudi")
+         .option("hoodie.datasource.write.operation", "insert")
+         .mode("append").save(base))
 
 
 def test_format_pushed_filters_prune_files_safely(spark, tmp_path):
