@@ -154,6 +154,15 @@ def main() -> None:
          .agg(F.sum("l_quantity")).collect())
     with step("mor_compaction"):
         m.compact()
+    with step("format_write_insert"):       # Python Data Source writer:
+        # per-task parquet + driver-side commit fold (the quickstart
+        # write line, datasource.HudiFormatWriter)
+        (od.write.format("hudi")
+         .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+         .option("hoodie.datasource.write.partitionpath.field",
+                 "o_orderpriority")
+         .option("hoodie.datasource.write.precombine.field", "o_orderdate")
+         .mode("overwrite").save(os.path.join(BENCH_ROOT, "fmt_write")))
 
     orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
     cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))

@@ -237,6 +237,45 @@ def test_format_write_refusals(spark, tmp_path):
          .mode("append").save(base))
 
 
+def test_format_write_abort_and_orphan_invisibility(spark, tmp_path):
+    """The write path's crash-safety model: staged-but-uncommitted files
+    are invisible to every reader (visibility is commit-manifest-only),
+    abort() removes them, and only commit() publishes rows."""
+    import os
+
+    import pyarrow as pa
+
+    from hudi_0_12_0_my_spark.datasource import HudiFormatWriter
+
+    eng = Engine(spark)
+    base = str(tmp_path / "ab")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", keygen="nonpartitioned")
+    t.insert(spark.createDataFrame([(1, "g", 1, 1)], S))
+    n0 = t.snapshot().count()
+    schema = spark.createDataFrame([(2, "g", 2, 1)], S).schema
+    opts = {"path": base, "hoodie.datasource.write.operation": "insert"}
+
+    w = HudiFormatWriter(schema, opts, False)
+    msg = w.write(iter([pa.RecordBatch.from_pydict(
+        {"id": [2], "grp": ["g"], "v": [2], "seq": [1]})]))
+    assert msg.files
+    paths = [os.path.join(base, f["path"]) for f in msg.files]
+    assert all(os.path.exists(p) for p in paths)
+    # staged but uncommitted: invisible to the library AND format readers
+    assert t.snapshot().count() == n0
+    assert spark.read.format("hudi").load(base).count() == n0
+    w.abort([msg])
+    assert not any(os.path.exists(p) for p in paths)
+
+    w2 = HudiFormatWriter(schema, opts, False)
+    msg2 = w2.write(iter([pa.RecordBatch.from_pydict(
+        {"id": [3], "grp": ["g"], "v": [3], "seq": [1]})]))
+    w2.commit([msg2])
+    assert eng.load_table(base).snapshot().count() == n0 + 1
+    assert spark.read.format("hudi").load(base).count() == n0 + 1
+
+
 def test_format_pushed_filters_prune_files_safely(spark, tmp_path):
     """Stats pruning through pushFilters: delta-free files whose min/max
     exclude the predicate are skipped at planning; files WITH deltas are

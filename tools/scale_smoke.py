@@ -27,6 +27,10 @@ bends at the next decade; two decades bound the 100 TB extrapolation.
 Needs SPARK_GRAFT_DRIVER_MEM=32g (local-mode single heap) and scales
 shuffle partitions with the tier (cpus*8 at sf10).
 Prints {"op": {"sf1": s, "sf10": s, "ratio": r}, ...}.
+
+--sf10-write runs the WRITE-path decade (r6 VERDICT item 5): bulk_insert
++ 10% upsert + compaction + incremental pull on the replicated lineitem
+tier (sf1 ~6M rows -> sf10 ~60M), same memory/partition scaling.
 """
 
 from __future__ import annotations
@@ -108,15 +112,23 @@ def build_sf10(spark) -> None:
     and the TRUE pair output would grow ~100x per decade — a fixture
     artifact (quadratic in clique depth), not an operator property, and
     exactly the density collapse the sf1 fixture was designed to avoid.
-    Instead each replica r>0 hash-RENAMES every word — a per-replica
+    Instead EVERY replica hash-RENAMES every word — a per-replica
     vocabulary, so replicas share almost no shingles with each other or
     with sf1, while docs WITHIN a replica keep their relative near-dup
-    structure (same word->token map). The rename is LENGTH-PRESERVING
-    (token = first len(w) chars of the word's hash hex): a fixed-width
-    hex rename was tried first and inflated every stopword from ~3 chars
-    to 16, multiplying the shared-shingle mass between UNRELATED docs
-    ~100x (204M qualifying pairs where ~2M are expected). Duplicate
-    density per doc stays ~sf1-level as the corpus grows 10x."""
+    structure (same word->token map). No replica carries sf1 verbatim
+    (the r6 fixture kept replica 0 as-is, which layered duplicates on
+    the sf1 rows and inflated pair output 38x for 10x data — a fixture
+    artifact the wall-ratio story had to footnote away; with all-renamed
+    replicas, output growth is ~linear and the ratio stands on its own).
+    The rename is LENGTH-PRESERVING (token = first len(w) chars of the
+    word's hash hex): a fixed-width hex rename was tried first and
+    inflated every stopword from ~3 chars to 16, multiplying the
+    shared-shingle mass between UNRELATED docs ~100x (204M qualifying
+    pairs where ~2M are expected). Duplicate density per doc stays
+    ~sf1-level as the corpus grows 10x.
+
+    Also derives a 10x lineitem tier for the write-path decade
+    (run_write_tier)."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(os.path.join(SF1, "documents.parquet"))
@@ -130,13 +142,18 @@ def build_sf10(spark) -> None:
                "hex(xxhash64(w, _r)), hex(xxhash64(w, _r + 500))), "
                "1, greatest(length(w), 1)))"),
         " ")
-    out = exploded.select(
-        "doc_id",
-        F.when(F.col("_r") == 0, F.col("text")).otherwise(renamed)
-        .alias("text"),
-        "lang", "source", "n_chars")
+    out = exploded.select("doc_id", renamed.alias("text"),
+                          "lang", "source", "n_chars")
     out.repartition(64).write.mode("overwrite").parquet(
         os.path.join(SF10, "documents.parquet"))
+
+    li = spark.read.parquet(os.path.join(SF1, "lineitem.parquet"))
+    liout = (li.crossJoin(rep)
+             .withColumn("l_orderkey",
+                         F.col("l_orderkey") * REPLICAS + F.col("_r"))
+             .drop("_r"))
+    liout.repartition(128).write.mode("overwrite").parquet(
+        os.path.join(SF10, "lineitem.parquet"))
 
 
 def run_trio(spark, sf_dir: str, shuffle_partitions: int | None = None) -> dict:
@@ -190,6 +207,57 @@ def run_trio(spark, sf_dir: str, shuffle_partitions: int | None = None) -> dict:
         dsir_sample(docs, docs.filter("lang = 'en'"), 0.3,
                     num_buckets=8192).count()
     docs.unpersist()
+    return t
+
+
+def run_write_tier(spark, eng, sf_dir: str, tag: str,
+                   shuffle_partitions: int | None = None) -> dict:
+    """Write-path decade (VERDICT r6 item 5): the table-format write
+    lifecycle a 100 TB ingest actually runs — bulk_insert, a 10% upsert
+    (tag + MOR delta append), compaction, and the incremental pull of the
+    upsert window — timed per tier on the replicated lineitem. Data grows
+    10x per tier; a scale-safe write path should land well under ~12x
+    per step (per-row work + a log factor for the tag join sort)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(shuffle_partitions))
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .dropDuplicates(["l_orderkey", "l_linenumber"]))
+    li.persist().count()
+    root = os.path.join(BENCH_ROOT, tag + "_write")
+    shutil.rmtree(root, ignore_errors=True)
+    t: dict = {}
+
+    def step(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *a):
+                t[name] = round(time.perf_counter() - self.t0, 3)
+        return _T()
+
+    tbl = eng.create_table(os.path.join(root, "t"),
+                           record_key_fields=["l_orderkey", "l_linenumber"],
+                           precombine_field="l_shipdate", table_type="mor",
+                           keygen="nonpartitioned")
+    with step("bulk_insert"):
+        tbl.bulk_insert(li)
+    begin = tbl.timeline.latest_completed_write().time
+    mut = (li.filter("l_orderkey % 10 = 0")
+           .withColumn("l_quantity", F.col("l_quantity") + 1))
+    with step("upsert_10pct"):
+        tbl.upsert(mut)
+    with step("compaction"):
+        tbl.compact()
+    with step("incremental_pull"):
+        tbl.incremental(begin).count()
+    li.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
     return t
 
 
@@ -346,14 +414,20 @@ def main() -> None:
     if "--rebuild" in sys.argv or not os.path.exists(
             os.path.join(SF1, "lineitem.parquet")):
         build_sf1(spark)
-    if "--sf10" in sys.argv:
+    if "--sf10" in sys.argv or "--sf10-write" in sys.argv:
         if "--rebuild" in sys.argv or not os.path.exists(
-                os.path.join(SF10, "documents.parquet")):
+                os.path.join(SF10, "lineitem.parquet")):
             build_sf10(spark)
         cpus_n = int(cpus)
-        run_trio(spark, SF1, cpus_n)     # discard: JIT/codegen warmup
-        mid = run_trio(spark, SF1, cpus_n)
-        big = run_trio(spark, SF10, cpus_n * 8)
+        if "--sf10-write" in sys.argv:
+            eng = Engine(spark)
+            run_write_tier(spark, eng, SF01, "w_warm", cpus_n)  # JIT warmup
+            mid = run_write_tier(spark, eng, SF1, "w_sf1", cpus_n)
+            big = run_write_tier(spark, eng, SF10, "w_sf10", cpus_n * 8)
+        else:
+            run_trio(spark, SF1, cpus_n)     # discard: JIT/codegen warmup
+            mid = run_trio(spark, SF1, cpus_n)
+            big = run_trio(spark, SF10, cpus_n * 8)
         out = {op: {"sf1": mid[op], "sf10": big[op],
                     "ratio": round(big[op] / max(mid[op], 1e-9), 2)}
                for op in mid}
