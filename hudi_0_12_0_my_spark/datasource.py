@@ -1105,7 +1105,9 @@ class HudiFormatWriter(DataSourceArrowWriter):
             raise NotImplementedError(
                 "df.write.format('hudi') creates single-field-key tables "
                 "only; composite keys need HudiWriteBuilder")
-        ttype = str(options.get(_OPT_TABLE_TYPE, "COPY_ON_WRITE")).upper()
+        ttype = str(options.get(_OPT_TABLE_TYPE) or options.get(
+            "hoodie.datasource.write.storage.type")    # withAlternatives
+            or "COPY_ON_WRITE").upper()
         if ttype in ("COPY_ON_WRITE", "COW"):
             tt = "cow"
         elif ttype in ("MERGE_ON_READ", "MOR"):

@@ -196,6 +196,36 @@ def test_format_write_quickstart_roundtrip(spark, tmp_path):
     assert spark.read.format("hudi").load(base).count() == 1
 
 
+def test_format_write_mor_table(spark, tmp_path):
+    """format writes on a MOR table land as deltacommit base files (the
+    library's insert action shape): library MOR snapshot, read_optimized,
+    compaction, and a later library upsert all work on the
+    format-created table."""
+    eng = Engine(spark)
+    base = str(tmp_path / "fmor")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i), 1) for i in range(10)],
+        "id long, grp string, val double, seq long")
+    (df.write.format("hudi")
+       .option("hoodie.datasource.write.recordkey.field", "id")
+       .option("hoodie.datasource.write.partitionpath.field", "grp")
+       .option("hoodie.datasource.write.precombine.field", "seq")
+       .option("hoodie.datasource.write.storage.type",    # withAlternatives
+               "MERGE_ON_READ")
+       .mode("overwrite").save(base))
+    t = eng.load_table(base)
+    assert t.cfg.table_type == "mor"
+    assert t.snapshot().count() == 10
+    t.upsert(spark.createDataFrame(
+        [(0, "a", 99.0, 2)], "id long, grp string, val double, seq long"))
+    assert t.snapshot().filter("id = 0").collect()[0].val == 99.0
+    assert t.read_optimized().filter("id = 0").collect()[0].val == 0.0
+    t.compact()
+    assert t.read_optimized().filter("id = 0").collect()[0].val == 99.0
+    assert spark.read.format("hudi").load(base) \
+        .filter("id = 0").collect()[0].val == 99.0
+
+
 def test_format_write_refusals(spark, tmp_path):
     """Everything that needs tag/merge/service machinery refuses loudly
     with the HudiWriteBuilder pointer — never a wrong write."""

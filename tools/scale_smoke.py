@@ -120,12 +120,20 @@ def build_sf10(spark) -> None:
     the sf1 rows and inflated pair output 38x for 10x data — a fixture
     artifact the wall-ratio story had to footnote away; with all-renamed
     replicas, output growth is ~linear and the ratio stands on its own).
-    The rename is LENGTH-PRESERVING (token = first len(w) chars of the
-    word's hash hex): a fixed-width hex rename was tried first and
-    inflated every stopword from ~3 chars to 16, multiplying the
-    shared-shingle mass between UNRELATED docs ~100x (204M qualifying
-    pairs where ~2M are expected). Duplicate density per doc stays
-    ~sf1-level as the corpus grows 10x.
+    The rename is LENGTH-PRESERVING and takes the LOW-ORDER base-36
+    digits of the word's hash (token = right(conv(hash, 10, 36), len)).
+    Three rejected variants, all measured: (1) fixed-width hex inflated
+    every stopword from ~3 chars to 16, multiplying shared-shingle mass
+    between UNRELATED docs ~100x (204M pairs where ~2M are expected);
+    (2) length-preserving hex PREFIXES collide distinct short words (16
+    symbols; 6.87M pairs where ~1.8M expected); (3) length-preserving
+    base-36 PREFIXES are even worse (9.4M pairs) because conv()'s
+    LEADING digit is not uniform — every 64-bit value renders 12-13
+    base-36 digits starting with '1'-'3', so 1-char words get ~3
+    effective slots. Low-order digits are uniform over the full 36-way
+    alphabet, so the short-word collision rate stays near sf1's,
+    duplicate density per doc stays ~sf1-level, and pair output growth
+    is ~linear.
 
     Also derives a 10x lineitem tier for the write-path decade
     (run_write_tier)."""
@@ -138,9 +146,10 @@ def build_sf10(spark) -> None:
                         .alias("doc_id"),
                         "_r", "text", "lang", "source", "n_chars"))
     renamed = F.array_join(
-        F.expr("transform(split(text, ' '), w -> substring(concat("
-               "hex(xxhash64(w, _r)), hex(xxhash64(w, _r + 500))), "
-               "1, greatest(length(w), 1)))"),
+        F.expr("transform(split(text, ' '), w -> right(lower(concat("
+               "conv(xxhash64(w, _r), 10, 36), "
+               "conv(xxhash64(w, _r + 500), 10, 36))), "
+               "greatest(length(w), 1)))"),
         " ")
     out = exploded.select("doc_id", renamed.alias("text"),
                           "lang", "source", "n_chars")
