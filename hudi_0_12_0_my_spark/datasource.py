@@ -373,6 +373,20 @@ class _SlicePartition(InputPartition):
     resolve_then_window: bool = False
 
 
+@dataclass
+class _PackedPartition(InputPartition):
+    """Several independent file slices read by ONE task. Small file groups
+    dominate real tables; one task per slice pays the per-task Python
+    runner cost (measured: a data source with 86 EMPTY partitions costs
+    ~6s cold / ~1s warm on local[32], vs ~0.5s at 32) for microseconds of
+    IO. Packing mirrors Spark's own scan-split sizing
+    (spark.sql.files.maxPartitionBytes): bins target split_target_bytes,
+    floored at a minimum partition count so parallelism survives. Each
+    slice still merges independently inside the task — packing never
+    changes which rows a slice resolves to, only which task reads it."""
+    slices: list
+
+
 class HudiBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.base_path = options.get("path")
@@ -438,6 +452,23 @@ class HudiBatchReader(DataSourceReader):
             and isinstance(pf, str) and bool(pf))
         self._part_field = pf
         self._hive_style = bool(cfg.get("hive_style_partitioning"))
+        # scan-split sizing (guide: fewer, larger input splits): pack
+        # small file slices into shared read tasks. Defaults mirror
+        # spark.sql.files.maxPartitionBytes (128m) with a parallelism
+        # floor of the local core count (SPARK_GRAFT_CPUS when the
+        # harness pins it). Options override both.
+        try:
+            self._split_target_bytes = int(options.get(
+                "hoodie.datasource.read.split.target.bytes",
+                128 * 1024 * 1024))
+        except (TypeError, ValueError):
+            self._split_target_bytes = 128 * 1024 * 1024
+        try:
+            self._min_read_partitions = int(options.get(
+                "hoodie.datasource.read.min.partitions",
+                os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8))
+        except (TypeError, ValueError):
+            self._min_read_partitions = os.cpu_count() or 8
         # executor-side cast/concat target: output schema + the merge
         # machinery columns (ordering extras + tombstone markers)
         extra = StructType(self._schema.fields.copy())
@@ -712,7 +743,40 @@ class HudiBatchReader(DataSourceReader):
                 f"unknown hoodie.datasource.query.type {self.qtype!r} "
                 "(snapshot | read_optimized | incremental)")
         # the API requires >= 1 partition; zero files -> zero batches
-        return out or [_SlicePartition(None, [], False)]
+        if not out:
+            return [_SlicePartition(None, [], False)]
+        return self._pack(out)
+
+    def _pack(self, slices: list) -> list:
+        """Bin slices into read tasks: bin count = clamp(total_bytes /
+        split_target_bytes, min_read_partitions, len(slices)), longest-
+        processing-time assignment so no task reads far more bytes than
+        its peers. With at least as many bins as slices this is the
+        identity (tests and small tables see plain _SlicePartitions)."""
+        def size(s):
+            b = 0
+            for p in ([s.base] if s.base else []) + list(s.deltas):
+                try:
+                    b += os.path.getsize(p)
+                except OSError:
+                    pass            # vanished file: read() raises loudly
+            return b
+        sized = [(size(s), i, s) for i, s in enumerate(slices)]
+        total = sum(b for b, _i, _s in sized)
+        nbins = min(len(slices),
+                    max(self._min_read_partitions,
+                        -(-total // max(self._split_target_bytes, 1))))
+        if nbins >= len(slices):
+            return slices
+        import heapq
+        heap = [(0, i, []) for i in range(nbins)]   # (bytes, idx, members)
+        heapq.heapify(heap)
+        for b, _i, s in sorted(sized, reverse=True):
+            load, i, members = heapq.heappop(heap)
+            members.append(s)
+            heapq.heappush(heap, (load + b, i, members))
+        return [_PackedPartition(members) for _load, _i, members in heap
+                if members]
 
     # ------------------------------------------------ executor side (pyarrow)
     def _load_file(self, pq, pa, path, target):
@@ -729,7 +793,7 @@ class HudiBatchReader(DataSourceReader):
         self._last_columns = cols       # in-process observability for tests
         return _assemble(pa, pf.read(columns=cols), phys, target)
 
-    def read(self, partition: _SlicePartition):
+    def read(self, partition):
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -737,6 +801,13 @@ class HudiBatchReader(DataSourceReader):
 
         target = to_arrow_schema(self.extended)
         out = to_arrow_schema(self._schema)
+        slices = partition.slices if isinstance(partition, _PackedPartition) \
+            else [partition]
+        for part in slices:
+            yield from self._read_slice(part, pa, pc, pq, target, out)
+
+    def _read_slice(self, partition: _SlicePartition, pa, pc, pq, target,
+                    out):
         paths = ([partition.base] if partition.base else []) + \
             list(partition.deltas)
         gone = [p for p in paths if not os.path.exists(p)]

@@ -185,8 +185,15 @@ def sync_rollup(src, dst, group_cols: list[str], sum_cols: dict[str, str],
               for o, s in sum_cols.items()],
             F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     else:
-        contrib = _signed_cdc(src.incremental_cdc(begin, end),
-                              gcols + list(dict.fromkeys(sum_cols.values())))
+        # signed-contributions fold, NOT the per-key CDC diff: for a SUM the
+        # diff's full-outer join (two boundary-state exchanges on the record
+        # key, one per ±branch of _signed_cdc) exists only to drop no-op
+        # rows — which the aggregate cancels anyway (+x + -x = 0). The
+        # contributions shape scans the same two boundary states, projects
+        # ONLY the group+measure columns, and goes straight into the
+        # map-side-partial groupBy: the only exchange left is |groups|-sized
+        contrib = src.incremental_contributions(
+            begin, end, gcols + list(dict.fromkeys(sum_cols.values())))
         deltas = contrib.groupBy(*gcols).agg(
             *[F.sum(F.col("_sign") * F.col(s).cast("double")).alias(o)
               for o, s in sum_cols.items()],
@@ -232,7 +239,11 @@ def sync_minhash_index(src, dst, text_col: str = "text",
         dst.writer.set_extra_metadata({_CKPT: end})
         dst.upsert(minhash_index_rows(snap, **kw))
     else:
-        cdc = src.incremental_cdc(begin, end)
+        # narrowed: the signature depends only on (id, text) — a change
+        # confined to other source columns re-derives the identical index
+        # row, so the narrowed diff (which skips such rows entirely) is
+        # equivalent and avoids re-hashing untouched text
+        cdc = src.incremental_cdc(begin, end, columns=[id_col, text_col])
         changed = (cdc.filter(F.col("op").isin("i", "u"))
                    .select(F.col(f"after.{id_col}").alias(id_col),
                            F.col(f"after.{text_col}").alias(text_col)))
@@ -314,7 +325,11 @@ def sync_ivf_index(src, dst, num_cells: int = 16, id_col: str = "vec_id",
         return end
 
     cents = load_ivf_centroids(spark, dst)
-    cdc = src.incremental_cdc(begin, end)
+    # narrowed: re-assignment depends only on (id, vector) — a change
+    # confined to other source columns re-derives the identical index row
+    # (and no stale-cell tombstone), so the narrowed diff is equivalent
+    # and projects/joins only the two needed columns
+    cdc = src.incremental_cdc(begin, end, columns=[id_col, vec_col])
     after = (cdc.filter(F.col("op").isin("i", "u"))
              .select(F.col(f"after.{id_col}").alias(id_col),
                      F.col(f"after.{vec_col}").alias(vec_col)))
@@ -450,14 +465,12 @@ def sync_cms_sketch(src, dst, key_col: str, depth: int = 4, width: int = 64,
             .select(F.col("d").cast("int").alias("d"), "bucket", "cnt")
     else:
         h = _nonneg_hash(hash_fn)
-        cdc = src.incremental_cdc(begin, end)
-        minus = (cdc.filter(F.col("op").isin("u", "d"))
-                 .select(F.lit(-1).alias("_sign"),
-                         F.col(f"before.{key_col}").alias("_k")))
-        plus = (cdc.filter(F.col("op").isin("i", "u"))
-                .select(F.lit(1).alias("_sign"),
-                        F.col(f"after.{key_col}").alias("_k")))
-        contrib = minus.unionByName(plus).select(
+        # CMS cells are SUMs of ±key contributions — a linear fold, so the
+        # signed-contributions shape replaces the CDC per-key full-outer
+        # join (no-op rewrites cancel in the cell sums; see sync_rollup)
+        contrib = (src.incremental_contributions(begin, end, [key_col])
+                   .select("_sign", F.col(key_col).alias("_k")))
+        contrib = contrib.select(
             "_sign", F.posexplode(F.array(*[
                 F.pmod(h(d, F.col("_k")), F.lit(width))
                 for d in range(depth)])).alias("d", "bucket"))
@@ -563,7 +576,10 @@ def sync_hll_sketch(src, dst, key_col: str, p: int = 8,
 
     full = begin is None
     if not full:
-        cdc = src.incremental_cdc(begin, end)
+        # narrowed to the sketched column: a change confined to OTHER
+        # columns is never lowering and its key re-contribution is
+        # idempotent under the register max — the diff only needs key_col
+        cdc = src.incremental_cdc(begin, end, columns=[key_col])
         changed = ~F.col(f"before.{key_col}").eqNullSafe(
             F.col(f"after.{key_col}"))   # null-safe: NULL -> non-NULL flips
         lowering = cdc.filter(
@@ -584,9 +600,15 @@ def sync_hll_sketch(src, dst, key_col: str, p: int = 8,
             regs = regs.withColumn(meta.DELETE_MARKER, F.lit(False)) \
                        .unionByName(gone)
     else:
-        contrib = src.incremental_cdc(begin, end) \
-            .filter(F.col("op").isin("i", "u")) \
-            .select(F.col(f"after.{key_col}").alias(key_col))
+        # register deltas need no per-key diff at all: registers only GROW
+        # (max), and every touched-partition row present at `begin` is
+        # already covered by the stored registers, so folding the full
+        # end-boundary state of the touched partitions yields the same
+        # maxima as folding just the changed rows — without the diff's
+        # two-boundary scan + full-outer join. The filter on the literal
+        # +1 sign prunes the begin-boundary branch at plan time.
+        contrib = (src.incremental_contributions(begin, end, [key_col])
+                   .filter(F.col("_sign") == 1).select(key_col))
         delta = hll_registers(contrib, key_col, p=p, hash_fn=hash_fn,
                               seed=seed)
         cur = dst.snapshot().select("bucket", F.col("reg").alias("__old"))
@@ -773,18 +795,33 @@ def sync_join_rollup(fact, dim, dst, fact_key: str, dim_key: str,
     parts = []
     d_d = None
     if ck["fact"] < end_fact:
-        d_f = signed(fact.incremental_cdc(ck["fact"], end_fact),
-                     [fact_key] + measures)
+        # contributions, not the per-key diff: the dF leg is a linear fold
+        # (±rows joined to the dim then SUMmed), so no-op fact rewrites
+        # cancel in the aggregate — the diff's full-outer join (a key
+        # exchange of both fact boundary states per ±branch) bought
+        # nothing. The leg now streams scan -> dim join -> partial agg
+        # with no fact-side exchange at all, projected to key+measures.
+        d_f = (fact.incremental_contributions(ck["fact"], end_fact,
+                                              [fact_key] + measures)
+               .withColumnRenamed("_sign", "_w"))
         parts.append(
             d_f.join(dim_snap(end_dim).select(dim_key, *gcols),
                      F.col(fact_key) == F.col(dim_key), "inner")
             .select("_w", *gcols, *measures))
     if ck["dim"] < end_dim:
+        # the dim leg KEEPS the per-key CDC diff — the slowly-changing-dim
+        # assumption is what makes the delta broadcastable and the key
+        # prune model-sized, and only the diff drops unchanged dim rows —
+        # but narrows it to key+group columns: changes confined to other
+        # dim attributes no longer surface (their ±leg rows cancel in the
+        # SUM anyway), so the boundary scans project less and the
+        # broadcast delta stays minimal.
         # persisted: the dim-leg prune collects the delta's key set (one
         # eager job) and the leg joins the same delta — without the cache
         # the dim-CDC plan (two time-travel scans + before/after join)
         # would evaluate twice
-        d_d = signed(dim.incremental_cdc(ck["dim"], end_dim),
+        d_d = signed(dim.incremental_cdc(ck["dim"], end_dim,
+                                         columns=[dim_key] + gcols),
                      [dim_key] + gcols).persist()
         # prune only when the fact has enough live files OR bytes for
         # stats skipping to repay the key-collect job (one metadata fold,

@@ -392,7 +392,8 @@ class Reader:
         return df if keep_meta else meta.strip_meta(df)
 
     def incremental_cdc(self, begin: str | None = None,
-                        end: str | None = None) -> DataFrame:
+                        end: str | None = None,
+                        columns: list | None = None) -> DataFrame:
         """Change-data-capture diff between two instants: one row per key
         whose RESOLVED state differs between the table as-of `begin` and
         as-of `end` — op `i` (inserted), `u` (updated: before+after), `d`
@@ -401,6 +402,15 @@ class Reader:
         out of scope for the 0.12 reference), it is a read-side
         reconstruction: correct for any table, no write-path cooperation.
 
+        ``columns`` narrows the before/after structs (and the change test)
+        to just those business columns: the scans project fewer bytes into
+        the diff exchange and rows whose changes lie entirely OUTSIDE the
+        subset emit nothing. For consumers that only read a column subset
+        and treat an unchanged-subset row as a no-op (every linear fold —
+        the derived-table maintainers), the result is equivalent and far
+        cheaper; consumers that need "did anything change" must keep the
+        default full width.
+
         Scale shape: only partitions TOUCHED by in-range commits (write
         stats + replaced-group metadata) are scanned — twice (state at each
         boundary) — and the diff is one full-outer join shuffled on the
@@ -408,13 +418,41 @@ class Reader:
         table. Rows rewritten with identical values (clustering, re-upsert
         of the same payload) compare equal and emit nothing.
         """
+        old, new = self._boundary_states(begin or "0", end)
         cfg = self.cfg
-        begin = begin or "0"
-        # retention guard: cleaning drops pre-boundary slices from the
-        # manifest fold, so a view as-of an earlier instant reconstructs
-        # EMPTY and the diff would silently report the whole table as
-        # inserts (observed). Refuse loudly instead — same constraint the
-        # reference's CDC read has (history must be within retention).
+        # non-global tables scope key uniqueness to the partition; global
+        # index lets a key move across partitions and still be ONE entity
+        keys = [meta.RECORD_KEY] if cfg.global_index \
+            else [meta.PARTITION_PATH, meta.RECORD_KEY]
+        data_cols = sorted(c for c in new.columns
+                           if c not in meta.META_COLS
+                           and c not in (meta.OPERATION, meta.TARGET_FILE_ID))
+        if columns is not None:
+            unknown = sorted(set(columns) - set(data_cols))
+            if unknown:
+                raise ValueError(
+                    f"incremental_cdc: columns {unknown} are not business "
+                    f"columns of this table (have: {data_cols})")
+            data_cols = sorted(set(columns))
+        pack = F.struct(*[F.col(c) for c in data_cols])
+        o = old.select(*keys, pack.alias("before"))
+        n = new.select(*keys, pack.alias("after"))
+        j = o.join(n, on=keys, how="full_outer")
+        op = (F.when(F.col("before").isNull(), F.lit("i"))
+               .when(F.col("after").isNull(), F.lit("d"))
+               .otherwise(F.lit("u")))
+        return (j.filter(~F.col("before").eqNullSafe(F.col("after")))
+                 .select(op.alias("op"), *keys, "before", "after"))
+
+    def _boundary_states(self, begin: str,
+                         end: str | None) -> tuple[DataFrame, DataFrame]:
+        """The table's resolved state at `begin` and at `end`, scoped to
+        the partitions TOUCHED by in-range commits (write stats +
+        replaced-group metadata) — the shared prelude of the CDC diff and
+        the contributions fold. Refuses a `begin` outside cleaning
+        retention (the view would reconstruct EMPTY and the diff would
+        silently report the whole table as inserts — observed; same
+        constraint as the reference's CDC read)."""
         if begin != "0":
             for ins in self.t.timeline.completed(actions=(tl.CLEAN,)):
                 er = (self.t.timeline.metadata(ins) or {}) \
@@ -435,10 +473,11 @@ class Reader:
                 continue
             touched |= set(((md or {}).get("partition_to_write_stats") or {}).keys())
             touched |= set(((md or {}).get("replaced_file_groups") or {}).keys())
+
         def _scope(df):
-            """Restrict to touched partitions; beyond a few hundred the
-            literal In-list bloats the plan, so switch to a broadcast
-            semi-join on a partitions DataFrame (still metadata-sized)."""
+            # restrict to touched partitions; beyond a few hundred the
+            # literal In-list bloats the plan, so switch to a broadcast
+            # semi-join on a partitions DataFrame (still metadata-sized)
             if len(touched) <= 256:
                 return df.filter(F.col(meta.PARTITION_PATH).isin(*touched))
             pdf = self.spark.createDataFrame(
@@ -462,19 +501,39 @@ class Reader:
             old = old.filter(F.lit(False))
         elif touched:
             old = _scope(old)
-        # non-global tables scope key uniqueness to the partition; global
-        # index lets a key move across partitions and still be ONE entity
-        keys = [meta.RECORD_KEY] if cfg.global_index \
-            else [meta.PARTITION_PATH, meta.RECORD_KEY]
+        return old, new
+
+    def incremental_contributions(self, begin: str | None = None,
+                                  end: str | None = None,
+                                  columns: list | None = None) -> DataFrame:
+        """The CDC window as a SIGNED MULTISET of rows over `columns`:
+        +1-weighted rows of the state as-of `end` minus (-1-weighted) rows
+        of the state as-of `begin`, scoped to touched partitions — columns
+        `_sign` + `columns` (default: every business column).
+
+        For any LINEAR fold (SUM / COUNT maintenance — the derived-table
+        maintainers), this is mathematically equal to folding the signed
+        per-key CDC diff: unchanged rows contribute +x and -x which cancel
+        in the aggregate. The plan shape is the win — the per-key diff
+        costs a full-outer join (an Exchange of BOTH boundary states on
+        the record key, evaluated once per ±branch) just to DROP the
+        no-op rows that the aggregate would cancel anyway; the
+        contributions fold has NO join and NO key exchange, so the only
+        shuffle left is the consumer's own (partial-aggregated) groupBy.
+        NOT for consumers that need per-key semantics (op classification,
+        before/after pairing) — use incremental_cdc there.
+        """
+        old, new = self._boundary_states(begin or "0", end)
         data_cols = sorted(c for c in new.columns
                            if c not in meta.META_COLS
                            and c not in (meta.OPERATION, meta.TARGET_FILE_ID))
-        pack = F.struct(*[F.col(c) for c in data_cols])
-        o = old.select(*keys, pack.alias("before"))
-        n = new.select(*keys, pack.alias("after"))
-        j = o.join(n, on=keys, how="full_outer")
-        op = (F.when(F.col("before").isNull(), F.lit("i"))
-               .when(F.col("after").isNull(), F.lit("d"))
-               .otherwise(F.lit("u")))
-        return (j.filter(~F.col("before").eqNullSafe(F.col("after")))
-                 .select(op.alias("op"), *keys, "before", "after"))
+        if columns is not None:
+            unknown = sorted(set(columns) - set(data_cols))
+            if unknown:
+                raise ValueError(
+                    f"incremental_contributions: columns {unknown} are not "
+                    f"business columns of this table (have: {data_cols})")
+            data_cols = sorted(set(columns))
+        plus = new.select(F.lit(1).alias("_sign"), *data_cols)
+        minus = old.select(F.lit(-1).alias("_sign"), *data_cols)
+        return plus.unionByName(minus)

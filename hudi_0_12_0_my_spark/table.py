@@ -128,8 +128,16 @@ class LakeTable:
         return self.reader.time_travel(as_of, filters=filters, keep_meta=keep_meta)
 
     def incremental_cdc(self, begin: str | None = None,
-                        end: str | None = None) -> DataFrame:
-        return self.reader.incremental_cdc(begin=begin, end=end)
+                        end: str | None = None,
+                        columns: list | None = None) -> DataFrame:
+        return self.reader.incremental_cdc(begin=begin, end=end,
+                                           columns=columns)
+
+    def incremental_contributions(self, begin: str | None = None,
+                                  end: str | None = None,
+                                  columns: list | None = None) -> DataFrame:
+        return self.reader.incremental_contributions(begin=begin, end=end,
+                                                     columns=columns)
 
     def incremental(self, begin: str | None = None, end: str | None = None,
                     keep_meta: bool = False, filters=None) -> DataFrame:

@@ -687,17 +687,23 @@ class Writer:
 
     def assign_buckets(self, inserts: DataFrame, view: FileSystemView | None,
                        pack_small_files: bool,
-                       blocked_groups: set | None = None) -> tuple[DataFrame, set]:
+                       blocked_groups: set | None = None,
+                       counts: dict | None = None) -> tuple[DataFrame, set]:
         """Route insert rows to file groups: fill undersized existing groups
         first (small-file bin packing, UpsertPartitioner.java:94-178), spill the
         rest to new groups sized by target_file_bytes.
 
         Assignment = pmod(xxhash64(key), partition_weight) mapped onto weighted
         bucket ranges via ONE broadcast join — no shuffle, no global ordering.
+
+        ``counts`` (partition -> insert row count) skips the counting job
+        when the caller already aggregated it (upsert folds it into its
+        one tagged-batch pass).
         """
         cfg = self.cfg
-        counts = {r[0]: r[1] for r in
-                  inserts.groupBy(meta.PARTITION_PATH).count().collect()}
+        if counts is None:
+            counts = {r[0]: r[1] for r in
+                      inserts.groupBy(meta.PARTITION_PATH).count().collect()}
         if not counts:
             empty = inserts.withColumn(meta.TARGET_FILE_ID, F.lit(None).cast("string"))
             return empty.filter(F.lit(False)), set()
@@ -1083,6 +1089,22 @@ class Writer:
                 inserts = (tagged.filter(F.col("__loc_fid").isNull())
                            .drop("__loc_fid", "__loc_pp")
                            .filter(F.col(meta.OPERATION) != "D"))  # delete of absent key = no-op
+                # ONE pass over the tagged batch yields everything the
+                # driver needs downstream: the touched file groups (the
+                # COW rewrite set / clustering-conflict probe — every
+                # update, deletes included, rewrites its group) and the
+                # per-partition INSERT counts assign_buckets sizes new
+                # groups from — previously two separate jobs (a distinct
+                # collect over updates + a groupBy count over inserts)
+                tag_rows = (tagged.groupBy(meta.PARTITION_PATH, "__loc_fid")
+                            .agg(F.count(F.when(
+                                F.col(meta.OPERATION) != "D", True))
+                                .alias("__n_live"))
+                            .collect())
+                upd_groups = {(r[0], r[1]) for r in tag_rows
+                              if r[1] is not None}
+                ins_counts = {r[0]: r[2] for r in tag_rows
+                              if r[1] is None and r[2] > 0}
                 # groups under a pending clustering plan: updates rejected
                 # (SparkRejectUpdateStrategy), inserts never pack into them.
                 # The extra distinct-collect below runs ONLY while a
@@ -1114,10 +1136,7 @@ class Writer:
                                 self._abort_staged(s)
                         blocked = pending_clustering_groups(self.t.timeline)
                 if blocked:
-                    hit = {(r[0], r[1]) for r in updates
-                           .select(meta.PARTITION_PATH, meta.TARGET_FILE_ID)
-                           .distinct().collect()}
-                    bad = sorted(hit & blocked)
+                    bad = sorted(upd_groups & blocked)
                     if bad:
                         # controlled rejection, not a crash: the writer is
                         # alive, so retract its own minted instant (and OCC
@@ -1129,12 +1148,9 @@ class Writer:
                             f"clustering: {bad[:5]}")
                 inserts_assigned, packed = self.assign_buckets(
                     inserts, view, pack_small_files=cow,
-                    blocked_groups=blocked)
+                    blocked_groups=blocked, counts=ins_counts)
                 if cow:
-                    affected = {(p, fid) for p, fid in
-                                ((r[0], r[1]) for r in updates
-                                 .select(meta.PARTITION_PATH, meta.TARGET_FILE_ID)
-                                 .distinct().collect())} | packed
+                    affected = upd_groups | packed
                     old_paths = [view.abs(s.base_file.path)
                                  for g, s in view.live_slices()
                                  if (g.partition, g.file_id) in affected]
