@@ -78,15 +78,15 @@ def _basket_counts(df: DataFrame, order_col: str, item_col: str,
     item = F.col(item_col)
     if buckets is not None:
         item = item % buckets
-    # items feeds both the basket sets and the per-item counts, and sets
-    # feeds both the pair explosion and the basket total — persist both so
-    # the data-sized distinct shuffle and the order-keyed groupBy each run
-    # once per mining call instead of 2-3x
-    items = (df.select(F.col(order_col).alias("o"),
-                       item.cast("bigint").alias("i"))
-             .distinct().persist())
-    sets = items.groupBy("o").agg(F.sort_array(F.collect_set("i"))
-                                  .alias("its")).persist()
+    # ONE data-sized shuffle total: collect_set dedups within the basket,
+    # so the order-keyed groupBy IS the dedup — the former separate
+    # distinct() paid a second full (order, item) exchange for nothing.
+    # Everything downstream (pair explosion, per-item counts, the basket
+    # total) derives map-only from the persisted model-per-row basket sets.
+    sets = (df.select(F.col(order_col).alias("o"),
+                      item.cast("bigint").alias("i"))
+            .groupBy("o").agg(F.sort_array(F.collect_set("i")).alias("its"))
+            .persist())
     its = F.col("its")
     pairs = sets.select(F.explode(F.flatten(F.transform(
         its, lambda a, i: F.transform(
@@ -95,8 +95,11 @@ def _basket_counts(df: DataFrame, order_col: str, item_col: str,
     ).alias("p")).select("p.item_a", "p.item_b")
     c_ab = pairs.groupBy("item_a", "item_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-    c_i = items.groupBy("i").agg(F.count(F.lit(1)).cast("bigint")
-                                 .alias("n_i"))
+    # per-item basket counts: explode the (already deduped) sets — a
+    # map-only expansion partial-aggregated down to the item vocabulary,
+    # replacing the old data-sized groupBy over the distinct pairs
+    c_i = (sets.select(F.explode(its).alias("i"))
+           .groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n_i")))
     n_tot = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
     return c_ab, c_i, n_tot
 
