@@ -1166,23 +1166,41 @@ class Writer:
                     # files and fresh inserts stream through without shuffling
                     # (incoming was already precombined, so inserts are
                     # key-unique by construction)
-                    on = [meta.PARTITION_PATH, meta.RECORD_KEY]
-                    ukeys = updates.select(*on).distinct()
-                    untouched = old.join(ukeys, on=on, how="left_anti")
-                    contested = old.join(ukeys, on=on, how="left_semi")
-                    resolved = payloads.resolve(
-                        contested.unionByName(updates, allowMissingColumns=True),
-                        cfg, spec, drop_deletes=True)
-                    merged = (resolved
-                              .unionByName(untouched, allowMissingColumns=True)
-                              .unionByName(inserts_assigned,
-                                           allowMissingColumns=True))
+                    if not upd_groups:
+                        # all-inserts batch (every first derived-table sync,
+                        # packing-only rewrites): live-file rows are
+                        # key-unique and inserts target absent keys, so the
+                        # split/window machinery would be a provable no-op —
+                        # stream both sides straight to the write
+                        merged = old.unionByName(inserts_assigned,
+                                                 allowMissingColumns=True)
+                    else:
+                        on = [meta.PARTITION_PATH, meta.RECORD_KEY]
+                        ukeys = updates.select(*on).distinct()
+                        untouched = old.join(ukeys, on=on, how="left_anti")
+                        contested = old.join(ukeys, on=on, how="left_semi")
+                        resolved = payloads.resolve(
+                            contested.unionByName(updates,
+                                                  allowMissingColumns=True),
+                            cfg, spec, drop_deletes=True)
+                        merged = (resolved
+                                  .unionByName(untouched,
+                                               allowMissingColumns=True)
+                                  .unionByName(inserts_assigned,
+                                               allowMissingColumns=True))
                     stats = self.stage_write(merged, instant, "base")
                     replaced = self.emptied_groups(affected, stats)
                 else:
                     replaced = None
-                    stats = self.stage_write(updates, instant, "delta")
-                    base_stats = self.stage_write(inserts_assigned, instant, "base")
+                    # the one-pass tagged agg proves which side is empty —
+                    # skip that side's write JOB outright (a delta-only
+                    # upsert previously still paid a full empty base write:
+                    # repartition + dynamic-partition commit + listing)
+                    stats = self.stage_write(updates, instant, "delta") \
+                        if upd_groups else {}
+                    base_stats = self.stage_write(
+                        inserts_assigned, instant, "base") \
+                        if ins_counts else {}
                     for p, sts in base_stats.items():
                         stats.setdefault(p, []).extend(sts)
                 md = self._commit_md(operation, stats, replaced)
