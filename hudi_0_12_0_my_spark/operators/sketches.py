@@ -82,7 +82,11 @@ def cms_probe(cells: dict, depth: int, width: int, hash_fn: str,
     arrays of width ints — no join, no second pass over anything).
     `cells` maps (d, bucket) -> count; missing cells are 0."""
     h = _nonneg_hash(hash_fn)
-    arrs = [F.array(*[F.lit(int(cells.get((d, b), 0))) for b in range(width)])
+    # ONE array literal per row (F.lit(list)), not width CreateArray
+    # children: a 4x256 sketch as per-element F.lit()s costs ~1k py4j
+    # round-trips to construct and an expression tree the analyzer walks
+    # per query; a Literal array is one call and one leaf node
+    arrs = [F.lit([int(cells.get((d, b), 0)) for b in range(width)])
             for d in range(depth)]
     return F.least(*[
         F.element_at(arrs[d],

@@ -50,7 +50,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = _ws_tokens(c)
     n_tok = F.size(toks)
     n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_arr = F.lit(list(_STOPWORDS))   # one array literal, not N lits
     n_stop = F.size(F.array_intersect(toks, stop_arr))
     # distinct-stopword presence ratio: cheap, order-independent
     stop_ratio = F.when(n_tok > 0, n_stop / F.lit(float(len(_STOPWORDS)))).otherwise(F.lit(0.0))
@@ -73,7 +73,7 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.slice(_ws_tokens(F.lower(F.col(text_col))), 1, 200)
     hit_cols = []
     for lang, words in _LANG_LEXICON.items():
-        arr = F.array(*[F.lit(w) for w in words])
+        arr = F.lit(list(words))
         hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
         hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*hit_cols))
@@ -454,7 +454,7 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text",
                                                     F.lit("")))) / 3
                   ).cast("bigint")
     n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
-    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_arr = F.lit(list(GOPHER_STOPWORDS))
     stop_hits = F.size(F.array_intersect(toks, stop_arr))
     lines = F.filter(F.split(c, r"\n"),
                      lambda s: F.length(F.trim(s)) > 0)
