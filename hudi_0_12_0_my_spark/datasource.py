@@ -1264,7 +1264,14 @@ class HudiFormatWriter(DataSourceArrowWriter):
                         list(meta_schema)
                         + [sub.schema.field(c) for c in cols])
                     w = writers[ppath] = [
-                        fid, absp, rel, pq.ParquetWriter(absp, out_schema),
+                        fid, absp, rel,
+                        pq.ParquetWriter(
+                            absp, out_schema,
+                            # match the library writer's codec (config.py
+                            # parquet_codec: zstd default, ~25% smaller at
+                            # equal speed)
+                            compression=self.cfg.get("parquet_codec")
+                            or "zstd"),
                         cols, out_schema]
                 fid, absp, rel, pqw, cols, out_schema = w
                 m = sub.num_rows

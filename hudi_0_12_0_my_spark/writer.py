@@ -615,8 +615,11 @@ class Writer:
             # project AFTER the sort: ordering flows through the projection, so
             # transient sort keys (e.g. space-curve values) never hit parquet
             df = df.drop(*drop_after_sort)
-        df.write.mode("overwrite").partitionBy("__pp", "__fid") \
-            .format(fmt).save(staging)
+        w = df.write.mode("overwrite").partitionBy("__pp", "__fid")
+        if fmt == "parquet":
+            w = w.option("compression",
+                         getattr(self.cfg, "parquet_codec", None) or "zstd")
+        w.format(fmt).save(staging)
 
         moves = []   # (src, dest_rel, partition, fid)
         for ppdir in self.storage.listdir(staging):
