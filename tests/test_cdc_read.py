@@ -133,3 +133,46 @@ def test_cdc_ignores_compaction_rewrites(spark, tmp_path):
     t.compact()
     got = _collect_ops(t.incremental_cdc(begin=c0))
     assert got == {3: ("u", 3.0, 33.0)}
+
+
+def test_narrowed_cdc_and_contributions_fold_equivalence(spark, tmp_path):
+    """r7 optimization contracts: (1) incremental_cdc(columns=[...]) keeps
+    i/d rows, drops u-rows whose changes lie outside the subset, and its
+    narrowed fold equals the full diff's fold over the same columns;
+    (2) incremental_contributions' signed multiset folds to the same
+    deltas as the signed per-key diff — the linear-fold identity the
+    derived-table maintainers now rely on."""
+    eng = Engine(spark)
+    t = eng.create_table(str(tmp_path / "nar"), record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp")
+    t.bulk_insert(_rows(spark, [(i, "a" if i % 2 else "b",
+                                 float(i), 1) for i in range(20)]))
+    c0 = t.timeline.completed_write_instants()[-1].time
+    t.upsert(_rows(spark, [(3, "a", 33.0, 2),      # val change
+                           (4, "b", 4.0, 2),       # seq-only change
+                           (21, "a", 21.0, 1)]))   # insert
+    t.delete(where="id = 5")
+    full = t.incremental_cdc(begin=c0)
+    nar = t.incremental_cdc(begin=c0, columns=["val"])
+    # seq-only change (id=4) visible in the full diff, absent narrowed
+    assert 4 in _collect_ops(full) and 4 not in _collect_ops(nar)
+    assert _collect_ops(nar) == {3: ("u", 3.0, 33.0),
+                                 21: ("i", None, 21.0),
+                                 5: ("d", 5.0, None)}
+    # linear-fold identity: sum of signed val deltas agrees three ways
+    def fold_cdc(cdc):
+        minus = cdc.filter(F.col("op").isin("u", "d")) \
+            .agg(F.sum("before.val")).collect()[0][0] or 0.0
+        plus = cdc.filter(F.col("op").isin("i", "u")) \
+            .agg(F.sum("after.val")).collect()[0][0] or 0.0
+        return plus - minus
+    contrib = t.incremental_contributions(c0, columns=["val"])
+    folded = contrib.agg(
+        F.sum(F.col("_sign") * F.col("val"))).collect()[0][0]
+    assert abs(fold_cdc(full) - fold_cdc(nar)) < 1e-9
+    assert abs(folded - fold_cdc(full)) < 1e-9
+    # unknown column refuses loudly on both APIs
+    with pytest.raises(ValueError, match="not business columns"):
+        t.incremental_cdc(begin=c0, columns=["nope"])
+    with pytest.raises(ValueError, match="not business columns"):
+        t.incremental_contributions(c0, columns=["nope"])

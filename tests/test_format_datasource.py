@@ -766,3 +766,79 @@ def test_format_meta_partition_path_filter_prunes(spark, tmp_path):
                  .filter("_hoodie_partition_path = 'b'")
                  .select("id").collect())
     assert got == lib and got
+
+
+def test_format_scan_packs_slices_into_shared_tasks(spark, tmp_path):
+    """r7 optimization contract: above the parallelism floor the planner
+    bins file slices into shared read tasks (split-target bytes, LPT
+    assignment) — results identical, slice merge semantics preserved
+    inside the task, floor/target tunable via options."""
+    from hudi_0_12_0_my_spark.datasource import (HudiBatchReader,
+                                                 _PackedPartition,
+                                                 _SlicePartition)
+
+    eng = Engine(spark)
+    base = str(tmp_path / "pack")
+    t = eng.create_table(base, record_key_fields=["id"],
+                         precombine_field="seq", partition_field="grp",
+                         table_type="mor")
+    # 12 partitions -> 12 slices; add deltas so some slices merge
+    t.bulk_insert(spark.createDataFrame(
+        [(i, f"g{i % 12}", i, 1) for i in range(60)], S))
+    t.upsert(spark.createDataFrame(
+        [(i, f"g{i % 12}", 1000 + i, 2) for i in range(0, 60, 5)], S))
+    sch = spark.read.format("hudi").load(base).schema
+    rd = HudiBatchReader(sch, {"path": base,
+                               "hoodie.datasource.read.min.partitions": "4"})
+    parts = rd.partitions()
+    assert 0 < len(parts) <= 4
+    assert all(isinstance(p, _PackedPartition) for p in parts)
+    assert sum(len(p.slices) for p in parts) == 12
+    # LPT kept merge slices intact (each inner element is a full slice)
+    assert all(isinstance(s, _SlicePartition)
+               for p in parts for s in p.slices)
+    rows = sorted((r["id"], r["v"]) for p in parts for b in rd.read(p)
+                  for r in b.to_pylist())
+    assert rows == sorted((i, 1000 + i) if i % 5 == 0 else (i, i)
+                          for i in range(60))
+    assert rows == sorted((r.id, r.v)
+                          for r in t.snapshot().select("id", "v").collect())
+    # floor above slice count -> identity (plain slices, no packing)
+    rd2 = HudiBatchReader(sch, {"path": base,
+                                "hoodie.datasource.read.min.partitions":
+                                "64"})
+    assert all(isinstance(p, _SlicePartition) for p in rd2.partitions())
+
+
+def test_format_writer_emits_configured_codec(spark, tmp_path):
+    """r7 optimization contract: base files are zstd by default (both the
+    library writer and the format('hudi') arrow writer), overridable per
+    table via parquet_codec."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    eng = Engine(spark)
+    lib = str(tmp_path / "lib")
+    t = eng.create_table(lib, record_key_fields=["id"],
+                         precombine_field="seq", keygen="nonpartitioned")
+    t.bulk_insert(spark.createDataFrame([(1, "a", 1, 1)], S))
+    f = glob.glob(lib + "/*.parquet")[0]
+    assert pq.ParquetFile(f).metadata.row_group(0).column(0) \
+        .compression == "ZSTD"
+    snappy = str(tmp_path / "snap")
+    t2 = eng.create_table(snappy, record_key_fields=["id"],
+                          precombine_field="seq", keygen="nonpartitioned",
+                          parquet_codec="snappy")
+    t2.bulk_insert(spark.createDataFrame([(1, "a", 1, 1)], S))
+    f2 = glob.glob(snappy + "/*.parquet")[0]
+    assert pq.ParquetFile(f2).metadata.row_group(0).column(0) \
+        .compression == "SNAPPY"
+    fmt = str(tmp_path / "fmtw")
+    (spark.createDataFrame([(1, "a", 1, 1)], S).write.format("hudi")
+     .option("hoodie.datasource.write.recordkey.field", "id")
+     .option("hoodie.datasource.write.precombine.field", "seq")
+     .mode("overwrite").save(fmt))
+    f3 = glob.glob(fmt + "/**/*.parquet", recursive=True)[0]
+    assert pq.ParquetFile(f3).metadata.row_group(0).column(0) \
+        .compression == "ZSTD"

@@ -505,3 +505,29 @@ def test_archival_stops_at_savepoint_pin(spark, tmp_table_dir):
         json.dump(md, f)
     with pytest.raises(ValueError, match="already archived"):
         t2.restore(sp2)
+
+
+def test_mor_delta_only_upsert_writes_no_empty_base_files(spark, mor):
+    """r7 optimization contract: an all-updates MOR upsert commits ONLY
+    delta files (no empty base write job ran), an all-inserts upsert
+    commits ONLY base files, and both stay readable/mergeable."""
+    mor.bulk_insert(make_rows(spark, BATCH1))
+    i1 = mor.upsert(make_rows(spark, [(1, "a2", 11.0, 200, "2021-01-01")]))
+    md = mor.timeline.metadata(
+        [x for x in mor.timeline.completed_write_instants()
+         if x.time == i1][0])
+    kinds = {st.get("kind", "base")
+             for sts in md["partition_to_write_stats"].values()
+             for st in sts}
+    assert kinds == {"delta"}           # no empty base stage ran
+    i2 = mor.upsert(make_rows(spark, [(9, "z", 90.0, 100, "2021-01-02")]))
+    md2 = mor.timeline.metadata(
+        [x for x in mor.timeline.completed_write_instants()
+         if x.time == i2][0])
+    kinds2 = {st.get("kind", "base")
+              for sts in md2["partition_to_write_stats"].values()
+              for st in sts}
+    assert kinds2 == {"base"}           # no empty delta stage ran
+    got = {(r.id, r.name, r.price) for r in mor.snapshot().collect()}
+    assert got == {(1, "a2", 11.0), (2, "b", 20.0), (3, "c", 30.0),
+                   (9, "z", 90.0)}
