@@ -113,6 +113,12 @@ _SIMPLE = {"overwrite_latest", "validate_dup"} | _EVENT_TIME_ORDERED
 # arbitrary python the standalone planner cannot see.
 _IDENTITY_KEYGENS = {"simple", "nonpartitioned", "timestamp", "custom"}
 
+# cluster-wide core count captured at register_hudi_format() time (the
+# session's sparkContext.defaultParallelism) — the scan-parallelism floor.
+# None until a registration runs (e.g. the reader planned from a session
+# that registered by class name only): fall back to env/cpu heuristics.
+_CLUSTER_PARALLELISM: int | None = None
+
 
 def _read_cfg(base_path: str) -> dict:
     with open(os.path.join(base_path, ".hoodie", "table_config.json")) as fh:
@@ -453,22 +459,39 @@ class HudiBatchReader(DataSourceReader):
         self._part_field = pf
         self._hive_style = bool(cfg.get("hive_style_partitioning"))
         # scan-split sizing (guide: fewer, larger input splits): pack
-        # small file slices into shared read tasks. Defaults mirror
-        # spark.sql.files.maxPartitionBytes (128m) with a parallelism
-        # floor of the local core count (SPARK_GRAFT_CPUS when the
-        # harness pins it). Options override both.
-        try:
-            self._split_target_bytes = int(options.get(
-                "hoodie.datasource.read.split.target.bytes",
-                128 * 1024 * 1024))
-        except (TypeError, ValueError):
-            self._split_target_bytes = 128 * 1024 * 1024
-        try:
-            self._min_read_partitions = int(options.get(
-                "hoodie.datasource.read.min.partitions",
-                os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8))
-        except (TypeError, ValueError):
-            self._min_read_partitions = os.cpu_count() or 8
+        # small file slices into shared read tasks. Mirrors Spark's own
+        # FilePartition sizing — maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, bytes/cores)) — with a larger open cost
+        # (each slice costs a Python-runner round trip, not a JVM file
+        # open) so a tiny table never fans out to one near-empty task per
+        # core and a huge table stays bytes-driven. The parallelism floor
+        # is the CLUSTER core count captured at registration
+        # (sparkContext.defaultParallelism — os.cpu_count() here would see
+        # only the planning worker's host); options override everything.
+        def _opt_int(key: str, default: int) -> int:
+            try:
+                return int(options.get(key, default))
+            except (TypeError, ValueError):
+                return default
+        self._split_target_bytes = _opt_int(
+            "hoodie.datasource.read.split.target.bytes", 128 * 1024 * 1024)
+        self._split_open_cost = _opt_int(
+            "hoodie.datasource.read.split.open.cost.bytes", 4 * 1024 * 1024)
+        self._split_min_bytes = _opt_int(
+            "hoodie.datasource.read.split.min.bytes", 8 * 1024 * 1024)
+        env_cpus = os.environ.get("SPARK_GRAFT_CPUS") or ""
+        floor_default = (_CLUSTER_PARALLELISM
+                         or (int(env_cpus) if env_cpus.isdigit() else 0)
+                         or os.cpu_count() or 8)
+        self._min_read_partitions = _opt_int(
+            "hoodie.datasource.read.min.partitions", floor_default)
+        # an EXPLICIT min.partitions is a hard floor on the bin count (the
+        # documented option contract); the default floor is soft — it only
+        # sizes splits via bytes/cores, Spark's minPartitionNum semantics —
+        # so a tiny table is never fanned out to near-empty Python tasks
+        self._min_partitions_explicit = (
+            "hoodie.datasource.read.min.partitions" in options)
+        self._manifest_sizes: dict = {}
         # executor-side cast/concat target: output schema + the merge
         # machinery columns (ordering extras + tombstone markers)
         extra = StructType(self._schema.fields.copy())
@@ -657,6 +680,15 @@ class HudiBatchReader(DataSourceReader):
 
     def partitions(self):
         entries = _timeline_entries(self.base_path)
+        # file sizes from the commit-manifest write stats, for _pack: the
+        # planner already holds every entry, so slice sizing needs no
+        # per-file stat round trip (os.path.getsize per file is ~free
+        # locally but a remote round trip per file on object stores)
+        self._manifest_sizes = {
+            self._abs(st["path"]): st["bytes"]
+            for _i, action, md in entries if action in WRITE_ACTIONS
+            for stats in (md.get("partition_to_write_stats") or {}).values()
+            for st in stats if st.get("bytes")}
         out = []
         if self.qtype == "incremental":
             lo = self.begin or ""
@@ -748,24 +780,50 @@ class HudiBatchReader(DataSourceReader):
         return self._pack(out)
 
     def _pack(self, slices: list) -> list:
-        """Bin slices into read tasks: bin count = clamp(total_bytes /
-        split_target_bytes, min_read_partitions, len(slices)), longest-
-        processing-time assignment so no task reads far more bytes than
-        its peers. With at least as many bins as slices this is the
-        identity (tests and small tables see plain _SlicePartitions)."""
+        """Bin slices into read tasks, mirroring Spark's FilePartition
+        sizing: each slice is charged its bytes plus an OPEN COST (here
+        the per-task Python-runner round trip, not a file open), and
+
+            max_split = min(split_target, max(split_min, charged/floor))
+            nbins     = clamp(ceil(charged_total / max_split), 1, n)
+
+        so a tiny table packs into a handful of tasks (the split_min
+        floor stops core-count fan-out of near-empty Python tasks — the
+        analog of Spark's openCostInBytes floor on maxSplitBytes), while
+        a large table is bytes-driven with parallelism >= the cluster
+        floor. The bin COUNT uses real bytes only; the per-slice open
+        cost enters the LPT weights (so many-tiny-slice groups still
+        spread across bins) but not the count — per-slice decode work is
+        constant under any packing, and charging it into the count would
+        fan tiny many-file tables back out to near-empty tasks.
+        Longest-processing-time assignment keeps bins even. With
+        at least as many bins as slices this is the identity (tests and
+        single-file tables see plain _SlicePartitions). Sizes come from
+        the commit-manifest write stats (no per-file stat round trip —
+        at object-store latencies getsize per file would dominate the
+        plan); files unknown to the manifest (bootstrap sources) fall
+        back to a local stat."""
         def size(s):
             b = 0
             for p in ([s.base] if s.base else []) + list(s.deltas):
+                known = self._manifest_sizes.get(p)
+                if known is not None:
+                    b += known
+                    continue
                 try:
                     b += os.path.getsize(p)
                 except OSError:
                     pass            # vanished file: read() raises loudly
             return b
-        sized = [(size(s), i, s) for i, s in enumerate(slices)]
-        total = sum(b for b, _i, _s in sized)
-        nbins = min(len(slices),
-                    max(self._min_read_partitions,
-                        -(-total // max(self._split_target_bytes, 1))))
+        oc = max(self._split_open_cost, 0)
+        sized = [(size(s) + oc, i, s) for i, s in enumerate(slices)]
+        total = sum(b for b, _i, _s in sized) - oc * len(slices)
+        floor = max(self._min_read_partitions, 1)
+        max_split = min(max(self._split_target_bytes, 1),
+                        max(self._split_min_bytes, 1, total // floor))
+        nbins = min(len(slices), max(1, -(-total // max_split)))
+        if self._min_partitions_explicit:
+            nbins = min(len(slices), max(nbins, floor))
         if nbins >= len(slices):
             return slices
         import heapq
@@ -1421,6 +1479,16 @@ def register_hudi_format(spark) -> None:
         from hudi_0_12_0_my_spark.streaming import source as _stream_src
         cloudpickle.register_pickle_by_value(_stream_src)
     except Exception:  # noqa: BLE001 — fall back to by-reference pickling
+        pass
+    # capture the CLUSTER-wide core count for the scan-parallelism floor:
+    # the reader plans inside a Python worker where os.cpu_count() sees the
+    # DRIVER host only (8 driver cores on a 200-executor-core cluster would
+    # silently floor scan parallelism at 8). Module globals ride along with
+    # the by-value pickle above, so the planning worker sees this value.
+    global _CLUSTER_PARALLELISM
+    try:
+        _CLUSTER_PARALLELISM = int(spark.sparkContext.defaultParallelism)
+    except Exception:  # noqa: BLE001 — Connect sessions have no sparkContext
         pass
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(HudiDataSource)

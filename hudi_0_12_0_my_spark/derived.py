@@ -678,8 +678,14 @@ def _join_rollup_dim_leg(fact_df, d_d, fact_key: str, dim_key: str,
     which reaches the parquet scan (PushedFilters, plan-pinned) and lets
     row-group/file key stats skip every fact file whose key range misses
     all changed dims. Above _DIM_LEG_PRUNE_MAX_KEYS changed keys the
-    filter is skipped — at that churn the scan is broad anyway and a
-    million-literal predicate would bloat the plan. ``prune=False`` skips
+    In-list would bloat the plan (a million-literal predicate), so the
+    prune degrades to the [min, max] RANGE of the changed keys — two
+    literals, still sargable (PushedFilters Gte/Lte), and effective
+    exactly when fact files are key-clustered (GLOBAL_SORT bulk inserts,
+    clustering by key): high-churn syncs keep file/row-group skipping
+    instead of falling off a cliff to an unpruned scan. A false positive
+    only costs scan bytes — the broadcast inner join drops it; never a
+    result change. ``prune=False`` skips
     the collect entirely (the caller gates on the fact's live file count:
     with few files there is nothing to skip and the collect is pure
     overhead)."""
@@ -696,6 +702,14 @@ def _join_rollup_dim_leg(fact_df, d_d, fact_key: str, dim_key: str,
             # empty delta -> isin([]) is constant-false: correct (no dim
             # rows can join) and the scan short-circuits
             leg = leg.filter(F.col(fact_key).isin(keys))
+        else:
+            # one tiny extra agg over the (persisted, model-sized) delta;
+            # runs only at high dim churn, where the In-list is off the
+            # table anyway
+            lo, hi = d_d.agg(F.min(dim_key), F.max(dim_key)).first()
+            if lo is not None:
+                leg = leg.filter(F.col(fact_key).between(F.lit(lo),
+                                                         F.lit(hi)))
     return (leg.join(F.broadcast(d_d),
                      F.col(fact_key) == F.col(dim_key), "inner")
             .select("_w", *gcols, *measures))

@@ -31,26 +31,11 @@ class Engine:
             register_stream_source(spark)
         # Every table read plans over an EXPLICIT leaf-file list (the
         # manifest fold hands spark.read.parquet the exact paths), so
-        # "listing" is one stat() per known file — but above the default
-        # spark.sql.sources.parallelPartitionDiscovery.threshold (32 paths)
-        # Spark launches a whole distributed listing JOB for it, ~0.5-1s of
-        # fixed latency per snapshot/incremental plan (measured: 172 local
-        # files list in ~0.15s driver-side vs ~0.6-1.0s as a job). Raise the
-        # crossover so driver-side stat handles manifest-sized file lists;
-        # SPARK_GRAFT_LIST_THRESHOLD tunes it for deployments where per-file
-        # stat is a remote round-trip (object stores) and the distributed
-        # listing should kick in earlier. Only applied while the session
-        # still carries the Spark default, so an explicit user setting wins.
-        import os
-        try:
-            cur = spark.conf.get(
-                "spark.sql.sources.parallelPartitionDiscovery.threshold")
-            if cur == "32":
-                spark.conf.set(
-                    "spark.sql.sources.parallelPartitionDiscovery.threshold",
-                    os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "10000"))
-        except Exception:  # noqa: BLE001 — conf surface varies by build
-            pass
+        # "listing" is one stat() per known file. The listing-threshold
+        # raise that makes those plans driver-side lives in
+        # writer._manifest_listing, scoped around the library's own reads —
+        # Engine construction no longer rewrites any session default (the
+        # user's non-hudi reads keep Spark's distributed-listing behavior).
 
     def create_table(self, base_path: str, name: str | None = None,
                      df: DataFrame | None = None, **cfg_kwargs) -> LakeTable:

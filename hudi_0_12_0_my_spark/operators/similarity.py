@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ._arrlit import dbl_lit, dbl_mat_lit
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -130,7 +132,7 @@ def hyperplane_signatures(df: DataFrame, dim: int, num_bits: int = 16,
     v = F.col(vec_col)
     sig = F.lit(0).cast("long")
     for i, hp in enumerate(planes):
-        lit = F.lit([float(x) for x in hp])
+        lit = dbl_lit(hp)
         bit = F.when(_dot(v, lit) > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
         sig = sig + bit * F.lit(1 << i).cast("long")
     return df.select(F.col(id_col), sig.alias("sig"))
@@ -228,7 +230,7 @@ def kmeans_assign(corpus: DataFrame, k: int = 4, iters: int = 2,
         # one transform over a literal centroid MATRIX rather than k
         # separate aggregate() expressions: ~3x through the interpreted-HOF
         # evaluator, identical folds per element (see pq_train)
-        cmat = F.lit([[float(x) for x in c] for c in cents])
+        cmat = dbl_mat_lit(cents)
         v = F.col(vec_col).cast("array<double>")
         darr = F.transform(cmat, lambda c: F.aggregate(
             F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
@@ -397,7 +399,7 @@ def random_projection(df: DataFrame, in_dim: int, out_dim: int,
               for i in range(out_dim)]
     s = 1.0 / (out_dim ** 0.5) if scale else 1.0
     v = F.col(vec_col).cast("array<double>")
-    comps = [(_dot(v, F.lit([float(x) for x in p])) * F.lit(s))
+    comps = [(_dot(v, dbl_lit(p)) * F.lit(s))
              for p in planes]
     return df.select(F.col(id_col), F.array(*comps).alias("projected"))
 
@@ -511,7 +513,7 @@ def pq_train(corpus: DataFrame, m: int = 8, ksub: int = 16,
         # ONE transform over a literal centroid MATRIX instead of ksub
         # separate aggregates: 3x faster through the interpreted-HOF
         # evaluator (identical results — same folds per element)
-        cmat = F.lit([[float(x) for x in c] for c in cj])
+        cmat = dbl_mat_lit(cj)
         sub = F.slice(v, j * dsub + 1, dsub)
         darr = F.transform(cmat, lambda c: F.aggregate(
             F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
@@ -551,7 +553,7 @@ def pq_encode(corpus: DataFrame, cents: list, id_col: str = "vec_id",
 
     def code_expr(j):
         # one transform over the literal centroid matrix (see pq_train)
-        cmat = F.lit([[float(x) for x in c] for c in cents[j]])
+        cmat = dbl_mat_lit(cents[j])
         sub = F.slice(v, j * dsub + 1, dsub)
         darr = F.transform(cmat, lambda c: F.aggregate(
             F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
@@ -588,7 +590,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     joined = codes.crossJoin(F.broadcast(qq))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    lits = [F.lit([[float(x) for x in c] for c in cents[j]])
+    lits = [dbl_mat_lit(cents[j])
             for j in range(m)]
     recon = F.flatten(F.array(*[
         F.element_at(lits[j], F.col("codes")[j] + 1) for j in range(m)]))
@@ -731,7 +733,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .select("query_id", "_q", "cell"))
     cand = (codes.join(F.broadcast(probes), "cell")
             .filter(F.col("neighbor_id") != F.col("query_id")))
-    lits = [F.lit([[float(x) for x in c] for c in cents[j]])
+    lits = [dbl_mat_lit(cents[j])
             for j in range(m)]
     recon = F.flatten(F.array(*[
         F.element_at(lits[j], F.col("codes")[j] + 1) for j in range(m)]))

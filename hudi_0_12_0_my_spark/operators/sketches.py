@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ._arrlit import int_lit
+
 from .dedup import _seeded_hash
 
 # bits of entropy per hash function (portable md5 keeps 15 hex chars = 60
@@ -82,11 +84,12 @@ def cms_probe(cells: dict, depth: int, width: int, hash_fn: str,
     arrays of width ints — no join, no second pass over anything).
     `cells` maps (d, bucket) -> count; missing cells are 0."""
     h = _nonneg_hash(hash_fn)
-    # ONE array literal per row (F.lit(list)), not width CreateArray
-    # children: a 4x256 sketch as per-element F.lit()s costs ~1k py4j
-    # round-trips to construct and an expression tree the analyzer walks
-    # per query; a Literal array is one call and one leaf node
-    arrs = [F.lit([int(cells.get((d, b), 0)) for b in range(width)])
+    # ONE array literal per row via a numpy array (int_lit), not width
+    # CreateArray children: a 4x256 sketch as per-element F.lit()s costs
+    # ~1k py4j round-trips to construct and an expression tree the
+    # analyzer walks per query (classic F.lit(list) expands per element —
+    # ADVICE r7); a numpy-array literal is one call and one Literal leaf
+    arrs = [int_lit(cells.get((d, b), 0) for b in range(width))
             for d in range(depth)]
     return F.least(*[
         F.element_at(arrs[d],

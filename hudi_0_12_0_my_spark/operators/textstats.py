@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ._arrlit import str_lit
+
 # BPE-ish token proxy: letter runs, digit runs, or single other non-space chars
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}-]"
@@ -50,7 +52,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = _ws_tokens(c)
     n_tok = F.size(toks)
     n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
-    stop_arr = F.lit(list(_STOPWORDS))   # one array literal, not N lits
+    stop_arr = str_lit(_STOPWORDS)   # one array literal, not N lits
     n_stop = F.size(F.array_intersect(toks, stop_arr))
     # distinct-stopword presence ratio: cheap, order-independent
     stop_ratio = F.when(n_tok > 0, n_stop / F.lit(float(len(_STOPWORDS)))).otherwise(F.lit(0.0))
@@ -73,7 +75,7 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.slice(_ws_tokens(F.lower(F.col(text_col))), 1, 200)
     hit_cols = []
     for lang, words in _LANG_LEXICON.items():
-        arr = F.lit(list(words))
+        arr = str_lit(words)
         hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
         hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*hit_cols))
@@ -454,7 +456,7 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text",
                                                     F.lit("")))) / 3
                   ).cast("bigint")
     n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
-    stop_arr = F.lit(list(GOPHER_STOPWORDS))
+    stop_arr = str_lit(GOPHER_STOPWORDS)
     stop_hits = F.size(F.array_intersect(toks, stop_arr))
     lines = F.filter(F.split(c, r"\n"),
                      lambda s: F.length(F.trim(s)) > 0)

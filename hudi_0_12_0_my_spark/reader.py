@@ -444,8 +444,9 @@ class Reader:
         return (j.filter(~F.col("before").eqNullSafe(F.col("after")))
                  .select(op.alias("op"), *keys, "before", "after"))
 
-    def _boundary_states(self, begin: str,
-                         end: str | None) -> tuple[DataFrame, DataFrame]:
+    def _boundary_states(self, begin: str, end: str | None,
+                         context: str = "incremental_cdc"
+                         ) -> tuple[DataFrame, DataFrame]:
         """The table's resolved state at `begin` and at `end`, scoped to
         the partitions TOUCHED by in-range commits (write stats +
         replaced-group metadata) — the shared prelude of the CDC diff and
@@ -459,7 +460,7 @@ class Reader:
                     .get("earliest_retained_instant")
                 if er and er > begin:
                     raise ValueError(
-                        f"incremental_cdc: state as-of begin={begin} is no "
+                        f"{context}: state as-of begin={begin} is no "
                         f"longer reconstructable — cleaning retained only "
                         f"instants >= {er}; choose begin within retention")
         # archived write instants count too: a begin older than the archive
@@ -523,7 +524,8 @@ class Reader:
         NOT for consumers that need per-key semantics (op classification,
         before/after pairing) — use incremental_cdc there.
         """
-        old, new = self._boundary_states(begin or "0", end)
+        old, new = self._boundary_states(begin or "0", end,
+                                         "incremental_contributions")
         data_cols = sorted(c for c in new.columns
                            if c not in meta.META_COLS
                            and c not in (meta.OPERATION, meta.TARGET_FILE_ID))

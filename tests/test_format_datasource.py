@@ -20,6 +20,15 @@ def _rows(df):
                   .collect())
 
 
+def _slices(parts):
+    """Flatten planner output to file slices: since the r8 sizing change
+    small tables pack into shared read tasks too, so tests that count
+    pruned/kept SLICES must look inside _PackedPartitions."""
+    from hudi_0_12_0_my_spark.datasource import _PackedPartition
+    return [s for p in parts
+            for s in (p.slices if isinstance(p, _PackedPartition) else [p])]
+
+
 @pytest.mark.parametrize("tt", ["cow", "mor"])
 def test_format_equals_library_reader(spark, tmp_path, tt):
     eng = Engine(spark)          # registers format("hudi")
@@ -340,9 +349,9 @@ def test_format_pushed_filters_prune_files_safely(spark, tmp_path):
     rd = HudiBatchReader(
         spark.read.format("hudi").load(base).schema,
         {"path": base})
-    all_parts = [p for p in rd.partitions() if p.base]
+    all_parts = [p for p in _slices(rd.partitions()) if p.base]
     rd.pushFilters([dsf.GreaterThanOrEqual(("v",), 1000)])
-    kept = [p for p in rd.partitions() if p.base]
+    kept = [p for p in _slices(rd.partitions()) if p.base]
     assert len(kept) < len(all_parts)            # something was pruned
     # delta-bearing slices are NEVER pruned: every partition that had
     # deltas in the unfiltered plan is still present after pushFilters
@@ -459,7 +468,7 @@ def test_format_read_missing_planned_file_raises(spark, tmp_path):
     t.insert(spark.createDataFrame([(i, "g", i, 1) for i in range(5)], S))
     rd = HudiBatchReader(spark.read.format("hudi").load(base).schema,
                          {"path": base})
-    parts = [p for p in rd.partitions() if p.base]
+    parts = [p for p in _slices(rd.partitions()) if p.base]
     os.remove(parts[0].base)
     with pytest.raises(FileNotFoundError, match="disappeared"):
         list(rd.read(parts[0]))
@@ -524,10 +533,10 @@ def test_format_bucket_point_lookup_prunes_to_one_group(spark, tmp_path):
         [(i, "g", i, 1) for i in range(64)], S))
     rd = HudiBatchReader(spark.read.format("hudi").load(base).schema,
                          {"path": base})
-    all_parts = [p for p in rd.partitions() if p.base]
+    all_parts = [p for p in _slices(rd.partitions()) if p.base]
     assert len(all_parts) > 1
     rd.pushFilters([dsf.EqualTo(("id",), 7)])
-    kept = [p for p in rd.partitions() if p.base]
+    kept = [p for p in _slices(rd.partitions()) if p.base]
     assert len(kept) == 1
     want = "%08d" % _bucket_of("7", 8)
     import os
@@ -540,7 +549,7 @@ def test_format_bucket_point_lookup_prunes_to_one_group(spark, tmp_path):
     assert got == lib == [(7, 7)]
     # In-lists address the union of buckets
     rd.pushFilters([dsf.In(("id",), (7, 13))])
-    kept_in = [p for p in rd.partitions() if p.base]
+    kept_in = [p for p in _slices(rd.partitions()) if p.base]
     assert 1 <= len(kept_in) <= 2
     # non-addressable shapes (float value) never bucket-address — only
     # regular min/max stats pruning may still apply
@@ -611,7 +620,7 @@ def test_format_scan_projects_only_needed_columns(spark, tmp_path):
     t.drop_column("extra")
     rd = HudiBatchReader(spark.read.format("hudi").load(base).schema,
                          {"path": base})
-    parts = [p for p in rd.partitions() if p.base]
+    parts = [p for p in _slices(rd.partitions()) if p.base]
     # the physical file still carries the dropped column...
     assert "extra" in pq.ParquetFile(parts[0].base).schema_arrow.names
     rows = [b for p in parts for b in rd.read(p)]
@@ -639,12 +648,12 @@ def test_format_partition_pruning_from_pushed_filters(spark, tmp_path):
         [(i, "abc"[i % 3], i, 1) for i in range(30)], S))
     rd = HudiBatchReader(spark.read.format("hudi").load(base).schema,
                          {"path": base})
-    all_parts = [p for p in rd.partitions() if p.base]
+    all_parts = [p for p in _slices(rd.partitions()) if p.base]
     rd.pushFilters([dsf.EqualTo(("grp",), "a")])
-    kept = [p for p in rd.partitions() if p.base]
+    kept = [p for p in _slices(rd.partitions()) if p.base]
     assert 0 < len(kept) < len(all_parts)
     rd.pushFilters([dsf.In(("grp",), ("a", "c"))])
-    kept2 = [p for p in rd.partitions() if p.base]
+    kept2 = [p for p in _slices(rd.partitions()) if p.base]
     assert len(kept) < len(kept2) < len(all_parts)
     got = sorted(r.id for r in spark.read.format("hudi").load(base)
                  .filter("grp = 'a'").select("id").collect())
@@ -755,9 +764,9 @@ def test_format_meta_partition_path_filter_prunes(spark, tmp_path):
         [(i, "abc"[i % 3], i, 1) for i in range(30)], S))
     rd = HudiBatchReader(spark.read.format("hudi").load(base).schema,
                          {"path": base})
-    all_parts = [p for p in rd.partitions() if p.base]
+    all_parts = [p for p in _slices(rd.partitions()) if p.base]
     rd.pushFilters([dsf.EqualTo(("_hoodie_partition_path",), "b")])
-    kept = [p for p in rd.partitions() if p.base]
+    kept = [p for p in _slices(rd.partitions()) if p.base]
     assert 0 < len(kept) < len(all_parts)
     got = sorted(r.id for r in spark.read.format("hudi").load(base)
                  .filter("_hoodie_partition_path = 'b'")
