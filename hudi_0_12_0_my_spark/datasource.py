@@ -1358,6 +1358,78 @@ class HudiFormatWriter(DataSourceArrowWriter):
         return _WriteMessage(files=files)
 
     # ---------------------------------------------------------- driver side
+    def _merge_small_files(self, stats_by_partition: dict) -> None:
+        """Spark 4.1's Python DataSourceWriter has no required-distribution
+        hook, so an insert-shaped write produces one file per (task x
+        partition value) — a small-file generator at any parallelism.
+        Before the commit is folded, merge each partition's sub-limit
+        files into ~target-sized ones (thread pool, driver-side): IO is
+        proportional to SMALL-file bytes only — at scale, per-task files
+        are already target-sized and nothing fires. Gates come from the
+        table config (small_file_limit_bytes / target_file_bytes, the
+        library writer's own packing thresholds); rows are untouched
+        except _hoodie_file_name, restamped to the merged file's name.
+        Runs before the timeline entry is written: a crash mid-merge
+        leaves only uncommitted (invisible) files behind."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        limit = int(self.cfg.get("small_file_limit_bytes")
+                    or 100 * 1024 * 1024)
+        target = int(self.cfg.get("target_file_bytes") or 120 * 1024 * 1024)
+        if limit <= 0:
+            return
+        jobs = []                      # (partition, [stats to merge])
+        for p, sts in stats_by_partition.items():
+            small = [st for st in sts if st.get("bytes", 0) < limit]
+            if len(small) < 2:
+                continue
+            small.sort(key=lambda st: st.get("bytes", 0), reverse=True)
+            bin_, bin_bytes = [], 0
+            for st in small:
+                if bin_ and bin_bytes + st.get("bytes", 0) > target:
+                    if len(bin_) > 1:
+                        jobs.append((p, bin_))
+                    bin_, bin_bytes = [], 0
+                bin_.append(st)
+                bin_bytes += st.get("bytes", 0)
+            if len(bin_) > 1:
+                jobs.append((p, bin_))
+        if not jobs:
+            return
+
+        def _merge(job):
+            import uuid
+            p, sts = job
+            fid = uuid.uuid4().hex
+            fname = f"{fid}_{self.instant}.parquet"
+            rel = os.path.join(p, fname) if p else fname
+            absp = os.path.join(self.base_path, rel)
+            parts = [pq.read_table(os.path.join(self.base_path, st["path"]))
+                     for st in sts]
+            merged = pa.concat_tables(parts)
+            i = merged.schema.get_field_index(FILE_NAME)
+            merged = merged.set_column(
+                i, FILE_NAME, pa.array([fname] * merged.num_rows))
+            pq.write_table(merged, absp,
+                           compression=self.cfg.get("parquet_codec")
+                           or "zstd")
+            st = _footer_stats(absp, self.stats_cols)
+            st.update({"file_id": fid, "file_name": fname, "path": rel,
+                       "kind": "base"})
+            for old in sts:
+                try:
+                    os.unlink(os.path.join(self.base_path, old["path"]))
+                except OSError:
+                    pass
+            return p, sts, st
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            for p, olds, st in ex.map(_merge, jobs):
+                gone = {id(o) for o in olds}
+                stats_by_partition[p] = [s for s in stats_by_partition[p]
+                                         if id(s) not in gone] + [st]
+
     def commit(self, messages) -> None:
         stats_by_partition: dict = {}
         for msg in messages:
@@ -1366,6 +1438,7 @@ class HudiFormatWriter(DataSourceArrowWriter):
             for st in msg.files:
                 p = st.pop("partition")
                 stats_by_partition.setdefault(p, []).append(st)
+        self._merge_small_files(stats_by_partition)
         cfg = dict(self.cfg)
         schema_struct = {"type": "struct", "fields": []}
         if cfg.get("schema_json"):

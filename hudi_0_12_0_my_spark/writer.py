@@ -1138,12 +1138,14 @@ class Writer:
                 tag_rows = (tagged.groupBy(meta.PARTITION_PATH, "__loc_fid")
                             .agg(F.count(F.when(
                                 F.col(meta.OPERATION) != "D", True))
-                                .alias("__n_live"))
+                                .alias("__n_live"),
+                                F.count(F.lit(1)).alias("__n_all"))
                             .collect())
                 upd_groups = {(r[0], r[1]) for r in tag_rows
                               if r[1] is not None}
                 ins_counts = {r[0]: r[2] for r in tag_rows
                               if r[1] is None and r[2] > 0}
+                n_upd_rows = sum(r[3] for r in tag_rows if r[1] is not None)
                 # groups under a pending clustering plan: updates rejected
                 # (SparkRejectUpdateStrategy), inserts never pack into them.
                 # The extra distinct-collect below runs ONLY while a
@@ -1213,6 +1215,12 @@ class Writer:
                         # stream both sides straight to the write
                         merged = old.unionByName(inserts_assigned,
                                                  allowMissingColumns=True)
+                    elif (jr := self._resolve_by_broadcast_join(
+                            old, updates, spec, n_upd_rows)) is not None:
+                        # small batch + ordering-resolvable payload: ONE
+                        # scan of the affected files, no window at all
+                        merged = jr.unionByName(inserts_assigned,
+                                                allowMissingColumns=True)
                     else:
                         on = [meta.PARTITION_PATH, meta.RECORD_KEY]
                         ukeys = updates.select(*on).distinct()
@@ -1252,6 +1260,68 @@ class Writer:
                     tagged.unpersist()
                 except Exception:
                     pass
+
+    def _resolve_by_broadcast_join(self, old: DataFrame, updates: DataFrame,
+                                   spec, n_updates: int) -> DataFrame | None:
+        """COW contested-key resolution as ONE broadcast join over ONE scan
+        of the affected files, replacing the semi+anti double scan + the
+        payload window when (a) the payload resolves by ordering fields
+        alone (no column_merge, no custom resolve_fn) and (b) the update
+        batch is small enough to broadcast (estimated as tagged-update
+        count x the table's average record size;
+        SPARK_GRAFT_UPSERT_BROADCAST_BYTES overrides the 64 MB default —
+        at cluster scale a bigger driver/executor heap can carry more).
+
+        Replays payloads.resolve exactly for this shape: per key at most
+        ONE live old row (live COW base files are key-unique) meets at
+        most ONE precombined update, so the window's max-over-ordering-
+        fields degenerates to a pairwise comparison — for commit-time-
+        ordered payloads the update always wins (its commit instant is
+        strictly newer than every stored one); for event-time-ordered
+        payloads the update wins iff coalesce(u.pre >= o.pre, o.pre IS
+        NULL) (desc_nulls_last: a NULL ordering value is weakest; an
+        exact tie falls to the newer commit time, i.e. the update). A
+        winning tombstone drops the row (the drop_deletes=True path).
+        Returns None when the gate fails — the caller keeps the
+        two-probe split plan, which never materializes the batch on the
+        driver."""
+        cfg = self.cfg
+        if spec.resolve_fn is not None or spec.column_merge:
+            return None
+        try:
+            cap = int(os.environ.get("SPARK_GRAFT_UPSERT_BROADCAST_BYTES",
+                                     64 * 1024 * 1024))
+        except ValueError:
+            cap = 64 * 1024 * 1024
+        if cap <= 0 or n_updates * self._avg_record_size() > cap:
+            return None
+        keys = [meta.RECORD_KEY] if cfg.global_index \
+            else [meta.PARTITION_PATH, meta.RECORD_KEY]
+        pre = cfg.precombine_field
+        upd_cols = [c for c in updates.columns if c not in keys]
+        u = updates.select(
+            *keys,
+            payloads.is_tombstone(updates).alias("__u_tomb"),
+            F.lit(True).alias("__u_hit"),
+            *[F.col(c).alias(f"__u_{c}") for c in upd_cols])
+        j = old.join(F.broadcast(u), on=keys, how="left")
+        if spec.event_time_ordered and pre:
+            win = F.coalesce(F.col(f"__u_{pre}") >= F.col(pre),
+                             F.col(pre).isNull())
+        else:
+            win = F.lit(True)
+        take_u = F.coalesce(F.col("__u_hit"), F.lit(False)) & win
+        old_cols, upd_set = set(old.columns), set(upd_cols)
+        out = []
+        for c in dict.fromkeys(list(old.columns) + upd_cols):
+            if c in keys:
+                out.append(F.col(c))
+                continue
+            u_c = F.col(f"__u_{c}") if c in upd_set else F.lit(None)
+            o_c = F.col(c) if c in old_cols else F.lit(None)
+            out.append(F.when(take_u, u_c).otherwise(o_c).alias(c))
+        dead = take_u & F.coalesce(F.col("__u_tomb"), F.lit(False))
+        return j.filter(~dead).select(*out)
 
     def _tag_bucket(self, incoming: DataFrame, view: FileSystemView | None,
                     instant: str, fresh_groups: bool = False) -> DataFrame:
