@@ -66,6 +66,15 @@ class TableConfig:
     # page cache and rewrite. Per-table override via create_table(...);
     # mixed codecs within one table are fine (parquet is per-file).
     parquet_codec: str = "zstd"
+    # zstd compression level for parquet writes (parquet-mr's
+    # parquet.compression.codec.zstd.level, default 3). Level 1 measured
+    # best-or-tied on EVERY cold-JVM write/read step of the bench trio
+    # (r8 A/B: bulk 5.58s vs snappy 6.78s / zstd-3 5.88s; format scan
+    # 4.05 vs 4.77/4.71) at only +7.6% bytes over level 3 — still -28%
+    # vs snappy. Applied per WRITE (option / ParquetWriter arg), never as
+    # a session or hadoop-conf default the user's own writes would
+    # inherit.
+    parquet_codec_level: int = 1
     # sizing (HoodieStorageConfig.java:43, HoodieCompactionConfig.java:81)
     target_file_bytes: int = 120 * 1024 * 1024
     small_file_limit_bytes: int = 100 * 1024 * 1024

@@ -1321,15 +1321,17 @@ class HudiFormatWriter(DataSourceArrowWriter):
                     out_schema = pa.schema(
                         list(meta_schema)
                         + [sub.schema.field(c) for c in cols])
+                    codec = self.cfg.get("parquet_codec") or "zstd"
+                    lvl = (self.cfg.get("parquet_codec_level") or 1) \
+                        if codec == "zstd" else None
                     w = writers[ppath] = [
                         fid, absp, rel,
                         pq.ParquetWriter(
                             absp, out_schema,
-                            # match the library writer's codec (config.py
-                            # parquet_codec: zstd default, ~25% smaller at
-                            # equal speed)
-                            compression=self.cfg.get("parquet_codec")
-                            or "zstd"),
+                            # match the library writer's codec + level
+                            # (config.py parquet_codec/_level: zstd-1 per
+                            # the r8 cold-JVM codec A/B)
+                            compression=codec, compression_level=lvl),
                         cols, out_schema]
                 fid, absp, rel, pqw, cols, out_schema = w
                 m = sub.num_rows
@@ -1412,9 +1414,11 @@ class HudiFormatWriter(DataSourceArrowWriter):
             i = merged.schema.get_field_index(FILE_NAME)
             merged = merged.set_column(
                 i, FILE_NAME, pa.array([fname] * merged.num_rows))
-            pq.write_table(merged, absp,
-                           compression=self.cfg.get("parquet_codec")
-                           or "zstd")
+            codec = self.cfg.get("parquet_codec") or "zstd"
+            pq.write_table(merged, absp, compression=codec,
+                           compression_level=(
+                               self.cfg.get("parquet_codec_level") or 1)
+                           if codec == "zstd" else None)
             st = _footer_stats(absp, self.stats_cols)
             st.update({"file_id": fid, "file_name": fname, "path": rel,
                        "kind": "base"})

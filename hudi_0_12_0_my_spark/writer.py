@@ -653,8 +653,15 @@ class Writer:
             df = df.drop(*drop_after_sort)
         w = df.write.mode("overwrite").partitionBy("__pp", "__fid")
         if fmt == "parquet":
-            w = w.option("compression",
-                         getattr(self.cfg, "parquet_codec", None) or "zstd")
+            codec = getattr(self.cfg, "parquet_codec", None) or "zstd"
+            w = w.option("compression", codec)
+            level = getattr(self.cfg, "parquet_codec_level", None)
+            if codec == "zstd" and level:
+                # write options merge into THIS job's hadoop conf
+                # (newHadoopConfWithOptions) — scoped, unlike a session
+                # default; level 1 per the r8 cold-JVM codec A/B
+                w = w.option("parquet.compression.codec.zstd.level",
+                             str(level))
         w.format(fmt).save(staging)
 
         moves = []   # (src, dest_rel, partition, fid)

@@ -13,10 +13,16 @@ from pyspark.sql import SparkSession
 
 @pytest.fixture(scope="session")
 def spark():
-    s = (SparkSession.builder.master("local[4]")
+    # local[8]: measured -11% suite wall on the slowest sweep subset vs
+    # local[4] (r8 conf A/B; local[16] was WORSE — scheduler contention,
+    # and shuffle=4 / AQE-off / codegen-off all measured flat-to-3x-worse)
+    s = (SparkSession.builder
+         .master(os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[8]"))
          .appName("lakehouse-tests")
-         .config("spark.sql.shuffle.partitions", "8")
-         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.shuffle.partitions",
+                 os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8"))
+         .config("spark.sql.adaptive.enabled",
+                 os.environ.get("SPARK_GRAFT_TEST_AQE", "true"))
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "4g")
          .config("spark.sql.session.timeZone", "UTC")

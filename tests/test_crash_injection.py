@@ -92,8 +92,13 @@ class crash_after:
         return False
 
 
-def run_crash_dag(spark, base_path, table_type, seed, n_steps=8,
+def run_crash_dag(spark, base_path, table_type, seed, n_steps=None,
                   index_type=None, concurrency_mode=None):
+    # in-gate depth 6 (suite time budget); SPARK_GRAFT_TEST_SWEEP=full
+    # restores 8 — same seed, deterministic prefix (see run_dag's note)
+    if n_steps is None:
+        n_steps = 8 if os.environ.get("SPARK_GRAFT_TEST_SWEEP") == "full" \
+            else 6
     rng = random.Random(seed)
     eng = Engine(spark)
     kw = {}
@@ -380,7 +385,9 @@ def test_derived_sync_crash_convergence(spark, tmp_path):
     from hudi_0_12_0_my_spark.derived import sync_rollup
 
     eng = Engine(spark)
-    for seed in range(5):
+    n_seeds = 5 if os.environ.get("SPARK_GRAFT_TEST_SWEEP") == "full" \
+        else 3        # in-gate budget; full sweep recorded offline
+    for seed in range(n_seeds):
         rng = random.Random(seed)
         src = eng.create_table(str(tmp_path / f"src{seed}"),
                                record_key_fields=["id"],
