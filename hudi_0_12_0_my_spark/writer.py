@@ -158,13 +158,20 @@ def _manifest_listing(spark, n_paths: int):
         thr = int(os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "10000"))
     except ValueError:
         thr = 10000
+    # conf probing/setting stays OUTSIDE the yielding try: an exception
+    # raised by the with-block body must propagate, not be swallowed here
+    # (a second yield from an except around the body is a RuntimeError
+    # that would mask the body's own error)
+    raise_it = False
     try:
-        if n_paths <= 32 or n_paths > thr \
-                or spark.conf.get(_LIST_THRESHOLD_CONF) != "32":
-            yield            # small list, huge list, or explicit user value
-            return
-        spark.conf.set(_LIST_THRESHOLD_CONF, str(thr))
+        # small list, huge list, or explicit user value: leave conf alone
+        raise_it = 32 < n_paths <= thr \
+            and spark.conf.get(_LIST_THRESHOLD_CONF) == "32"
+        if raise_it:
+            spark.conf.set(_LIST_THRESHOLD_CONF, str(thr))
     except Exception:        # noqa: BLE001 — conf surface varies by build
+        raise_it = False
+    if not raise_it:
         yield
         return
     try:
